@@ -1,0 +1,34 @@
+"""Root conftest: puts the repo on sys.path and provides the shared
+SparkSession fixture (session-scoped — JVM startup is ~10 s)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# sf0.001 keeps unit tests fast; the driver's correctness gate runs sf0.01.
+TEST_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from connect_server_spark.session import get_spark
+
+    s = get_spark(
+        app_name="connect_server_spark-tests",
+        master=os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[4]"),
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/spark-warehouse-tests"},
+    )
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return TEST_SF_DIR

@@ -1,0 +1,129 @@
+"""Driver queries for the scan/filter/project surface (SURVEY §2: S5-S7,
+P1-P11) — the reference's ``scan_table`` expression language run against the
+``orders``/``part`` tables as status-table analogs.
+
+Reference: ``aws/dynamo_manager.py:127-286`` (scan), ``aws/submissions.py:54-85``
+(user-scoped read path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_server_spark.plans import scan_table, user_scoped_filters
+from connect_server_spark.registry import register
+from connect_server_spark.tables import load_table
+
+
+def scan_status_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POST /submissions analog: projection + ^, ==, > filters (P1, P2, P4, P6)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return scan_table(
+        orders,
+        fields=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+        filters=[
+            ("o_orderstatus", "==", "O"),
+            ("o_totalprice", ">", 150000.0),
+            ("o_orderpriority", "^", "1"),
+        ],
+    )
+
+
+register(
+    "scan_status_read_path",
+    scan_status_read_path,
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_totalprice > 150000.0
+      AND o_orderpriority LIKE '1%'
+    """,
+)
+
+
+def scan_ops_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining filter ops on one scan: * contains, [] between, in, != (P3, P5, P7, P8, P9)."""
+    part = load_table(spark, "part", sf_dir)
+    return scan_table(
+        part,
+        fields=["p_partkey", "p_name", "p_brand", "p_type", "p_size"],
+        filters=[
+            ("p_name", "*", "r"),
+            ("p_size", "[]", [10, 30]),
+            ("p_brand", "in", ["Brand#1", "Brand#2", "Brand#3", "Brand#4"]),
+            ("p_type", "!=", "ECONOMY"),
+        ],
+    )
+
+
+register(
+    "scan_ops_matrix",
+    scan_ops_matrix,
+    sql="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size
+    FROM part
+    WHERE p_name LIKE '%r%'
+      AND p_size BETWEEN 10 AND 30
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#4')
+      AND p_type <> 'ECONOMY'
+    """,
+)
+
+
+def scan_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``('f','==',None)`` = field absent / ``('f','!=',None)`` = present (P4/P5
+    None-handling, ``aws/dynamo_manager.py:195-205``)."""
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "maybe_priority", F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    )
+    absent = scan_table(
+        orders, fields=["o_orderkey"], filters=[("maybe_priority", "==", None)]
+    ).withColumn("presence", F.lit("absent"))
+    present = scan_table(
+        orders,
+        fields=["o_orderkey"],
+        filters=[("maybe_priority", "!=", None), ("o_orderstatus", "==", "F")],
+    ).withColumn("presence", F.lit("present"))
+    return absent.unionByName(present)
+
+
+register(
+    "scan_null_semantics",
+    scan_null_semantics,
+    sql="""
+    WITH s AS (
+      SELECT o_orderkey, o_orderstatus,
+             nullif(o_orderpriority, '1-URGENT') AS maybe_priority
+      FROM orders
+    )
+    SELECT o_orderkey, 'absent' AS presence FROM s WHERE maybe_priority IS NULL
+    UNION ALL
+    SELECT o_orderkey, 'present' AS presence FROM s
+    WHERE maybe_priority IS NOT NULL AND o_orderstatus = 'F'
+    """,
+)
+
+
+def scan_user_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level security conjunct prepended to client filters (P11,
+    ``aws/submissions.py:73-76``); user_id analog = o_custkey."""
+    orders = load_table(spark, "orders", sf_dir)
+    filters = user_scoped_filters(
+        [("o_totalprice", ">", 50000.0)], 1, field="o_custkey"
+    )
+    return scan_table(
+        orders, fields=["o_orderkey", "o_custkey", "o_totalprice"], filters=filters
+    )
+
+
+register(
+    "scan_user_scoped",
+    scan_user_scoped,
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey = 1 AND o_totalprice > 50000.0
+    """,
+)

@@ -1,0 +1,58 @@
+"""Driver-facing query registry.
+
+Each module in ``connect_server_spark.queries`` registers
+``(name, spark_fn, oracle_sql)`` triples at import time; the driver's
+``__spark_entry__`` adapter reads them back. Keeping registration beside
+the operator exercised makes SURVEY §2 coverage auditable per module.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+_LOADED = False
+
+# Query modules, one per build phase. Extend as phases land.
+_QUERY_MODULES = [
+    "connect_server_spark.queries.scan_queries",
+]
+
+
+def register(name: str, fn: QueryFn, sql: str | None = None) -> None:
+    if name in _QUERIES:
+        raise ValueError(f"duplicate query name '{name}'")
+    _QUERIES[name] = fn
+    if sql is not None:
+        _ORACLE[name] = sql
+
+
+def _load() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    _LOADED = True
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load()
+    return dict(_QUERIES)
+
+
+def all_oracle_sql() -> dict[str, str]:
+    _load()
+    return dict(_ORACLE)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The smoke-check query the driver runs via ``entry()``."""
+    _load()
+    return _QUERIES["scan_status_read_path"](spark, sf_dir)
