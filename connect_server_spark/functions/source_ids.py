@@ -32,13 +32,29 @@ _VERSION_SUFFIX = r"_v[0-9]+\.[0-9]+$"
 _VERSION_GROUPS = r"_v([0-9]+)\.([0-9]+)$"
 
 
+def _let(value: Column, body) -> Column:
+    """Poor-man's let-binding for Column expressions: evaluate ``value``
+    once, bind it as a lambda variable in ``body``.
+
+    Without this, composing a multi-step string pipeline in one Column
+    duplicates every subtree at each reference site — ``make_source_name``
+    referenced its token array ~8 times, which (multiplied through struct
+    field extraction) exploded the Catalyst tree combinatorially and pushed
+    evaluation off the codegen path. A bound lambda variable is a cheap
+    attribute read, so the pipeline stays linear in tree size at any scale.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def split_source_id(source_id: Column) -> Column:
     """``{source_name}_v{search}.{sub}`` → struct(success, source_name,
     source_id, search_version, submission_version).
 
     Invalid-form ids keep the whole string as name/id with versions 0
-    (``aws/source_id_manager.py:40-78``). The reassembled source_id uses the
-    int-cast versions, so zero-padded versions normalize (``_v08.1 → _v8.1``).
+    (``aws/source_id_manager.py:40-78``). The reference reassembles the
+    source_id from the raw matched substrings, so the assembled id always
+    equals the input when the form matches (zero padding preserved:
+    ``x_v08.1`` stays ``x_v08.1``); only the version *fields* are int-cast.
     """
     matched = source_id.rlike(_VERSION_SUFFIX)
     name = F.regexp_replace(source_id, _VERSION_SUFFIX, "")
@@ -47,20 +63,20 @@ def split_source_id(source_id: Column) -> Column:
     return F.struct(
         matched.alias("success"),
         F.when(matched, name).otherwise(source_id).alias("source_name"),
-        F.when(
-            matched, F.concat(name, F.lit("_v"), search_v, F.lit("."), sub_v)
-        ).otherwise(source_id).alias("source_id"),
+        source_id.alias("source_id"),
         F.when(matched, search_v).otherwise(F.lit(0)).alias("search_version"),
         F.when(matched, sub_v).otherwise(F.lit(0)).alias("submission_version"),
     )
 
 
 def _clean_tokens(value: Column) -> Column:
-    """Tokenize on space/underscore, lowercase, keep alnum chars only, drop
-    empties and stopwords (``aws/source_id_manager.py:146-155``)."""
+    """Tokenize on space/underscore, lowercase, keep ASCII alnum chars only,
+    drop empties and stopwords (``aws/source_id_manager.py:146-155``; the
+    reference keeps ``char.isalnum() and char.isascii()`` — ASCII only, so
+    ``Überstudy`` → ``berstudy``)."""
     tokens = F.split(F.translate(value, "_", " "), r"\s+")
     cleaned = F.transform(
-        tokens, lambda t: F.regexp_replace(F.lower(t), r"[^\p{L}\p{N}]", "")
+        tokens, lambda t: F.regexp_replace(F.lower(t), r"[^a-z0-9]", "")
     )
     stop = F.array(*[F.lit(w) for w in DELETE_WORDS])
     return F.filter(
@@ -71,10 +87,10 @@ def _clean_tokens(value: Column) -> Column:
 def _author_word(author: Column) -> Column:
     """Author tokens cleaned and merged into one word
     (``aws/source_id_manager.py:157-163``) — stopwords are NOT dropped from
-    the author, only non-alnum chars."""
+    the author, only non-ASCII-alnum chars."""
     tokens = F.split(F.translate(author, "_", " "), r"\s+")
     cleaned = F.transform(
-        tokens, lambda t: F.regexp_replace(F.lower(t), r"[^\p{L}\p{N}]", "")
+        tokens, lambda t: F.regexp_replace(F.lower(t), r"[^a-z0-9]", "")
     )
     return F.array_join(cleaned, "")
 
@@ -103,38 +119,45 @@ def make_source_name(
         sanitize_only = F.lit(sanitize_only)
 
     base_title = split_source_id(title)["source_name"]
-    author_word = _author_word(author)
-    cleaned = _clean_tokens(base_title)
-    title_clean = F.when(
-        sanitize_only | (author_word == ""), cleaned
-    ).otherwise(F.filter(cleaned, lambda t: t != author_word))
 
-    n = F.size(title_clean)
-    word1 = F.element_at(title_clean, 1)
-    word2 = F.when(n >= 2, F.element_at(title_clean, 2)).otherwise(F.lit(""))
-    word3 = F.when(n >= 3, F.element_at(title_clean, -1)).otherwise(F.lit(""))
+    def with_author(author_word: Column) -> Column:
+        cleaned = _clean_tokens(base_title)
+        return _let(
+            F.when(sanitize_only | (author_word == ""), cleaned).otherwise(
+                F.filter(cleaned, lambda t: t != author_word)
+            ),
+            lambda toks: with_tokens(author_word, toks),
+        )
 
-    assembled = F.when(
-        sanitize_only, F.array_join(title_clean, "_")
-    ).otherwise(
-        F.concat_ws("_", author_word, word1, word2, word3)
-    )
-    # strip("_") — leading underscore when author_word is empty, trailing
-    # when word2/word3 are (aws/source_id_manager.py:184).
-    stripped = F.regexp_replace(F.regexp_replace(assembled, "^_+", ""), "_+$", "")
-    named = F.when(is_test, F.concat(F.lit("_test_"), stripped)).otherwise(stripped)
+    def with_tokens(author_word: Column, toks: Column) -> Column:
+        n = F.size(toks)
+        word1 = F.element_at(toks, 1)
+        word2 = F.when(n >= 2, F.element_at(toks, 2)).otherwise(F.lit(""))
+        word3 = F.when(n >= 3, F.element_at(toks, -1)).otherwise(F.lit(""))
 
-    ok = n >= 1
-    return F.struct(
-        ok.alias("success"),
-        F.when(ok, named).otherwise(F.lit(None)).alias("source_name"),
-        F.when(ok, F.lit(None)).otherwise(
-            F.concat(
-                F.lit("Title '"), title,
-                F.lit("' invalid: Must have at least one word that is not the author name"),
-            )
-        ).alias("error"),
-    )
+        assembled = F.when(
+            sanitize_only, F.array_join(toks, "_")
+        ).otherwise(F.concat_ws("_", author_word, word1, word2, word3))
+        # strip("_") — leading underscore when author_word is empty, trailing
+        # when word2/word3 are (aws/source_id_manager.py:184).
+        stripped = F.regexp_replace(
+            F.regexp_replace(assembled, "^_+", ""), "_+$", ""
+        )
+        named = F.when(is_test, F.concat(F.lit("_test_"), stripped)).otherwise(stripped)
+
+        ok = n >= 1
+        return F.struct(
+            ok.alias("success"),
+            F.when(ok, named).otherwise(F.lit(None)).alias("source_name"),
+            F.when(ok, F.lit(None)).otherwise(
+                F.concat(
+                    F.lit("Title '"), title,
+                    F.lit("' invalid: Must have at least one word that is not the author name"),
+                )
+            ).alias("error"),
+        )
+
+    return _let(_author_word(author), with_author)
 
 
 def increment_record_version(version: Column) -> Column:
@@ -142,20 +165,20 @@ def increment_record_version(version: Column) -> Column:
     anything unsplittable → null (``aws/dynamo_manager.py:90-100``,
     goldens ``aws/tests/test_dynamo_manager.py:66-70``). The major part is
     passed through verbatim (may be non-numeric), only the minor must parse."""
-    parts = F.split(version, r"\.", -1)
-    valid = (F.size(parts) == 2) & F.element_at(parts, 2).rlike("^[0-9]+$")
-    return (
-        F.when(version.isNull() | (version == ""), F.lit("1.0"))
-        .when(
+    def bump(parts: Column) -> Column:
+        valid = (F.size(parts) == 2) & F.element_at(parts, 2).rlike("^[0-9]+$")
+        return F.when(
             valid,
             F.concat(
                 F.element_at(parts, 1),
                 F.lit("."),
                 (F.element_at(parts, 2).cast("long") + 1).cast("string"),
             ),
-        )
-        .otherwise(F.lit(None))
-    )
+        ).otherwise(F.lit(None))
+
+    return F.when(
+        version.isNull() | (version == ""), F.lit("1.0")
+    ).otherwise(_let(F.split(version, r"\.", -1), bump))
 
 
 def version_sort_key(version: Column) -> Column:

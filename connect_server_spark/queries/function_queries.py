@@ -1,0 +1,377 @@
+"""Driver queries wiring the scalar-function library (SURVEY §2.8: F1-F4,
+F6-F7, F9-F10, F14; A2) to CORRECTNESS-gated queries with DuckDB twins.
+
+Inputs are derived deterministically from the TPC-H-ish fixture columns so
+the oracle SQL can derive the identical inputs; the oracle then re-implements
+the reference semantics independently in DuckDB SQL (the point of the gate).
+
+References: ``aws/source_id_manager.py:40-191``, ``aws/dynamo_manager.py:90-100``,
+``aws/utils.py:7-93``, ``aws/submit.py:139-162``, ``aws/submissions.py:10-52``,
+``aws/automate_manager.py:130``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_server_spark.functions.metadata import (
+    creators_join,
+    default_resource_type,
+    ingest_date,
+    status_code_letter,
+    tags_to_subjects,
+)
+from connect_server_spark.functions.source_ids import (
+    DELETE_WORDS,
+    increment_record_version,
+    make_source_name,
+    split_source_id,
+)
+from connect_server_spark.functions.uris import normalize_globus_uri
+from connect_server_spark.registry import register
+from connect_server_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# F1: split_source_id over synthesized {name}_v{search}.{sub} ids.
+# Rows where p_partkey % 4 == 0 get no version suffix (invalid form → 0/0);
+# rows where p_partkey % 5 == 1 get a zero-padded search version, which must
+# round-trip unchanged (ADVICE round 1: raw-substring reassembly).
+# ---------------------------------------------------------------------------
+
+def _synth_source_id():
+    base = F.replace(F.col("p_name"), F.lit(" "), F.lit("_"))
+    search_v = (F.col("p_partkey") % 7).cast("string")
+    padded = F.concat(F.lit("0"), search_v)
+    sub_v = (F.col("p_partkey") % 23).cast("string")
+    return (
+        F.when(F.col("p_partkey") % 4 == 0, F.col("p_name"))
+        .when(
+            F.col("p_partkey") % 5 == 1,
+            F.concat(base, F.lit("_v"), padded, F.lit("."), sub_v),
+        )
+        .otherwise(F.concat(base, F.lit("_v"), search_v, F.lit("."), sub_v))
+    )
+
+
+def source_id_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    sid = _synth_source_id()
+    parts = split_source_id(sid)
+    return part.select(
+        F.col("p_partkey"),
+        parts["success"].alias("success"),
+        parts["source_name"].alias("source_name"),
+        parts["source_id"].alias("source_id"),
+        parts["search_version"].alias("search_version"),
+        parts["submission_version"].alias("submission_version"),
+    )
+
+
+_SYNTH_SID_SQL = """
+      CASE
+        WHEN p_partkey % 4 = 0 THEN p_name
+        WHEN p_partkey % 5 = 1 THEN concat(
+          replace(p_name, ' ', '_'), '_v0', CAST(p_partkey % 7 AS VARCHAR),
+          '.', CAST(p_partkey % 23 AS VARCHAR))
+        ELSE concat(
+          replace(p_name, ' ', '_'), '_v', CAST(p_partkey % 7 AS VARCHAR),
+          '.', CAST(p_partkey % 23 AS VARCHAR))
+      END
+"""
+
+register(
+    "source_id_split",
+    source_id_split,
+    sql=f"""
+    WITH ids AS (
+      SELECT p_partkey, {_SYNTH_SID_SQL} AS sid FROM part
+    )
+    SELECT
+      p_partkey,
+      regexp_matches(sid, '_v[0-9]+\\.[0-9]+$') AS success,
+      CASE WHEN regexp_matches(sid, '_v[0-9]+\\.[0-9]+$')
+           THEN regexp_replace(sid, '_v[0-9]+\\.[0-9]+$', '')
+           ELSE sid END AS source_name,
+      sid AS source_id,
+      CASE WHEN regexp_matches(sid, '_v[0-9]+\\.[0-9]+$')
+           THEN CAST(regexp_extract(sid, '_v([0-9]+)\\.([0-9]+)$', 1) AS INTEGER)
+           ELSE 0 END AS search_version,
+      CASE WHEN regexp_matches(sid, '_v[0-9]+\\.[0-9]+$')
+           THEN CAST(regexp_extract(sid, '_v([0-9]+)\\.([0-9]+)$', 2) AS INTEGER)
+           ELSE 0 END AS submission_version
+    FROM ids
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# F2: make_source_name over p_name titles with p_mfgr authors.
+# The oracle re-implements the tokenize→clean→stopword-drop→author-drop→
+# word-pick pipeline with DuckDB list lambdas.
+# ---------------------------------------------------------------------------
+
+def source_id_make(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    made = make_source_name(
+        F.col("p_name"), F.col("p_brand"), is_test=F.col("p_partkey") % 3 == 0
+    )
+    return part.select(
+        F.col("p_partkey"),
+        made["success"].alias("success"),
+        made["source_name"].alias("source_name"),
+    )
+
+
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in DELETE_WORDS) + "]"
+
+register(
+    "source_id_make",
+    source_id_make,
+    sql=f"""
+    WITH cleaned AS (
+      SELECT
+        p_partkey,
+        regexp_replace(lower(p_brand), '[^a-z0-9]', '', 'g') AS author_word,
+        list_filter(
+          list_transform(
+            string_split_regex(replace(p_name, '_', ' '), '\\s+'),
+            t -> regexp_replace(lower(t), '[^a-z0-9]', '', 'g')),
+          t -> t <> '' AND NOT list_contains({_STOPWORDS_SQL}, t)
+        ) AS toks
+      FROM part
+    ), dropped AS (
+      SELECT p_partkey, author_word,
+        CASE WHEN author_word = '' THEN toks
+             ELSE list_filter(toks, t -> t <> author_word) END AS toks
+      FROM cleaned
+    ), picked AS (
+      SELECT p_partkey, author_word, len(toks) AS n,
+        CASE WHEN len(toks) >= 1 THEN toks[1] ELSE '' END AS w1,
+        CASE WHEN len(toks) >= 2 THEN toks[2] ELSE '' END AS w2,
+        CASE WHEN len(toks) >= 3 THEN toks[-1] ELSE '' END AS w3
+      FROM dropped
+    )
+    SELECT
+      p_partkey,
+      n >= 1 AS success,
+      CASE WHEN n >= 1 THEN
+        concat(
+          CASE WHEN p_partkey % 3 = 0 THEN '_test_' ELSE '' END,
+          regexp_replace(regexp_replace(
+            concat_ws('_', author_word, w1, w2, w3), '^_+', ''), '_+$', ''))
+      ELSE NULL END AS source_name
+    FROM picked
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# F3/A2: increment_record_version over a synthesized version column covering
+# null, empty, valid, non-dotted, and three-part inputs.
+# ---------------------------------------------------------------------------
+
+def version_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    version = (
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("string"))
+        .when(F.col("o_orderkey") % 5 == 1, F.lit(""))
+        .when(F.col("o_orderkey") % 5 == 2, F.lit("not-a-version"))
+        .when(F.col("o_orderkey") % 5 == 3, F.lit("1.2.3"))
+        .otherwise(
+            F.concat(
+                (F.col("o_orderkey") % 7).cast("string"),
+                F.lit("."),
+                (F.col("o_orderkey") % 13).cast("string"),
+            )
+        )
+    )
+    return orders.select(
+        F.col("o_orderkey"),
+        version.alias("version"),
+        increment_record_version(version).alias("next_version"),
+    )
+
+
+register(
+    "version_increment",
+    version_increment,
+    sql="""
+    WITH v AS (
+      SELECT o_orderkey,
+        CASE
+          WHEN o_orderkey % 5 = 0 THEN NULL
+          WHEN o_orderkey % 5 = 1 THEN ''
+          WHEN o_orderkey % 5 = 2 THEN 'not-a-version'
+          WHEN o_orderkey % 5 = 3 THEN '1.2.3'
+          ELSE concat(CAST(o_orderkey % 7 AS VARCHAR), '.',
+                      CAST(o_orderkey % 13 AS VARCHAR))
+        END AS version
+      FROM orders
+    )
+    SELECT o_orderkey, version,
+      CASE
+        WHEN version IS NULL OR version = '' THEN '1.0'
+        WHEN len(string_split(version, '.')) = 2
+             AND regexp_matches(string_split(version, '.')[2], '^[0-9]+$')
+        THEN concat(string_split(version, '.')[1], '.',
+                    CAST(CAST(string_split(version, '.')[2] AS BIGINT) + 1 AS VARCHAR))
+        ELSE NULL
+      END AS next_version
+    FROM v
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# F4: normalize_globus_uri over synthesized locations covering all five
+# branches: web-app link, link missing its path (→ null), gdrive scheme with
+# and without leading slash, and passthrough. Inputs avoid percent-encoding
+# and '+' so url-decode is the identity on both engines.
+# ---------------------------------------------------------------------------
+
+_EP = "11111111-2222-3333-4444-555555555555"
+
+
+def uri_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, "customer", sf_dir)
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    location = (
+        F.when(
+            k % 6 == 0,
+            F.concat(
+                F.lit(f"https://app.globus.org/file-manager?origin_id={_EP}&origin_path=/data/"),
+                ks,
+            ),
+        )
+        .when(
+            k % 6 == 1,
+            F.concat(
+                F.lit(f"https://www.globus.org/app/transfer?destination_id={_EP}&destination_path=/dest/"),
+                ks,
+            ),
+        )
+        .when(k % 6 == 2, F.lit(f"https://app.globus.org/transfer?origin_id={_EP}"))
+        .when(k % 6 == 3, F.concat(F.lit("gdrive://folder/item"), ks))
+        .when(k % 6 == 4, F.concat(F.lit("google:///abs/path/"), ks))
+        .otherwise(F.concat(F.lit("https://example.org/files/"), ks))
+    )
+    return customer.select(
+        k.alias("c_custkey"),
+        location.alias("location"),
+        normalize_globus_uri(location).alias("normalized"),
+    )
+
+
+register(
+    "uri_normalize",
+    uri_normalize,
+    sql=f"""
+    WITH loc AS (
+      SELECT c_custkey,
+        CASE
+          WHEN c_custkey % 6 = 0 THEN concat(
+            'https://app.globus.org/file-manager?origin_id={_EP}&origin_path=/data/',
+            CAST(c_custkey AS VARCHAR))
+          WHEN c_custkey % 6 = 1 THEN concat(
+            'https://www.globus.org/app/transfer?destination_id={_EP}&destination_path=/dest/',
+            CAST(c_custkey AS VARCHAR))
+          WHEN c_custkey % 6 = 2 THEN 'https://app.globus.org/transfer?origin_id={_EP}'
+          WHEN c_custkey % 6 = 3 THEN concat('gdrive://folder/item', CAST(c_custkey AS VARCHAR))
+          WHEN c_custkey % 6 = 4 THEN concat('google:///abs/path/', CAST(c_custkey AS VARCHAR))
+          ELSE concat('https://example.org/files/', CAST(c_custkey AS VARCHAR))
+        END AS location
+      FROM customer
+    )
+    SELECT c_custkey, location,
+      CASE
+        WHEN regexp_matches(location,
+              '^https://www\\.globus\\.org/app/transfer|^https://app\\.globus\\.org/file-manager|^https://app\\.globus\\.org/transfer')
+        THEN CASE
+          WHEN coalesce(nullif(regexp_extract(location, '[?&]origin_id=([^&]*)', 1), ''),
+                        nullif(regexp_extract(location, '[?&]destination_id=([^&]*)', 1), '')) IS NOT NULL
+           AND coalesce(nullif(regexp_extract(location, '[?&]origin_path=([^&]*)', 1), ''),
+                        nullif(regexp_extract(location, '[?&]destination_path=([^&]*)', 1), '')) IS NOT NULL
+          THEN concat('globus://',
+            coalesce(nullif(regexp_extract(location, '[?&]origin_id=([^&]*)', 1), ''),
+                     nullif(regexp_extract(location, '[?&]destination_id=([^&]*)', 1), '')),
+            coalesce(nullif(regexp_extract(location, '[?&]origin_path=([^&]*)', 1), ''),
+                     nullif(regexp_extract(location, '[?&]destination_path=([^&]*)', 1), '')))
+          ELSE NULL END
+        WHEN regexp_matches(location, '^(gdrive|google|googledrive)://')
+        THEN concat('globus://gdrive-bridge-endpoint/gdrive',
+          CASE WHEN starts_with(regexp_replace(location, '^(gdrive|google|googledrive)://', ''), '/')
+               THEN regexp_replace(location, '^(gdrive|google|googledrive)://', '')
+               ELSE concat('/', regexp_replace(location, '^(gdrive|google|googledrive)://', ''))
+          END)
+        ELSE location
+      END AS normalized
+    FROM loc
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# F6/F7/F9/F10/F14: the metadata-enrichment scalars composed in one query.
+# tags→subjects flattened to a CSV string (primitive output columns keep the
+# driver's value hash robust across engines).
+# ---------------------------------------------------------------------------
+
+def metadata_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    flow_status = (
+        F.when(F.col("o_orderstatus") == "O", F.lit("ACTIVE"))
+        .when(F.col("o_orderstatus") == "F", F.lit("SUCCEEDED"))
+        .otherwise(F.lit("FAILED"))
+    )
+    clerk = F.concat(F.lit("Clerk#"), F.col("o_custkey").cast("string"))
+    tags = F.array(F.col("o_orderpriority"), clerk)
+    subjects = tags_to_subjects(tags)
+    resource_type = default_resource_type(
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.struct(
+                F.lit("Software").alias("resourceTypeGeneral"),
+                F.lit("Code").alias("resourceType"),
+            ),
+        )
+    )
+    creators = F.array(
+        F.struct(clerk.alias("creatorName")),
+        F.struct(F.col("o_orderpriority").alias("creatorName")),
+    )
+    return orders.select(
+        F.col("o_orderkey"),
+        status_code_letter(flow_status).alias("status_letter"),
+        F.array_join(
+            F.transform(subjects, lambda s: s["subject"]), ","
+        ).alias("subjects_csv"),
+        resource_type["resourceTypeGeneral"].alias("resource_type_general"),
+        resource_type["resourceType"].alias("resource_type"),
+        creators_join(creators).alias("creators_joined"),
+        ingest_date(F.col("o_orderdate").cast("timestamp")).alias("ingest_date"),
+    )
+
+
+register(
+    "metadata_enrich",
+    metadata_enrich,
+    sql="""
+    SELECT
+      o_orderkey,
+      CASE o_orderstatus WHEN 'O' THEN 'P' WHEN 'F' THEN 'S' ELSE 'F' END
+        AS status_letter,
+      concat(o_orderpriority, ',', 'Clerk#', CAST(o_custkey AS VARCHAR))
+        AS subjects_csv,
+      CASE WHEN o_orderkey % 2 = 0 THEN 'Software' ELSE 'Dataset' END
+        AS resource_type_general,
+      CASE WHEN o_orderkey % 2 = 0 THEN 'Code' ELSE 'Dataset' END
+        AS resource_type,
+      concat('Clerk#', CAST(o_custkey AS VARCHAR), ', ', o_orderpriority)
+        AS creators_joined,
+      strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%fZ')
+        AS ingest_date
+    FROM orders
+    """,
+)

@@ -22,6 +22,7 @@ _LOADED = False
 # Query modules, one per build phase. Extend as phases land.
 _QUERY_MODULES = [
     "connect_server_spark.queries.scan_queries",
+    "connect_server_spark.queries.function_queries",
 ]
 
 
