@@ -32,6 +32,9 @@ HEADLINE = [
     "source_id_make",
     "uri_normalize",
     "metadata_enrich",
+    "latest_version_per_key",
+    "latest_status_join",
+    "version_existence_probe",
 ]
 
 

@@ -1,0 +1,172 @@
+"""Driver queries for the versioned-read relational core (SURVEY §2: A1,
+A2, J2, O1, O2) with DuckDB oracle twins.
+
+A synthetic status table is derived deterministically from ``orders``:
+``source_id = 'src_' || o_custkey % 997``, ``version = (1 + o_orderkey %
+3) . (o_orderkey % 17)`` — minor versions reach 16, so the numeric-aware
+ordering trap (``1.13 > 1.2``, ``aws/tests/test_dynamo_manager.py:7-44``)
+is exercised on every key. ``o_orderkey`` breaks exact-version ties so
+results are hash-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_server_spark.functions.source_ids import increment_record_version
+from connect_server_spark.operators.versioning import (
+    existence_probe,
+    latest_per_key,
+    latest_version_join,
+)
+from connect_server_spark.registry import register
+from connect_server_spark.tables import load_table
+
+_KEY_MOD = 997
+
+
+def _status_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.select(
+        F.concat(F.lit("src_"), (F.col("o_custkey") % _KEY_MOD).cast("string")).alias(
+            "source_id"
+        ),
+        F.concat(
+            (F.col("o_orderkey") % 3 + 1).cast("string"),
+            F.lit("."),
+            (F.col("o_orderkey") % 17).cast("string"),
+        ).alias("version"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+    )
+
+
+_STATUS_SQL = f"""
+      SELECT
+        concat('src_', CAST(o_custkey % {_KEY_MOD} AS VARCHAR)) AS source_id,
+        concat(CAST(o_orderkey % 3 + 1 AS VARCHAR), '.',
+               CAST(o_orderkey % 17 AS VARCHAR)) AS version,
+        o_orderkey,
+        o_totalprice
+      FROM orders
+"""
+
+_LATEST_SQL = f"""
+      SELECT source_id, version, o_orderkey, o_totalprice
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source_id
+          ORDER BY CAST(string_split(version, '.')[1] AS BIGINT) DESC,
+                   CAST(string_split(version, '.')[2] AS BIGINT) DESC,
+                   o_orderkey DESC
+        ) AS rn
+        FROM ({_STATUS_SQL})
+      ) WHERE rn = 1
+"""
+
+
+def latest_version_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/O1: numerically-latest status row per source_id via map-side
+    combinable ``max_by`` (no window, no per-key sort)."""
+    return latest_per_key(
+        _status_table(spark, sf_dir),
+        key="source_id",
+        version="version",
+        payload=["o_orderkey", "o_totalprice"],
+        tiebreakers=["o_orderkey"],
+    )
+
+
+register("latest_version_per_key", latest_version_per_key, sql=_LATEST_SQL)
+
+
+def latest_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 + A2: submissions left-joined to their latest status; the next
+    version each submission would be assigned (``1.0`` for brand-new keys,
+    minor+1 otherwise — ``aws/submit.py:212-216``)."""
+    customer = load_table(spark, "customer", sf_dir)
+    submissions = customer.select(
+        F.col("c_custkey"),
+        F.concat(F.lit("src_"), (F.col("c_custkey") % _KEY_MOD).cast("string")).alias(
+            "source_id"
+        ),
+    )
+    joined = latest_version_join(
+        submissions,
+        _status_table(spark, sf_dir),
+        key="source_id",
+        version="version",
+        payload=["o_totalprice"],
+        tiebreakers=["o_orderkey"],
+    )
+    return joined.select(
+        "c_custkey",
+        "source_id",
+        F.col("version").alias("current_version"),
+        F.col("o_totalprice").alias("current_totalprice"),
+        increment_record_version(F.col("version")).alias("next_version"),
+    )
+
+
+register(
+    "latest_status_join",
+    latest_status_join,
+    sql=f"""
+    SELECT
+      c.c_custkey,
+      concat('src_', CAST(c.c_custkey % {_KEY_MOD} AS VARCHAR)) AS source_id,
+      l.version AS current_version,
+      l.o_totalprice AS current_totalprice,
+      CASE
+        WHEN l.version IS NULL THEN '1.0'
+        ELSE concat(string_split(l.version, '.')[1], '.',
+                    CAST(CAST(string_split(l.version, '.')[2] AS BIGINT) + 1 AS VARCHAR))
+      END AS next_version
+    FROM customer c
+    LEFT JOIN ({_LATEST_SQL}) l
+      ON concat('src_', CAST(c.c_custkey % {_KEY_MOD} AS VARCHAR)) = l.source_id
+    """,
+)
+
+
+def version_existence_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: per-submission existence classification — 0 prior versions →
+    ``new``, exactly 1 → ``bump``, ≥2 → ``error`` (the reference's
+    ``limit 2`` search probe, ``aws/source_id_manager.py:212-229``)."""
+    customer = load_table(spark, "customer", sf_dir)
+    probes = customer.select(
+        F.col("c_custkey"),
+        F.concat(F.lit("src_"), (F.col("c_custkey") % _KEY_MOD).cast("string")).alias(
+            "source_id"
+        ),
+    )
+    existing = existence_probe(_status_table(spark, sf_dir), key="source_id")
+    return probes.join(existing, on="source_id", how="left").select(
+        "c_custkey",
+        "source_id",
+        F.coalesce(F.col("n_existing"), F.lit(0)).alias("n_existing"),
+        F.coalesce(F.col("classification"), F.lit("new")).alias("classification"),
+    )
+
+
+register(
+    "version_existence_probe",
+    version_existence_probe,
+    sql=f"""
+    WITH counts AS (
+      SELECT source_id, least(count(*), 2) AS n_existing,
+             CASE WHEN count(*) = 1 THEN 'bump' ELSE 'error' END AS classification
+      FROM ({_STATUS_SQL})
+      GROUP BY source_id
+    )
+    SELECT
+      c.c_custkey,
+      concat('src_', CAST(c.c_custkey % {_KEY_MOD} AS VARCHAR)) AS source_id,
+      coalesce(n.n_existing, 0) AS n_existing,
+      coalesce(n.classification, 'new') AS classification
+    FROM customer c
+    LEFT JOIN counts n
+      ON concat('src_', CAST(c.c_custkey % {_KEY_MOD} AS VARCHAR)) = n.source_id
+    """,
+)

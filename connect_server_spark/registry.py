@@ -23,6 +23,7 @@ _LOADED = False
 _QUERY_MODULES = [
     "connect_server_spark.queries.scan_queries",
     "connect_server_spark.queries.function_queries",
+    "connect_server_spark.queries.version_queries",
 ]
 
 
