@@ -35,6 +35,11 @@ HEADLINE = [
     "latest_version_per_key",
     "latest_status_join",
     "version_existence_probe",
+    "org_resolve",
+    "status_insert_guard",
+    "dedup_exact",
+    "dedup_neardup_minhash",
+    "dedup_neardup_simhash",
 ]
 
 

@@ -32,18 +32,7 @@ _VERSION_SUFFIX = r"_v[0-9]+\.[0-9]+$"
 _VERSION_GROUPS = r"_v([0-9]+)\.([0-9]+)$"
 
 
-def _let(value: Column, body) -> Column:
-    """Poor-man's let-binding for Column expressions: evaluate ``value``
-    once, bind it as a lambda variable in ``body``.
-
-    Without this, composing a multi-step string pipeline in one Column
-    duplicates every subtree at each reference site — ``make_source_name``
-    referenced its token array ~8 times, which (multiplied through struct
-    field extraction) exploded the Catalyst tree combinatorially and pushed
-    evaluation off the codegen path. A bound lambda variable is a cheap
-    attribute read, so the pipeline stays linear in tree size at any scale.
-    """
-    return F.element_at(F.transform(F.array(value), body), 1)
+from connect_server_spark.functions.expr import let_col as _let
 
 
 def split_source_id(source_id: Column) -> Column:

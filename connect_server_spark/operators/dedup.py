@@ -1,0 +1,275 @@
+"""Deduplication operators for large-scale text corpora: exact, MinHash-LSH,
+SimHash, and n-gram Jaccard verification.
+
+These are the LLM-training-pipeline operators the reference lacks but a
+100 TB corpus engine needs. Design rules:
+
+* **Never all-pairs.** Candidate generation is always a bucketed equi-join
+  (LSH band hash or SimHash chunk); the only O(n²) work is within buckets,
+  which banding keeps tiny. The plan must never contain a CartesianProduct.
+* **Shuffle-light.** MinHash signatures and SimHash fingerprints are pure
+  per-row column expressions over the shingle array (``array_min`` /
+  ``transform`` over ``xxhash64``) — zero shuffle until the band-bucket
+  join, whose key cardinality is bounded by design.
+* **Exact dedup groups by digest, not by text** — the shuffle key is 16
+  bytes instead of the document body.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from connect_server_spark.functions.expr import let_col
+
+__all__ = [
+    "normalize_text",
+    "word_shingles",
+    "exact_dedup",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "jaccard_verify",
+    "minhash_neardup_pairs",
+    "simhash",
+    "simhash_neardup_pairs",
+]
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text (the unit set for
+    Jaccard similarity). Pure expression — evaluated in the scan stage.
+
+    The token array is let-bound: the gram lambda references it 3× per
+    index, and inlining would re-split (and re-regex) the whole document
+    per reference."""
+
+    def build(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+        # Docs shorter than n words contribute their whole text as one shingle.
+        return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
+
+    return let_col(F.split(normalize_text(text), " "), build)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct normalized text: canonical (min) id, copy count,
+    and the sorted duplicate-id list as CSV.
+
+    Groups by ``md5`` digest of the normalized text so the shuffle carries
+    a 16-byte key, not document bodies; ``min``/``count``/``collect_list``
+    all combine map-side.
+    """
+    digest = F.md5(normalize_text(F.col(text_col))).alias("_digest")
+    return (
+        df.select(digest, F.col(id_col))
+        .groupBy("_digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.array_join(F.array_sort(F.collect_list(id_col)), ",").alias("member_ids_csv"),
+        )
+        .select("canonical_id", "n_copies", "member_ids_csv")
+    )
+
+
+def _seeded_hash(seed: int):
+    """One-argument lambda factory — a ``lambda s, i=i:`` default-arg trick
+    would make PySpark pass the array *index* as the second argument."""
+    return lambda s: F.xxhash64(s, F.lit(seed))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: array of ``num_hashes`` minima of seeded
+    ``xxhash64`` over the shingle set. Per-row expression, no shuffle."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, _seeded_hash(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def _band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Bucket key per band: hash of the band's signature slice."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.element_at(signature, b * rows_per_band + r + 1) for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) that collide in ≥1 LSH band.
+
+    Explodes each doc into ``bands`` bucket keys and self-joins on the
+    bucket key — an equi-join, broadcast/hash-planned, never a cross join.
+    """
+    rows_per_band = num_hashes // bands
+    # let-bind the signature: _band_hashes references it 2×bands times, and
+    # inlining would re-evaluate all num_hashes array_min passes per band.
+    band_hashes = let_col(
+        minhash_signature(F.col(shingles_col), num_hashes),
+        lambda sig: _band_hashes(sig, bands, rows_per_band),
+    )
+    buckets = df.select(
+        F.col(id_col),
+        F.posexplode(band_hashes).alias("band", "band_hash"),
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard over the shingle sets of each candidate pair; keeps
+    pairs with ``jaccard >= threshold``. Two hash-joins against the
+    (id, shingles) projection — candidates only, never the full corpus²."""
+    sets_ = docs.select(F.col(id_col), F.col(shingles_col))
+    a = sets_.select(
+        F.col(id_col).alias("id_a"), F.col(shingles_col).alias("_sh_a")
+    )
+    b = sets_.select(
+        F.col(id_col).alias("id_b"), F.col(shingles_col).alias("_sh_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size("_sh_a") + F.size("_sh_b") - inter
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup: shingle → signature → banded
+    candidates → exact-Jaccard verify. Returns (id_a, id_b, jaccard)."""
+    docs = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_shingles")
+    )
+    cands = lsh_candidate_pairs(docs, id_col, "_shingles", num_hashes, bands)
+    return jaccard_verify(cands, docs, id_col, "_shingles", threshold)
+
+
+def simhash(shingles: Column, bits: int = 64) -> Column:
+    """SimHash fingerprint: per bit position, majority vote of the shingle
+    hashes' bits. Returns a bigint. Pure per-row expression; the hash
+    array is let-bound so the 63 bit votes share one evaluation of it."""
+
+    def fold(h: Column) -> Column:
+        def bit(b: int) -> Column:
+            ones = F.aggregate(
+                h,
+                F.lit(0),
+                lambda acc, x: acc
+                + F.shiftright(x, b).bitwiseAND(F.lit(1)).cast("int"),
+            )
+            return (ones * 2 > F.size(h)).cast("long") * F.lit(2 ** b).cast("long")
+
+        out = F.lit(0).cast("long")
+        for b in range(bits - 1):  # skip the sign bit to stay positive
+            out = out + bit(b)
+        return out
+
+    return let_col(F.transform(shingles, lambda s: F.xxhash64(s)), fold)
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """SimHash near-dup via chunk banding: split the 64-bit fingerprint
+    into 4 16-bit chunks; pairs within ``max_hamming`` (< 4 by pigeonhole)
+    share at least one exact chunk — an equi-join key. Verify with
+    ``bit_count(xor) <= max_hamming``."""
+    fp = df.select(
+        F.col(id_col),
+        simhash(word_shingles(F.col(text_col), shingle_n)).alias("_fp"),
+    )
+    chunks = fp.select(
+        id_col,
+        "_fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("_fp"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk", "chunk_val"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l._fp").alias("_fp_a"),
+            F.col("r._fp").alias("_fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_fp_a").bitwiseXOR(F.col("_fp_b")))
+    return cands.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,82 @@
+"""Unit tests for the dedup operator family on seeded fixtures."""
+
+from pyspark.sql import functions as F
+
+from connect_server_spark.operators.dedup import (
+    exact_dedup,
+    minhash_neardup_pairs,
+    simhash_neardup_pairs,
+    word_shingles,
+)
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm windowsill near the garden gate"
+)
+NEAR = (
+    "quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm windowsill near the garden gate"
+)  # first word dropped -> high jaccard
+OTHER = (
+    "completely different content about spark partitions shuffles and "
+    "broadcast joins at terabyte scale with adaptive execution enabled"
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, DOC), (2, NEAR), (3, OTHER), (4, DOC.upper() + "  ")],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_dedup_groups_normalized(spark):
+    out = {r.canonical_id: (r.n_copies, r.member_ids_csv)
+           for r in exact_dedup(_df(spark), "doc_id", "text").collect()}
+    assert out[1] == (2, "1,4")
+    assert out[2] == (1, "2")
+    assert out[3] == (1, "3")
+
+
+def test_word_shingles_short_doc(spark):
+    [r] = spark.createDataFrame([("one two",)], ["t"]).select(
+        word_shingles(F.col("t"), 3).alias("sh")
+    ).collect()
+    assert r.sh == ["one two"]
+
+
+def test_minhash_finds_planted_pair(spark):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in minhash_neardup_pairs(_df(spark), "doc_id", "text",
+                                            threshold=0.5, num_hashes=32,
+                                            bands=16).collect()}
+    keys = set(pairs)
+    assert (1, 2) in keys       # near-dup found
+    assert (1, 4) in keys       # exact dup (jaccard 1.0)
+    assert pairs[(1, 4)] == 1.0
+    assert not any(3 in k for k in keys)  # unrelated doc untouched
+
+
+def test_minhash_plan_no_cartesian(spark):
+    plan = minhash_neardup_pairs(
+        _df(spark), "doc_id", "text"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_finds_planted_pair(spark):
+    pairs = {(r.id_a, r.id_b)
+             for r in simhash_neardup_pairs(_df(spark), "doc_id", "text",
+                                            max_hamming=10).collect()}
+    assert (1, 4) in pairs      # identical after normalization: hamming 0
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_plan_no_cartesian(spark):
+    plan = simhash_neardup_pairs(
+        _df(spark), "doc_id", "text"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
