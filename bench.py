@@ -40,6 +40,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_neardup_minhash",
     "dedup_neardup_simhash",
+    "similarity_topk_exact",
+    "similarity_topk_ann",
 ]
 
 

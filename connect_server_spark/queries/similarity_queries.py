@@ -1,0 +1,75 @@
+"""Driver queries for embedding similarity search over the ``embeddings``
+fixture (64-dim float vectors).
+
+``similarity_topk_exact`` is the oracle-gated correctness baseline: every
+50th vector probes the corpus, cosine computed as an explicit double fold
+and rounded before ranking (cross-engine stable). ``similarity_topk_ann``
+is the scale path (SRP-LSH buckets); its recall is probabilistic so it is
+registered rows-only and pinned by pytest instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_server_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from connect_server_spark.registry import register
+from connect_server_spark.tables import load_table
+
+_K = 5
+
+
+def _probes(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+
+
+def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk(_probes(emb), emb, _K).select(
+        "probe_id", "vec_id", "cosine", "rank"
+    )
+
+
+register(
+    "similarity_topk_exact",
+    similarity_topk_exact,
+    sql=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT
+        p.probe_id,
+        e.vec_id,
+        round(
+          list_sum(list_transform(range(1, len(p.pv) + 1),
+            i -> CAST(p.pv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(p.pv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+          6) AS cosine
+      FROM embeddings e CROSS JOIN probes p
+    )
+    SELECT probe_id, vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= {_K}
+    """,
+)
+
+
+def similarity_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed ANN (rows-only: recall is probabilistic; the exact
+    twin above is the gated baseline)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return ann_lsh_topk(_probes(emb), emb, _K, tables=8, bits=10).select(
+        "probe_id", "vec_id", "cosine", "rank"
+    )
+
+
+register("similarity_topk_ann", similarity_topk_ann)

@@ -1,0 +1,58 @@
+"""Unit tests for similarity search operators on seeded vectors."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from connect_server_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_similarity,
+    cosine_topk,
+)
+
+
+def _corpus(spark):
+    # vec 1 == probe direction; vec 2 orthogonal; vec 3 opposite; vec 4 near.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [0.9, 0.1, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _probes(spark):
+    return spark.createDataFrame([(100, [1.0, 0.0, 0.0, 0.0])], ["probe_id", "probe_vec"])
+
+
+def test_cosine_similarity_values(spark):
+    df = _corpus(spark).crossJoin(_probes(spark)).select(
+        "vec_id", cosine_similarity(F.col("probe_vec"), F.col("embedding")).alias("c")
+    )
+    out = {r.vec_id: r.c for r in df.collect()}
+    assert out[1] == 1.0
+    assert out[2] == 0.0
+    assert out[3] == -1.0
+    assert math.isclose(out[4], 0.9 / math.sqrt(0.82), abs_tol=1e-6)
+
+
+def test_cosine_topk_order_and_ties(spark):
+    out = cosine_topk(_probes(spark), _corpus(spark), k=3).collect()
+    ranked = [(r.rank, r.vec_id) for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [(1, 1), (2, 4), (3, 2)]
+
+
+def test_ann_finds_exact_match(spark):
+    # identical vector must collide in every SRP table -> always a candidate
+    out = ann_lsh_topk(_probes(spark), _corpus(spark), k=2, tables=4, bits=4).collect()
+    top = min(out, key=lambda r: r.rank)
+    assert top.vec_id == 1 and top.cosine == 1.0
+
+
+def test_ann_plan_is_equijoin(spark):
+    plan = ann_lsh_topk(
+        _probes(spark), _corpus(spark), k=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
