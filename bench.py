@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_neardup_simhash",
     "similarity_topk_exact",
     "similarity_topk_ann",
+    "text_analysis",
 ]
 
 

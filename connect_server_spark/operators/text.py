@@ -1,0 +1,156 @@
+"""Text-analysis operators for corpus pipelines: token counting,
+language identification, quality scoring, document fingerprinting.
+
+All pure Catalyst expressions (no Python in the hot path) — each runs in
+the scan stage with predicate pushdown intact, and all are reproducible
+in ANSI SQL so every operator here is oracle-gateable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from connect_server_spark.functions.expr import let_col
+from connect_server_spark.operators.dedup import normalize_text
+
+__all__ = [
+    "STOPWORDS",
+    "tokens",
+    "token_count",
+    "alnum_token_count",
+    "stopword_ratio",
+    "language_scores",
+    "language_id",
+    "mean_word_length",
+    "punct_ratio",
+    "quality_score",
+    "doc_fingerprint",
+]
+
+# Tiny per-language stopword inventories (n-gram-heuristic stand-in; a
+# production language-ID model plugs into the same column contract).
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "with", "for", "on"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "una", "con", "por"),
+    "de": ("der", "die", "das", "und", "ist", "mit", "ein", "eine", "zu", "von"),
+}
+
+_MOD = 1_000_000_007
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(normalize_text(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def alnum_token_count(text: Column) -> Column:
+    """BPE-ish token count: maximal ``[a-z0-9]+`` runs of the lowercased
+    text (punctuation splits, so ``don't`` counts 2)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), F.lit(0)))
+
+
+def _hit_ratio(toks: Column, words: tuple[str, ...]) -> Column:
+    wordset = F.array(*[F.lit(w) for w in words])
+    hits = F.size(F.array_intersect(F.array_distinct(toks), wordset))
+    # ratio of distinct stopwords present, scaled by how much of the doc
+    # they cover — cheap and monotone in both signals
+    covered = F.size(F.filter(toks, lambda t: F.array_contains(wordset, t)))
+    return F.round(
+        (hits.cast("double") / len(words))
+        * (covered.cast("double") / F.greatest(F.size(toks), F.lit(1))),
+        6,
+    )
+
+
+def language_scores(text: Column) -> Column:
+    """Struct of per-language stopword-evidence scores."""
+    return let_col(
+        tokens(text),
+        lambda toks: F.struct(
+            *[_hit_ratio(toks, ws).alias(lang) for lang, ws in STOPWORDS.items()]
+        ),
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Best-evidence language code, ``und`` when no stopword matches."""
+
+    def pick(scores: Column) -> Column:
+        langs = list(STOPWORDS)
+        best = F.greatest(*[scores[lang] for lang in langs])
+        out = F.lit("und")
+        for lang in reversed(langs):  # earlier languages win ties
+            out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+        return F.when(best > 0, out).otherwise(F.lit("und"))
+
+    return let_col(language_scores(text), pick)
+
+
+def mean_word_length(text: Column) -> Column:
+    return let_col(
+        tokens(text),
+        lambda toks: F.round(
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+            )
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ),
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Share of non-alphanumeric, non-space characters."""
+    stripped = F.regexp_replace(text, r"[a-zA-Z0-9\s]", "")
+    return F.round(
+        F.length(stripped).cast("double") / F.greatest(F.length(text), F.lit(1)), 6
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    wordset = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return let_col(
+        tokens(text),
+        lambda toks: F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(wordset, t))).cast(
+                "double"
+            )
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ),
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic scaled to integer e-7 units of [0,1]:
+    ``4*stopword + 3*word-length-shape + 3*(1-punct)``, each component
+    first snapped to the 1e-6 grid. Integer output on purpose: a double
+    composite lands on round-half-way ties (observed in practice) where
+    engines disagree by 1 ulp; exact integer arithmetic over the already-
+    rounded components is engine-stable."""
+    a = F.round(stopword_ratio(text) * 1e6, 0).cast("long")
+    b = F.round(F.least(mean_word_length(text) / 8.0, F.lit(1.0)) * 1e6, 0).cast("long")
+    c = F.round((1.0 - F.least(punct_ratio(text) * 4.0, F.lit(1.0))) * 1e6, 0).cast("long")
+    return a * 4 + b * 3 + c * 3
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-sensitive polynomial rolling hash of the token stream
+    (mod 1e9+7, base 31, token contribution = ascii(first char) + length).
+    Stable across engines — pure integer arithmetic."""
+    return let_col(
+        tokens(text),
+        lambda toks: F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: (
+                acc * 31 + F.ascii(F.substring(t, 1, 1)).cast("long") + F.length(t)
+            )
+            % _MOD,
+        ),
+    )

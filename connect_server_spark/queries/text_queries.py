@@ -1,0 +1,102 @@
+"""Driver queries for the text-analysis operator family over ``documents``,
+fully oracle-gated (every operator is pure arithmetic/string logic)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_server_spark.operators.text import (
+    STOPWORDS,
+    alnum_token_count,
+    doc_fingerprint,
+    language_id,
+    mean_word_length,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from connect_server_spark.registry import register
+from connect_server_spark.tables import load_table
+
+
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        alnum_token_count(t).alias("n_alnum_tokens"),
+        language_id(t).alias("lang_guess"),
+        stopword_ratio(t).alias("stopword_ratio_en"),
+        mean_word_length(t).alias("mean_word_len"),
+        punct_ratio(t).alias("punct_ratio"),
+        quality_score(t).alias("quality_e7"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_SCORES = {
+    lang: f"""round(
+      (CAST(len(list_intersect(list_distinct(w), {_sql_list(ws)})) AS DOUBLE) / {len(ws)})
+      * (CAST(len(list_filter(w, t -> list_contains({_sql_list(ws)}, t))) AS DOUBLE)
+         / greatest(len(w), 1)), 6)"""
+    for lang, ws in STOPWORDS.items()
+}
+
+_LANG_CASE = f"""
+      CASE WHEN greatest(s_en, s_es, s_de) > 0 THEN (
+        CASE WHEN s_en = greatest(s_en, s_es, s_de) THEN 'en'
+             WHEN s_es = greatest(s_en, s_es, s_de) THEN 'es'
+             WHEN s_de = greatest(s_en, s_es, s_de) THEN 'de'
+        END)
+      ELSE 'und' END
+"""
+
+register(
+    "text_analysis",
+    text_analysis,
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    scored AS (
+      SELECT *,
+        {_SCORES['en']} AS s_en,
+        {_SCORES['es']} AS s_es,
+        {_SCORES['de']} AS s_de,
+        round(CAST(len(list_filter(w, t -> list_contains({_sql_list(STOPWORDS['en'])}, t))) AS DOUBLE)
+              / greatest(len(w), 1), 6) AS swr,
+        round(list_sum(list_transform(w, t -> CAST(len(t) AS DOUBLE)))
+              / greatest(len(w), 1), 6) AS mwl,
+        round(CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+              / greatest(len(text), 1), 6) AS pr
+      FROM toks
+    )
+    SELECT
+      doc_id,
+      len(w) AS n_tokens,
+      len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_alnum_tokens,
+      {_LANG_CASE} AS lang_guess,
+      swr AS stopword_ratio_en,
+      mwl AS mean_word_len,
+      pr AS punct_ratio,
+      CAST(round(swr * 1e6, 0) AS BIGINT) * 4
+        + CAST(round(least(mwl / 8.0, 1.0) * 1e6, 0) AS BIGINT) * 3
+        + CAST(round((1.0 - least(pr * 4.0, 1.0)) * 1e6, 0) AS BIGINT) * 3
+        AS quality_e7,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+                     list_transform(w, t -> CAST(ascii(t) + len(t) AS BIGINT))),
+        (acc, x) -> (acc * 31 + x) % 1000000007
+      ) AS fingerprint
+    FROM scored
+    """,
+)

@@ -27,6 +27,7 @@ _QUERY_MODULES = [
     "connect_server_spark.queries.org_queries",
     "connect_server_spark.queries.dedup_queries",
     "connect_server_spark.queries.similarity_queries",
+    "connect_server_spark.queries.text_queries",
 ]
 
 
