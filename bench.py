@@ -43,6 +43,7 @@ HEADLINE = [
     "similarity_topk_exact",
     "similarity_topk_ann",
     "text_analysis",
+    "submit_pipeline",
 ]
 
 

@@ -1,0 +1,115 @@
+"""The submit pipeline: the reference's ``POST /submit`` stage chain
+(``aws/submit.py:68-378``, SURVEY §3.1) as one DataFrame transformation.
+
+Stages (guards emit ``(success, error)`` columns instead of HTTP codes;
+the first failing guard wins, matching the reference's early-exit order
+``aws/submit.py:68-167``):
+
+1. P12 group gate — submitting identity must hold the required group
+   (``aws/submit.py:68-76``, ``arrays_overlap``).
+2. S2  NaN/Inf guard — no non-finite numbers anywhere in the document
+   (``aws/submit.py:102-113``).
+3. S3  schema slice — required fields present (title non-empty).
+4. J1  org resolution with unknown/duplicate errors
+   (``aws/submit.py:117-135``).
+5. J2/A1 latest-status join + P13 ownership — update flag consistency
+   and identity-ownership checks (``aws/submit.py:186-266``).
+6. A2  version assignment — ``1.0`` for new, minor+1 for updates.
+7. Enrichment — versioned_source_id, curation flag from the org
+   (``aws/submit.py:268-278``).
+
+Everything is expression-level: one broadcast join (orgs), one agg+join
+(latest status), zero Python UDFs, zero collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from connect_server_spark.functions.source_ids import increment_record_version
+from connect_server_spark.operators.org import resolve_org
+from connect_server_spark.operators.versioning import latest_version_join
+
+__all__ = ["submit_pipeline", "ERRORS"]
+
+ERRORS = {
+    "group": "not in required group",
+    "nan": "non-finite value in submission",
+    "title": "missing title",
+    "org_unknown": "unknown organization",
+    "org_dup": "duplicate organization match",
+    "update_missing": "update of nonexistent source",
+    "exists": "source exists and update not set",
+    "owner": "not the owner",
+}
+
+
+def submit_pipeline(
+    submissions: DataFrame,
+    orgs: DataFrame,
+    status: DataFrame,
+    status_tiebreaker: str,
+) -> DataFrame:
+    """Run the submit stage chain.
+
+    ``submissions`` columns: ``source_id``, ``title``, ``org_ref``,
+    ``update`` (bool), ``identities`` (array<string>), ``user_groups``
+    (array<string>), ``required_group``, ``metadata_value`` (double —
+    stand-in for the numeric leaves of the document).
+
+    ``orgs``: registry with ``canonical_name``/``aliases``/``curation``.
+    ``status``: existing status rows with ``source_id``/``version``/
+    ``owner`` and a unique ``status_tiebreaker`` column.
+
+    Output: input keys + ``success``/``error`` + assigned ``version`` /
+    ``versioned_source_id`` + org ``canonical_name``/``curation``.
+    """
+    resolved = resolve_org(submissions, orgs, "org_ref", ["curation"])
+    joined = latest_version_join(
+        resolved,
+        status,
+        key="source_id",
+        version="version",
+        payload=["owner"],
+        tiebreakers=[status_tiebreaker],
+    )
+
+    group_ok = F.arrays_overlap("user_groups", F.array("required_group"))
+    finite = ~(
+        F.isnan("metadata_value")
+        | F.col("metadata_value").isin(float("inf"), float("-inf"))
+    )
+    has_title = F.col("title").isNotNull() & (F.trim("title") != "")
+    existing = F.col("version").isNotNull()
+    owner_ok = F.arrays_overlap("identities", F.array("owner"))
+
+    error = (
+        F.when(~group_ok, F.lit(ERRORS["group"]))
+        .when(~finite, F.lit(ERRORS["nan"]))
+        .when(~has_title, F.lit(ERRORS["title"]))
+        .when(~F.col("org_found"), F.lit(ERRORS["org_unknown"]))
+        .when(F.col("org_error") == ERRORS["org_dup"], F.lit(ERRORS["org_dup"]))
+        .when(F.col("update") & ~existing, F.lit(ERRORS["update_missing"]))
+        .when(~F.col("update") & existing, F.lit(ERRORS["exists"]))
+        .when(F.col("update") & existing & ~owner_ok, F.lit(ERRORS["owner"]))
+    )
+
+    new_version = F.when(
+        F.col("update"), increment_record_version(F.col("version"))
+    ).otherwise(F.lit("1.0"))
+
+    return (
+        joined.withColumn("error", error)
+        .withColumn("success", F.col("error").isNull())
+        .withColumn(
+            "assigned_version", F.when(F.col("success"), new_version)
+        )
+        .withColumn(
+            "versioned_source_id",
+            F.when(
+                F.col("success"),
+                F.concat(F.col("source_id"), F.lit("-"), F.col("assigned_version")),
+            ),
+        )
+    )

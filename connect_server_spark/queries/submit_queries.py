@@ -1,0 +1,187 @@
+"""Driver query for the submit pipeline (SURVEY §3.1: S2, S3-slice, P12,
+P13, J1, J2, A1, A2 composed) with a full DuckDB oracle twin.
+
+Fixture mapping: each ``customer`` row is a submission (identity, groups,
+org reference, update flag, a numeric leaf that is sometimes NaN); the
+``orders``-derived status table provides existing versions and owners.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_server_spark.pipeline.submit import submit_pipeline
+from connect_server_spark.queries.org_queries import _org_registry, _ORG_REGISTRY_SQL
+from connect_server_spark.registry import register
+from connect_server_spark.tables import load_table
+
+_KEY_MOD = 997
+
+
+def _submissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    k = F.col("c_custkey")
+    submitter = F.concat(F.lit("u"), (k % 31).cast("string"))
+    return c.select(
+        k.alias("c_custkey"),
+        F.concat(F.lit("src_"), (k % _KEY_MOD).cast("string")).alias("source_id"),
+        F.when(k % 17 == 0, F.lit("")).otherwise(F.col("c_name")).alias("title"),
+        F.when(k % 4 == 0, F.concat(F.lit("n"), F.col("c_nationkey").cast("string")))
+        .when(k % 4 == 1, F.concat(F.lit("region-"), (F.col("c_nationkey") % 5).cast("string")))
+        .when(k % 4 == 2, F.lit("ambiguous"))
+        .otherwise(F.concat(F.lit("unknown-org-"), k.cast("string")))
+        .alias("org_ref"),
+        (k % 2 == 0).alias("update"),
+        F.array(submitter, F.concat(F.lit("alt-"), submitter)).alias("identities"),
+        F.array(
+            F.concat(F.lit("g"), (k % 7).cast("string")),
+            F.concat(F.lit("g"), (k % 5).cast("string")),
+        ).alias("user_groups"),
+        F.concat(F.lit("g"), (F.col("c_nationkey") % 7).cast("string")).alias(
+            "required_group"
+        ),
+        F.when(k % 13 == 0, F.lit(float("nan"))).otherwise(F.col("c_acctbal")).alias(
+            "metadata_value"
+        ),
+    )
+
+
+def _status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        F.concat(F.lit("src_"), (F.col("o_custkey") % _KEY_MOD).cast("string")).alias(
+            "source_id"
+        ),
+        F.concat(
+            (F.col("o_orderkey") % 3 + 1).cast("string"),
+            F.lit("."),
+            (F.col("o_orderkey") % 17).cast("string"),
+        ).alias("version"),
+        F.concat(F.lit("u"), (F.col("o_custkey") % 31).cast("string")).alias("owner"),
+        F.col("o_orderkey"),
+    )
+
+
+def submit_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = submit_pipeline(
+        _submissions(spark, sf_dir),
+        _org_registry(spark, sf_dir),
+        _status(spark, sf_dir),
+        status_tiebreaker="o_orderkey",
+    )
+    return out.select(
+        "c_custkey",
+        "source_id",
+        "success",
+        "error",
+        "assigned_version",
+        "versioned_source_id",
+        "canonical_name",
+        "curation",
+    )
+
+
+register(
+    "submit_pipeline",
+    submit_pipeline_query,
+    sql=f"""
+    WITH submissions AS (
+      SELECT
+        c_custkey,
+        concat('src_', CAST(c_custkey % {_KEY_MOD} AS VARCHAR)) AS source_id,
+        CASE WHEN c_custkey % 17 = 0 THEN '' ELSE c_name END AS title,
+        CASE
+          WHEN c_custkey % 4 = 0 THEN concat('n', CAST(c_nationkey AS VARCHAR))
+          WHEN c_custkey % 4 = 1 THEN concat('region-', CAST(c_nationkey % 5 AS VARCHAR))
+          WHEN c_custkey % 4 = 2 THEN 'ambiguous'
+          ELSE concat('unknown-org-', CAST(c_custkey AS VARCHAR))
+        END AS org_ref,
+        c_custkey % 2 = 0 AS update_flag,
+        concat('u', CAST(c_custkey % 31 AS VARCHAR)) AS submitter,
+        ['g' || CAST(c_custkey % 7 AS VARCHAR),
+         'g' || CAST(c_custkey % 5 AS VARCHAR)] AS user_groups,
+        'g' || CAST(c_nationkey % 7 AS VARCHAR) AS required_group,
+        CASE WHEN c_custkey % 13 = 0 THEN CAST('nan' AS DOUBLE)
+             ELSE c_acctbal END AS metadata_value
+      FROM customer
+    ),
+    status AS (
+      SELECT concat('src_', CAST(o_custkey % {_KEY_MOD} AS VARCHAR)) AS source_id,
+             concat(CAST(o_orderkey % 3 + 1 AS VARCHAR), '.',
+                    CAST(o_orderkey % 17 AS VARCHAR)) AS version,
+             concat('u', CAST(o_custkey % 31 AS VARCHAR)) AS owner,
+             o_orderkey
+      FROM orders
+    ),
+    latest AS (
+      SELECT source_id, version, owner FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source_id
+          ORDER BY CAST(string_split(version, '.')[1] AS BIGINT) DESC,
+                   CAST(string_split(version, '.')[2] AS BIGINT) DESC,
+                   o_orderkey DESC
+        ) AS rn FROM status
+      ) WHERE rn = 1
+    ),
+    lookup AS (
+      SELECT unnest(list_prepend(canonical_name, aliases)) AS match_name,
+             canonical_name, curation
+      FROM ({_ORG_REGISTRY_SQL})
+    ),
+    counts AS (
+      SELECT match_name, count(*) AS n FROM lookup GROUP BY match_name
+    ),
+    joined AS (
+      SELECT s.*, l.canonical_name, l.curation,
+             l.canonical_name IS NOT NULL AS org_found,
+             coalesce(c.n, 0) AS n_org_matches,
+             v.version AS cur_version, v.owner
+      FROM submissions s
+      LEFT JOIN lookup l ON s.org_ref = l.match_name
+      LEFT JOIN counts c ON s.org_ref = c.match_name
+      LEFT JOIN latest v ON s.source_id = v.source_id
+    ),
+    checked AS (
+      SELECT *,
+        CASE
+          WHEN NOT list_has_any(user_groups, [required_group])
+            THEN 'not in required group'
+          WHEN isnan(metadata_value) OR metadata_value IN ('inf'::DOUBLE, '-inf'::DOUBLE)
+            THEN 'non-finite value in submission'
+          WHEN title IS NULL OR trim(title) = '' THEN 'missing title'
+          WHEN NOT org_found THEN 'unknown organization'
+          WHEN n_org_matches > 1 THEN 'duplicate organization match'
+          WHEN update_flag AND cur_version IS NULL
+            THEN 'update of nonexistent source'
+          WHEN NOT update_flag AND cur_version IS NOT NULL
+            THEN 'source exists and update not set'
+          WHEN update_flag AND cur_version IS NOT NULL
+               AND NOT list_contains([submitter, 'alt-' || submitter], owner)
+            THEN 'not the owner'
+        END AS error
+      FROM joined
+    )
+    SELECT
+      c_custkey,
+      source_id,
+      error IS NULL AS success,
+      error,
+      CASE WHEN error IS NULL THEN
+        CASE WHEN update_flag
+             THEN concat(string_split(cur_version, '.')[1], '.',
+                         CAST(CAST(string_split(cur_version, '.')[2] AS BIGINT) + 1 AS VARCHAR))
+             ELSE '1.0' END
+      END AS assigned_version,
+      CASE WHEN error IS NULL THEN
+        concat(source_id, '-',
+          CASE WHEN update_flag
+               THEN concat(string_split(cur_version, '.')[1], '.',
+                           CAST(CAST(string_split(cur_version, '.')[2] AS BIGINT) + 1 AS VARCHAR))
+               ELSE '1.0' END)
+      END AS versioned_source_id,
+      canonical_name,
+      curation
+    FROM checked
+    """,
+)

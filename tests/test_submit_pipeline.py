@@ -1,0 +1,96 @@
+"""Scenario tests for the submit pipeline — the reference's BDD scenarios
+(``aws/tests/submit_dataset.feature:1-110``) translated to DataFrame
+fixtures asserting ``(success, error)``."""
+
+from pyspark.sql import functions as F
+
+from connect_server_spark.pipeline.submit import ERRORS, submit_pipeline
+
+ORG_COLS = "canonical_name aliases acl curation parent_organizations".split()
+SUB_COLS = (
+    "source_id title org_ref update identities user_groups required_group "
+    "metadata_value".split()
+)
+
+
+_ORG_SCHEMA = (
+    "canonical_name string, aliases array<string>, acl array<string>, "
+    "curation boolean, parent_organizations array<string>"
+)
+_STATUS_SCHEMA = "source_id string, version string, owner string, seq long"
+_SUB_SCHEMA = (
+    "source_id string, title string, org_ref string, update boolean, "
+    "identities array<string>, user_groups array<string>, "
+    "required_group string, metadata_value double"
+)
+
+
+def _orgs(spark):
+    return spark.createDataFrame(
+        [("mdf", ["materials data facility"], ["g1"], True, [])], _ORG_SCHEMA
+    )
+
+
+def _status(spark, rows=()):
+    return spark.createDataFrame(list(rows), _STATUS_SCHEMA)
+
+
+def _run(spark, sub_rows, status_rows=()):
+    subs = spark.createDataFrame(sub_rows, _SUB_SCHEMA)
+    out = submit_pipeline(subs, _orgs(spark), _status(spark, status_rows), "seq")
+    return {r.source_id: r for r in out.collect()}
+
+
+def _sub(source_id="src_a", title="A Study", org="mdf", update=False,
+         identities=("u1", "alt-u1"), groups=("gA",), required="gA", value=1.5):
+    return (source_id, title, org, update, list(identities), list(groups), required, value)
+
+
+def test_new_submission_happy_path(spark):
+    r = _run(spark, [_sub()])["src_a"]
+    assert r.success and r.error is None
+    assert r.assigned_version == "1.0"
+    assert r.versioned_source_id == "src_a-1.0"
+    assert r.canonical_name == "mdf" and r.curation is True
+
+
+def test_update_happy_path_increments(spark):
+    r = _run(spark, [_sub(update=True)],
+             [("src_a", "1.12", "u1", 1)])["src_a"]
+    assert r.success
+    assert r.assigned_version == "1.13"
+
+
+def test_update_of_missing_source_rejected(spark):
+    r = _run(spark, [_sub(update=True)])["src_a"]
+    assert not r.success and r.error == ERRORS["update_missing"]
+
+
+def test_resubmit_without_update_rejected(spark):
+    r = _run(spark, [_sub(update=False)], [("src_a", "1.0", "u1", 1)])["src_a"]
+    assert not r.success and r.error == ERRORS["exists"]
+
+
+def test_ownership_violation(spark):
+    r = _run(spark, [_sub(update=True)], [("src_a", "1.0", "someone-else", 1)])["src_a"]
+    assert not r.success and r.error == ERRORS["owner"]
+
+
+def test_group_gate(spark):
+    r = _run(spark, [_sub(groups=("gOther",))])["src_a"]
+    assert not r.success and r.error == ERRORS["group"]
+
+
+def test_nan_guard_precedes_org_check(spark):
+    r = _run(spark, [_sub(org="nope", value=float("nan"))])["src_a"]
+    assert r.error == ERRORS["nan"]
+
+
+def test_missing_title(spark):
+    r = _run(spark, [_sub(title="   ")])["src_a"]
+    assert r.error == ERRORS["title"]
+
+
+def test_unknown_org(spark):
+    r = _run(spark, [_sub(org="nope")])["src_a"]
+    assert r.error == ERRORS["org_unknown"]
