@@ -29,6 +29,7 @@ _QUERY_MODULES = [
     "connect_server_spark.queries.similarity_queries",
     "connect_server_spark.queries.text_queries",
     "connect_server_spark.queries.submit_queries",
+    "connect_server_spark.queries.validator_queries",
 ]
 
 
