@@ -30,6 +30,7 @@ _QUERY_MODULES = [
     "connect_server_spark.queries.text_queries",
     "connect_server_spark.queries.submit_queries",
     "connect_server_spark.queries.validator_queries",
+    "connect_server_spark.queries.extractor_queries",
 ]
 
 

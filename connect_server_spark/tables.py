@@ -41,6 +41,19 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def load_events(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """``events`` with its TIMESTAMP(NANOS) column (read as long nanos —
+    ``spark.sql.legacy.parquet.nanosAsLong``) converted to a usable
+    ``event_ts`` timestamp at microsecond precision."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "events", sf_dir)
+    return ev.withColumn(
+        "event_ts",
+        F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")),
+    )
+
+
 def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
     return {t: load_table(spark, t, sf_dir) for t in TABLES}
 

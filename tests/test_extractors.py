@@ -1,0 +1,71 @@
+"""Unit tests for the extractor framework and multimodal plumbing,
+modeled on the reference's golden extractor tests
+(``tests/test_extractors.py:152-405``)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from connect_server_spark.operators.extractors import (
+    filename_extractor,
+    json_extractor,
+)
+from connect_server_spark.operators.multimodal import (
+    attach_binary,
+    decode_image,
+    extract_binary_features,
+)
+
+
+def test_json_extractor_mapping_and_na(spark):
+    df = spark.createDataFrame(
+        [(1, '{"a": {"b": 5}, "c": "x"}'), (2, '{"a": {"b": 0}}'), (3, "not json")],
+        ["id", "js"],
+    )
+    out = json_extractor(
+        df, "js", "a struct<b:int>, c string",
+        {"b_val": "a.b", "c_val": "c"}, na_values=(0,),
+    )
+    rows = {r.id: (r.b_val, r.c_val) for r in out.collect()}
+    assert rows[1] == (5, "x")
+    assert rows[2] == (None, None)   # 0 dropped by na_values
+    assert rows[3] == (None, None)   # malformed JSON -> nulls, never eval
+
+
+def test_filename_extractor_absent_match_null(spark):
+    df = spark.createDataFrame(
+        [("exp_77_Fe2O3.cif",), ("README",)], ["fname"]
+    )
+    out = filename_extractor(
+        df, "fname",
+        {"exp_id": r"^exp_([0-9]+)_", "formula": r"_([A-Za-z0-9]+)\.cif$"},
+    )
+    rows = {r.fname: (r.exp_id, r.formula) for r in out.collect()}
+    assert rows["exp_77_Fe2O3.cif"] == ("77", "Fe2O3")
+    assert rows["README"] == (None, None)
+
+
+def test_attach_binary_metadata(spark):
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    [row] = attach_binary(df, "doc_id", "text", mime="text/plain").collect()
+    assert bytes(row.payload) == b"abc"
+    assert row.meta.mime == "text/plain"
+    assert row.meta.n_bytes == 3
+    assert row.meta.digest == "900150983cd24fb0d6963f7d28e17f72"
+
+
+def test_binary_features_batch_shape(spark):
+    df = attach_binary(
+        spark.createDataFrame([(1, "aaaa"), (2, "abcd"), (3, "")], ["doc_id", "text"]),
+        "doc_id",
+        "text",
+    )
+    out = {r.doc_id: r for r in extract_binary_features(df).collect()}
+    assert out[1].byte_entropy_milli == 0          # uniform bytes
+    assert out[2].byte_entropy_milli == 1386       # ln(4) nats
+    assert out[3].n_bytes == 0 and out[3].head_hex == ""
+    assert out[2].head_hex == "61626364"
+
+
+def test_decode_image_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
