@@ -44,6 +44,8 @@ HEADLINE = [
     "similarity_topk_ann",
     "text_analysis",
     "submit_pipeline",
+    "flow_execute",
+    "validator_feedstock",
 ]
 
 

@@ -1,0 +1,158 @@
+"""Driver query for the flow-DAG executor (SURVEY §3.2 / §2: P14, P15,
+S11, T3, T5) with a DuckDB oracle twin that replays the same state
+machine as explicit per-position CASE logic.
+
+Fixture mapping (customer): metadata-only, transfer-failure, curation
+need + human decision, DOI flag, multi-destination fan-out with per-
+destination failures, and cancellation are all deterministic functions of
+``c_custkey``/``c_nationkey``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_server_spark.pipeline.flow import (
+    FlowStage,
+    curation_failure_classifier,
+    run_flow,
+)
+from connect_server_spark.registry import register
+from connect_server_spark.tables import load_table
+
+
+def flow_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    k = F.col("c_custkey")
+    subs = c.select(
+        k.alias("c_custkey"),
+        (k % 6 == 0).alias("metadata_only"),
+        (k % 19 == 0).alias("transfer_fail"),
+        (F.col("c_nationkey") % 3 == 0).alias("curation_needed"),
+        F.when(k % 5 == 3, F.lit("reject"))
+        .when(k % 5 == 4, F.lit("pending"))
+        .otherwise(F.lit("accept"))
+        .alias("decision"),
+        (k % 3 == 0).alias("mint_doi"),
+        (k % 3 + 1).cast("int").alias("n_destinations"),
+        (k % 29 == 0).alias("cancelled"),
+    )
+    # S11: the multi-destination transfer loop, set-oriented — a
+    # destination j in 1..n fails when (custkey + j) % 23 == 0.
+    dest_fail = F.exists(
+        F.sequence(F.lit(1), F.col("n_destinations")),
+        lambda j: (F.col("c_custkey") + j) % 23 == 0,
+    )
+    stages = [
+        FlowStage("sub_start", step="sub_start"),
+        FlowStage(
+            "user_transfer",
+            step="data_transfer",
+            choice=~F.col("metadata_only"),
+            fail=F.col("transfer_fail"),
+            result={"recursive": F.lit(True)},
+        ),
+        FlowStage(
+            "curate",
+            step="curation",
+            choice=F.col("curation_needed"),
+            fail=F.col("decision") == "reject",
+            hibernate=F.col("decision") == "pending",
+            result={"decision": F.col("decision")},
+        ),
+        FlowStage("mint_doi", step="ingest_publish", choice=F.col("mint_doi")),
+        FlowStage("search_ingest", step="ingest_search"),
+        FlowStage(
+            "backup_transfer",
+            step="ingest_backup",
+            choice=~F.col("metadata_only"),
+            fail=dest_fail,
+        ),
+        FlowStage("cleanup", step="ingest_cleanup"),
+    ]
+    out = run_flow(subs, stages, cancelled_col="cancelled")
+    return out.select(
+        "c_custkey",
+        "status_code",
+        "flow_state",
+        curation_failure_classifier(F.col("status_code")).alias("is_failure"),
+    )
+
+
+register(
+    "flow_execute",
+    flow_execute,
+    sql="""
+    WITH flags AS (
+      SELECT
+        c_custkey,
+        c_custkey % 6 = 0 AS metadata_only,
+        c_custkey % 19 = 0 AS transfer_fail,
+        c_nationkey % 3 = 0 AS curation_needed,
+        CASE WHEN c_custkey % 5 = 3 THEN 'reject'
+             WHEN c_custkey % 5 = 4 THEN 'pending'
+             ELSE 'accept' END AS decision,
+        c_custkey % 3 = 0 AS mint_doi,
+        CAST(c_custkey % 3 + 1 AS INT) AS n_destinations,
+        c_custkey % 29 = 0 AS cancelled
+      FROM customer
+    ),
+    derived AS (
+      SELECT *,
+        len(list_filter(range(1, n_destinations + 1),
+                        j -> (c_custkey + j) % 23 = 0)) > 0 AS dest_fail,
+        NOT cancelled AS a0
+      FROM flags
+    ),
+    states AS (
+      SELECT *,
+        a0 AND NOT (NOT metadata_only AND transfer_fail) AS a_transfer,
+        a0 AND NOT (NOT metadata_only AND transfer_fail)
+           AND NOT (curation_needed AND decision IN ('reject', 'pending'))
+           AS a_curation
+      FROM derived
+    ),
+    coded AS (
+      SELECT *,
+        a_curation AND NOT (NOT metadata_only AND dest_fail) AS a_backup,
+        concat(
+          CASE WHEN a0 THEN 'S' ELSE 'z' END,
+          'zz',
+          CASE WHEN NOT a0 OR metadata_only THEN 'z'
+               WHEN transfer_fail THEN 'F' ELSE 'S' END,
+          'z',
+          CASE WHEN a_transfer AND curation_needed THEN
+            (CASE decision WHEN 'reject' THEN 'F'
+                           WHEN 'pending' THEN 'H' ELSE 'S' END)
+          ELSE 'z' END,
+          CASE WHEN a_curation THEN 'S' ELSE 'z' END,
+          CASE WHEN a_curation AND NOT metadata_only THEN
+            (CASE WHEN dest_fail THEN 'F' ELSE 'S' END)
+          ELSE 'z' END,
+          CASE WHEN a_curation AND mint_doi THEN 'S' ELSE 'z' END,
+          'zz',
+          CASE WHEN a_curation AND NOT (NOT metadata_only AND dest_fail)
+               THEN 'S' ELSE 'z' END
+        ) AS status_code
+      FROM states
+    )
+    SELECT
+      c_custkey,
+      status_code,
+      CASE
+        WHEN cancelled THEN 'cancelled'
+        WHEN NOT metadata_only AND transfer_fail THEN 'failed'
+        WHEN curation_needed AND decision = 'reject' THEN 'failed'
+        WHEN curation_needed AND decision = 'pending' THEN 'hibernating'
+        WHEN NOT metadata_only AND dest_fail THEN 'failed'
+        ELSE 'active'
+      END AS flow_state,
+      regexp_matches(status_code, '[FRHX]')
+        OR (len(regexp_replace(status_code, 'z+$', '')) > 0
+            AND right(regexp_replace(status_code, 'z+$', ''), 1)
+                NOT IN ('S', 'M', 'L'))
+        AS is_failure
+    FROM coded
+    """,
+)

@@ -31,6 +31,7 @@ _QUERY_MODULES = [
     "connect_server_spark.queries.submit_queries",
     "connect_server_spark.queries.validator_queries",
     "connect_server_spark.queries.extractor_queries",
+    "connect_server_spark.queries.flow_queries",
 ]
 
 
