@@ -32,6 +32,7 @@ _QUERY_MODULES = [
     "connect_server_spark.queries.validator_queries",
     "connect_server_spark.queries.extractor_queries",
     "connect_server_spark.queries.flow_queries",
+    "connect_server_spark.queries.streaming_queries",
 ]
 
 

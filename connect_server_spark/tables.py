@@ -48,9 +48,10 @@ def load_events(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     from pyspark.sql import functions as F
 
     ev = load_table(spark, "events", sf_dir)
+    # integer `div`, not `/1000`: double division loses sub-µs precision at
+    # ~1.7e15 µs (ulp 0.25 µs) and shifts session starts by 1 µs
     return ev.withColumn(
-        "event_ts",
-        F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")),
+        "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 
