@@ -33,6 +33,7 @@ _QUERY_MODULES = [
     "connect_server_spark.queries.extractor_queries",
     "connect_server_spark.queries.flow_queries",
     "connect_server_spark.queries.streaming_queries",
+    "connect_server_spark.queries.transfer_queries",
 ]
 
 

@@ -1,0 +1,76 @@
+"""Write-path sinks (SURVEY §2: S8, S9).
+
+* ``idempotent_append`` — the conditional-insert discipline
+  (``aws/dynamo_manager.py:339-377``): left-anti join against the
+  current table state, then append. Safe to re-run: a crashed writer
+  re-appends nothing.
+* ``search_ingest`` — the search-index sink
+  (``automate/minimus_mdf_flow.py:359-375``): records keyed by subject
+  (versioned_source_id), overwrite-by-subject semantics via dynamic
+  partition overwrite on a bounded subject bucket (hashing the subject
+  into ``n_buckets`` keeps partition counts sane at 100 TB — one
+  directory per subject would melt the metastore).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_server_spark.operators.org import anti_join_insert
+
+__all__ = ["idempotent_append", "search_ingest", "read_search_index"]
+
+
+def idempotent_append(
+    spark: SparkSession, incoming: DataFrame, path: str, keys: Sequence[str]
+) -> int:
+    """S8: append only rows whose key tuple is absent. Returns appended
+    row count (the reference returns a duplicate error per row; batch
+    semantics surface it as incoming-minus-appended)."""
+    try:
+        existing = spark.read.parquet(path).select(*keys)
+        fresh = anti_join_insert(incoming, existing, keys)
+    except Exception:  # first write: nothing to guard against
+        fresh = incoming
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(path)
+    return n
+
+
+def search_ingest(
+    df: DataFrame, path: str, subject_col: str, n_buckets: int = 256
+) -> None:
+    """S9: upsert-by-subject into the search index.
+
+    Dynamic partition overwrite rewrites only the hash buckets this batch
+    touches; surviving rows of those buckets (subjects NOT in the batch)
+    are carried over, so the operation is a true replace-by-subject. The
+    I/O cost is proportional to touched buckets, not the index size."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch = df.withColumn(
+        "subject_bucket", F.pmod(F.xxhash64(F.col(subject_col)), n_buckets)
+    )
+    try:
+        existing = spark.read.parquet(path)
+        affected = batch.select("subject_bucket").distinct()
+        survivors = (
+            existing.join(F.broadcast(affected), "subject_bucket")
+            .join(batch.select(subject_col).distinct(), subject_col, "left_anti")
+            .select(*batch.columns)
+            # sever lineage from `path`: Spark refuses to overwrite a path
+            # its own read plan references
+            .localCheckpoint(eager=True)
+        )
+        out = survivors.unionByName(batch)
+    except Exception:  # first write
+        out = batch
+    out.write.mode("overwrite").partitionBy("subject_bucket").parquet(path)
+
+
+def read_search_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop("subject_bucket")
