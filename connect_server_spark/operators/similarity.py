@@ -8,10 +8,10 @@ Scale design:
   triples enter the rank shuffle, never vectors. Exact search is the
   correctness baseline; at 100 TB you run the ANN path.
 * **ANN** uses sign-random-projection LSH: ``tables × bits`` hyperplanes
-  with deterministic ±1 entries derived from ``xxhash64(table, bit,
-  dim)``, so signatures are reproducible with no stored model. Probes
-  equi-join the corpus on (table, signature) — hash join, candidates
-  only, never corpus × probes.
+  with deterministic ±1 entries regenerated from a fixed seed on every
+  executor (no stored model), applied as one Arrow-batched matrix
+  multiply. Probes equi-join the corpus on (table, signature) — hash
+  join, candidates only, never corpus × probes.
 * Similarities are computed as an explicit left-fold in double precision
   and **rounded before ranking** so the top-k set is stable across
   engines (1-ulp float drift otherwise flips boundary ranks); ties break
@@ -20,18 +20,18 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
-
-from connect_server_spark.functions.expr import let_col
 
 __all__ = [
     "dot_product",
     "l2_norm",
     "cosine_similarity",
     "cosine_topk",
-    "srp_signatures",
+    "srp_signatures_udf",
     "ann_lsh_topk",
 ]
 
@@ -89,41 +89,38 @@ def cosine_topk(
     )
 
 
-def _rademacher(table: int, bit: int, dim: Column) -> Column:
-    """Deterministic ±1 hyperplane entry for (table, bit, dim)."""
-    return F.when(
-        F.xxhash64(F.lit(table), F.lit(bit), dim) % 2 == 0, F.lit(1.0)
-    ).otherwise(F.lit(-1.0))
+def _srp_hyperplanes(dim: int, tables: int, bits: int, seed: int):
+    """Deterministic ±1 Rademacher hyperplane matrix, shape
+    (dim, tables*bits). MT19937 (``RandomState``) output is stable across
+    platforms, so corpus and probe signatures always agree."""
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 2, size=(dim, tables * bits)).astype(np.float64) * 2.0 - 1.0
 
 
-def srp_signatures(vec: Column, tables: int = 4, bits: int = 12) -> Column:
-    """Sign-random-projection signatures: array of ``tables`` integer
-    bucket keys, each from ``bits`` hyperplane sign bits. Pure per-row
-    expression (no model, no shuffle).
+def srp_signatures_udf(tables: int = 4, bits: int = 12, seed: int = 42):
+    """Vectorized sign-random-projection signatures: a Pandas UDF mapping
+    ``array<float>`` → ``array<long>`` of ``tables`` bucket keys, each
+    packing ``bits`` hyperplane sign bits.
 
-    The vector is let-bound; each of tables×bits projections references it
-    once as a cheap lambda variable."""
+    Why a UDF: tables×bits projections as Catalyst higher-order-function
+    folds are interpreted per element (~5k lambda evals/row); one Arrow
+    batch matrix-multiply does the same work in BLAS. The hyperplanes are
+    derived from (seed, dim) on the fly — no model object, no shuffle, and
+    executors regenerate them identically."""
+    from pyspark.sql.functions import pandas_udf
 
-    def weighted(t: int, b: int):
-        # two-arg lambda factory (defaults would change the lambda's arity
-        # and misbind PySpark's higher-order-function arguments)
-        return lambda x, i: x.cast("double") * _rademacher(t, b, i)
+    @pandas_udf("array<bigint>")
+    def srp(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        arr = np.array(vs.tolist(), dtype=np.float64)
+        hyper = _srp_hyperplanes(arr.shape[1], tables, bits, seed)
+        signs = (arr @ hyper) > 0
+        weights = 1 << np.arange(bits, dtype=np.int64)
+        sigs = signs.reshape(len(vs), tables, bits) @ weights
+        return pd.Series(sigs.tolist())
 
-    def build(v: Column) -> Column:
-        def signature(t: int) -> Column:
-            out = F.lit(0).cast("long")
-            for b in range(bits):
-                proj = F.aggregate(
-                    F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1), weighted(t, b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                out = out + (proj > 0).cast("long") * F.lit(2 ** b).cast("long")
-            return out
-
-        return F.array(*[signature(t) for t in range(tables)])
-
-    return let_col(vec, build)
+    return srp
 
 
 def ann_lsh_topk(
@@ -141,29 +138,29 @@ def ann_lsh_topk(
     candidates = bucket collisions in any table (equi-join), exact cosine
     over candidates only, then rank. Recall < 1 by construction; raise
     ``tables``/lower ``bits`` to trade cost for recall."""
+    srp = srp_signatures_udf(tables, bits)
     c_buckets = corpus.select(
         F.col(corpus_id),
         F.col(corpus_vec),
-        F.posexplode(srp_signatures(F.col(corpus_vec), tables, bits)).alias(
-            "_table", "_sig"
-        ),
+        F.posexplode(srp(F.col(corpus_vec))).alias("_table", "_sig"),
     )
     p_buckets = probes.select(
         F.col(probe_id),
         F.col(probe_vec),
-        F.posexplode(srp_signatures(F.col(probe_vec), tables, bits)).alias(
-            "_table", "_sig"
-        ),
+        F.posexplode(srp(F.col(probe_vec))).alias("_table", "_sig"),
     )
-    cands = (
+    # Score in the join stage and dedup the (probe, vec, cosine) triple:
+    # a pair colliding in several tables re-scores at most ``tables`` times
+    # (cheap fold over one vector), but the distinct-shuffle then carries
+    # 24-byte triples instead of two embedding vectors per candidate.
+    scored = (
         c_buckets.join(broadcast(p_buckets), ["_table", "_sig"])
-        .select(probe_id, corpus_id, probe_vec, corpus_vec)
-        .dropDuplicates([probe_id, corpus_id])
-    )
-    scored = cands.select(
-        F.col(probe_id),
-        F.col(corpus_id),
-        cosine_similarity(F.col(probe_vec), F.col(corpus_vec)).alias("cosine"),
+        .select(
+            F.col(probe_id),
+            F.col(corpus_id),
+            cosine_similarity(F.col(probe_vec), F.col(corpus_vec)).alias("cosine"),
+        )
+        .distinct()
     )
     w = Window.partitionBy(probe_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id).asc()

@@ -5,6 +5,8 @@ from pyspark.sql import functions as F
 from connect_server_spark.operators.dedup import (
     exact_dedup,
     minhash_neardup_pairs,
+    simhash,
+    simhash_fingerprints,
     simhash_neardup_pairs,
     word_shingles,
 )
@@ -72,6 +74,22 @@ def test_simhash_finds_planted_pair(spark):
     assert (1, 4) in pairs      # identical after normalization: hamming 0
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_simhash_fingerprints_match_expression_spec(spark):
+    """The aggregated hot path must produce bit-identical fingerprints to
+    the per-row expression spec."""
+    spec = {
+        r.doc_id: r.fp
+        for r in _df(spark)
+        .select("doc_id", simhash(word_shingles(F.col("text"), 2)).alias("fp"))
+        .collect()
+    }
+    fast = {
+        r.doc_id: r._fp
+        for r in simhash_fingerprints(_df(spark), "doc_id", "text", 2).collect()
+    }
+    assert spec == fast
 
 
 def test_simhash_plan_no_cartesian(spark):
