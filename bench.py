@@ -46,6 +46,8 @@ HEADLINE = [
     "submit_pipeline",
     "flow_execute",
     "validator_feedstock",
+    "extract_crystal",
+    "status_poll",
     "events_tumbling_hourly",
     "events_session_windows",
 ]

@@ -32,6 +32,9 @@ __all__ = [
     "json_extractor",
     "filename_extractor",
     "parse_json_column",
+    "composition_elements",
+    "anonymized_stoichiometry",
+    "cell_volume",
 ]
 
 
@@ -72,6 +75,83 @@ def json_extractor(
             ).otherwise(val)
         out = out.withColumn(out_col, val)
     return out
+
+
+def composition_elements(
+    df: DataFrame, key_col: str, comp_col: str
+) -> DataFrame:
+    """Parse a chemical composition string into per-element total counts:
+    ``(key, element, cnt)`` with repeated element tokens summed
+    (``'FFO2'`` → F:2, O:2). Explode + groupBy — both stay map-side-light
+    because the token rows are (key, 2-char symbol, long)."""
+    toks = df.select(
+        F.col(key_col),
+        F.explode(
+            F.regexp_extract_all(F.col(comp_col), F.lit(r"([A-Z][a-z]?[0-9]*)"), 1)
+        ).alias("_tok"),
+    ).select(
+        F.col(key_col),
+        F.regexp_extract("_tok", r"^([A-Za-z]+)", 1).alias("element"),
+        F.coalesce(
+            F.nullif(F.regexp_extract("_tok", r"([0-9]+)$", 1), F.lit("")),
+            F.lit("1"),
+        )
+        .cast("long")
+        .alias("cnt"),
+    )
+    return toks.groupBy(key_col, "element").agg(F.sum("cnt").alias("cnt"))
+
+
+def anonymized_stoichiometry(
+    df: DataFrame, key_col: str, comp_col: str
+) -> DataFrame:
+    """F18: ``(key, stoichiometry, number_of_atoms)`` matching the
+    reference CIF extractor's goldens
+    (``tests/test_extractors.py:21-68``): per-element counts are reduced
+    by their GCD, sorted ascending, lettered A, B, C, … with count 1
+    omitted — ``'Ce24V8O128'`` → ``'AB3C16'``, atoms 160.
+
+    GCD has no Catalyst builtin; for reduced-formula count ranges it is
+    the largest d ≤ min(counts) dividing all, found by probing the
+    (tiny) 1..min(counts) sequence."""
+    per_key = composition_elements(df, key_col, comp_col).groupBy(key_col).agg(
+        F.sum("cnt").alias("number_of_atoms"),
+        F.array_sort(F.collect_list("cnt")).alias("_counts"),
+    )
+    counts = F.col("_counts")
+    gcd = F.array_max(
+        F.filter(
+            F.sequence(F.lit(1).cast("long"), F.element_at(counts, 1)),
+            lambda d: F.forall(counts, lambda c: c % d == 0),
+        )
+    )
+    reduced = F.transform(counts, lambda c: (c / gcd).cast("long"))
+    stoich = F.array_join(
+        F.transform(
+            reduced,
+            lambda c, i: F.concat(
+                F.char(F.lit(65) + i),
+                F.when(c == 1, F.lit("")).otherwise(c.cast("string")),
+            ),
+        ),
+        "",
+    )
+    return per_key.select(
+        F.col(key_col), stoich.alias("stoichiometry"), F.col("number_of_atoms")
+    )
+
+
+def cell_volume(
+    a: Column, b: Column, c: Column, alpha: Column, beta: Column, gamma: Column
+) -> Column:
+    """F18: triclinic unit-cell volume from lattice lengths (Å) and angles
+    (degrees): ``abc·√(1 − cos²α − cos²β − cos²γ + 2·cosα·cosβ·cosγ)``.
+    Pure double-precision expression — runs in the scan stage."""
+    ca, cb, cg = (F.cos(F.radians(x)) for x in (alpha, beta, gamma))
+    return (
+        a * b * c
+        * F.sqrt(1 - ca * ca - cb * cb - cg * cg + 2 * ca * cb * cg)
+    )
 
 
 def filename_extractor(

@@ -23,6 +23,7 @@ __all__ = [
     "transfer_items",
     "single_endpoint_check",
     "next_search_sub_version",
+    "loop_unroll",
 ]
 
 
@@ -52,6 +53,38 @@ def single_endpoint_check(df: DataFrame, dataset_key: str, endpoint_col: str) ->
     return df.groupBy(dataset_key).agg(
         F.countDistinct(endpoint_col).alias("n_endpoints"),
         (F.countDistinct(endpoint_col) == 1).alias("endpoints_ok"),
+    )
+
+
+def loop_unroll(df: DataFrame, key_col: str, list_col: str) -> DataFrame:
+    """S11/F13: the multi-destination transfer loop
+    (``automate/transfer_loop_flow_def.json:14-99``) made set-oriented.
+
+    The flow definition recurses with ``lst[0]`` (current action input),
+    ``lst[1:]`` (remaining), and the Choice predicate ``lst == lst[0:0]``
+    (loop done). One ``posexplode`` replaces the recursion — every
+    iteration of every dataset's loop becomes a row carrying the same
+    three expression results (``element_at`` / ``slice`` / ``size == 0``),
+    so a 1000-executor cluster runs all loops at once instead of serially.
+    """
+    exploded = df.select(
+        F.col(key_col),
+        F.col(list_col).alias("_lst"),
+        F.posexplode(F.col(list_col)).alias("iteration", "current"),
+    )
+    remaining = F.slice(
+        F.col("_lst"),
+        F.col("iteration") + 2,
+        F.greatest(
+            F.size(F.col("_lst")) - F.col("iteration") - 1, F.lit(0)
+        ),
+    )
+    return exploded.select(
+        F.col(key_col),
+        F.col("iteration"),
+        F.col("current"),
+        F.array_join(remaining, ",").alias("remaining_csv"),
+        (F.size(remaining) == 0).alias("loop_done"),
     )
 
 

@@ -7,6 +7,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from connect_server_spark.operators.extractors import (
+    anonymized_stoichiometry,
+    cell_volume,
     filename_extractor,
     json_extractor,
 )
@@ -87,6 +89,108 @@ register(
       nullif(regexp_extract(filename, '_([a-z]{2})(\\.|$)', 1), '') AS doc_lang,
       nullif(regexp_extract(filename, '\\.([a-z]+)$', 1), '') AS extension
     FROM named
+    """,
+)
+
+
+_CIF_COMPS = ["Al12O18", "H88C52O12", "Ce24V8O128", "C8", "FFO2", "NaCl"]
+
+
+def extract_crystal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18/S14: CIF-extractor math over synthesized crystal rows —
+    anonymized stoichiometry + atom count from the composition, triclinic
+    cell volume from lattice params (reference goldens
+    ``tests/test_extractors.py:21-68``)."""
+    part = load_table(spark, "part", sf_dir)
+    comp_arr = F.array(*[F.lit(c) for c in _CIF_COMPS])
+    base = part.select(
+        F.col("p_partkey"),
+        F.element_at(
+            comp_arr, (F.col("p_partkey") % len(_CIF_COMPS) + 1).cast("int")
+        ).alias("composition"),
+        (F.lit(3.0) + F.col("p_partkey") % 7).alias("_a"),
+        (F.lit(4.0) + F.col("p_partkey") % 5).alias("_b"),
+        (F.lit(5.0) + F.col("p_partkey") % 3).alias("_c"),
+        (F.lit(60.0) + F.col("p_partkey") % 45).alias("_al"),
+        (F.lit(70.0) + F.col("p_partkey") % 30).alias("_be"),
+        (F.lit(80.0) + F.col("p_partkey") % 20).alias("_ga"),
+    )
+    stoich = anonymized_stoichiometry(base, "p_partkey", "composition")
+    vols = base.select(
+        "p_partkey",
+        "composition",
+        F.round(
+            cell_volume(
+                F.col("_a"), F.col("_b"), F.col("_c"),
+                F.col("_al"), F.col("_be"), F.col("_ga"),
+            ),
+            6,
+        ).alias("volume"),
+    )
+    return vols.join(stoich, "p_partkey").select(
+        "p_partkey", "composition", "stoichiometry", "number_of_atoms", "volume"
+    )
+
+
+_CIF_COMP_SQL = (
+    "["
+    + ", ".join(f"'{c}'" for c in _CIF_COMPS)
+    + f"][CAST(p_partkey % {len(_CIF_COMPS)} + 1 AS INT)]"
+)
+
+register(
+    "extract_crystal",
+    extract_crystal,
+    sql=f"""
+    WITH base AS (
+      SELECT p_partkey,
+             {_CIF_COMP_SQL} AS composition,
+             3.0 + p_partkey % 7 AS a, 4.0 + p_partkey % 5 AS b,
+             5.0 + p_partkey % 3 AS c,
+             radians(60.0 + p_partkey % 45) AS al,
+             radians(70.0 + p_partkey % 30) AS be,
+             radians(80.0 + p_partkey % 20) AS ga
+      FROM part
+    ),
+    toks AS (
+      SELECT p_partkey,
+             unnest(regexp_extract_all(composition, '[A-Z][a-z]?[0-9]*')) AS tok
+      FROM base
+    ),
+    els AS (
+      SELECT p_partkey,
+             regexp_extract(tok, '^([A-Za-z]+)', 1) AS element,
+             CAST(coalesce(nullif(regexp_extract(tok, '([0-9]+)$', 1), ''), '1')
+                  AS BIGINT) AS cnt
+      FROM toks
+    ),
+    per_el AS (
+      SELECT p_partkey, element, sum(cnt) AS cnt
+      FROM els GROUP BY p_partkey, element
+    ),
+    per_key AS (
+      SELECT p_partkey,
+             CAST(sum(cnt) AS BIGINT) AS number_of_atoms,
+             list_sort(list(CAST(cnt AS BIGINT))) AS counts
+      FROM per_el GROUP BY p_partkey
+    ),
+    red AS (
+      SELECT p_partkey, number_of_atoms,
+             list_transform(counts,
+               x -> x // list_reduce(counts, (u, v) -> gcd(u, v))) AS rc
+      FROM per_key
+    )
+    SELECT b.p_partkey, b.composition,
+           array_to_string(
+             list_transform(range(1, len(r.rc) + 1),
+               i -> chr(CAST(64 + i AS INTEGER)) ||
+                    CASE WHEN r.rc[i] = 1 THEN '' ELSE CAST(r.rc[i] AS VARCHAR) END),
+             '') AS stoichiometry,
+           r.number_of_atoms,
+           round(b.a * b.b * b.c * sqrt(
+             1 - cos(b.al)*cos(b.al) - cos(b.be)*cos(b.be) - cos(b.ga)*cos(b.ga)
+               + 2*cos(b.al)*cos(b.be)*cos(b.ga)), 6) AS volume
+    FROM base b JOIN red r ON b.p_partkey = r.p_partkey
     """,
 )
 

@@ -156,3 +156,48 @@ register(
     FROM coded
     """,
 )
+
+
+def status_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: the deploy-suite polling loop (``tests/run_deploy_suite.py:84-130``)
+    set-oriented — per submission, the latest observed status event decides
+    completion or requeue. One ``max_by`` pass over the whole event log
+    replaces the reference's per-submission poll-and-sleep loop: on a
+    cluster this is a single map-side-combinable aggregation, and the
+    requeue set is the next poll round's input."""
+    events = load_table(spark, "events", sf_dir)
+    latest = events.groupBy("user_id").agg(
+        F.max_by(
+            F.struct(F.col("event_type"), F.col("event_id")),
+            F.struct(F.col("ts"), F.col("event_id")),
+        ).alias("_last"),
+    )
+    terminal = F.col("_last.event_type").isin("purchase", "signup")
+    return latest.select(
+        F.col("user_id").alias("submission_id"),
+        F.col("_last.event_type").alias("last_status"),
+        F.col("_last.event_id").alias("last_event_id"),
+        terminal.alias("is_terminal"),
+        (~terminal).alias("requeue"),
+    )
+
+
+register(
+    "status_poll",
+    status_poll,
+    sql="""
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id AS submission_id,
+           event_type AS last_status,
+           event_id AS last_event_id,
+           event_type IN ('purchase', 'signup') AS is_terminal,
+           event_type NOT IN ('purchase', 'signup') AS requeue
+    FROM ranked WHERE rn = 1
+    """,
+)

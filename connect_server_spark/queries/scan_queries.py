@@ -127,3 +127,45 @@ register(
     WHERE o_custkey = 1 AND o_totalprice > 50000.0
     """,
 )
+
+
+def scan_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: key lookup — the ``get_item (source_id, version)`` point read
+    (``aws/dynamo_manager.py:328-337``) as an equality scan on both key
+    parts. Both conjuncts push to the parquet reader, so at scale this is
+    a partition-pruned point probe, not a table pass."""
+    orders = load_table(spark, "orders", sf_dir)
+    status = orders.select(
+        F.concat(F.lit("src_"), (F.col("o_custkey") % 997).cast("string")).alias(
+            "source_id"
+        ),
+        F.concat(
+            (F.col("o_orderkey") % 3 + 1).cast("string"),
+            F.lit("."),
+            (F.col("o_orderkey") % 17).cast("string"),
+        ).alias("version"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+    )
+    return scan_table(
+        status,
+        fields=["source_id", "version", "o_orderkey", "o_totalprice"],
+        filters=[("source_id", "==", "src_42"), ("version", "==", "3.12")],
+    )
+
+
+register(
+    "scan_point_read",
+    scan_point_read,
+    sql="""
+    WITH status AS (
+      SELECT concat('src_', CAST(o_custkey % 997 AS VARCHAR)) AS source_id,
+             concat(CAST(o_orderkey % 3 + 1 AS VARCHAR), '.',
+                    CAST(o_orderkey % 17 AS VARCHAR)) AS version,
+             o_orderkey, o_totalprice
+      FROM orders
+    )
+    SELECT source_id, version, o_orderkey, o_totalprice
+    FROM status WHERE source_id = 'src_42' AND version = '3.12'
+    """,
+)

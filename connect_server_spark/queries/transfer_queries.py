@@ -11,6 +11,7 @@ from connect_server_spark.functions.source_ids import split_source_id
 from connect_server_spark.functions.uris import make_globus_app_link
 from connect_server_spark.operators.extractors import parse_json_column
 from connect_server_spark.operators.transfer import (
+    loop_unroll,
     next_search_sub_version,
     single_endpoint_check,
     transfer_items,
@@ -190,6 +191,47 @@ register(
                 THEN 'search version older than an existing submission'
            END AS version_error
     FROM candidates c LEFT JOIN agg a ON c.source_name = a.source_name
+    """,
+)
+
+
+def transfer_loop_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/F13: every iteration of the multi-destination transfer loop as
+    rows — current destination (``lst[0]``), remaining list (``lst[1:]``),
+    and the loop-done predicate (``lst == lst[0:0]``)."""
+    orders = load_table(spark, "orders", sf_dir)
+    n = (F.col("o_orderkey") % 3 + 1).cast("int")
+    dests = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(F.lit("dest_"), i.cast("string")),
+    )
+    base = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("dataset_id"), dests.alias("dests")
+    )
+    return loop_unroll(base, "dataset_id", "dests")
+
+
+register(
+    "transfer_loop_states",
+    transfer_loop_states,
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey AS dataset_id,
+             list_transform(range(1, CAST(o_orderkey % 3 + 2 AS INT)),
+                            i -> 'dest_' || i) AS dests
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    it AS (
+      SELECT dataset_id, dests,
+             unnest(range(1, len(dests) + 1)) AS pos
+      FROM base
+    )
+    SELECT dataset_id,
+           CAST(pos - 1 AS INT) AS iteration,
+           dests[pos] AS current,
+           coalesce(array_to_string(dests[pos + 1:], ','), '') AS remaining_csv,
+           len(dests[pos + 1:]) = 0 AS loop_done
+    FROM it
     """,
 )
 

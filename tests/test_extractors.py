@@ -5,7 +5,11 @@ modeled on the reference's golden extractor tests
 import pytest
 from pyspark.sql import functions as F
 
+import math
+
 from connect_server_spark.operators.extractors import (
+    anonymized_stoichiometry,
+    cell_volume,
     filename_extractor,
     json_extractor,
 )
@@ -42,6 +46,46 @@ def test_filename_extractor_absent_match_null(spark):
     rows = {r.fname: (r.exp_id, r.formula) for r in out.collect()}
     assert rows["exp_77_Fe2O3.cif"] == ("77", "Fe2O3")
     assert rows["README"] == (None, None)
+
+
+def test_stoichiometry_reference_goldens(spark):
+    """The four CIF goldens from the reference
+    (``tests/test_extractors.py:21-68``): gcd-reduced counts, ascending,
+    lettered with count-1 omitted."""
+    df = spark.createDataFrame(
+        [(1, "Al12O18"), (2, "H88C52O12"), (3, "Ce24V8O128"), (4, "C8"),
+         (5, "FFO2")],
+        ["k", "comp"],
+    )
+    out = {
+        r.k: (r.stoichiometry, r.number_of_atoms)
+        for r in anonymized_stoichiometry(df, "k", "comp").collect()
+    }
+    assert out[1] == ("A2B3", 30)
+    assert out[2] == ("A3B13C22", 152)
+    assert out[3] == ("AB3C16", 160)
+    assert out[4] == ("A", 8)
+    assert out[5] == ("AB", 4)  # repeated F tokens merge: F2O2 -> AB
+
+
+def test_cell_volume_cubic_and_triclinic(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, 2.0, 2.0, 90.0, 90.0, 90.0),
+         (2, 3.0, 4.0, 5.0, 60.0, 70.0, 80.0)],
+        ["k", "a", "b", "c", "al", "be", "ga"],
+    )
+    out = {
+        r.k: r.v
+        for r in df.select(
+            "k",
+            cell_volume(F.col("a"), F.col("b"), F.col("c"),
+                        F.col("al"), F.col("be"), F.col("ga")).alias("v"),
+        ).collect()
+    }
+    assert math.isclose(out[1], 8.0, rel_tol=1e-12)
+    ca, cb, cg = (math.cos(math.radians(x)) for x in (60.0, 70.0, 80.0))
+    expected = 60.0 * math.sqrt(1 - ca*ca - cb*cb - cg*cg + 2*ca*cb*cg)
+    assert math.isclose(out[2], expected, rel_tol=1e-12)
 
 
 def test_attach_binary_metadata(spark):
