@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_neardup_minhash",
     "dedup_neardup_simhash",
+    "dedup_neardup_embedding_lsh",
     "similarity_topk_exact",
     "similarity_topk_ann",
     "text_analysis",

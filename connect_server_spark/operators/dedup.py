@@ -33,6 +33,8 @@ __all__ = [
     "simhash",
     "simhash_fingerprints",
     "simhash_neardup_pairs",
+    "embedding_neardup_exact",
+    "embedding_neardup_lsh",
 ]
 
 
@@ -310,3 +312,76 @@ def simhash_neardup_pairs(
     return cands.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_neardup_exact(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup, exact baseline: upper-triangle all-pairs
+    cosine with ``id_a < id_b``, kept when ``cosine >= threshold``.
+
+    All-pairs by construction — the correctness oracle for the LSH path,
+    to be run on a bounded subset only. At corpus scale use
+    :func:`embedding_neardup_lsh`."""
+    from connect_server_spark.operators.similarity import cosine_similarity
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    tables: int = 8,
+    bits: int = 12,
+) -> DataFrame:
+    """Embedding-cosine near-dup at scale: SRP-LSH bucket self-join
+    (pairs colliding in >= 1 table), exact cosine verify over candidates
+    only. High-cosine pairs collide with probability
+    ``1-(1-(1-θ/π)^bits)^tables``; the plan is an equi-join on
+    (table, signature) — never all-pairs."""
+    from connect_server_spark.operators.similarity import (
+        cosine_similarity,
+        srp_signatures_udf,
+    )
+
+    srp = srp_signatures_udf(tables, bits)
+    buckets = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(srp(F.col(vec_col))).alias("_table", "_sig"),
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l._table") == F.col("r._table"))
+            & (F.col("l._sig") == F.col("r._sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cosine_similarity(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias(
+                "cosine"
+            ),
+        )
+        .distinct()
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -148,3 +148,86 @@ def dedup_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("dedup_neardup_simhash", dedup_neardup_simhash)
+
+
+def _emb_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup corpus: every 5th vector, plus planted twins
+    (id + 1000000) for every 25th — the twin is the parent plus 0.25× its
+    cyclic shift, cosine ≈ 0.97 vs the parent while unrelated pairs stay
+    below ~0.55. Double-precision twin math is reproduced bit-identically
+    in the oracle."""
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", "embedding")
+    )
+    v = F.col("embedding")
+    shifted = F.concat(F.slice(v, 2, F.size(v) - 1), F.slice(v, 1, 1))
+    twin = F.zip_with(
+        v, shifted, lambda x, y: x.cast("double") + F.lit(0.25) * y.cast("double")
+    )
+    base = emb.select(
+        "vec_id", F.transform(v, lambda x: x.cast("double")).alias("embedding")
+    )
+    twins = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), twin.alias("embedding")
+    )
+    return base.unionByName(twins)
+
+
+_EMB_CORPUS_SQL = """
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings WHERE vec_id % 5 = 0
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    + 0.25 * CAST(embedding[CASE WHEN i = len(embedding)
+                                            THEN 1 ELSE i + 1 END] AS DOUBLE))
+               AS embedding
+      FROM embeddings WHERE vec_id % 5 = 0 AND vec_id % 25 = 0
+"""
+
+
+def dedup_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact baseline (all-pairs on the bounded
+    subset — the oracle-checkable twin of the LSH path)."""
+    from connect_server_spark.operators.dedup import embedding_neardup_exact
+
+    return embedding_neardup_exact(
+        _emb_neardup_corpus(spark, sf_dir), threshold=0.9
+    )
+
+
+register(
+    "dedup_neardup_embedding",
+    dedup_neardup_embedding,
+    sql=f"""
+    WITH corpus AS ({_EMB_CORPUS_SQL}),
+    scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(
+               list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> a.embedding[i] * b.embedding[i]))
+               / (sqrt(list_sum(list_transform(a.embedding, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.embedding, x -> x * x)))),
+               6) AS cosine
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
+    """,
+)
+
+
+def dedup_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, SRP-LSH scale path (rows-only: recall is
+    probabilistic; the exact twin above is the gated baseline)."""
+    from connect_server_spark.operators.dedup import embedding_neardup_lsh
+
+    return embedding_neardup_lsh(
+        _emb_neardup_corpus(spark, sf_dir), threshold=0.9, tables=8, bits=10
+    )
+
+
+register("dedup_neardup_embedding_lsh", dedup_neardup_embedding_lsh)

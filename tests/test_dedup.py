@@ -98,3 +98,33 @@ def test_simhash_plan_no_cartesian(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_neardup_exact_and_lsh_find_planted_twin(spark):
+    from connect_server_spark.operators.dedup import (
+        embedding_neardup_exact,
+        embedding_neardup_lsh,
+    )
+
+    base = [1.0, 0.0, 0.5, -0.5] * 16  # 64-dim
+    twin = [x + 0.01 for x in base]
+    other = ([0.0, 1.0, -0.5, 0.5] * 16)
+    emb = spark.createDataFrame(
+        [(1, base), (2, twin), (3, other)], ["vec_id", "embedding"]
+    )
+    exact = {(r.id_a, r.id_b) for r in
+             embedding_neardup_exact(emb, threshold=0.9).collect()}
+    assert exact == {(1, 2)}
+    lsh = {(r.id_a, r.id_b) for r in
+           embedding_neardup_lsh(emb, threshold=0.9, tables=8, bits=4).collect()}
+    assert (1, 2) in lsh and not any(3 in p for p in lsh)
+
+
+def test_embedding_lsh_plan_is_equijoin(spark):
+    from connect_server_spark.operators.dedup import embedding_neardup_lsh
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    plan = embedding_neardup_lsh(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
