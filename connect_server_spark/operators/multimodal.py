@@ -23,6 +23,8 @@ __all__ = [
     "binary_metadata",
     "extract_binary_features",
     "decode_image",
+    "resize_binary",
+    "sample_frames",
 ]
 
 FEATURE_SCHEMA = (
@@ -90,3 +92,74 @@ def extract_binary_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(features, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, src_bytes int, thumb_bytes int, stride int, thumb_digest string"
+)
+
+
+def resize_binary(df: DataFrame, id_col: str = "doc_id", stride: int = 4) -> DataFrame:
+    """Image-resize plumbing: Arrow-batched ``mapInPandas`` that maps each
+    payload to a strided downsample (every ``stride``-th byte) — the
+    deterministic stand-in for decode→resize→re-encode. A deployment
+    replaces the body's downsample with :func:`decode_image` + a real
+    resampler; the engine-owned part (binary in → smaller binary out,
+    partition-preserving, no shuffle) is what this exercises."""
+    import hashlib
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                thumb = b[::stride]
+                rows.append(
+                    (doc_id, len(b), len(thumb), stride,
+                     hashlib.md5(thumb).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "src_bytes", "thumb_bytes", "stride",
+                         "thumb_digest"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(resize, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes int, frame_digest string"
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_frames: int = 8,
+    every: int = 2,
+) -> DataFrame:
+    """Video frame-sampling plumbing: the payload is treated as
+    ``n_frames`` equal-length frames; every ``every``-th frame is emitted
+    as its own row (1 input row → N output rows — the UDTF shape).
+    Deterministic: the frame digest is md5 of the byte slice, so the
+    whole pipeline is oracle-checkable; a deployment swaps the slicing
+    for a real demuxer behind the same (id, frame_idx, bytes) contract."""
+    import hashlib
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                flen = len(b) // n_frames
+                if flen == 0:
+                    continue
+                for i in range(0, n_frames, every):
+                    chunk = b[i * flen:(i + 1) * flen]
+                    rows.append(
+                        (doc_id, i, len(chunk), hashlib.md5(chunk).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_idx", "frame_bytes", "frame_digest"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(frames, FRAME_SCHEMA)

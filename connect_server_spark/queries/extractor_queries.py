@@ -15,6 +15,8 @@ from connect_server_spark.operators.extractors import (
 from connect_server_spark.operators.multimodal import (
     attach_binary,
     extract_binary_features,
+    resize_binary,
+    sample_frames,
 )
 from connect_server_spark.registry import register
 from connect_server_spark.tables import load_table
@@ -229,3 +231,41 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("multimodal_features", multimodal_features)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads: 8 equal frames per
+    payload, every 2nd emitted (1 row in → 4 rows out). Gateable because
+    the deterministic fake slices bytes of ASCII text — md5 of the byte
+    slice equals md5 of the substring."""
+    docs = load_table(spark, "documents", sf_dir)
+    return sample_frames(attach_binary(docs, "doc_id", "text"))
+
+
+register(
+    "multimodal_frame_sample",
+    multimodal_frame_sample,
+    sql="""
+    WITH idx AS (SELECT unnest([0, 2, 4, 6]) AS frame_idx),
+    base AS (
+      SELECT doc_id, text, octet_length(encode(text)) // 8 AS flen
+      FROM documents
+    )
+    SELECT b.doc_id,
+           CAST(i.frame_idx AS INT) AS frame_idx,
+           CAST(b.flen AS INT) AS frame_bytes,
+           md5(substr(b.text, i.frame_idx * b.flen + 1, b.flen)) AS frame_digest
+    FROM base b CROSS JOIN idx i
+    WHERE b.flen > 0
+    """,
+)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (rows-only: the byte-stride downsample has no
+    clean SQL twin; the contract shape is pinned by pytest)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return resize_binary(attach_binary(docs, "doc_id", "text"))
+
+
+register("multimodal_resize", multimodal_resize)

@@ -113,3 +113,30 @@ def test_binary_features_batch_shape(spark):
 def test_decode_image_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_resize_binary_strided(spark):
+    import hashlib
+
+    from connect_server_spark.operators.multimodal import resize_binary
+
+    df = spark.createDataFrame([(1, "abcdefgh")], ["doc_id", "t"])
+    [r] = resize_binary(attach_binary(df, "doc_id", "t"), stride=4).collect()
+    assert (r.src_bytes, r.thumb_bytes, r.stride) == (8, 2, 4)
+    assert r.thumb_digest == hashlib.md5(b"ae").hexdigest()
+
+
+def test_sample_frames_udtf_shape(spark):
+    import hashlib
+
+    from connect_server_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, "aabbccddeeffgghh")], ["doc_id", "t"])
+    rows = sorted(
+        (r.frame_idx, r.frame_bytes, r.frame_digest)
+        for r in sample_frames(attach_binary(df, "doc_id", "t")).collect()
+    )
+    # 16 bytes / 8 frames = 2-byte frames; frames 0,2,4,6 sampled
+    assert [x[0] for x in rows] == [0, 2, 4, 6]
+    assert rows[0] == (0, 2, hashlib.md5(b"aa").hexdigest())
+    assert rows[1] == (2, 2, hashlib.md5(b"cc").hexdigest())
