@@ -1,4 +1,5 @@
-"""Globus-URI normalization and endpoint lookup column expressions.
+"""Globus-URI normalization and endpoint lookup column expressions
+(SURVEY §2: F4, S12 — the gdrive:// scheme source mapping — J4, F11).
 
 Re-expresses ``aws/utils.py:7-93`` (``normalize_globus_uri`` /
 ``make_globus_app_link``) and the legacy ``lookup_http_host`` (goldens

@@ -1,5 +1,7 @@
-"""Driver queries for the organization-join family (SURVEY §2: J1, J3, J4,
-J5/S8) with DuckDB oracle twins.
+"""Driver queries for the organization-join family (SURVEY §2: S4, J1,
+J3, J4, J5/S8) with DuckDB oracle twins. S4 (org registry scan with
+name-or-alias filter and 0/>1-match errors) is the load+filter stage of
+``org_resolve``.
 
 The org registry is synthesized from ``nation`` (child orgs) and ``region``
 (parent orgs): nation org ``lower(n_name)`` has aliases ``n{key}`` and

@@ -8,6 +8,10 @@ local[N] testing:
 * Arrow on — every pandas-UDF boundary is Arrow-batched.
 * shuffle.partitions set from the env (tests use 32); on a real cluster
   AQE's coalescing makes the initial number a ceiling, not a tuning knob.
+
+S13 (the reference's Secrets-Manager config source,
+``aws/utils.py:96-108``) maps to exactly this layer: configuration is
+env/conf injection at session build time — never a data-plane operator.
 """
 
 from __future__ import annotations
