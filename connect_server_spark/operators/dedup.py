@@ -27,6 +27,7 @@ __all__ = [
     "word_shingles",
     "exact_dedup",
     "minhash_signature",
+    "minhash_band_buckets",
     "lsh_candidate_pairs",
     "jaccard_verify",
     "minhash_neardup_pairs",
@@ -96,12 +97,58 @@ def _seeded_hash(seed: int):
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: array of ``num_hashes`` minima of seeded
-    ``xxhash64`` over the shingle set. Per-row expression, no shuffle."""
+    ``xxhash64`` over the shingle set. Per-row expression, no shuffle.
+
+    This is the *semantic spec* (and right when the signature is one
+    column among many). The hot path is :func:`minhash_band_buckets`:
+    higher-order-function lambdas are interpreted in Spark, so
+    ``num_hashes`` ``transform``+``array_min`` passes per row cost ~5×
+    the codegen'd aggregation."""
     return F.array(
         *[
             F.array_min(F.transform(shingles, _seeded_hash(i)))
             for i in range(num_hashes)
         ]
+    )
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, band, band_hash) rows with band keys identical to
+    ``_band_hashes(minhash_signature(...))``, computed as
+    explode(shingles) → groupBy(id) with one codegen'd seeded ``min`` per
+    hash function.
+
+    Scale: one pass over the exploded shingles; the shuffle after
+    map-side partial aggregation is one row of ``num_hashes`` longs per
+    document, independent of document length — and every min stays in
+    whole-stage codegen instead of interpreted HOF lambdas."""
+    rows_per_band = num_hashes // bands
+    hashes = df.select(
+        F.col(id_col), F.explode(F.col(shingles_col)).alias("_sh")
+    )
+    sig = hashes.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band", "band_hash")
     )
 
 
@@ -130,17 +177,7 @@ def lsh_candidate_pairs(
     Explodes each doc into ``bands`` bucket keys and self-joins on the
     bucket key — an equi-join, broadcast/hash-planned, never a cross join.
     """
-    rows_per_band = num_hashes // bands
-    # let-bind the signature: _band_hashes references it 2×bands times, and
-    # inlining would re-evaluate all num_hashes array_min passes per band.
-    band_hashes = let_col(
-        minhash_signature(F.col(shingles_col), num_hashes),
-        lambda sig: _band_hashes(sig, bands, rows_per_band),
-    )
-    buckets = df.select(
-        F.col(id_col),
-        F.posexplode(band_hashes).alias("band", "band_hash"),
-    )
+    buckets = minhash_band_buckets(df, id_col, shingles_col, num_hashes, bands)
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (

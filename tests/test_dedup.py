@@ -67,6 +67,34 @@ def test_minhash_plan_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_minhash_buckets_match_expression_spec(spark):
+    """The aggregated band-bucket hot path must produce the identical
+    (id, band, band_hash) set as the per-row signature expression."""
+    from connect_server_spark.operators.dedup import (
+        _band_hashes,
+        minhash_band_buckets,
+        minhash_signature,
+    )
+
+    docs = _df(spark).select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+    )
+    spec = {
+        (r.doc_id, r.band, r.band_hash)
+        for r in docs.select(
+            "doc_id",
+            F.posexplode(
+                _band_hashes(minhash_signature(F.col("sh"), 32), 8, 4)
+            ).alias("band", "band_hash"),
+        ).collect()
+    }
+    fast = {
+        (r.doc_id, r.band, r.band_hash)
+        for r in minhash_band_buckets(docs, "doc_id", "sh", 32, 8).collect()
+    }
+    assert spec == fast
+
+
 def test_simhash_finds_planted_pair(spark):
     pairs = {(r.id_a, r.id_b)
              for r in simhash_neardup_pairs(_df(spark), "doc_id", "text",
