@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_neardup_embedding_lsh",
     "similarity_topk_exact",
     "similarity_topk_ann",
+    "similarity_topk_ivf",
     "text_analysis",
     "submit_pipeline",
     "flow_execute",

@@ -74,19 +74,29 @@ register(
 
 def scan_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``('f','==',None)`` = field absent / ``('f','!=',None)`` = present (P4/P5
-    None-handling, ``aws/dynamo_manager.py:195-205``)."""
+    None-handling, ``aws/dynamo_manager.py:195-205``).
+
+    Both presence classes come out of ONE table pass: the two
+    filter-compiler branches become a classifier column and a single
+    residual filter, instead of a self-union that scans ``orders`` twice
+    (at 100× data that halves the I/O)."""
+    from connect_server_spark.plans import compile_filters
+
     orders = load_table(spark, "orders", sf_dir).withColumn(
         "maybe_priority", F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
     )
-    absent = scan_table(
-        orders, fields=["o_orderkey"], filters=[("maybe_priority", "==", None)]
-    ).withColumn("presence", F.lit("absent"))
-    present = scan_table(
-        orders,
-        fields=["o_orderkey"],
-        filters=[("maybe_priority", "!=", None), ("o_orderstatus", "==", "F")],
-    ).withColumn("presence", F.lit("present"))
-    return absent.unionByName(present)
+    absent_pred = compile_filters(orders, [("maybe_priority", "==", None)])
+    present_pred = compile_filters(
+        orders, [("maybe_priority", "!=", None), ("o_orderstatus", "==", "F")]
+    )
+    presence = (
+        F.when(absent_pred, F.lit("absent"))
+        .when(present_pred, F.lit("present"))
+    )
+    return (
+        orders.select(F.col("o_orderkey"), presence.alias("presence"))
+        .filter(F.col("presence").isNotNull())
+    )
 
 
 register(

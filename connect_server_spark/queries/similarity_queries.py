@@ -73,3 +73,17 @@ def similarity_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("similarity_topk_ann", similarity_topk_ann)
+
+
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat bucketed ANN (rows-only: recall is probabilistic; the
+    exact twin above is the gated baseline)."""
+    from connect_server_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return ivf_topk(_probes(emb), emb, _K, nlist=16, nprobe=4).select(
+        "probe_id", "vec_id", "cosine", "rank"
+    )
+
+
+register("similarity_topk_ivf", similarity_topk_ivf)

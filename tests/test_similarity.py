@@ -56,3 +56,23 @@ def test_ann_plan_is_equijoin(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_finds_exact_match(spark):
+    from connect_server_spark.operators.similarity import ivf_topk
+
+    # probe identical to corpus vec 1: its cell is vec 1's cell, so the
+    # equi-join must surface it at rank 1 with cosine 1.0
+    out = ivf_topk(_probes(spark), _corpus(spark), k=2, nlist=2, nprobe=1).collect()
+    top = min(out, key=lambda r: r.rank)
+    assert top.vec_id == 1 and top.cosine == 1.0
+
+
+def test_ivf_plan_is_equijoin(spark):
+    from connect_server_spark.operators.similarity import ivf_topk
+
+    plan = ivf_topk(
+        _probes(spark), _corpus(spark), k=2, nlist=2, nprobe=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
