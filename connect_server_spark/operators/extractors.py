@@ -30,6 +30,7 @@ from pyspark.sql.types import StructType
 
 __all__ = [
     "json_extractor",
+    "xml_extractor",
     "filename_extractor",
     "parse_json_column",
     "composition_elements",
@@ -152,6 +153,36 @@ def cell_volume(
         a * b * c
         * F.sqrt(1 - ca * ca - cb * cb - cg * cg + 2 * ca * cb * cg)
     )
+
+
+def xml_extractor(
+    df: DataFrame,
+    xml_col: str,
+    schema: str | StructType,
+    mapping: Mapping[str, str],
+    na_values: tuple = (),
+) -> DataFrame:
+    """F15 (XML side): dot-path mapping extractor over an XML string
+    column (``tests/test_extractors.py:276-337``), same mapping/na
+    semantics as :func:`json_extractor` but deserialized with the native
+    ``from_xml`` — schema-checked, never eval."""
+    parsed = F.from_xml(F.col(xml_col), schema)
+
+    def resolve(path: str) -> Column:
+        out: Column = parsed
+        for part in path.split("."):
+            out = out[part]
+        return out
+
+    out = df
+    for out_col, path in mapping.items():
+        val = resolve(path)
+        for na in na_values:
+            val = F.when(
+                val.cast("string") == F.lit(str(na)), F.lit(None)
+            ).otherwise(val)
+        out = out.withColumn(out_col, val)
+    return out
 
 
 def filename_extractor(

@@ -11,6 +11,7 @@ from connect_server_spark.operators.extractors import (
     cell_volume,
     filename_extractor,
     json_extractor,
+    xml_extractor,
 )
 from connect_server_spark.operators.multimodal import (
     attach_binary,
@@ -38,6 +39,36 @@ def extract_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "extract_json_props",
     extract_json_props,
+    sql="""
+    SELECT event_id,
+           CASE WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) = 0
+                THEN NULL
+                ELSE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)
+           END AS k_value
+    FROM events
+    """,
+)
+
+
+def extract_xml_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 (XML)/S14: dot-path mapping over an XML rendering of
+    events.props, parsed with native from_xml; na_values drop 0 to
+    null — the XML twin of ``extract_json_props``."""
+    events = load_table(spark, "events", sf_dir)
+    k_str = F.regexp_extract(F.col("props"), r'"k": ([0-9]+)', 1)
+    xml = F.concat(F.lit("<rec><k>"), k_str, F.lit("</k></rec>"))
+    return xml_extractor(
+        events.select("event_id", xml.alias("xml")),
+        "xml",
+        "k int",
+        {"k_value": "k"},
+        na_values=(0,),
+    ).select("event_id", "k_value")
+
+
+register(
+    "extract_xml_props",
+    extract_xml_props,
     sql="""
     SELECT event_id,
            CASE WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) = 0

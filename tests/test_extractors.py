@@ -140,3 +140,22 @@ def test_sample_frames_udtf_shape(spark):
     assert [x[0] for x in rows] == [0, 2, 4, 6]
     assert rows[0] == (0, 2, hashlib.md5(b"aa").hexdigest())
     assert rows[1] == (2, 2, hashlib.md5(b"cc").hexdigest())
+
+
+def test_xml_extractor_mapping_and_na(spark):
+    from connect_server_spark.operators.extractors import xml_extractor
+
+    df = spark.createDataFrame(
+        [(1, "<r><a>5</a><b><c>x</c></b></r>"),
+         (2, "<r><a>0</a><b><c>y</c></b></r>")],
+        ["id", "xml"],
+    )
+    out = {
+        r.id: (r.a_val, r.nested)
+        for r in xml_extractor(
+            df, "xml", "a int, b struct<c: string>",
+            {"a_val": "a", "nested": "b.c"}, na_values=(0,)
+        ).collect()
+    }
+    assert out[1] == (5, "x")
+    assert out[2] == (None, "y")  # na_value 0 dropped to null
