@@ -36,6 +36,7 @@ __all__ = [
     "composition_elements",
     "anonymized_stoichiometry",
     "cell_volume",
+    "grouped_extract",
 ]
 
 
@@ -198,3 +199,30 @@ def filename_extractor(
             out_col, F.when(extracted != "", extracted)
         )
     return out
+
+
+def grouped_extract(df, group_col: str, extractors, schema):
+    """S14/§2.10: the reference's per-directory extraction fan-in
+    (``grouper: 'directory/matio'``, ``aws/automate_manager.py:132``) as a
+    grouped-map pandas UDF: ``groupBy(group).applyInPandas``.
+
+    ``extractors`` is an ordered list of callables, each mapping the
+    group's pandas frame to a dict of output fields; results merge per
+    group with first-writer-wins per key (the ``dict_merge`` analog —
+    earlier extractors are more specific). One output row per group,
+    typed by ``schema``.
+
+    Scale: groups are processed independently after one shuffle on the
+    group key; each Arrow batch holds whole groups, so a 1000-executor
+    cluster runs every directory's extraction concurrently."""
+    import pandas as _pd
+
+    def run(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+        rec: dict = {group_col: pdf[group_col].iloc[0]}
+        for extract in extractors:
+            out = extract(pdf) or {}
+            for key, val in out.items():
+                rec.setdefault(key, val)
+        return _pd.DataFrame([rec])
+
+    return df.groupBy(group_col).applyInPandas(run, schema)

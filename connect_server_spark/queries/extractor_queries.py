@@ -300,3 +300,45 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("multimodal_resize", multimodal_resize)
+
+
+def extract_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14/§2.10: per-directory (here: per-source) grouped extraction —
+    two 'format extractors' run over each group's members and dict-merge
+    into one record per group. Gateable because both extractors compute
+    deterministic aggregates."""
+    from connect_server_spark.operators.extractors import grouped_extract
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source", "doc_id", "n_chars", "lang"
+    )
+
+    def count_extractor(pdf):
+        return {"n_files": int(len(pdf)), "min_doc_id": int(pdf["doc_id"].min())}
+
+    def size_extractor(pdf):
+        return {
+            "total_chars": int(pdf["n_chars"].sum()),
+            # first-writer-wins: this duplicate key must NOT override
+            "n_files": -1,
+        }
+
+    return grouped_extract(
+        docs,
+        "source",
+        [count_extractor, size_extractor],
+        "source string, n_files int, min_doc_id long, total_chars long",
+    )
+
+
+register(
+    "extract_grouped",
+    extract_grouped,
+    sql="""
+    SELECT source,
+           CAST(count(*) AS INT) AS n_files,
+           min(doc_id) AS min_doc_id,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)

@@ -159,3 +159,25 @@ def test_xml_extractor_mapping_and_na(spark):
     }
     assert out[1] == (5, "x")
     assert out[2] == (None, "y")  # na_value 0 dropped to null
+
+
+def test_grouped_extract_merges_first_writer_wins(spark):
+    from connect_server_spark.operators.extractors import grouped_extract
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 3, 5)], ["grp", "fid", "sz"]
+    )
+
+    def counter(pdf):
+        return {"n": int(len(pdf))}
+
+    def sizer(pdf):
+        return {"total": int(pdf["sz"].sum()), "n": -99}  # must not override
+
+    out = {
+        r.grp: (r.n, r.total)
+        for r in grouped_extract(
+            df, "grp", [counter, sizer], "grp string, n int, total long"
+        ).collect()
+    }
+    assert out == {"a": (2, 30), "b": (1, 5)}
