@@ -1,0 +1,77 @@
+"""Storage-layout helpers: bucketed tables for co-located joins, salted
+aggregation for skewed keys.
+
+At 100 TB the status table is joined on ``source_id`` by every read path
+(J2 latest-status, J5 insert guard). Bucketing both sides by the join key
+at write time removes the per-query shuffle entirely: Spark recognizes
+matching bucket specs and plans the join with **zero Exchange** — the
+co-location is paid once, at ingest.
+
+Skewed keys (one org owning half the submissions) break the "partial agg
+handles it" assumption for holistic aggregates like ``collect_set``:
+every value of the hot key lands on one reducer. ``salted_collect_set``
+splits each key into ``salt`` subkeys, aggregates the shards in
+parallel, then merges shard results — two small shuffles instead of one
+giant straggler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "write_bucketed",
+    "read_table",
+    "salted_collect_set",
+]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a parquet table bucketed (and sorted) by
+    ``key``. Two tables written with the same (key, buckets) spec join
+    on that key with no Exchange on either side."""
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def salted_collect_set(
+    df: DataFrame, key: str, value: str, salt: int = 16
+) -> DataFrame:
+    """``groupBy(key).agg(collect_set(value))`` that survives a hot key:
+    stage 1 aggregates (key, hash(value) % salt) shards — spreading the
+    hot key over ``salt`` reducers — stage 2 merges the per-shard sets.
+    Output matches the unsalted aggregation exactly (set semantics make
+    the merge associative)."""
+    shards = (
+        df.select(
+            F.col(key),
+            (F.abs(F.xxhash64(F.col(value))) % salt).alias("_salt"),
+            F.col(value),
+        )
+        .groupBy(key, "_salt")
+        .agg(F.collect_set(value).alias("_shard"))
+    )
+    return (
+        shards.groupBy(key)
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("_shard")))
+            ).alias(f"{value}_set")
+        )
+    )
