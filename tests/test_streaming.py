@@ -79,3 +79,45 @@ def test_stateful_status_tracker_matches_batch(spark):
     expected = {r.user_id: (r.n, r.e) for r in batch.collect()}
     assert got == expected
     assert all(r.lifecycle in ("active", "failed") for r in rows)
+
+
+def test_foreachbatch_idempotent_status_sink(spark, tmp_path):
+    """T3: the status table as a streaming sink — micro-batches land
+    through the S8 insert guard, so a key replayed in a later batch (or a
+    restarted writer) appends nothing."""
+    import json
+
+    from connect_server_spark.sinks import idempotent_append
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"source_id": f"s{i}", "version": "1.0"})
+                  for i in range(5))
+    )
+    (src / "b2.json").write_text(
+        "\n".join(json.dumps({"source_id": f"s{i}", "version": "1.0"})
+                  for i in range(3, 8))  # 3,4 overlap batch 1
+    )
+    out = str(tmp_path / "status")
+    stream = (
+        spark.readStream.schema("source_id string, version string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+
+    def sink(batch_df, batch_id):
+        idempotent_append(
+            spark, batch_df, out, ["source_id", "version"]
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 8  # 10 incoming, 2 duplicates guarded out
+    assert len({r.source_id for r in rows}) == 8
