@@ -31,6 +31,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_verify",
     "minhash_neardup_pairs",
+    "ngram_jaccard_pairs",
     "simhash",
     "simhash_fingerprints",
     "simhash_neardup_pairs",

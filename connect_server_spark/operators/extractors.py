@@ -36,6 +36,7 @@ __all__ = [
     "composition_elements",
     "anonymized_stoichiometry",
     "cell_volume",
+    "tdb_extractor",
     "grouped_extract",
 ]
 
@@ -153,6 +154,49 @@ def cell_volume(
     return (
         a * b * c
         * F.sqrt(1 - ca * ca - cb * cb - cg * cg + 2 * ca * cb * cg)
+    )
+
+
+def tdb_extractor(df: DataFrame, content_col: str) -> DataFrame:
+    """S14 (CALPHAD .TDB): parse thermodynamic-database text into
+    ``phases`` (upper-cased PHASE names, file order) and ``composition``
+    (element symbols concatenated) — the record shape of the reference's
+    ``extract_tdb`` goldens (``tests/test_extractors.py:78-144``).
+
+    Pure regex expressions over the file text — runs in the scan stage,
+    no Python boundary (the reference shells out to pycalphad; the parsed
+    fields it keeps are line-anchored declarations, which regex covers).
+
+    Semantics pinned to the goldens:
+
+    * the electron-gas pseudo-element ``/-`` is excluded from the
+      composition, the vacancy element ``VA`` is kept;
+    * symbols render title-case (``PB`` → ``Pb``);
+    * files with no PHASE and no ELEMENT declarations produce no record
+      (``extract_tdb([NO_DATA_FILE]) == {}``) — such rows are dropped;
+    * the reference emits composition in Python-set order
+      (nondeterministic; its own golden compare is order-insensitive) —
+      this engine sorts symbols for a deterministic, hashable result.
+    """
+    content = F.col(content_col)
+    phases = F.regexp_extract_all(
+        content, F.lit(r"(?m)^\s*PHASE\s+([A-Za-z0-9_]+)"), 1
+    )
+    raw_els = F.regexp_extract_all(
+        content, F.lit(r"(?m)^\s*ELEMENT\s+([A-Za-z/\-]+)"), 1
+    )
+    symbols = F.transform(
+        F.array_sort(
+            F.array_distinct(F.filter(raw_els, lambda e: e != F.lit("/-")))
+        ),
+        lambda e: F.concat(
+            F.upper(F.substring(e, 1, 1)), F.lower(F.substring(e, 2, 8))
+        ),
+    )
+    return (
+        df.withColumn("phases", F.transform(phases, F.upper))
+        .withColumn("composition", F.array_join(symbols, ""))
+        .filter((F.size("phases") > 0) | (F.col("composition") != ""))
     )
 
 

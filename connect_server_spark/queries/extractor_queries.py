@@ -11,6 +11,7 @@ from connect_server_spark.operators.extractors import (
     cell_volume,
     filename_extractor,
     json_extractor,
+    tdb_extractor,
     xml_extractor,
 )
 from connect_server_spark.operators.multimodal import (
@@ -224,6 +225,59 @@ register(
              1 - cos(b.al)*cos(b.al) - cos(b.be)*cos(b.be) - cos(b.ga)*cos(b.ga)
                + 2*cos(b.al)*cos(b.be)*cos(b.ga)), 6) AS volume
     FROM base b JOIN red r ON b.p_partkey = r.p_partkey
+    """,
+)
+
+
+def extract_tdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 (.TDB): CALPHAD extraction over TDB documents synthesized from
+    part rows — two ELEMENT declarations (plus VA and the excluded ``/-``
+    electron gas) and two PHASE declarations; every 7th part is a
+    comment-only file that must produce no record (reference:
+    ``extract_tdb([NO_DATA_FILE]) == {}``)."""
+    part = load_table(spark, "part", sf_dir)
+    words = F.split(F.col("p_name"), " ")
+    e1 = F.upper(F.substring(F.element_at(words, 1), 1, 2))
+    e2 = F.upper(F.substring(F.element_at(words, 2), 1, 2))
+    phase2 = F.upper(F.element_at(words, 2))
+    content = F.when(F.col("p_partkey") % 7 == 0, F.lit("$ no data")).otherwise(
+        F.concat_ws(
+            "\n",
+            F.lit("$ synthetic tdb"),
+            F.lit("ELEMENT VA   VACANCY 0 0 0!"),
+            F.lit("ELEMENT /-   ELECTRON_GAS 0 0 0!"),
+            F.concat(F.lit("ELEMENT "), e1, F.lit("   REF 0 0 0!")),
+            F.concat(F.lit("ELEMENT "), e2, F.lit("   REF 0 0 0!")),
+            F.lit("PHASE LIQUID %  1  1 !"),
+            F.concat(F.lit("PHASE "), phase2, F.lit(" %  2 1 1 !")),
+        )
+    )
+    files = part.select(F.col("p_partkey"), content.alias("content"))
+    return tdb_extractor(files, "content").select(
+        "p_partkey", "phases", "composition"
+    )
+
+
+register(
+    "extract_tdb",
+    extract_tdb,
+    sql="""
+    WITH base AS (
+      SELECT p_partkey,
+             upper(substr(string_split(p_name, ' ')[1], 1, 2)) AS e1,
+             upper(substr(string_split(p_name, ' ')[2], 1, 2)) AS e2,
+             upper(string_split(p_name, ' ')[2]) AS ph
+      FROM part
+      WHERE p_partkey % 7 <> 0
+    )
+    SELECT p_partkey,
+           ['LIQUID', ph] AS phases,
+           array_to_string(
+             list_transform(
+               list_sort(list_distinct(['VA', e1, e2])),
+               e -> upper(substr(e, 1, 1)) || lower(substr(e, 2))),
+             '') AS composition
+    FROM base
     """,
 )
 

@@ -2,10 +2,11 @@
 modeled on the reference's golden extractor tests
 (``tests/test_extractors.py:152-405``)."""
 
+import math
+import os
+
 import pytest
 from pyspark.sql import functions as F
-
-import math
 
 from connect_server_spark.operators.extractors import (
     anonymized_stoichiometry,
@@ -181,3 +182,52 @@ def test_grouped_extract_merges_first_writer_wins(spark):
         ).collect()
     }
     assert out == {"a": (2, 30), "b": (1, 5)}
+
+
+_TDB_DIR = "/root/reference/tests/test_files/tdb"
+_TDB_GOLDENS = {
+    # reference goldens tests/test_extractors.py:78-144; composition is
+    # compared as a symbol set (the reference emits Python-set order and
+    # compares insensitively), phases in file order.
+    "PbSSeTe_Na.TDB": (
+        ["LIQUID", "FCC_A1", "HALITE", "HEXAGONAL_A8", "ORTHORHOMBIC_S",
+         "BCC_A2", "NA2TE", "NATE", "NATE3", "NA2SE", "NASE", "NASE2",
+         "NA2S", "NAS", "NAS2"],
+        {"Se", "Va", "Te", "Na", "S", "Pb"},
+    ),
+    "test_AuSi.TDB": (
+        ["LIQUID", "BCC_A2", "CBCC_A12", "CUB_A13", "DIAMOND_A4", "FCC_A1",
+         "HCP_A3", "HCP_ZN"],
+        {"Si", "Va", "Au"},
+    ),
+    "test_PbTe.TDB": (
+        ["LIQUID", "PBTE", "HEXAGONAL_A8", "RHOMBOHEDRAL_A7"],
+        {"Te", "Va", "Pb"},
+    ),
+}
+
+
+@pytest.mark.skipif(not os.path.isdir(_TDB_DIR), reason="reference fixtures absent")
+def test_tdb_extractor_reference_goldens(spark):
+    from connect_server_spark.operators.extractors import tdb_extractor
+
+    rows = []
+    for fname in _TDB_GOLDENS:
+        with open(os.path.join(_TDB_DIR, fname)) as f:
+            rows.append((fname, f.read()))
+    # the reference's no-data file must yield no record
+    with open("/root/reference/tests/test_files/no_data.dat") as f:
+        rows.append(("no_data.dat", f.read()))
+    df = spark.createDataFrame(rows, ["fname", "content"])
+    out = {
+        r.fname: (r.phases, r.composition)
+        for r in tdb_extractor(df, "content").collect()
+    }
+    assert "no_data.dat" not in out
+    for fname, (phases, symbols) in _TDB_GOLDENS.items():
+        got_phases, got_comp = out[fname]
+        assert got_phases == phases, fname
+        # split the composition back into title-case symbols
+        import re
+        got_symbols = set(re.findall(r"[A-Z][a-z]*", got_comp))
+        assert got_symbols == symbols, fname
