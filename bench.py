@@ -39,6 +39,7 @@ HEADLINE = [
     "status_insert_guard",
     "dedup_exact",
     "dedup_neardup_minhash",
+    "dedup_ngram_jaccard",
     "dedup_neardup_simhash",
     "dedup_neardup_embedding_lsh",
     "similarity_topk_exact",
@@ -49,6 +50,7 @@ HEADLINE = [
     "flow_execute",
     "validator_feedstock",
     "extract_crystal",
+    "extract_tdb",
     "status_poll",
     "events_tumbling_hourly",
     "events_session_windows",

@@ -244,6 +244,60 @@ def minhash_neardup_pairs(
     return jaccard_verify(cands, docs, id_col, "_shingles", threshold)
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup with length-bucket blocking — the
+    signature-free exact path (MinHash trades exactness for fewer
+    candidates; this trades candidate count for exactness).
+
+    Candidate generation: each document lands in two adjacent buckets of
+    its normalized length (``⌊len/w⌋`` and ``⌊len/w⌋+1``), so any pair
+    within ``bucket_width`` chars of each other shares a bucket — near-dups
+    above a meaningful Jaccard threshold are necessarily close in length.
+    Optionally co-blocked on ``block_col`` (e.g. source/lang) to bound
+    bucket sizes. The join is an equi-join on (block, bucket); the only
+    pairwise work is exact Jaccard over candidates. Never all-pairs.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``jaccard >= threshold``.
+    """
+    blocks = [block_col] if block_col else []
+    ln = F.length(normalize_text(F.col(text_col)))
+    bkt = F.floor(ln / bucket_width)
+    docs = df.select(
+        F.col(id_col),
+        *[F.col(b) for b in blocks],
+        word_shingles(F.col(text_col), shingle_n).alias("_shingles"),
+        F.explode(F.array(bkt, bkt + 1)).alias("_bkt"),
+    )
+    l, r = docs.alias("l"), docs.alias("r")
+    cond = (F.col("l._bkt") == F.col("r._bkt")) & (
+        F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    )
+    for b in blocks:
+        cond = cond & (F.col(f"l.{b}") == F.col(f"r.{b}"))
+    inter = F.size(F.array_intersect(F.col("l._shingles"), F.col("r._shingles")))
+    union = (
+        F.size(F.col("l._shingles")) + F.size(F.col("r._shingles")) - inter
+    )
+    return (
+        l.join(r, cond)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()
+    )
+
+
 def simhash(shingles: Column, bits: int = 64) -> Column:
     """SimHash fingerprint: per bit position, majority vote of the shingle
     hashes' bits. Returns a bigint. Pure per-row expression; the hash

@@ -47,6 +47,7 @@ def latest_per_key(
     version: str,
     payload: Sequence[str],
     tiebreakers: Sequence[str] = (),
+    history_col: str | None = None,
 ) -> DataFrame:
     """One row per ``key``: the payload of the numerically-latest ``version``.
 
@@ -54,16 +55,35 @@ def latest_per_key(
     ``tiebreakers`` break exact-version ties deterministically (pass a
     unique column; the reference's Dynamo table cannot hold duplicate
     (source_id, version) pairs, but synthetic fixtures can).
+
+    ``history_col``: when set, also emit the sorted distinct
+    ``{key}-{version}`` list of ALL versions — the reference's
+    ``previous_versions`` accumulation (``aws/submit.py:215-216``).
+    Computed in the same groupBy, so it adds no extra shuffle; the
+    partial ``collect_set`` carries one short string per distinct
+    version, bounded by version count, not row count.
     """
     ordering = _ordering(F.col(version), [F.col(t) for t in tiebreakers])
     picked = F.max_by(
         F.struct(F.col(version).alias(version), *[F.col(c).alias(c) for c in payload]),
         ordering,
     )
+    aggs = [picked.alias("_latest")]
+    if history_col:
+        aggs.append(
+            F.array_sort(
+                F.collect_set(F.concat(F.col(key), F.lit("-"), F.col(version)))
+            ).alias(history_col)
+        )
+    extra = [history_col] if history_col else []
     return (
         df.groupBy(key)
-        .agg(picked.alias("_latest"))
-        .select(key, *[F.col(f"_latest.{c}").alias(c) for c in [version, *payload]])
+        .agg(*aggs)
+        .select(
+            key,
+            *[F.col(f"_latest.{c}").alias(c) for c in [version, *payload]],
+            *extra,
+        )
     )
 
 
@@ -74,11 +94,12 @@ def latest_version_join(
     version: str,
     payload: Sequence[str],
     tiebreakers: Sequence[str] = (),
+    history_col: str | None = None,
 ) -> DataFrame:
     """Left-join each submission to the latest status row for its key
     (J2, ``aws/submit.py:212-216``). Missing keys keep null status columns
     (a brand-new submission)."""
-    latest = latest_per_key(status, key, version, payload, tiebreakers)
+    latest = latest_per_key(status, key, version, payload, tiebreakers, history_col)
     return submissions.join(latest, on=key, how="left")
 
 

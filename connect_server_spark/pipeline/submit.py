@@ -56,24 +56,43 @@ def submit_pipeline(
     ``submissions`` columns: ``source_id``, ``title``, ``org_ref``,
     ``update`` (bool), ``identities`` (array<string>), ``user_groups``
     (array<string>), ``required_group``, ``metadata_value`` (double —
-    stand-in for the numeric leaves of the document).
+    stand-in for the numeric leaves of the document). Optional:
+    ``test`` (bool — test submissions get a ``-test``-suffixed source_id
+    and their own version lineage, ``aws/submit.py:198-204``) and
+    ``update_metadata_only`` (bool pass-through consumed by the flow's
+    Check-Metadata-Only choice, ``aws/submit.py:183``).
 
     ``orgs``: registry with ``canonical_name``/``aliases``/``curation``.
     ``status``: existing status rows with ``source_id``/``version``/
     ``owner`` and a unique ``status_tiebreaker`` column.
 
     Output: input keys + ``success``/``error`` + assigned ``version`` /
-    ``versioned_source_id`` + org ``canonical_name``/``curation``.
+    ``versioned_source_id`` + ``previous_versions_csv`` (the reference's
+    ``previous_versions`` accumulation, ``aws/submit.py:215-216``) + org
+    ``canonical_name``/``curation``.
     """
+    if "test" not in submissions.columns:
+        submissions = submissions.withColumn("test", F.lit(False))
+    if "update_metadata_only" not in submissions.columns:
+        submissions = submissions.withColumn(
+            "update_metadata_only", F.lit(False)
+        )
+    submissions = submissions.withColumn(
+        "effective_source_id",
+        F.when(
+            F.col("test"), F.concat(F.col("source_id"), F.lit("-test"))
+        ).otherwise(F.col("source_id")),
+    )
     resolved = resolve_org(submissions, orgs, "org_ref", ["curation"])
     joined = latest_version_join(
-        resolved,
-        status,
-        key="source_id",
+        resolved.withColumnRenamed("effective_source_id", "_esid"),
+        status.withColumnRenamed("source_id", "_esid"),
+        key="_esid",
         version="version",
         payload=["owner"],
         tiebreakers=[status_tiebreaker],
-    )
+        history_col="_prev_versions",
+    ).withColumnRenamed("_esid", "effective_source_id")
 
     group_ok = F.arrays_overlap("user_groups", F.array("required_group"))
     finite = ~(
@@ -109,7 +128,24 @@ def submit_pipeline(
             "versioned_source_id",
             F.when(
                 F.col("success"),
-                F.concat(F.col("source_id"), F.lit("-"), F.col("assigned_version")),
+                F.concat(
+                    F.col("effective_source_id"),
+                    F.lit("-"),
+                    F.col("assigned_version"),
+                ),
             ),
         )
+        .withColumn(
+            "previous_versions_csv",
+            F.when(
+                F.col("success"),
+                F.array_join(
+                    F.coalesce(
+                        F.col("_prev_versions"), F.array().cast("array<string>")
+                    ),
+                    ",",
+                ),
+            ),
+        )
+        .drop("_prev_versions")
     )

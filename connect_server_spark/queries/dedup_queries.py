@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from connect_server_spark.operators.dedup import (
     exact_dedup,
     minhash_neardup_pairs,
+    ngram_jaccard_pairs,
     simhash_neardup_pairs,
 )
 from connect_server_spark.registry import register
@@ -131,6 +132,70 @@ register(
         / (len(a.shingles) + len(b.shingles)
            - len(list_intersect(a.shingles, b.shingles))) AS jaccard
     FROM sets_ a JOIN sets_ b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    """,
+)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup with (source, length-bucket) blocking —
+    the signature-free exact dedup path. Same planted corpus as MinHash,
+    but candidates come from adjacent 64-char length buckets co-blocked on
+    source, not LSH bands."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.col("source"),
+        F.regexp_replace(F.col("text"), r"^\S+\s+\S+\s+", "").alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    return ngram_jaccard_pairs(
+        corpus, "doc_id", "text", block_col="source", threshold=0.5
+    )
+
+
+register(
+    "dedup_ngram_jaccard",
+    dedup_ngram_jaccard,
+    sql="""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, source,
+             regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    normed AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w,
+             length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ln
+      FROM corpus
+    ),
+    sets_ AS (
+      SELECT doc_id, source, ln,
+        CASE WHEN len(w) >= 3 THEN
+          list_distinct(
+            list_transform(range(1, greatest(len(w) - 1, 2)),
+              i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+        ELSE [array_to_string(w, ' ')] END AS shingles
+      FROM normed
+    ),
+    buckets AS (
+      SELECT doc_id, source, shingles,
+             unnest([ln // 64, ln // 64 + 1]) AS bkt
+      FROM sets_
+    )
+    SELECT DISTINCT
+      a.doc_id AS id_a,
+      b.doc_id AS id_b,
+      CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+    FROM buckets a
+    JOIN buckets b
+      ON a.bkt = b.bkt AND a.source = b.source AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
         / (len(a.shingles) + len(b.shingles)
            - len(list_intersect(a.shingles, b.shingles))) >= 0.5

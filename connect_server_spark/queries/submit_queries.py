@@ -33,6 +33,8 @@ def _submissions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("unknown-org-"), k.cast("string")))
         .alias("org_ref"),
         (k % 2 == 0).alias("update"),
+        (k % 23 == 0).alias("test"),
+        (k % 11 == 0).alias("update_metadata_only"),
         F.array(submitter, F.concat(F.lit("alt-"), submitter)).alias("identities"),
         F.array(
             F.concat(F.lit("g"), (k % 7).cast("string")),
@@ -77,6 +79,8 @@ def submit_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "error",
         "assigned_version",
         "versioned_source_id",
+        "previous_versions_csv",
+        "update_metadata_only",
         "canonical_name",
         "curation",
     )
@@ -98,6 +102,12 @@ register(
           ELSE concat('unknown-org-', CAST(c_custkey AS VARCHAR))
         END AS org_ref,
         c_custkey % 2 = 0 AS update_flag,
+        c_custkey % 23 = 0 AS test_flag,
+        c_custkey % 11 = 0 AS update_metadata_only,
+        CASE WHEN c_custkey % 23 = 0
+             THEN concat('src_', CAST(c_custkey % {_KEY_MOD} AS VARCHAR), '-test')
+             ELSE concat('src_', CAST(c_custkey % {_KEY_MOD} AS VARCHAR))
+        END AS esid,
         concat('u', CAST(c_custkey % 31 AS VARCHAR)) AS submitter,
         ['g' || CAST(c_custkey % 7 AS VARCHAR),
          'g' || CAST(c_custkey % 5 AS VARCHAR)] AS user_groups,
@@ -124,6 +134,13 @@ register(
         ) AS rn FROM status
       ) WHERE rn = 1
     ),
+    history AS (
+      SELECT source_id,
+             array_to_string(
+               list_sort(list_distinct(list(concat(source_id, '-', version)))),
+               ',') AS prev_csv
+      FROM status GROUP BY source_id
+    ),
     lookup AS (
       SELECT unnest(list_prepend(canonical_name, aliases)) AS match_name,
              canonical_name, curation
@@ -136,11 +153,13 @@ register(
       SELECT s.*, l.canonical_name, l.curation,
              l.canonical_name IS NOT NULL AS org_found,
              coalesce(c.n, 0) AS n_org_matches,
-             v.version AS cur_version, v.owner
+             v.version AS cur_version, v.owner,
+             h.prev_csv
       FROM submissions s
       LEFT JOIN lookup l ON s.org_ref = l.match_name
       LEFT JOIN counts c ON s.org_ref = c.match_name
-      LEFT JOIN latest v ON s.source_id = v.source_id
+      LEFT JOIN latest v ON s.esid = v.source_id
+      LEFT JOIN history h ON s.esid = h.source_id
     ),
     checked AS (
       SELECT *,
@@ -174,12 +193,15 @@ register(
              ELSE '1.0' END
       END AS assigned_version,
       CASE WHEN error IS NULL THEN
-        concat(source_id, '-',
+        concat(esid, '-',
           CASE WHEN update_flag
                THEN concat(string_split(cur_version, '.')[1], '.',
                            CAST(CAST(string_split(cur_version, '.')[2] AS BIGINT) + 1 AS VARCHAR))
                ELSE '1.0' END)
       END AS versioned_source_id,
+      CASE WHEN error IS NULL THEN coalesce(prev_csv, '') END
+        AS previous_versions_csv,
+      update_metadata_only,
       canonical_name,
       curation
     FROM checked

@@ -156,3 +156,43 @@ def test_embedding_lsh_plan_is_equijoin(spark):
     )
     plan = embedding_neardup_lsh(emb)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_blocked_finds_planted_pairs(spark):
+    from connect_server_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            _df(spark), "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    keys = set(pairs)
+    assert (1, 2) in keys            # near-dup: lengths 1 word apart
+    assert (1, 4) in keys            # exact dup after normalization
+    assert pairs[(1, 4)] == 1.0
+    assert not any(3 in k for k in keys)
+
+
+def test_ngram_jaccard_plan_no_cartesian(spark):
+    from connect_server_spark.operators.dedup import ngram_jaccard_pairs
+
+    plan = ngram_jaccard_pairs(
+        _df(spark), "doc_id", "text"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_misses_far_lengths_by_design(spark):
+    """Documents >64 normalized chars apart never become candidates —
+    the documented blocking contract (they cannot clear a meaningful
+    Jaccard threshold anyway)."""
+    from connect_server_spark.operators.dedup import ngram_jaccard_pairs
+
+    short = "alpha beta gamma"
+    long_ = ("alpha beta gamma " * 10).strip()
+    df = spark.createDataFrame([(1, short), (2, long_)], ["doc_id", "text"])
+    assert ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0).filter(
+        "id_a = 1 AND id_b = 2"
+    ).count() == 0

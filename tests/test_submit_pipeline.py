@@ -94,3 +94,45 @@ def test_missing_title(spark):
 def test_unknown_org(spark):
     r = _run(spark, [_sub(org="nope")])["src_a"]
     assert r.error == ERRORS["org_unknown"]
+
+
+def test_test_flag_suffixes_source_and_isolates_lineage(spark):
+    """Feature 'Submit Test Dataset With Provided source_id': the test
+    flag tacks -test onto the source_id (aws/submit.py:198-204), so a
+    test submission of an existing prod source is still NEW."""
+    subs = spark.createDataFrame(
+        [_sub() + (True, False)], _SUB_SCHEMA + ", test boolean, "
+        "update_metadata_only boolean"
+    )
+    out = {r.source_id: r for r in submit_pipeline(
+        subs, _orgs(spark), _status(spark, [("src_a", "1.0", "u1", 1)]), "seq"
+    ).collect()}
+    r = out["src_a"]
+    assert r.success  # prod src_a exists, but src_a-test does not
+    assert r.versioned_source_id == "src_a-test-1.0"
+
+
+def test_previous_versions_accumulate_sorted(spark):
+    """aws/submit.py:215-216: previous_versions carries every existing
+    versioned id of the source."""
+    r = _run(
+        spark,
+        [_sub(update=True)],
+        [("src_a", "1.0", "u1", 1), ("src_a", "1.2", "u1", 2),
+         ("src_a", "1.13", "u1", 3)],
+    )["src_a"]
+    assert r.success and r.assigned_version == "1.14"
+    assert r.previous_versions_csv == "src_a-1.0,src_a-1.13,src_a-1.2"
+
+
+def test_update_metadata_only_passthrough(spark):
+    """Feature 'Update metadata only': the flag rides through to the flow
+    stage untouched (aws/submit.py:183)."""
+    subs = spark.createDataFrame(
+        [_sub(update=True) + (False, True)],
+        _SUB_SCHEMA + ", test boolean, update_metadata_only boolean",
+    )
+    out = submit_pipeline(
+        subs, _orgs(spark), _status(spark, [("src_a", "1.0", "u1", 1)]), "seq"
+    ).collect()[0]
+    assert out.success and out.update_metadata_only is True
