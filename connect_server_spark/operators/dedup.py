@@ -270,32 +270,33 @@ def ngram_jaccard_pairs(
     blocks = [block_col] if block_col else []
     ln = F.length(normalize_text(F.col(text_col)))
     bkt = F.floor(ln / bucket_width)
-    docs = df.select(
+    # Candidate generation joins NARROW rows (id + block + bucket only):
+    # the shuffle carries a few bytes per row, not shingle arrays, and a
+    # pair colliding in both overlapping buckets dedups BEFORE the
+    # expensive intersect — each surviving pair is verified exactly once.
+    buckets = df.select(
         F.col(id_col),
         *[F.col(b) for b in blocks],
-        word_shingles(F.col(text_col), shingle_n).alias("_shingles"),
         F.explode(F.array(bkt, bkt + 1)).alias("_bkt"),
     )
-    l, r = docs.alias("l"), docs.alias("r")
+    l, r = buckets.alias("l"), buckets.alias("r")
     cond = (F.col("l._bkt") == F.col("r._bkt")) & (
         F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
     )
     for b in blocks:
         cond = cond & (F.col(f"l.{b}") == F.col(f"r.{b}"))
-    inter = F.size(F.array_intersect(F.col("l._shingles"), F.col("r._shingles")))
-    union = (
-        F.size(F.col("l._shingles")) + F.size(F.col("r._shingles")) - inter
-    )
-    return (
+    cands = (
         l.join(r, cond)
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            (inter.cast("double") / union).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
         .distinct()
     )
+    docs = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_shingles")
+    )
+    return jaccard_verify(cands, docs, id_col, "_shingles", threshold)
 
 
 def simhash(shingles: Column, bits: int = 64) -> Column:
