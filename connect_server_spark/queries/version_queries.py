@@ -170,3 +170,27 @@ register(
       ON concat('src_', CAST(c.c_custkey % {_KEY_MOD} AS VARCHAR)) = n.source_id
     """,
 )
+
+
+def scan_versions_of_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: the key-range read — ALL versions of a set of source_ids,
+    ordered metadata intact (``aws/dynamo_manager.py:379-386``
+    ``for_source_id``: DynamoDB Query on the hash key returns every range
+    key). A key-equality filter that partition-prunes when the status
+    table is laid out by source_id; pagination is free (A9)."""
+    status = _status_table(spark, sf_dir)
+    wanted = [f"src_{k}" for k in (7, 97, 404, 911)]
+    return status.filter(F.col("source_id").isin(wanted)).select(
+        "source_id", "version", "o_orderkey"
+    )
+
+
+register(
+    "scan_versions_of_key",
+    scan_versions_of_key,
+    sql=f"""
+    SELECT source_id, version, o_orderkey
+    FROM ({_STATUS_SQL})
+    WHERE source_id IN ('src_7', 'src_97', 'src_404', 'src_911')
+    """,
+)
