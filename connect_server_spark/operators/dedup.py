@@ -251,33 +251,44 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     threshold: float = 0.5,
     shingle_n: int = 3,
-    bucket_width: int = 64,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup with length-bucket blocking — the
+    """Exact n-gram Jaccard near-dup with size-ratio blocking — the
     signature-free exact path (MinHash trades exactness for fewer
-    candidates; this trades candidate count for exactness).
+    candidates; this trades candidate count for exactness) — and the
+    blocking is LOSSLESS: blocked output equals brute force.
 
-    Candidate generation: each document lands in two adjacent buckets of
-    its normalized length (``⌊len/w⌋`` and ``⌊len/w⌋+1``), so any pair
-    within ``bucket_width`` chars of each other shares a bucket — near-dups
-    above a meaningful Jaccard threshold are necessarily close in length.
-    Optionally co-blocked on ``block_col`` (e.g. source/lang) to bound
-    bucket sizes. The join is an equi-join on (block, bucket); the only
-    pairwise work is exact Jaccard over candidates. Never all-pairs.
+    Guarantee: ``J(A,B) >= t`` implies ``|A∩B| >= t·|A∪B|``, so the
+    shingle-set sizes satisfy ``max/min <= 1/t``. Bucketing each document
+    at ``b = ⌊log2(|shingles|)⌋`` and emitting buckets ``b .. b+k`` with
+    ``k = ⌈log2(1/t)⌉`` therefore makes every qualifying pair collide
+    (``A <= 2^k·B ⟹ ⌊log2 A⌋ <= k + ⌊log2 B⌋``, exactly, on integers).
+    ``⌊log2 n⌋`` is computed as ``length(bin(n)) - 1`` — integer-exact,
+    identically reproducible in the SQL oracle. Optionally co-blocked on
+    ``block_col`` (e.g. source/lang) to bound bucket sizes. The join is
+    an equi-join on (block, bucket); the only pairwise work is exact
+    Jaccard over candidates. Never all-pairs.
 
     Returns ``(id_a, id_b, jaccard)`` with ``jaccard >= threshold``.
+    ``threshold`` must be positive: at t = 0 every pair qualifies and
+    only a full cross join could be exact.
     """
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 for bounded blocking")
+    import math
+
+    k = max(1, math.ceil(math.log2(1.0 / threshold)))
     blocks = [block_col] if block_col else []
-    ln = F.length(normalize_text(F.col(text_col)))
-    bkt = F.floor(ln / bucket_width)
+    nsh = F.size(word_shingles(F.col(text_col), shingle_n))
+    bkt = (F.length(F.bin(nsh)) - 1).cast("long")
     # Candidate generation joins NARROW rows (id + block + bucket only):
     # the shuffle carries a few bytes per row, not shingle arrays, and a
-    # pair colliding in both overlapping buckets dedups BEFORE the
-    # expensive intersect — each surviving pair is verified exactly once.
+    # pair colliding in several buckets dedups BEFORE the expensive
+    # intersect — each surviving pair is verified exactly once.
     buckets = df.select(
         F.col(id_col),
         *[F.col(b) for b in blocks],
-        F.explode(F.array(bkt, bkt + 1)).alias("_bkt"),
+        nsh.alias("_nsh"),
+        F.explode(F.array(*[bkt + i for i in range(k + 1)])).alias("_bkt"),
     )
     l, r = buckets.alias("l"), buckets.alias("r")
     cond = (F.col("l._bkt") == F.col("r._bkt")) & (
@@ -285,8 +296,14 @@ def ngram_jaccard_pairs(
     )
     for b in blocks:
         cond = cond & (F.col(f"l.{b}") == F.col(f"r.{b}"))
+    # Exact necessary condition of J >= t, checked on the narrow rows
+    # before the expensive verify: max(|A|,|B|)·t <= min(|A|,|B|).
+    ratio_ok = (
+        F.greatest(F.col("l._nsh"), F.col("r._nsh")) * threshold
+        <= F.least(F.col("l._nsh"), F.col("r._nsh"))
+    )
     cands = (
-        l.join(r, cond)
+        l.join(r, cond & ratio_ok)
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),

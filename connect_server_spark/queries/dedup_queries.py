@@ -140,10 +140,11 @@ register(
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup with (source, length-bucket) blocking —
-    the signature-free exact dedup path. Same planted corpus as MinHash,
-    but candidates come from adjacent 64-char length buckets co-blocked on
-    source, not LSH bands."""
+    """Exact n-gram Jaccard near-dup with lossless (source, size-ratio)
+    blocking — the signature-free exact dedup path: blocked output is
+    provably identical to brute force at the threshold. Same planted
+    corpus as MinHash, but candidates come from log2 shingle-count
+    buckets co-blocked on source, not LSH bands."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "text")
     near = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -169,12 +170,11 @@ register(
     ),
     normed AS (
       SELECT doc_id, source,
-             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w,
-             length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ln
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
       FROM corpus
     ),
     sets_ AS (
-      SELECT doc_id, source, ln,
+      SELECT doc_id, source,
         CASE WHEN len(w) >= 3 THEN
           list_distinct(
             list_transform(range(1, greatest(len(w) - 1, 2)),
@@ -184,7 +184,8 @@ register(
     ),
     buckets AS (
       SELECT doc_id, source, shingles,
-             unnest([ln // 64, ln // 64 + 1]) AS bkt
+             unnest([length(bin(len(shingles))) - 1,
+                     length(bin(len(shingles)))]) AS bkt
       FROM sets_
     )
     SELECT DISTINCT

@@ -184,15 +184,55 @@ def test_ngram_jaccard_plan_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_ngram_jaccard_misses_far_lengths_by_design(spark):
-    """Documents >64 normalized chars apart never become candidates —
-    the documented blocking contract (they cannot clear a meaningful
-    Jaccard threshold anyway)."""
+def test_ngram_jaccard_blocking_is_lossless_vs_brute_force(spark):
+    """The size-ratio blocking guarantee: blocked output == brute-force
+    Jaccard over ALL pairs, including pairs of very different absolute
+    lengths. Random word-soup corpus with planted long-doc near-dups."""
+    import itertools
+    import random
+
+    from connect_server_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = []
+    for i in range(30):
+        n = rng.choice([5, 8, 40, 200, 210])
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # planted long-doc near-dup: 200 words, 10 dropped — J ≈ 0.9
+    base = " ".join(rng.choice(vocab) for _ in range(200))
+    docs.append((100, base))
+    docs.append((101, " ".join(base.split()[10:])))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+
+    sets_ = {
+        r.doc_id: set(r.sh)
+        for r in df.select(
+            "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    want = set()
+    for a, b in itertools.combinations(sorted(sets_), 2):
+        inter = len(sets_[a] & sets_[b])
+        union = len(sets_[a] | sets_[b])
+        if union and inter / union >= 0.5:
+            want.add((a, b))
+    assert (100, 101) in want  # the planted pair really qualifies
+    assert got == want
+
+
+def test_ngram_jaccard_rejects_nonpositive_threshold(spark):
+    import pytest as _pytest
+
     from connect_server_spark.operators.dedup import ngram_jaccard_pairs
 
-    short = "alpha beta gamma"
-    long_ = ("alpha beta gamma " * 10).strip()
-    df = spark.createDataFrame([(1, short), (2, long_)], ["doc_id", "text"])
-    assert ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0).filter(
-        "id_a = 1 AND id_b = 2"
-    ).count() == 0
+    with _pytest.raises(ValueError):
+        ngram_jaccard_pairs(_df(spark), "doc_id", "text", threshold=0.0)
