@@ -34,6 +34,7 @@ __all__ = [
     "srp_signatures_udf",
     "ann_lsh_topk",
     "ivf_assign_udf",
+    "train_ivf_centroids",
     "ivf_topk",
 ]
 
@@ -196,6 +197,55 @@ def ivf_assign_udf(centroids, nprobe: int = 1):
     return assign
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    nlist: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 17,
+):
+    """Spherical k-means coarse quantizer, FAISS-style: train on a
+    BOUNDED sample, assign distributed.
+
+    The sample is the first ``sample_size`` vectors by id — deterministic
+    (no ``sample()`` nondeterminism across retries/partitionings), and at
+    100 TB it is one ``limit`` pull, independent of corpus size. Lloyd's
+    iterations run driver-side in NumPy over ≤ ``sample_size`` rows —
+    training cost is O(sample·nlist·iters), never touches the full
+    corpus; only the (nlist, dim) centroid matrix ships to executors,
+    closure-captured by :func:`ivf_assign_udf`. Empty cells re-seed from
+    the sample (fixed RNG) so every cell stays live.
+    """
+    sample = np.array(
+        [
+            row[0]
+            for row in corpus.orderBy(F.col(corpus_id))
+            .limit(sample_size)
+            .select(corpus_vec)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=nlist, replace=False)]
+    for _ in range(iters):
+        sims = sample @ cents.T
+        owner = np.argmax(sims, axis=1)
+        for c in range(nlist):
+            members = sample[owner == c]
+            if len(members) == 0:
+                cents[c] = sample[rng.randint(len(sample))]
+                continue
+            m = members.mean(axis=0)
+            cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
 def ivf_topk(
     probes: DataFrame,
     corpus: DataFrame,
@@ -206,6 +256,8 @@ def ivf_topk(
     probe_vec: str = "probe_vec",
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    centroids=None,
+    train_iters: int = 10,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors are inverted-listed
     under their nearest coarse centroid; each probe searches its
@@ -213,19 +265,18 @@ def ivf_topk(
     the cell id — cost ~``nprobe/nlist`` of exact search, recall rises
     with ``nprobe``.
 
-    Coarse centroids are the first ``nlist`` corpus vectors by id (the
-    classic sampled-centroid IVF baseline — deterministic, no training
-    job); a production fit would swap in k-means centroids behind the
-    same (nlist, dim) contract. At 100 TB the centroid pull is a
-    ``limit(nlist)`` on one partition, and assignment is embarrassingly
-    parallel."""
-    cents = [
-        row[0]
-        for row in corpus.orderBy(F.col(corpus_id))
-        .limit(nlist)
-        .select(corpus_vec)
-        .collect()
-    ]
+    Coarse centroids default to :func:`train_ivf_centroids` (spherical
+    k-means on a bounded deterministic sample — the FAISS train-on-sample
+    pattern); pass ``centroids`` to reuse a trained quantizer.
+    Assignment is embarrassingly parallel — only the (nlist, dim)
+    centroid matrix ships to executors."""
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(
+            corpus, nlist, corpus_id, corpus_vec, iters=train_iters
+        )
+    )
     c_cells = corpus.select(
         F.col(corpus_id),
         F.col(corpus_vec),

@@ -76,3 +76,39 @@ def test_ivf_plan_is_equijoin(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_trained_centroids_recall_vs_exact(spark):
+    """k-means-trained IVF at nprobe=4/nlist=8 must recover most of the
+    exact top-3 on a clustered fixture (train-on-sample, assign
+    distributed)."""
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(4, 16)
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, (c + 0.1 * rng.randn(16)).tolist()))
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = spark.createDataFrame(
+        [(j, rows[j * 50][1]) for j in range(4)], ["probe_id", "probe_vec"]
+    )
+    exact = {
+        (r.probe_id, r.vec_id)
+        for r in cosine_topk(probes, corpus, 3).collect()
+    }
+    cents = train_ivf_centroids(corpus, nlist=8, sample_size=200, iters=8)
+    approx = {
+        (r.probe_id, r.vec_id)
+        for r in ivf_topk(probes, corpus, 3, nlist=8, nprobe=4,
+                          centroids=cents).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
