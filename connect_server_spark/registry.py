@@ -24,6 +24,7 @@ _QUERY_MODULES = [
     "connect_server_spark.queries.scan_queries",
     "connect_server_spark.queries.function_queries",
     "connect_server_spark.queries.version_queries",
+    "connect_server_spark.queries.agg_queries",
     "connect_server_spark.queries.org_queries",
     "connect_server_spark.queries.dedup_queries",
     "connect_server_spark.queries.similarity_queries",
