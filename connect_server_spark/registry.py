@@ -66,6 +66,9 @@ def all_oracle_sql() -> dict[str, str]:
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The smoke-check query the driver runs via ``entry()``."""
+    """The smoke-check query the driver runs via ``entry()``: the submit
+    pipeline — the reference's main entry point (``POST /submit``,
+    SURVEY §3.1), composing the org broadcast join, the latest-version
+    aggregation join, every guard stage, and version assignment."""
     _load()
-    return _QUERIES["scan_status_read_path"](spark, sf_dir)
+    return _QUERIES["submit_pipeline"](spark, sf_dir)
