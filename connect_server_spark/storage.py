@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "write_bucketed",
+    "write_partitioned",
     "read_table",
     "salted_collect_set",
 ]
@@ -44,6 +45,17 @@ def write_bucketed(
         .sortBy(key)
         .saveAsTable(table)
     )
+
+
+def write_partitioned(
+    df: DataFrame, path: str, key: str, mode: str = "overwrite"
+) -> None:
+    """Persist ``df`` as hive-partitioned parquet on ``key``: an
+    equality/IN filter on the key at read time prunes to the matching
+    directories before any file is opened (``PartitionFilters`` in the
+    scan). The layout for low-cardinality scan keys (lang, date,
+    event_type) — bucketing covers high-cardinality JOIN keys."""
+    df.write.mode(mode).partitionBy(key).parquet(path)
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:

@@ -56,3 +56,21 @@ def test_salted_collect_set_matches_unsalted(spark):
         for r in df.groupBy("k").agg(F.collect_set("v").alias("s")).collect()
     }
     assert salted == plain
+
+
+def test_write_partitioned_prunes_at_read(spark, sf_dir, tmp_path):
+    """A key filter over the hive-partitioned layout becomes a
+    PartitionFilter — directories prune before any parquet footer is
+    touched."""
+    from connect_server_spark.storage import write_partitioned
+    from connect_server_spark.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, "lang")
+
+    filtered = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    want = docs.filter(F.col("lang") == "en").count()
+    assert filtered.count() == want
