@@ -46,6 +46,7 @@ HEADLINE = [
     "similarity_topk_ann",
     "similarity_topk_ivf",
     "text_analysis",
+    "corpus_curation",
     "submit_pipeline",
     "flow_execute",
     "validator_feedstock",

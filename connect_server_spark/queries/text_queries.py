@@ -100,3 +100,87 @@ register(
     FROM scored
     """,
 )
+
+
+_QMIN = 4_500_000
+_TOK_LO, _TOK_HI = 10, 1000
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical LLM training-data curation pipeline, composed from
+    the text + dedup operator families in ONE plan: quality-score gate →
+    language gate → token-count bounds → exact dedup (canonical doc per
+    normalized digest). Everything before the dedup groupBy is scan-stage
+    expressions; the only shuffle carries (16-byte digest, doc_id)."""
+    from connect_server_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        language_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality_e7"),
+        alnum_token_count(t).alias("n_tok"),
+    )
+    kept = scored.filter(
+        (F.col("quality_e7") >= _QMIN)
+        & F.col("n_tok").between(_TOK_LO, _TOK_HI)
+        & (F.col("lang_pred") != "und")
+    )
+    canon = (
+        kept.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("_d"))
+        .groupBy("_d")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return kept.join(canon, "doc_id").select(
+        "doc_id", "lang_pred", "quality_e7", "n_tok"
+    )
+
+
+register(
+    "corpus_curation",
+    corpus_curation,
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    scored AS (
+      SELECT *,
+        {_SCORES['en']} AS s_en,
+        {_SCORES['es']} AS s_es,
+        {_SCORES['de']} AS s_de,
+        round(CAST(len(list_filter(w, t -> list_contains({_sql_list(STOPWORDS['en'])}, t))) AS DOUBLE)
+              / greatest(len(w), 1), 6) AS swr,
+        round(list_sum(list_transform(w, t -> CAST(len(t) AS DOUBLE)))
+              / greatest(len(w), 1), 6) AS mwl,
+        round(CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+              / greatest(len(text), 1), 6) AS pr
+      FROM toks
+    ),
+    graded AS (
+      SELECT doc_id, text,
+        {_LANG_CASE} AS lang_pred,
+        CAST(round(swr * 1e6, 0) AS BIGINT) * 4
+          + CAST(round(least(mwl / 8.0, 1.0) * 1e6, 0) AS BIGINT) * 3
+          + CAST(round((1.0 - least(pr * 4.0, 1.0)) * 1e6, 0) AS BIGINT) * 3
+          AS quality_e7,
+        len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+      FROM scored
+    ),
+    kept AS (
+      SELECT * FROM graded
+      WHERE quality_e7 >= {_QMIN} AND n_tok BETWEEN {_TOK_LO} AND {_TOK_HI}
+        AND lang_pred <> 'und'
+    ),
+    canon AS (
+      SELECT min(doc_id) AS doc_id
+      FROM kept
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    )
+    SELECT k.doc_id, k.lang_pred, k.quality_e7, k.n_tok
+    FROM kept k JOIN canon c ON k.doc_id = c.doc_id
+    """,
+)
