@@ -71,3 +71,48 @@ def track_status(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def join_curation_decisions(
+    pending: DataFrame,
+    decisions: DataFrame,
+    wait: str = "10 minutes",
+) -> DataFrame:
+    """T2, streaming form: the human-curation gate as a watermarked
+    stream-stream LEFT OUTER join (``automate/minimus_mdf_flow.py:241-298``
+    — a run parks until a decision arrives or the wait ceiling passes).
+
+    ``pending``: streaming (source_id, submitted_at, ...) rows awaiting
+    curation. ``decisions``: streaming (source_id, decided_at, decision)
+    human verdicts. A decision within ``wait`` of submission resolves the
+    row (``curation_state`` = accept/reject); when both watermarks pass
+    the window with no decision the row emits unmatched with
+    ``curation_state`` = 'hibernating' — exactly the reference's
+    WaitTime-expiry route. State is bounded by the watermark: each side
+    holds at most ``wait`` of data per key.
+    """
+    from pyspark.sql import functions as F
+
+    p = pending.withWatermark("submitted_at", wait)
+    d = (
+        decisions.withWatermark("decided_at", wait)
+        .withColumnRenamed("source_id", "_dec_source_id")
+    )
+    joined = p.join(
+        d,
+        F.expr(
+            f"""
+            source_id = _dec_source_id AND
+            decided_at >= submitted_at AND
+            decided_at <= submitted_at + interval {wait}
+            """
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        "source_id",
+        "submitted_at",
+        F.coalesce(F.col("decision"), F.lit("hibernating")).alias(
+            "curation_state"
+        ),
+    )

@@ -121,3 +121,66 @@ def test_foreachbatch_idempotent_status_sink(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 8  # 10 incoming, 2 duplicates guarded out
     assert len({r.source_id for r in rows}) == 8
+
+
+def test_curation_decision_stream_stream_join(spark, tmp_path):
+    """T2 streaming: decisions within the window resolve pending rows;
+    a row whose window expires under the watermark emits 'hibernating'."""
+    import json
+
+    from connect_server_spark.streaming.status_stream import (
+        join_curation_decisions,
+    )
+
+    pdir = tmp_path / "pending"
+    ddir = tmp_path / "decisions"
+    pdir.mkdir(); ddir.mkdir()
+    (pdir / "p1.json").write_text("\n".join([
+        json.dumps({"source_id": "s1", "submitted_at": "2026-01-01T10:00:00"}),
+        json.dumps({"source_id": "s2", "submitted_at": "2026-01-01T10:01:00"}),
+        json.dumps({"source_id": "s3", "submitted_at": "2026-01-01T10:02:00"}),
+    ]))
+    # late heartbeats advance the pending watermark past s2's window
+    (pdir / "p2.json").write_text(json.dumps(
+        {"source_id": "hb1", "submitted_at": "2026-01-01T11:00:00"}))
+    (pdir / "p3.json").write_text(json.dumps(
+        {"source_id": "hb2", "submitted_at": "2026-01-01T12:00:00"}))
+    (ddir / "d1.json").write_text("\n".join([
+        json.dumps({"source_id": "s1", "decided_at": "2026-01-01T10:05:00",
+                    "decision": "accept"}),
+        json.dumps({"source_id": "s3", "decided_at": "2026-01-01T10:04:00",
+                    "decision": "reject"}),
+    ]))
+    (ddir / "d2.json").write_text(json.dumps(
+        {"source_id": "hb1", "decided_at": "2026-01-01T11:00:00",
+         "decision": "accept"}))
+    (ddir / "d3.json").write_text(json.dumps(
+        {"source_id": "hb2", "decided_at": "2026-01-01T12:00:00",
+         "decision": "accept"}))
+
+    pending = (
+        spark.readStream.schema("source_id string, submitted_at timestamp")
+        .option("maxFilesPerTrigger", "1").json(str(pdir))
+    )
+    decisions = (
+        spark.readStream.schema(
+            "source_id string, decided_at timestamp, decision string")
+        .option("maxFilesPerTrigger", "1").json(str(ddir))
+    )
+    out = join_curation_decisions(pending, decisions)
+    q = (
+        out.writeStream.format("memory").queryName("curation_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.source_id: r.curation_state
+        for r in spark.sql("SELECT * FROM curation_out").collect()
+        if r.source_id.startswith("s")
+    }
+    assert got["s1"] == "accept"
+    assert got["s3"] == "reject"
+    assert got["s2"] == "hibernating"  # window expired with no decision
