@@ -194,3 +194,112 @@ register(
     WHERE source_id IN ('src_7', 'src_97', 'src_404', 'src_911')
     """,
 )
+
+
+def submissions_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 POST /submissions, end-to-end: user-scoped (P11) latest-status
+    resolution (A1/J2) + flow-status letter (F14) + the formatted user
+    message (``aws/submissions.py:17-52`` format_status_record — the
+    *intended* semantics: the reference's 'action-id' key typo made the
+    lookup always UNKNOWN; here the flow status joins for real)."""
+    from connect_server_spark.functions.metadata import (
+        status_code_letter,
+        status_message,
+    )
+    from connect_server_spark.operators.versioning import latest_per_key
+
+    orders = load_table(spark, "orders", sf_dir)
+    status = orders.select(
+        F.concat(F.lit("src_"), (F.col("o_custkey") % _KEY_MOD).cast("string")).alias(
+            "source_id"
+        ),
+        F.concat(
+            (F.col("o_orderkey") % 3 + 1).cast("string"),
+            F.lit("."),
+            (F.col("o_orderkey") % 17).cast("string"),
+        ).alias("version"),
+        F.col("o_orderkey"),
+        F.concat(F.lit("u"), (F.col("o_custkey") % 31).cast("string")).alias(
+            "submitter"
+        ),
+        F.concat(F.lit("Dataset "), (F.col("o_custkey") % _KEY_MOD).cast("string")).alias(
+            "title"
+        ),
+        F.col("o_orderdate").cast("string").alias("submission_time"),
+        (F.col("o_orderkey") % 23 == 0).alias("test"),
+        F.when(F.col("o_orderstatus") == "O", F.lit("ACTIVE"))
+        .when(F.col("o_orderstatus") == "F", F.lit("SUCCEEDED"))
+        .otherwise(F.lit("FAILED"))
+        .alias("flow_status"),
+    )
+    latest = latest_per_key(
+        status,
+        "source_id",
+        "version",
+        payload=[
+            "submitter", "title", "submission_time", "test", "flow_status"
+        ],
+        tiebreakers=["o_orderkey"],
+    )
+    scoped = latest.filter(F.col("submitter") == "u5")  # P11 user scope
+    return scoped.select(
+        "source_id",
+        "version",
+        status_code_letter(F.col("flow_status")).alias("status_code"),
+        status_message(
+            F.col("test"),
+            F.col("source_id"),
+            F.col("title"),
+            F.col("submitter"),
+            F.col("submission_time"),
+        ).alias("status_message"),
+        (F.col("flow_status") == "ACTIVE").alias("active"),
+        "title",
+        "submitter",
+        "submission_time",
+        "test",
+    )
+
+
+register(
+    "submissions_read_path",
+    submissions_read_path,
+    sql=f"""
+    WITH status AS (
+      SELECT
+        concat('src_', CAST(o_custkey % {_KEY_MOD} AS VARCHAR)) AS source_id,
+        concat(CAST(o_orderkey % 3 + 1 AS VARCHAR), '.',
+               CAST(o_orderkey % 17 AS VARCHAR)) AS version,
+        o_orderkey,
+        concat('u', CAST(o_custkey % 31 AS VARCHAR)) AS submitter,
+        concat('Dataset ', CAST(o_custkey % {_KEY_MOD} AS VARCHAR)) AS title,
+        CAST(o_orderdate AS VARCHAR) AS submission_time,
+        o_orderkey % 23 = 0 AS test,
+        CASE o_orderstatus WHEN 'O' THEN 'ACTIVE'
+                           WHEN 'F' THEN 'SUCCEEDED'
+                           ELSE 'FAILED' END AS flow_status
+      FROM orders
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source_id
+          ORDER BY CAST(string_split(version, '.')[1] AS BIGINT) DESC,
+                   CAST(string_split(version, '.')[2] AS BIGINT) DESC,
+                   o_orderkey DESC
+        ) AS rn FROM status
+      ) WHERE rn = 1
+    )
+    SELECT source_id, version,
+      CASE flow_status WHEN 'SUCCEEDED' THEN 'S' WHEN 'ACTIVE' THEN 'P'
+                       WHEN 'FAILED' THEN 'F' ELSE 'U' END AS status_code,
+      concat('Status of ', CASE WHEN test THEN 'TEST ' ELSE '' END,
+             'submission ', source_id, ' (', title, ')', chr(10),
+             'Submitted by ', submitter, ' at ', submission_time,
+             chr(10), chr(10)) AS status_message,
+      flow_status = 'ACTIVE' AS active,
+      title, submitter, submission_time, test
+    FROM latest
+    WHERE submitter = 'u5'
+    """,
+)
