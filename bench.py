@@ -34,6 +34,8 @@ HEADLINE = [
     "metadata_enrich",
     "latest_version_per_key",
     "latest_status_join",
+    "status_as_of",
+    "submissions_read_path",
     "version_existence_probe",
     "org_resolve",
     "status_insert_guard",

@@ -303,3 +303,61 @@ register(
     WHERE submitter = 'u5'
     """,
 )
+
+
+def status_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal read: the latest version per source_id AS OF a cutoff —
+    the time-travel variant of A1 (the reference reads only current
+    state; a versioned status table at scale also answers 'what was
+    current on date X' with the same max_by aggregate over a
+    pushed-down date filter — the predicate reaches the parquet scan, so
+    partition/row-group pruning bounds the read to history ≤ cutoff)."""
+    from connect_server_spark.operators.versioning import latest_per_key
+
+    orders = load_table(spark, "orders", sf_dir)
+    cutoff = "1995-06-30"
+    history = orders.filter(F.col("o_orderdate") <= cutoff).select(
+        F.concat(F.lit("src_"), (F.col("o_custkey") % _KEY_MOD).cast("string")).alias(
+            "source_id"
+        ),
+        F.concat(
+            (F.col("o_orderkey") % 3 + 1).cast("string"),
+            F.lit("."),
+            (F.col("o_orderkey") % 17).cast("string"),
+        ).alias("version"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate").cast("string").alias("as_of_date"),
+    )
+    return latest_per_key(
+        history,
+        "source_id",
+        "version",
+        payload=["o_orderkey", "as_of_date"],
+        tiebreakers=["o_orderkey"],
+    )
+
+
+register(
+    "status_as_of",
+    status_as_of,
+    sql=f"""
+    WITH history AS (
+      SELECT
+        concat('src_', CAST(o_custkey % {_KEY_MOD} AS VARCHAR)) AS source_id,
+        concat(CAST(o_orderkey % 3 + 1 AS VARCHAR), '.',
+               CAST(o_orderkey % 17 AS VARCHAR)) AS version,
+        o_orderkey,
+        CAST(o_orderdate AS VARCHAR) AS as_of_date
+      FROM orders
+      WHERE o_orderdate <= DATE '1995-06-30'
+    )
+    SELECT source_id, version, o_orderkey, as_of_date FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY source_id
+        ORDER BY CAST(string_split(version, '.')[1] AS BIGINT) DESC,
+                 CAST(string_split(version, '.')[2] AS BIGINT) DESC,
+                 o_orderkey DESC
+      ) AS rn FROM history
+    ) WHERE rn = 1
+    """,
+)

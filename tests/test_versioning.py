@@ -67,3 +67,14 @@ def test_latest_per_key_is_partial_agg(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_max_by" in plan or "HashAggregate" in plan
+
+
+def test_status_as_of_cutoff_pushed_to_scan(spark, sf_dir):
+    """The temporal cutoff must reach the parquet reader (PushedFilters),
+    so an as-of read prunes history before any row surfaces."""
+    from connect_server_spark.queries.version_queries import status_as_of
+
+    plan = status_as_of(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "o_orderdate" in pushed
