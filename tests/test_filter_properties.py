@@ -136,3 +136,40 @@ def test_latest_version_numeric_ordering_property(spark, vs):
     ).collect()
     want = max(vs)
     assert r.version == f"{want[0]}.{want[1]}"
+
+
+_WORDS = st.sampled_from(
+    ["Quantum", "dataset", "of", "the", "über", "phase-field", "NiTi",
+     "2024", "v2.0", "study", "and", "smith", "データ", "_", ""]
+)
+
+
+@given(words=st.lists(_WORDS, min_size=1, max_size=6),
+       author=st.sampled_from(["Smith", "de la Cruz", "Ng"]))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_make_source_name_idempotence_property(spark, words, author):
+    """F2: for ANY title (unicode, stopwords, versions, punctuation),
+    running the name pipeline on its own output is a fixpoint, and the
+    output alphabet is [a-z0-9_] (golden ``tests/test_utils.py:60-70``
+    generalized)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from connect_server_spark.functions.source_ids import make_source_name
+
+    title = " ".join(words)
+    df = spark.createDataFrame([(title, author)], ["t", "a"])
+    [r1] = df.select(
+        make_source_name(F.col("t"), F.col("a")).alias("o")
+    ).collect()
+    if not r1.o.success:
+        return  # no usable word: error row, nothing to be idempotent over
+    name = r1.o.source_name
+    assert re.fullmatch(r"[a-z0-9_]+", name), name
+    df2 = spark.createDataFrame([(name, author)], ["t", "a"])
+    [r2] = df2.select(
+        make_source_name(F.col("t"), F.col("a")).alias("o")
+    ).collect()
+    assert r2.o.success and r2.o.source_name == name
