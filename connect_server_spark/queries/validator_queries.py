@@ -136,3 +136,43 @@ register(
     GROUP BY 1
     """,
 )
+
+
+def validator_submitters_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 under skew: the SAME distinct-submitters answer computed through
+    the two-stage salted aggregation (``storage.salted_collect_set``) —
+    gated against the identical oracle as the unsalted query, proving the
+    shard-merge is lossless. The skew story: a hot source_id spreads over
+    16 reducers in stage 1; stage 2 merges 16 small sets per key."""
+    from connect_server_spark.storage import salted_collect_set
+
+    orders = load_table(spark, "orders", sf_dir)
+    status = orders.select(
+        F.concat(F.lit("src_"), (F.col("o_custkey") % 997).cast("string")).alias(
+            "source_id"
+        ),
+        F.concat(F.lit("u"), (F.col("o_custkey") % 31).cast("string")).alias(
+            "submitter"
+        ),
+    )
+    salted = salted_collect_set(status, "source_id", "submitter", salt=16)
+    return salted.select(
+        "source_id",
+        F.array_join("submitter_set", ",").alias("submitters_csv"),
+        F.size("submitter_set").cast("int").alias("n_submitters"),
+    )
+
+
+register(
+    "validator_submitters_salted",
+    validator_submitters_salted,
+    sql="""
+    SELECT concat('src_', CAST(o_custkey % 997 AS VARCHAR)) AS source_id,
+           array_to_string(
+             list_sort(list_distinct(list(concat('u', CAST(o_custkey % 31 AS VARCHAR))))),
+             ',') AS submitters_csv,
+           CAST(count(DISTINCT o_custkey % 31) AS INT) AS n_submitters
+    FROM orders
+    GROUP BY 1
+    """,
+)
