@@ -37,6 +37,8 @@ def flow_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 3 == 0).alias("mint_doi"),
         (k % 3 + 1).cast("int").alias("n_destinations"),
         (k % 29 == 0).alias("cancelled"),
+        (k % 7 == 2).alias("citrine"),
+        (k % 7 == 3).alias("mrr"),
     )
     # S11: the multi-destination transfer loop, set-oriented — a
     # destination j in 1..n fails when (custkey + j) % 23 == 0.
@@ -69,6 +71,9 @@ def flow_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
             choice=~F.col("metadata_only"),
             fail=dest_fail,
         ),
+        # legacy optional publishes (automate/mdf_flow_def.json:152,169)
+        FlowStage("citrine_publish", step="ingest_citrine", choice=F.col("citrine")),
+        FlowStage("mrr_publish", step="ingest_mrr", choice=F.col("mrr")),
         FlowStage("cleanup", step="ingest_cleanup"),
     ]
     out = run_flow(subs, stages, cancelled_col="cancelled")
@@ -95,7 +100,9 @@ register(
              ELSE 'accept' END AS decision,
         c_custkey % 3 = 0 AS mint_doi,
         CAST(c_custkey % 3 + 1 AS INT) AS n_destinations,
-        c_custkey % 29 = 0 AS cancelled
+        c_custkey % 29 = 0 AS cancelled,
+        c_custkey % 7 = 2 AS citrine,
+        c_custkey % 7 = 3 AS mrr
       FROM customer
     ),
     derived AS (
@@ -131,9 +138,9 @@ register(
             (CASE WHEN dest_fail THEN 'F' ELSE 'S' END)
           ELSE 'z' END,
           CASE WHEN a_curation AND mint_doi THEN 'S' ELSE 'z' END,
-          'zz',
-          CASE WHEN a_curation AND NOT (NOT metadata_only AND dest_fail)
-               THEN 'S' ELSE 'z' END
+          CASE WHEN a_backup AND citrine THEN 'S' ELSE 'z' END,
+          CASE WHEN a_backup AND mrr THEN 'S' ELSE 'z' END,
+          CASE WHEN a_backup THEN 'S' ELSE 'z' END
         ) AS status_code
       FROM states
     )
