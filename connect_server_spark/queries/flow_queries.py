@@ -39,6 +39,7 @@ def flow_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 29 == 0).alias("cancelled"),
         (k % 7 == 2).alias("citrine"),
         (k % 7 == 3).alias("mrr"),
+        (k % 4 == 1).alias("is_update"),
     )
     # S11: the multi-destination transfer loop, set-oriented — a
     # destination j in 1..n fails when (custkey + j) % 23 == 0.
@@ -48,12 +49,20 @@ def flow_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stages = [
         FlowStage("sub_start", step="sub_start"),
+        # cancel the prior version's flow on updates (STATUS_STEPS[1])
+        FlowStage("old_cancel", step="old_cancel", choice=F.col("is_update")),
+        FlowStage(
+            "download", step="data_download", choice=~F.col("metadata_only")
+        ),
         FlowStage(
             "user_transfer",
             step="data_transfer",
             choice=~F.col("metadata_only"),
             fail=F.col("transfer_fail"),
             result={"recursive": F.lit(True)},
+        ),
+        FlowStage(
+            "extract", step="extracting", choice=~F.col("metadata_only")
         ),
         FlowStage(
             "curate",
@@ -102,7 +111,8 @@ register(
         CAST(c_custkey % 3 + 1 AS INT) AS n_destinations,
         c_custkey % 29 = 0 AS cancelled,
         c_custkey % 7 = 2 AS citrine,
-        c_custkey % 7 = 3 AS mrr
+        c_custkey % 7 = 3 AS mrr,
+        c_custkey % 4 = 1 AS is_update
       FROM customer
     ),
     derived AS (
@@ -125,10 +135,11 @@ register(
         a_curation AND NOT (NOT metadata_only AND dest_fail) AS a_backup,
         concat(
           CASE WHEN a0 THEN 'S' ELSE 'z' END,
-          'zz',
+          CASE WHEN a0 AND is_update THEN 'S' ELSE 'z' END,
+          CASE WHEN a0 AND NOT metadata_only THEN 'S' ELSE 'z' END,
           CASE WHEN NOT a0 OR metadata_only THEN 'z'
                WHEN transfer_fail THEN 'F' ELSE 'S' END,
-          'z',
+          CASE WHEN a_transfer AND NOT metadata_only THEN 'S' ELSE 'z' END,
           CASE WHEN a_transfer AND curation_needed THEN
             (CASE decision WHEN 'reject' THEN 'F'
                            WHEN 'pending' THEN 'H' ELSE 'S' END)
