@@ -28,13 +28,12 @@ HEADLINE = [
     "scan_status_read_path",
     "scan_ops_matrix",
     "scan_null_semantics",
-    "scan_user_scoped",
+    "scan_key_probes",
     "source_id_make",
     "uri_normalize",
     "metadata_enrich",
-    "latest_version_per_key",
+    "latest_version_probes",
     "latest_status_join",
-    "status_as_of",
     "submissions_read_path",
     "version_existence_probe",
     "org_resolve",
@@ -55,8 +54,9 @@ HEADLINE = [
     "extract_crystal",
     "extract_tdb",
     "status_poll",
-    "events_tumbling_hourly",
+    "events_time_windows",
     "events_session_windows",
+    "events_grouping_sets",
 ]
 
 

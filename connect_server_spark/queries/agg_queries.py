@@ -19,78 +19,73 @@ from connect_server_spark.registry import register
 from connect_server_spark.tables import load_table
 
 
-def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP over (event_type, cohort): per-pair, per-type, and grand
-    totals with grouping indicators."""
+def _events_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
-    base = e.select(
+    return e.select(
         "event_type",
         (F.col("user_id") % 10).alias("cohort"),
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
     )
-    return (
-        base.rollup("event_type", "cohort")
-        .agg(
-            F.grouping("event_type").cast("int").alias("g_type"),
-            F.grouping("cohort").cast("int").alias("g_cohort"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum("cents").alias("sum_cents"),
-        )
-        .select(
-            "event_type", "cohort", "g_type", "g_cohort", "n", "sum_cents",
-        )
-    )
 
 
-register(
-    "events_rollup",
-    events_rollup,
-    sql="""
-    SELECT event_type,
-           user_id % 10 AS cohort,
-           CAST(GROUPING(event_type) AS INT) AS g_type,
-           CAST(GROUPING(user_id % 10) AS INT) AS g_cohort,
-           count(*) AS n,
-           sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
-    FROM events
-    GROUP BY ROLLUP (event_type, user_id % 10)
-    """,
-)
+_GSET_COLS = ["event_type", "cohort", "g_type", "g_cohort", "n", "sum_cents"]
+
+
+def _gset_agg(grouped) -> DataFrame:
+    return grouped.agg(
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("cohort").cast("int").alias("g_cohort"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    ).select(*_GSET_COLS)
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (event_type, cohort): per-pair, per-type, and grand
+    totals with grouping indicators."""
+    base = _events_base(spark, sf_dir)
+    return _gset_agg(base.rollup("event_type", "cohort"))
 
 
 def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (event_type, cohort): all four grouping sets."""
-    e = load_table(spark, "events", sf_dir)
-    base = e.select(
-        "event_type",
-        (F.col("user_id") % 10).alias("cohort"),
-        F.floor(F.col("value") * 100).cast("long").alias("cents"),
-    )
-    return (
-        base.cube("event_type", "cohort")
-        .agg(
-            F.grouping("event_type").cast("int").alias("g_type"),
-            F.grouping("cohort").cast("int").alias("g_cohort"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum("cents").alias("sum_cents"),
-        )
-        .select(
-            "event_type", "cohort", "g_type", "g_cohort", "n", "sum_cents",
-        )
-    )
+    base = _events_base(spark, sf_dir)
+    return _gset_agg(base.cube("event_type", "cohort"))
 
 
-register(
-    "events_cube",
-    events_cube,
-    sql="""
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP and CUBE arms tagged and unioned into one gated result.
+    Each arm is one Expand + one map-side-combined hash aggregate — no
+    extra shuffle versus a plain groupBy — so the fold costs one extra
+    pass over the (3-column) projected scan, nothing at the agg layer."""
+    rollup = events_rollup(spark, sf_dir).select(
+        F.lit("rollup").alias("gset"), *_GSET_COLS
+    )
+    cube = events_cube(spark, sf_dir).select(
+        F.lit("cube").alias("gset"), *_GSET_COLS
+    )
+    return rollup.unionAll(cube)
+
+
+# DuckDB sum(BIGINT) widens to HUGEINT — cast back so the driver's value
+# hash sees Spark's int64.
+_GSET_SQL = """
     SELECT event_type,
            user_id % 10 AS cohort,
            CAST(GROUPING(event_type) AS INT) AS g_type,
            CAST(GROUPING(user_id % 10) AS INT) AS g_cohort,
            count(*) AS n,
-           sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM events
-    GROUP BY CUBE (event_type, user_id % 10)
+    GROUP BY {clause} (event_type, user_id % 10)
+"""
+
+register(
+    "events_grouping_sets",
+    events_grouping_sets,
+    sql=f"""
+    SELECT 'rollup' AS gset, * FROM ({_GSET_SQL.format(clause="ROLLUP")})
+    UNION ALL
+    SELECT 'cube' AS gset, * FROM ({_GSET_SQL.format(clause="CUBE")})
     """,
 )

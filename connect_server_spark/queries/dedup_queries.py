@@ -213,7 +213,7 @@ def dedup_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("dedup_neardup_simhash", dedup_neardup_simhash)
+register("dedup_neardup_simhash", dedup_neardup_simhash, defer=True)
 
 
 def _emb_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,4 +296,4 @@ def dedup_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("dedup_neardup_embedding_lsh", dedup_neardup_embedding_lsh)
+register("dedup_neardup_embedding_lsh", dedup_neardup_embedding_lsh, defer=True)

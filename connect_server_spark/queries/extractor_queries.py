@@ -37,20 +37,6 @@ def extract_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "k_value")
 
 
-register(
-    "extract_json_props",
-    extract_json_props,
-    sql="""
-    SELECT event_id,
-           CASE WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) = 0
-                THEN NULL
-                ELSE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)
-           END AS k_value
-    FROM events
-    """,
-)
-
-
 def extract_xml_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F15 (XML)/S14: dot-path mapping over an XML rendering of
     events.props, parsed with native from_xml; na_values drop 0 to
@@ -67,16 +53,37 @@ def extract_xml_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "k_value")
 
 
-register(
-    "extract_xml_props",
-    extract_xml_props,
-    sql="""
+def extract_doc_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15/F17/S14: the JSON (native ``from_json``) and XML (native
+    ``from_xml``) dot-path extractors tagged and unioned into one gated
+    result — both arms parse JVM-side in the scan stage, no Python
+    boundary, so the fold is two projected passes over the same events
+    scan."""
+    json_arm = extract_json_props(spark, sf_dir).select(
+        F.lit("json").alias("fmt"), "event_id", "k_value"
+    )
+    xml_arm = extract_xml_props(spark, sf_dir).select(
+        F.lit("xml").alias("fmt"), "event_id", "k_value"
+    )
+    return json_arm.unionAll(xml_arm)
+
+
+_PROPS_SQL = """
     SELECT event_id,
            CASE WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) = 0
                 THEN NULL
                 ELSE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)
            END AS k_value
     FROM events
+"""
+
+register(
+    "extract_doc_props",
+    extract_doc_props,
+    sql=f"""
+    SELECT 'json' AS fmt, * FROM ({_PROPS_SQL})
+    UNION ALL
+    SELECT 'xml' AS fmt, * FROM ({_PROPS_SQL})
     """,
 )
 
@@ -253,8 +260,12 @@ def extract_tdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     files = part.select(F.col("p_partkey"), content.alias("content"))
+    # CSV-join the phases array: the driver canonicalizer sorts result
+    # frames and cannot hash list-typed cells
     return tdb_extractor(files, "content").select(
-        "p_partkey", "phases", "composition"
+        "p_partkey",
+        F.array_join("phases", ",").alias("phases_csv"),
+        "composition",
     )
 
 
@@ -271,7 +282,7 @@ register(
       WHERE p_partkey % 7 <> 0
     )
     SELECT p_partkey,
-           ['LIQUID', ph] AS phases,
+           'LIQUID,' || ph AS phases_csv,
            array_to_string(
              list_transform(
                list_sort(list_distinct(['VA', e1, e2])),
@@ -315,7 +326,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_binary_features(attach_binary(docs, "doc_id", "text"))
 
 
-register("multimodal_features", multimodal_features)
+register("multimodal_features", multimodal_features, defer=True)
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,7 +364,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_binary(attach_binary(docs, "doc_id", "text"))
 
 
-register("multimodal_resize", multimodal_resize)
+register("multimodal_resize", multimodal_resize, defer=True)
 
 
 def extract_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,28 +17,48 @@ from connect_server_spark.tables import load_table
 
 
 def scan_status_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """POST /submissions analog: projection + ^, ==, > filters (P1, P2, P4, P6)."""
+    """POST /submissions analog: projection + ^, ==, > filters (P1, P2,
+    P4, P6), UNIONed with the user-scoped variant (P11: the row-level
+    security conjunct ``user_scoped_filters`` prepends to client filters,
+    ``aws/submissions.py:73-76``). Both arms are scans of the same table
+    with filters pushed to parquet; the union is a no-shuffle
+    read-side concat, so folding the two probes costs nothing at scale."""
     orders = load_table(spark, "orders", sf_dir)
-    return scan_table(
+    fields = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    read_path = scan_table(
         orders,
-        fields=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+        fields=fields,
         filters=[
             ("o_orderstatus", "==", "O"),
             ("o_totalprice", ">", 150000.0),
             ("o_orderpriority", "^", "1"),
         ],
-    )
+    ).select(F.lit("status_read").alias("probe"), *fields)
+    user_scoped = scan_table(
+        orders,
+        fields=fields,
+        filters=user_scoped_filters(
+            [("o_totalprice", ">", 50000.0)], 1, field="o_custkey"
+        ),
+    ).select(F.lit("user_scoped").alias("probe"), *fields)
+    return read_path.unionAll(user_scoped)
 
 
 register(
     "scan_status_read_path",
     scan_status_read_path,
     sql="""
-    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    SELECT 'status_read' AS probe,
+           o_orderkey, o_custkey, o_totalprice, o_orderpriority
     FROM orders
     WHERE o_orderstatus = 'O'
       AND o_totalprice > 150000.0
       AND o_orderpriority LIKE '1%'
+    UNION ALL
+    SELECT 'user_scoped' AS probe,
+           o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_custkey = 1 AND o_totalprice > 50000.0
     """,
 )
 
@@ -116,66 +136,7 @@ register(
 )
 
 
-def scan_user_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-level security conjunct prepended to client filters (P11,
-    ``aws/submissions.py:73-76``); user_id analog = o_custkey."""
-    orders = load_table(spark, "orders", sf_dir)
-    filters = user_scoped_filters(
-        [("o_totalprice", ">", 50000.0)], 1, field="o_custkey"
-    )
-    return scan_table(
-        orders, fields=["o_orderkey", "o_custkey", "o_totalprice"], filters=filters
-    )
-
-
-register(
-    "scan_user_scoped",
-    scan_user_scoped,
-    sql="""
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders
-    WHERE o_custkey = 1 AND o_totalprice > 50000.0
-    """,
-)
-
-
-def scan_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6: key lookup — the ``get_item (source_id, version)`` point read
-    (``aws/dynamo_manager.py:328-337``) as an equality scan on both key
-    parts. Both conjuncts push to the parquet reader, so at scale this is
-    a partition-pruned point probe, not a table pass."""
-    orders = load_table(spark, "orders", sf_dir)
-    status = orders.select(
-        F.concat(F.lit("src_"), (F.col("o_custkey") % 997).cast("string")).alias(
-            "source_id"
-        ),
-        F.concat(
-            (F.col("o_orderkey") % 3 + 1).cast("string"),
-            F.lit("."),
-            (F.col("o_orderkey") % 17).cast("string"),
-        ).alias("version"),
-        F.col("o_orderkey"),
-        F.col("o_totalprice"),
-    )
-    return scan_table(
-        status,
-        fields=["source_id", "version", "o_orderkey", "o_totalprice"],
-        filters=[("source_id", "==", "src_42"), ("version", "==", "3.12")],
-    )
-
-
-register(
-    "scan_point_read",
-    scan_point_read,
-    sql="""
-    WITH status AS (
-      SELECT concat('src_', CAST(o_custkey % 997 AS VARCHAR)) AS source_id,
-             concat(CAST(o_orderkey % 3 + 1 AS VARCHAR), '.',
-                    CAST(o_orderkey % 17 AS VARCHAR)) AS version,
-             o_orderkey, o_totalprice
-      FROM orders
-    )
-    SELECT source_id, version, o_orderkey, o_totalprice
-    FROM status WHERE source_id = 'src_42' AND version = '3.12'
-    """,
-)
+# S6 (point read) is gated through ``scan_key_probes`` in
+# ``version_queries.py``, unioned with the S7 key-range read — both probes
+# hit the same synthetic status table and push their key predicates to the
+# parquet scan.

@@ -72,7 +72,7 @@ def similarity_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("similarity_topk_ann", similarity_topk_ann)
+register("similarity_topk_ann", similarity_topk_ann, defer=True)
 
 
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,4 +86,4 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("similarity_topk_ivf", similarity_topk_ivf)
+register("similarity_topk_ivf", similarity_topk_ivf, defer=True)

@@ -5,6 +5,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from connect_server_spark.registry import register
 from connect_server_spark.streaming.windows import (
@@ -19,40 +20,58 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(load_events(spark, sf_dir))
 
 
-register(
-    "events_tumbling_hourly",
-    events_tumbling_hourly,
-    sql="""
-    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
-           event_type,
-           count(*) AS n_events
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
-
-
 def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_value_sums(load_events(spark, sf_dir))
 
 
+def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (1h counts per event_type) and sliding (1h window / 30min
+    slide value sums) arms tagged and unioned into one gated result.
+    Column contract: ``grp`` carries the tumbling arm's event_type (null
+    for sliding); ``measure`` is the count / cents-sum respectively. Both
+    arms are single windowed hash aggregates over the projected events
+    scan — the same plans Structured Streaming runs incrementally
+    (``tests/test_streaming.py``)."""
+    tumbling = events_tumbling_hourly(spark, sf_dir).select(
+        F.lit("tumbling").alias("kind"),
+        "window_start",
+        F.col("event_type").alias("grp"),
+        F.col("n_events").alias("measure"),
+    )
+    sliding = events_sliding_windows(spark, sf_dir).select(
+        F.lit("sliding").alias("kind"),
+        "window_start",
+        F.lit(None).cast("string").alias("grp"),
+        F.col("value_cents").alias("measure"),
+    )
+    return tumbling.unionAll(sliding)
+
+
 register(
-    "events_sliding_windows",
-    events_sliding_windows,
+    "events_time_windows",
+    events_time_windows,
     sql="""
-    WITH b AS (
-      SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS bucket,
-             CAST(round(value * 100, 0) AS BIGINT) AS cents
-      FROM events
-    ),
-    assigned AS (
+    SELECT 'tumbling' AS kind,
+           time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type AS grp,
+           count(*) AS measure
+    FROM events
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS kind, window_start,
+           CAST(NULL AS VARCHAR) AS grp,
+           CAST(sum(cents) AS BIGINT) AS measure
+    FROM (
+      WITH b AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS bucket,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+      )
       SELECT bucket AS window_start, cents FROM b
       UNION ALL
       SELECT bucket - INTERVAL 30 MINUTE AS window_start, cents FROM b
     )
-    SELECT window_start, sum(cents) AS value_cents
-    FROM assigned
-    GROUP BY 1
+    GROUP BY 1, 2, 3
     """,
 )
 

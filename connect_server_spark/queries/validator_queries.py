@@ -39,8 +39,10 @@ register(
     validator_dataset_size,
     sql="""
     SELECT l_orderkey,
-           sum(CAST(l_quantity AS BIGINT) + CAST(l_linenumber AS BIGINT) * 100)
-             AS total_size
+           -- DuckDB sum(BIGINT) yields HUGEINT; cast back so the driver's
+           -- value hash sees the same int64 Spark produces
+           CAST(sum(CAST(l_quantity AS BIGINT) + CAST(l_linenumber AS BIGINT) * 100)
+                AS BIGINT) AS total_size
     FROM lineitem
     GROUP BY l_orderkey
     """,
@@ -123,21 +125,6 @@ def validator_submitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_submitters(status, "source_id", "submitter")
 
 
-register(
-    "validator_submitters",
-    validator_submitters,
-    sql="""
-    SELECT concat('src_', CAST(o_custkey % 997 AS VARCHAR)) AS source_id,
-           array_to_string(
-             list_sort(list_distinct(list(concat('u', CAST(o_custkey % 31 AS VARCHAR))))),
-             ',') AS submitters_csv,
-           CAST(count(DISTINCT o_custkey % 31) AS INT) AS n_submitters
-    FROM orders
-    GROUP BY 1
-    """,
-)
-
-
 def validator_submitters_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 under skew: the SAME distinct-submitters answer computed through
     the two-stage salted aggregation (``storage.salted_collect_set``) —
@@ -163,10 +150,23 @@ def validator_submitters_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "validator_submitters_salted",
-    validator_submitters_salted,
-    sql="""
+def validator_submitters_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4, both execution strategies in one gated result: the one-stage
+    collect_set (``direct``) and the two-stage salted aggregation
+    (``salted``), tagged and unioned. The oracle emits each answer twice,
+    so a divergence between the strategies — a lossy shard merge, a
+    dropped submitter — hash-fails even though each arm alone looks
+    plausible."""
+    direct = validator_submitters(spark, sf_dir).select(
+        F.lit("direct").alias("variant"), "*"
+    )
+    salted = validator_submitters_salted(spark, sf_dir).select(
+        F.lit("salted").alias("variant"), "*"
+    )
+    return direct.unionAll(salted)
+
+
+_SUBMITTERS_SQL = """
     SELECT concat('src_', CAST(o_custkey % 997 AS VARCHAR)) AS source_id,
            array_to_string(
              list_sort(list_distinct(list(concat('u', CAST(o_custkey % 31 AS VARCHAR))))),
@@ -174,5 +174,14 @@ register(
            CAST(count(DISTINCT o_custkey % 31) AS INT) AS n_submitters
     FROM orders
     GROUP BY 1
+"""
+
+register(
+    "validator_submitters",
+    validator_submitters_both,
+    sql=f"""
+    SELECT 'direct' AS variant, * FROM ({_SUBMITTERS_SQL})
+    UNION ALL
+    SELECT 'salted' AS variant, * FROM ({_SUBMITTERS_SQL})
     """,
 )

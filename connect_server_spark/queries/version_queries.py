@@ -78,7 +78,62 @@ def latest_version_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("latest_version_per_key", latest_version_per_key, sql=_LATEST_SQL)
+def latest_version_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/O1 (``current``) unioned with the temporal read (``asof``):
+    the same max_by latest-per-key aggregate, once over full history and
+    once over history date-filtered to a cutoff — the time-travel variant.
+    The cutoff predicate reaches the parquet scan, so partition/row-group
+    pruning bounds the as-of read to history ≤ cutoff. Folding the two
+    probes keeps both gated in one driver slot; each arm is the exact
+    query previously registered standalone."""
+    current = latest_version_per_key(spark, sf_dir).select(
+        F.lit("current").alias("probe"),
+        "source_id",
+        "version",
+        "o_orderkey",
+        F.lit(None).cast("string").alias("as_of_date"),
+    )
+    asof = status_as_of(spark, sf_dir).select(
+        F.lit("asof").alias("probe"),
+        "source_id",
+        "version",
+        "o_orderkey",
+        "as_of_date",
+    )
+    return current.unionAll(asof)
+
+
+register(
+    "latest_version_probes",
+    latest_version_probes,
+    sql=f"""
+    SELECT 'current' AS probe, source_id, version, o_orderkey,
+           CAST(NULL AS VARCHAR) AS as_of_date
+    FROM ({_LATEST_SQL})
+    UNION ALL
+    SELECT 'asof' AS probe, source_id, version, o_orderkey, as_of_date
+    FROM (
+      WITH history AS (
+        SELECT
+          concat('src_', CAST(o_custkey % {_KEY_MOD} AS VARCHAR)) AS source_id,
+          concat(CAST(o_orderkey % 3 + 1 AS VARCHAR), '.',
+                 CAST(o_orderkey % 17 AS VARCHAR)) AS version,
+          o_orderkey,
+          CAST(o_orderdate AS VARCHAR) AS as_of_date
+        FROM orders
+        WHERE o_orderdate <= DATE '1995-06-30'
+      )
+      SELECT source_id, version, o_orderkey, as_of_date FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source_id
+          ORDER BY CAST(string_split(version, '.')[1] AS BIGINT) DESC,
+                   CAST(string_split(version, '.')[2] AS BIGINT) DESC,
+                   o_orderkey DESC
+        ) AS rn FROM history
+      ) WHERE rn = 1
+    )
+    """,
+)
 
 
 def latest_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,24 +227,42 @@ register(
 )
 
 
-def scan_versions_of_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S7: the key-range read — ALL versions of a set of source_ids,
-    ordered metadata intact (``aws/dynamo_manager.py:379-386``
-    ``for_source_id``: DynamoDB Query on the hash key returns every range
-    key). A key-equality filter that partition-prunes when the status
-    table is laid out by source_id; pagination is free (A9)."""
+def scan_key_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 + S7 in one gated probe over the same synthetic status table.
+
+    * ``point``: the ``get_item (source_id, version)`` key lookup
+      (``aws/dynamo_manager.py:328-337``) via the filter-compiler's
+      equality path — both conjuncts push to the parquet reader, so at
+      scale this is a partition-pruned point probe, not a table pass.
+    * ``range``: ALL versions of a set of source_ids
+      (``aws/dynamo_manager.py:379-386`` ``for_source_id``: DynamoDB
+      Query on the hash key returns every range key); pagination is free
+      (A9). Partition-prunes when the table is laid out by source_id.
+    """
+    from connect_server_spark.plans import scan_table
+
     status = _status_table(spark, sf_dir)
+    point = scan_table(
+        status,
+        fields=["source_id", "version", "o_orderkey"],
+        filters=[("source_id", "==", "src_42"), ("version", "==", "3.12")],
+    ).select(F.lit("point").alias("probe"), "source_id", "version", "o_orderkey")
     wanted = [f"src_{k}" for k in (7, 97, 404, 911)]
-    return status.filter(F.col("source_id").isin(wanted)).select(
-        "source_id", "version", "o_orderkey"
+    rng = status.filter(F.col("source_id").isin(wanted)).select(
+        F.lit("range").alias("probe"), "source_id", "version", "o_orderkey"
     )
+    return point.unionAll(rng)
 
 
 register(
-    "scan_versions_of_key",
-    scan_versions_of_key,
+    "scan_key_probes",
+    scan_key_probes,
     sql=f"""
-    SELECT source_id, version, o_orderkey
+    SELECT 'point' AS probe, source_id, version, o_orderkey
+    FROM ({_STATUS_SQL})
+    WHERE source_id = 'src_42' AND version = '3.12'
+    UNION ALL
+    SELECT 'range' AS probe, source_id, version, o_orderkey
     FROM ({_STATUS_SQL})
     WHERE source_id IN ('src_7', 'src_97', 'src_404', 'src_911')
     """,
@@ -337,27 +410,5 @@ def status_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "status_as_of",
-    status_as_of,
-    sql=f"""
-    WITH history AS (
-      SELECT
-        concat('src_', CAST(o_custkey % {_KEY_MOD} AS VARCHAR)) AS source_id,
-        concat(CAST(o_orderkey % 3 + 1 AS VARCHAR), '.',
-               CAST(o_orderkey % 17 AS VARCHAR)) AS version,
-        o_orderkey,
-        CAST(o_orderdate AS VARCHAR) AS as_of_date
-      FROM orders
-      WHERE o_orderdate <= DATE '1995-06-30'
-    )
-    SELECT source_id, version, o_orderkey, as_of_date FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY source_id
-        ORDER BY CAST(string_split(version, '.')[1] AS BIGINT) DESC,
-                 CAST(string_split(version, '.')[2] AS BIGINT) DESC,
-                 o_orderkey DESC
-      ) AS rn FROM history
-    ) WHERE rn = 1
-    """,
-)
+# status_as_of is gated through ``latest_version_probes`` above (probe =
+# 'asof'); the standalone function stays for the pushdown plan test.

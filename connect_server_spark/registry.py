@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
+_DEFERRED: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
 _LOADED = False
 
@@ -38,10 +39,18 @@ _QUERY_MODULES = [
 ]
 
 
-def register(name: str, fn: QueryFn, sql: str | None = None) -> None:
-    if name in _QUERIES:
+def register(
+    name: str, fn: QueryFn, sql: str | None = None, defer: bool = False
+) -> None:
+    """Register a driver query. ``defer=True`` pushes the entry to the END
+    of ``all_queries()`` iteration order — used for the rows-only queries
+    (no SQL-expressible oracle) so every oracle-gated query falls inside
+    the correctness driver's first-50 window."""
+    if name in _QUERIES or name in _DEFERRED:
         raise ValueError(f"duplicate query name '{name}'")
-    _QUERIES[name] = fn
+    if defer and sql is not None:
+        raise ValueError(f"'{name}': deferred queries must be rows-only")
+    (_DEFERRED if defer else _QUERIES)[name] = fn
     if sql is not None:
         _ORACLE[name] = sql
 
@@ -57,7 +66,7 @@ def _load() -> None:
 
 def all_queries() -> dict[str, QueryFn]:
     _load()
-    return dict(_QUERIES)
+    return {**_QUERIES, **_DEFERRED}
 
 
 def all_oracle_sql() -> dict[str, str]:

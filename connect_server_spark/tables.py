@@ -38,6 +38,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     sf_dir = sf_dir or default_sf_dir()
     if name not in TABLES:
         raise KeyError(f"unknown table '{name}'; known: {TABLES}")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark can only read
+        # as raw longs. Runtime-settable SQL conf — set it on whatever
+        # session the caller hands us, so reads work for sessions we did
+        # not build (the correctness driver constructs its own).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
