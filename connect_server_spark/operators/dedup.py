@@ -31,6 +31,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_verify",
     "minhash_neardup_pairs",
+    "ngram_jaccard_candidates",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_fingerprints",
@@ -244,34 +245,18 @@ def minhash_neardup_pairs(
     return jaccard_verify(cands, docs, id_col, "_shingles", threshold)
 
 
-def ngram_jaccard_pairs(
+def ngram_jaccard_candidates(
     df: DataFrame,
     id_col: str,
     text_col: str,
     block_col: str | None = None,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup with size-ratio blocking — the
-    signature-free exact path (MinHash trades exactness for fewer
-    candidates; this trades candidate count for exactness) — and the
-    blocking is LOSSLESS: blocked output equals brute force.
-
-    Guarantee: ``J(A,B) >= t`` implies ``|A∩B| >= t·|A∪B|``, so the
-    shingle-set sizes satisfy ``max/min <= 1/t``. Bucketing each document
-    at ``b = ⌊log2(|shingles|)⌋`` and emitting buckets ``b .. b+k`` with
-    ``k = ⌈log2(1/t)⌉`` therefore makes every qualifying pair collide
-    (``A <= 2^k·B ⟹ ⌊log2 A⌋ <= k + ⌊log2 B⌋``, exactly, on integers).
-    ``⌊log2 n⌋`` is computed as ``length(bin(n)) - 1`` — integer-exact,
-    identically reproducible in the SQL oracle. Optionally co-blocked on
-    ``block_col`` (e.g. source/lang) to bound bucket sizes. The join is
-    an equi-join on (block, bucket); the only pairwise work is exact
-    Jaccard over candidates. Never all-pairs.
-
-    Returns ``(id_a, id_b, jaccard)`` with ``jaccard >= threshold``.
-    ``threshold`` must be positive: at t = 0 every pair qualifies and
-    only a full cross join could be exact.
-    """
+    """Candidate (id_a, id_b) pairs for exact n-gram Jaccard near-dup via
+    size-ratio blocking; see :func:`ngram_jaccard_pairs` for guarantees.
+    Exposed separately so the skew guard's candidate count is testable."""
     if threshold <= 0:
         raise ValueError("threshold must be > 0 for bounded blocking")
     import math
@@ -290,6 +275,28 @@ def ngram_jaccard_pairs(
         nsh.alias("_nsh"),
         F.explode(F.array(*[bkt + i for i in range(k + 1)])).alias("_bkt"),
     )
+    if max_block_rows is not None:
+        # Skew guard: within a (block, bucket) the candidate count is
+        # quadratic in bucket size, so one dominant source with uniform
+        # document lengths degenerates. Oversized buckets (> cap rows)
+        # are re-routed through banded MinHash-LSH candidate generation —
+        # still an equi-join, with per-band bucket sizes bounded by
+        # signature collisions rather than document counts. Pairs from
+        # oversized buckets are still verified EXACTLY; what is traded is
+        # candidate recall inside those buckets (the standard LSH
+        # collision probability 1-(1-t^r)^b), never precision.
+        counts = buckets.groupBy(*blocks, "_bkt").agg(
+            F.count(F.lit(1)).alias("_bkt_rows")
+        )
+        flagged = buckets.join(counts, on=[*blocks, "_bkt"], how="left")
+        buckets = flagged.filter(F.col("_bkt_rows") <= max_block_rows).drop(
+            "_bkt_rows"
+        )
+        oversized_ids = (
+            flagged.filter(F.col("_bkt_rows") > max_block_rows)
+            .select(id_col)
+            .distinct()
+        )
     l, r = buckets.alias("l"), buckets.alias("r")
     cond = (F.col("l._bkt") == F.col("r._bkt")) & (
         F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
@@ -309,6 +316,55 @@ def ngram_jaccard_pairs(
             F.col(f"r.{id_col}").alias("id_b"),
         )
         .distinct()
+    )
+    if max_block_rows is not None:
+        overflow_docs = df.join(oversized_ids, on=id_col, how="leftsemi").select(
+            F.col(id_col),
+            word_shingles(F.col(text_col), shingle_n).alias("_shingles"),
+        )
+        overflow_cands = lsh_candidate_pairs(
+            overflow_docs, id_col, "_shingles"
+        )
+        cands = cands.unionAll(overflow_cands).distinct()
+    return cands
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_block_rows: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup with size-ratio blocking — the
+    signature-free exact path (MinHash trades exactness for fewer
+    candidates; this trades candidate count for exactness) — and the
+    blocking is LOSSLESS: blocked output equals brute force.
+
+    Guarantee: ``J(A,B) >= t`` implies ``|A∩B| >= t·|A∪B|``, so the
+    shingle-set sizes satisfy ``max/min <= 1/t``. Bucketing each document
+    at ``b = ⌊log2(|shingles|)⌋`` and emitting buckets ``b .. b+k`` with
+    ``k = ⌈log2(1/t)⌉`` therefore makes every qualifying pair collide
+    (``A <= 2^k·B ⟹ ⌊log2 A⌋ <= k + ⌊log2 B⌋``, exactly, on integers).
+    ``⌊log2 n⌋`` is computed as ``length(bin(n)) - 1`` — integer-exact,
+    identically reproducible in the SQL oracle. Optionally co-blocked on
+    ``block_col`` (e.g. source/lang) to bound bucket sizes. The join is
+    an equi-join on (block, bucket); the only pairwise work is exact
+    Jaccard over candidates. Never all-pairs.
+
+    ``max_block_rows`` is the skew guard for 100 TB corpora: buckets
+    larger than the cap fall back to banded MinHash-LSH candidate
+    generation (exact verify, LSH-recall candidates) instead of the
+    quadratic within-bucket join. ``None`` keeps the fully-lossless path.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``jaccard >= threshold``.
+    ``threshold`` must be positive: at t = 0 every pair qualifies and
+    only a full cross join could be exact.
+    """
+    cands = ngram_jaccard_candidates(
+        df, id_col, text_col, block_col, threshold, shingle_n, max_block_rows
     )
     docs = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_shingles")
@@ -471,14 +527,19 @@ def embedding_neardup_lsh(
     )
 
     srp = srp_signatures_udf(tables, bits)
+    # Candidate generation joins NARROW rows: (id, table, sig) only — a
+    # vector entering the bucket join would be shuffled once per table
+    # (×8) on both sides. Pairs are distinct'd BEFORE the verify, then the
+    # vectors join back in via two hash joins, so each embedding moves
+    # across the wire once and each surviving pair is scored exactly once
+    # (mirrors ``ngram_jaccard_pairs`` / ``jaccard_verify``).
     buckets = emb.select(
         F.col(id_col),
-        F.col(vec_col),
         F.posexplode(srp(F.col(vec_col))).alias("_table", "_sig"),
     )
     left = buckets.alias("l")
     right = buckets.alias("r")
-    return (
+    cands = (
         left.join(
             right,
             (F.col("l._table") == F.col("r._table"))
@@ -488,10 +549,19 @@ def embedding_neardup_lsh(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            cosine_similarity(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias(
-                "cosine"
-            ),
         )
         .distinct()
+    )
+    vecs = emb.select(F.col(id_col), F.col(vec_col))
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )

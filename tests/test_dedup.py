@@ -229,6 +229,81 @@ def test_ngram_jaccard_blocking_is_lossless_vs_brute_force(spark):
     assert got == want
 
 
+def test_embedding_lsh_bucket_join_carries_no_vectors(spark):
+    """The SRP bucket self-join must shuffle NARROW (id, table, sig) rows;
+    embeddings join back in only for the verify, moving once per side.
+    Asserted on the formatted plan: every exchange partitioned on the
+    signature key is vector-free."""
+    from connect_server_spark.operators.dedup import embedding_neardup_lsh
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    jqe = embedding_neardup_lsh(emb)._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    sections = jqe.explainString(mode).split("\n\n")
+    sig_exchanges = [
+        s
+        for s in sections
+        if s.strip()
+        and s.strip().splitlines()[0].endswith("Exchange")
+        and "hashpartitioning(_table" in s
+    ]
+    assert sig_exchanges, "expected bucket-join exchanges keyed on (_table,_sig)"
+    for s in sig_exchanges:
+        assert "embedding" not in s, f"vector column in bucket shuffle:\n{s}"
+
+
+def test_ngram_jaccard_skew_guard_caps_candidates(spark):
+    """Adversarial skew: one source, uniform document lengths — every doc
+    lands in the same (block, bucket), so the lossless path generates
+    O(n²) candidates. With ``max_block_rows`` the oversized bucket reroutes
+    through banded MinHash: candidate count collapses, the plan stays
+    equi-join, and the planted high-Jaccard pair is still found."""
+    import random
+
+    from connect_server_spark.operators.dedup import (
+        ngram_jaccard_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(800)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(20))) for i in range(120)
+    ]
+    base = docs[0][1].split()
+    docs.append((500, " ".join(base[:19] + ["zzz"])))  # near-dup of doc 0
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    uncapped = ngram_jaccard_candidates(df, "doc_id", "text").count()
+    capped = ngram_jaccard_candidates(
+        df, "doc_id", "text", max_block_rows=30
+    ).count()
+    assert uncapped > 5000  # the quadratic blow-up is real
+    assert capped < uncapped / 10  # the guard collapses it
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.5, max_block_rows=30
+        ).collect()
+    }
+    assert (0, 500) in got
+    assert all(a == 0 and b == 500 for a, b in got)
+
+    plan = (
+        ngram_jaccard_pairs(df, "doc_id", "text", max_block_rows=30)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ngram_jaccard_rejects_nonpositive_threshold(spark):
     import pytest as _pytest
 
