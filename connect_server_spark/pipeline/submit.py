@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from connect_server_spark.functions.source_ids import increment_record_version
 from connect_server_spark.operators.org import resolve_org
 from connect_server_spark.operators.versioning import latest_version_join
+from connect_server_spark.pipeline.schema_check import constraint_columns
 
 __all__ = ["submit_pipeline", "ERRORS"]
 
@@ -50,6 +51,7 @@ def submit_pipeline(
     orgs: DataFrame,
     status: DataFrame,
     status_tiebreaker: str,
+    doc_col: str | None = None,
 ) -> DataFrame:
     """Run the submit stage chain.
 
@@ -76,6 +78,29 @@ def submit_pipeline(
     if "update_metadata_only" not in submissions.columns:
         submissions = submissions.withColumn(
             "update_metadata_only", F.lit(False)
+        )
+    # Lossless raw retention: the reference stores the submitted document
+    # verbatim in the status record (``aws/submit.py:299-312``,
+    # ``original_submission``) so failed flows can be replayed. The raw
+    # doc column wins when present; otherwise the input columns are
+    # re-serialized — either way the status row carries the full story.
+    raw = (
+        F.col(doc_col)
+        if doc_col is not None
+        else F.to_json(F.struct(*submissions.columns))
+    )
+    submissions = submissions.withColumn("original_submission", raw)
+    if doc_col is not None:
+        # S3 in depth: the JSON-Schema constraint stage
+        # (``schema_check.py``) runs on the raw document before any
+        # relational stage, matching the reference's early
+        # ``validate_submission_schema`` exit (``aws/submit.py:164-167``).
+        submissions = submissions.withColumn(
+            "_schema_error", constraint_columns(F.col(doc_col))["schema_error"]
+        )
+    else:
+        submissions = submissions.withColumn(
+            "_schema_error", F.lit(None).cast("string")
         )
     submissions = submissions.withColumn(
         "effective_source_id",
@@ -107,6 +132,7 @@ def submit_pipeline(
         F.when(~group_ok, F.lit(ERRORS["group"]))
         .when(~finite, F.lit(ERRORS["nan"]))
         .when(~has_title, F.lit(ERRORS["title"]))
+        .when(F.col("_schema_error").isNotNull(), F.col("_schema_error"))
         .when(~F.col("org_found"), F.lit(ERRORS["org_unknown"]))
         .when(F.col("org_error") == ERRORS["org_dup"], F.lit(ERRORS["org_dup"]))
         .when(F.col("update") & ~existing, F.lit(ERRORS["update_missing"]))
@@ -147,5 +173,5 @@ def submit_pipeline(
                 ),
             ),
         )
-        .drop("_prev_versions")
+        .drop("_prev_versions", "_schema_error")
     )

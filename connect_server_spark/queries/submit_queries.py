@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from connect_server_spark.pipeline.schema_check import check_submission
 from connect_server_spark.pipeline.submit import submit_pipeline
 from connect_server_spark.queries.org_queries import _org_registry, _ORG_REGISTRY_SQL
 from connect_server_spark.registry import register
@@ -205,5 +206,141 @@ register(
       canonical_name,
       curation
     FROM checked
+    """,
+)
+
+
+def submit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 in depth: raw JSON submissions through the constraint-check
+    stage (``pipeline/schema_check.py``). Docs are synthesized from
+    ``customer`` with eight seeded defect classes (valid, unknown
+    top-level key, empty titles, empty creators, numeric
+    publicationYear, missing publisher, empty acl, string version) so
+    seven DISTINCT constraint failures are exercised and gated — the
+    reconstruction of ``connect_submission.json`` validation
+    (``aws/submit.py:20-38``, ``tests/test_validator.py:6-348``)."""
+    c = load_table(spark, "customer", sf_dir)
+    k = F.col("c_custkey")
+    d = k % 8
+
+    def when_d(val: int, then: str, otherwise: str) -> F.Column:
+        return F.when(d == val, F.lit(then)).otherwise(F.lit(otherwise))
+
+    key_s = (k % _KEY_MOD).cast("string")
+    doc = F.concat(
+        F.lit('{"dc": {"creators": '),
+        when_d(3, "[]", '[{"creatorName": "Creator"}]'),
+        F.lit(', "publicationYear": '),
+        when_d(4, "2018", '"2018"'),
+        when_d(5, "", ', "publisher": "MDF"'),
+        F.lit(', "resourceType": {"resourceTypeGeneral": "Dataset"}, "titles": '),
+        when_d(2, "[]", ""),
+        F.when(d == 2, F.lit("")).otherwise(
+            F.concat(F.lit('[{"title": "Dataset '), key_s, F.lit('"}]'))
+        ),
+        F.lit('}, "mdf": {"source_name": "src_'),
+        key_s,
+        F.lit('", "acl": '),
+        when_d(6, "[]", '["public"]'),
+        F.lit(', "version": '),
+        when_d(7, '"one"', "1"),
+        F.lit("}"),
+        when_d(1, ', "bogus": true', ""),
+        F.lit("}"),
+    )
+    docs = c.select(k.alias("c_custkey"), doc.alias("doc"))
+    checked = check_submission(docs, "doc")
+    return checked.select(
+        "c_custkey",
+        F.col("schema_valid").alias("valid"),
+        "n_violations",
+        "violations_csv",
+        F.col("schema_error").alias("error"),
+    )
+
+
+_CONSTRAINT_DOC_SQL = f"""
+      SELECT c_custkey,
+        '{{"dc": {{"creators": '
+        || CASE WHEN c_custkey % 8 = 3 THEN '[]'
+                ELSE '[{{"creatorName": "Creator"}}]' END
+        || ', "publicationYear": '
+        || CASE WHEN c_custkey % 8 = 4 THEN '2018' ELSE '"2018"' END
+        || CASE WHEN c_custkey % 8 = 5 THEN '' ELSE ', "publisher": "MDF"' END
+        || ', "resourceType": {{"resourceTypeGeneral": "Dataset"}}, "titles": '
+        || CASE WHEN c_custkey % 8 = 2 THEN '[]'
+                ELSE '[{{"title": "Dataset '
+                     || CAST(c_custkey % {_KEY_MOD} AS VARCHAR) || '"}}]' END
+        || '}}, "mdf": {{"source_name": "src_'
+        || CAST(c_custkey % {_KEY_MOD} AS VARCHAR)
+        || '", "acl": '
+        || CASE WHEN c_custkey % 8 = 6 THEN '[]' ELSE '["public"]' END
+        || ', "version": '
+        || CASE WHEN c_custkey % 8 = 7 THEN '"one"' ELSE '1' END
+        || '}}'
+        || CASE WHEN c_custkey % 8 = 1 THEN ', "bogus": true' ELSE '' END
+        || '}}' AS doc
+      FROM customer
+"""
+
+register(
+    "submit_constraints",
+    submit_constraints,
+    sql=f"""
+    WITH docs AS ({_CONSTRAINT_DOC_SQL}),
+    rules AS (
+      SELECT c_custkey,
+        len(list_filter(json_keys(doc), k -> k NOT IN
+          ('dc','mdf','mrr','custom','services','data','tags','index',
+           'data_sources','data_destinations','dataset_acl',
+           'extraction_config','no_extract','test','update',
+           'update_metadata_only'))) = 0 AS ok_additional,
+        json_extract(doc, '$.dc') IS NOT NULL AS ok_dc,
+        json_extract(doc, '$.mdf') IS NOT NULL AS ok_mdf,
+        coalesce(trim(json_extract_string(doc, '$.dc.titles[0].title')) <> '',
+                 FALSE) AS ok_title,
+        coalesce(json_array_length(doc, '$.dc.creators') >= 1, FALSE)
+          AS ok_creators,
+        json_extract_string(doc, '$.dc.creators[0].creatorName') IS NOT NULL
+          AS ok_creator_name,
+        coalesce(json_type(doc, '$.dc.publicationYear') = 'VARCHAR', FALSE)
+          AS ok_year,
+        json_extract(doc, '$.dc.publisher') IS NOT NULL AS ok_publisher,
+        json_extract(doc, '$.dc.resourceType.resourceTypeGeneral') IS NOT NULL
+          AS ok_rtype,
+        coalesce(regexp_matches(
+          json_extract_string(doc, '$.mdf.source_name'), '^[a-z0-9_-]+$'),
+          FALSE) AS ok_source_name,
+        coalesce(json_array_length(doc, '$.mdf.acl') >= 1, FALSE) AS ok_acl,
+        (json_extract(doc, '$.mdf.version') IS NULL
+         OR json_type(doc, '$.mdf.version') IN ('BIGINT', 'UBIGINT'))
+          AS ok_version
+      FROM docs
+    ),
+    folded AS (
+      SELECT c_custkey,
+        list_filter([
+          CASE WHEN NOT ok_additional THEN 'additional_properties' END,
+          CASE WHEN NOT ok_dc THEN 'dc_required' END,
+          CASE WHEN NOT ok_mdf THEN 'mdf_required' END,
+          CASE WHEN NOT ok_title THEN 'title_required' END,
+          CASE WHEN NOT ok_creators THEN 'creators_min_items' END,
+          CASE WHEN NOT ok_creator_name THEN 'creator_name_required' END,
+          CASE WHEN NOT ok_year THEN 'publication_year_type' END,
+          CASE WHEN NOT ok_publisher THEN 'publisher_required' END,
+          CASE WHEN NOT ok_rtype THEN 'resource_type_required' END,
+          CASE WHEN NOT ok_source_name THEN 'source_name_format' END,
+          CASE WHEN NOT ok_acl THEN 'acl_min_items' END,
+          CASE WHEN NOT ok_version THEN 'version_type' END
+        ], x -> x IS NOT NULL) AS violations
+      FROM rules
+    )
+    SELECT c_custkey,
+           len(violations) = 0 AS valid,
+           CAST(len(violations) AS INT) AS n_violations,
+           coalesce(array_to_string(violations, ','), '') AS violations_csv,
+           CASE WHEN len(violations) > 0
+                THEN 'Invalid submission: ' || violations[1] END AS error
+    FROM folded
     """,
 )

@@ -305,12 +305,25 @@ def submissions_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("FAILED"))
         .alias("flow_status"),
     )
+    # Lossless raw retention (``aws/submit.py:299-312``): the status row
+    # carries the original submission doc verbatim; the read path returns
+    # it so a failed flow can be replayed from status alone.
+    status = status.withColumn(
+        "original_submission",
+        F.to_json(
+            F.struct(
+                "source_id", "version", "title", "submitter",
+                "submission_time", "test",
+            )
+        ),
+    )
     latest = latest_per_key(
         status,
         "source_id",
         "version",
         payload=[
-            "submitter", "title", "submission_time", "test", "flow_status"
+            "submitter", "title", "submission_time", "test", "flow_status",
+            "original_submission",
         ],
         tiebreakers=["o_orderkey"],
     )
@@ -331,6 +344,7 @@ def submissions_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         "submitter",
         "submission_time",
         "test",
+        "original_submission",
     )
 
 
@@ -371,7 +385,11 @@ register(
              'Submitted by ', submitter, ' at ', submission_time,
              chr(10), chr(10)) AS status_message,
       flow_status = 'ACTIVE' AS active,
-      title, submitter, submission_time, test
+      title, submitter, submission_time, test,
+      to_json(struct_pack(
+        source_id := source_id, version := version, title := title,
+        submitter := submitter, submission_time := submission_time,
+        test := test)) AS original_submission
     FROM latest
     WHERE submitter = 'u5'
     """,

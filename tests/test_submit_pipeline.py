@@ -136,3 +136,102 @@ def test_update_metadata_only_passthrough(spark):
         subs, _orgs(spark), _status(spark, [("src_a", "1.0", "u1", 1)]), "seq"
     ).collect()[0]
     assert out.success and out.update_metadata_only is True
+
+
+def _doc(
+    creators='[{"creatorName": "C"}]',
+    year='"2018"',
+    publisher=', "publisher": "MDF"',
+    titles='[{"title": "T"}]',
+    acl='["public"]',
+    version="1",
+    extra="",
+):
+    return (
+        '{"dc": {"creators": ' + creators
+        + ', "publicationYear": ' + year + publisher
+        + ', "resourceType": {"resourceTypeGeneral": "Dataset"}, "titles": '
+        + titles
+        + '}, "mdf": {"source_name": "src_a", "acl": ' + acl
+        + ', "version": ' + version + "}" + extra + "}"
+    )
+
+
+def _check(spark, doc):
+    from connect_server_spark.pipeline.schema_check import check_submission
+
+    df = spark.createDataFrame([(doc,)], "doc string")
+    return check_submission(df, "doc").collect()[0]
+
+
+def test_schema_check_valid_doc(spark):
+    r = _check(spark, _doc())
+    assert r.schema_valid and r.schema_error is None
+    assert r.violations_csv == "" and r.n_violations == 0
+
+
+def test_schema_check_each_constraint_fires(spark):
+    """One violation per defect class; first-failure message matches the
+    reference's 'Invalid submission: <first error>' shape
+    (aws/submit.py:30-38)."""
+    cases = {
+        "additional_properties": _doc(extra=', "bogus": true'),
+        "title_required": _doc(titles="[]"),
+        "creators_min_items": _doc(creators="[]"),
+        "publication_year_type": _doc(year="2018"),
+        "publisher_required": _doc(publisher=""),
+        "acl_min_items": _doc(acl="[]"),
+        "version_type": _doc(version='"one"'),
+    }
+    for rule, doc in cases.items():
+        r = _check(spark, doc)
+        assert not r.schema_valid, rule
+        assert rule in r.violations_csv.split(","), rule
+        assert r.schema_error.startswith("Invalid submission: "), rule
+
+
+def test_schema_check_missing_blocks_report_first(spark):
+    """bad_dataset analog (tests/test_validator.py:65-69): junk keys and
+    no valid dc/mdf members — additionalProperties fires first, required
+    blocks all flagged."""
+    r = _check(spark, '{"invalid": true, "dcx": {"qwerty": "asdf"}}')
+    v = r.violations_csv.split(",")
+    assert v[0] == "additional_properties"
+    assert "dc_required" in v and "mdf_required" in v
+    assert r.schema_error == "Invalid submission: additional_properties"
+
+
+def test_schema_check_rule_names_pinned(spark):
+    from connect_server_spark.pipeline.schema_check import (
+        DATASET_RULES,
+        _rules,
+    )
+
+    assert [n for n, _ in _rules(F.lit("{}"))] == DATASET_RULES
+
+
+def test_submit_pipeline_doc_col_gates_schema(spark):
+    """The raw-doc constraint stage slots into the guard chain after the
+    title slice; original_submission carries the doc verbatim."""
+    bad = _doc(acl="[]")
+    subs = spark.createDataFrame(
+        [_sub() + (bad,), _sub(source_id="src_b") + (_doc(),)],
+        _SUB_SCHEMA + ", doc string",
+    )
+    out = submit_pipeline(subs, _orgs(spark), _status(spark), "seq", doc_col="doc")
+    rows = {r.source_id: r for r in out.collect()}
+    assert not rows["src_a"].success
+    assert rows["src_a"].error == "Invalid submission: acl_min_items"
+    assert rows["src_a"].original_submission == bad
+    assert rows["src_b"].success
+
+
+def test_submit_pipeline_retains_original_submission_without_doc(spark):
+    """Without a raw doc the input columns re-serialize losslessly
+    (aws/submit.py:299-312)."""
+    import json
+
+    r = _run(spark, [_sub()])["src_a"]
+    doc = json.loads(r.original_submission)
+    assert doc["source_id"] == "src_a" and doc["title"] == "A Study"
+    assert doc["identities"] == ["u1", "alt-u1"]
