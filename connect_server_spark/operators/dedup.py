@@ -5,8 +5,9 @@ These are the LLM-training-pipeline operators the reference lacks but a
 100 TB corpus engine needs. Design rules:
 
 * **Never all-pairs.** Candidate generation is always a bucketed equi-join
-  (LSH band hash or SimHash chunk); the only O(n²) work is within buckets,
-  which banding keeps tiny. The plan must never contain a CartesianProduct.
+  (LSH band hash, SimHash chunk, or rarest-first prefix hash); the only
+  O(n²) work is within buckets, which banding/prefix-ordering keeps tiny.
+  The plan must never contain a CartesianProduct.
 * **Shuffle-light.** MinHash signatures and SimHash fingerprints are pure
   per-row column expressions over the shingle array (``array_min`` /
   ``transform`` over ``xxhash64``) — zero shuffle until the band-bucket
@@ -255,25 +256,68 @@ def ngram_jaccard_candidates(
     max_block_rows: int | None = None,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs for exact n-gram Jaccard near-dup via
-    size-ratio blocking; see :func:`ngram_jaccard_pairs` for guarantees.
-    Exposed separately so the skew guard's candidate count is testable."""
+    LOSSLESS prefix filtering (Bayardo, Ma & Srikant, "Scaling Up All
+    Pairs Similarity Search", WWW 2007); see :func:`ngram_jaccard_pairs`
+    for the end-to-end guarantees. Exposed separately so candidate counts
+    are testable.
+
+    Prefix filter: order every shingle universe by ``xxhash64`` (any
+    consistent total order works) and keep each document's first
+    ``|S| - ⌈t·|S|⌉ + 1`` hashes. ``J(A,B) >= t`` implies
+    ``|A∩B| >= t·|A∪B| >= ⌈t·max(|A|,|B|)⌉``, so an intersection that
+    large cannot hide entirely inside both documents' excluded suffixes
+    (each suffix holds only ``⌈t·|S|⌉ - 1`` elements) — every qualifying
+    pair therefore shares at least one PREFIX hash, and the equi-join on
+    ``(block, prefix_hash)`` is complete. Against a random corpus this
+    prunes ~1000× harder than size-bucket blocking: two documents
+    collide only when they actually share a shingle, not merely when
+    they have similar lengths."""
     if threshold <= 0:
         raise ValueError("threshold must be > 0 for bounded blocking")
-    import math
-
-    k = max(1, math.ceil(math.log2(1.0 / threshold)))
     blocks = [block_col] if block_col else []
-    nsh = F.size(word_shingles(F.col(text_col), shingle_n))
-    bkt = (F.length(F.bin(nsh)) - 1).cast("long")
-    # Candidate generation joins NARROW rows (id + block + bucket only):
-    # the shuffle carries a few bytes per row, not shingle arrays, and a
-    # pair colliding in several buckets dedups BEFORE the expensive
-    # intersect — each surviving pair is verified exactly once.
-    buckets = df.select(
+
+    # Canonical order = GLOBAL FREQUENCY ascending (rarest first), hash as
+    # tiebreak — the Bayardo et al. ordering. Any consistent total order
+    # is lossless; rarest-first additionally starves hot buckets: a
+    # boilerplate shingle shared by thousands of documents sorts LAST and
+    # never enters a prefix unless a document is nearly all boilerplate,
+    # so join-key fan-out tracks how *distinctive* a shingle is, not how
+    # common. Candidate rows are NARROW (id + block + one 8-byte hash):
+    # the shuffles never carry shingle arrays, and a pair colliding on
+    # several prefix hashes dedups BEFORE the expensive intersect.
+    # Corner case this cannot bound: a farm of thousands of EXACT copies
+    # is quadratic in its own true output — run exact_dedup first.
+    exploded = df.select(
         F.col(id_col),
         *[F.col(b) for b in blocks],
-        nsh.alias("_nsh"),
-        F.explode(F.array(*[bkt + i for i in range(k + 1)])).alias("_bkt"),
+        F.explode(
+            F.transform(
+                word_shingles(F.col(text_col), shingle_n),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("_h"),
+    )
+    freq = exploded.groupBy("_h").agg(F.count(F.lit(1)).alias("_cnt"))
+    per_doc = (
+        exploded.join(freq, "_h")
+        .groupBy(id_col, *blocks)
+        .agg(
+            F.count(F.lit(1)).alias("_nsh"),
+            F.array_sort(F.collect_list(F.struct("_cnt", "_h"))).alias("_ord"),
+        )
+    )
+    prefix_len = (
+        F.col("_nsh") - F.ceil(F.col("_nsh") * F.lit(float(threshold))) + 1
+    ).cast("int")
+    buckets = per_doc.select(
+        F.col(id_col),
+        *[F.col(b) for b in blocks],
+        F.col("_nsh"),
+        F.explode(
+            F.transform(
+                F.slice("_ord", F.lit(1), prefix_len), lambda s: s["_h"]
+            )
+        ).alias("_bkt"),
     )
     if max_block_rows is not None:
         # Skew guard: within a (block, bucket) the candidate count is
@@ -338,26 +382,22 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     max_block_rows: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup with size-ratio blocking — the
+    """Exact n-gram Jaccard near-dup via LOSSLESS prefix filtering — the
     signature-free exact path (MinHash trades exactness for fewer
-    candidates; this trades candidate count for exactness) — and the
-    blocking is LOSSLESS: blocked output equals brute force.
+    candidates; this trades candidate count for exactness): output
+    provably equals brute force at the threshold.
 
-    Guarantee: ``J(A,B) >= t`` implies ``|A∩B| >= t·|A∪B|``, so the
-    shingle-set sizes satisfy ``max/min <= 1/t``. Bucketing each document
-    at ``b = ⌊log2(|shingles|)⌋`` and emitting buckets ``b .. b+k`` with
-    ``k = ⌈log2(1/t)⌉`` therefore makes every qualifying pair collide
-    (``A <= 2^k·B ⟹ ⌊log2 A⌋ <= k + ⌊log2 B⌋``, exactly, on integers).
-    ``⌊log2 n⌋`` is computed as ``length(bin(n)) - 1`` — integer-exact,
-    identically reproducible in the SQL oracle. Optionally co-blocked on
-    ``block_col`` (e.g. source/lang) to bound bucket sizes. The join is
-    an equi-join on (block, bucket); the only pairwise work is exact
-    Jaccard over candidates. Never all-pairs.
+    Candidates come from an equi-join on rarest-first prefix hashes
+    (completeness proof in :func:`ngram_jaccard_candidates` — Bayardo et
+    al., WWW 2007), optionally co-blocked on ``block_col`` (e.g.
+    source/lang); the only pairwise work is exact Jaccard over
+    candidates. Never all-pairs.
 
-    ``max_block_rows`` is the skew guard for 100 TB corpora: buckets
-    larger than the cap fall back to banded MinHash-LSH candidate
-    generation (exact verify, LSH-recall candidates) instead of the
-    quadratic within-bucket join. ``None`` keeps the fully-lossless path.
+    ``max_block_rows`` is the skew guard for 100 TB corpora: prefix-hash
+    buckets larger than the cap (mostly-boilerplate corpora) fall back to
+    banded MinHash-LSH candidate generation (exact verify, LSH-recall
+    candidates) instead of the quadratic within-bucket join. ``None``
+    keeps the fully-lossless path.
 
     Returns ``(id_a, id_b, jaccard)`` with ``jaccard >= threshold``.
     ``threshold`` must be positive: at t = 0 every pair qualifies and

@@ -140,11 +140,13 @@ register(
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup with lossless (source, size-ratio)
-    blocking — the signature-free exact dedup path: blocked output is
-    provably identical to brute force at the threshold. Same planted
-    corpus as MinHash, but candidates come from log2 shingle-count
-    buckets co-blocked on source, not LSH bands."""
+    """Exact n-gram Jaccard near-dup with lossless rarest-first prefix
+    filtering co-blocked on source — the signature-free exact dedup path:
+    output is provably identical to brute force at the threshold. Same
+    planted corpus as MinHash, but candidates come from shared
+    globally-rare shingle hashes, not LSH bands. (The DuckDB twin uses
+    its own complete method — size-bucket blocking — so the two engines
+    agree on the RESULT through entirely different candidate schemes.)"""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "text")
     near = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),

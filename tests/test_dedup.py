@@ -256,18 +256,14 @@ def test_embedding_lsh_bucket_join_carries_no_vectors(spark):
         assert "embedding" not in s, f"vector column in bucket shuffle:\n{s}"
 
 
-def test_ngram_jaccard_skew_guard_caps_candidates(spark):
-    """Adversarial skew: one source, uniform document lengths — every doc
-    lands in the same (block, bucket), so the lossless path generates
-    O(n²) candidates. With ``max_block_rows`` the oversized bucket reroutes
-    through banded MinHash: candidate count collapses, the plan stays
-    equi-join, and the planted high-Jaccard pair is still found."""
+def test_ngram_jaccard_prefix_filter_prunes_random_corpus(spark):
+    """Uniform document lengths over disjoint random text — the old
+    size-bucket blocking would put all 121 docs in one bucket (~7k
+    candidates); the prefix filter generates candidates only for pairs
+    actually sharing a shingle."""
     import random
 
-    from connect_server_spark.operators.dedup import (
-        ngram_jaccard_candidates,
-        ngram_jaccard_pairs,
-    )
+    from connect_server_spark.operators.dedup import ngram_jaccard_candidates
 
     rng = random.Random(11)
     vocab = [f"w{i}" for i in range(800)]
@@ -277,13 +273,78 @@ def test_ngram_jaccard_skew_guard_caps_candidates(spark):
     base = docs[0][1].split()
     docs.append((500, " ".join(base[:19] + ["zzz"])))  # near-dup of doc 0
     df = spark.createDataFrame(docs, ["doc_id", "text"])
+    cands = ngram_jaccard_candidates(df, "doc_id", "text").count()
+    assert cands < 100  # ~n²/2 under size-bucket blocking
+
+
+def test_ngram_jaccard_rare_first_starves_boilerplate_buckets(spark):
+    """A shared header whose shingles are hot sorts to the END of the
+    rarest-first canonical order, so moderate boilerplate never enters a
+    prefix and candidates stay linear without any cap."""
+    import random
+
+    from connect_server_spark.operators.dedup import ngram_jaccard_candidates
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(2000)]
+    header = " ".join(f"h{i}" for i in range(10))  # shared boilerplate
+    docs = [
+        (i, header + " " + " ".join(rng.choice(vocab) for _ in range(30)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    assert ngram_jaccard_candidates(df, "doc_id", "text").count() < 200
+
+
+def test_ngram_jaccard_skew_guard_caps_candidates(spark):
+    """Adversarial skew the canonical order cannot dodge: documents that
+    are MOSTLY boilerplate (below the near-dup threshold, but more hot
+    shingles than the prefix can exclude) force a hot hash into every
+    prefix — candidates go quadratic. With ``max_block_rows`` the hot
+    bucket reroutes through banded MinHash: candidate count collapses,
+    the plan stays equi-join, and a planted high-Jaccard pair is still
+    found."""
+    import random
+
+    from connect_server_spark.operators.dedup import (
+        ngram_jaccard_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(2000)]
+    header = " ".join(f"h{i}" for i in range(25))  # heavy boilerplate
+    docs = [
+        (i, header + " " + " ".join(rng.choice(vocab) for _ in range(20)))
+        for i in range(120)
+    ]
+    base = docs[0][1].split()
+    docs.append((500, " ".join(base[:-1] + ["zzz"])))  # near-dup of doc 0
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
 
     uncapped = ngram_jaccard_candidates(df, "doc_id", "text").count()
     capped = ngram_jaccard_candidates(
         df, "doc_id", "text", max_block_rows=30
     ).count()
-    assert uncapped > 5000  # the quadratic blow-up is real
-    assert capped < uncapped / 10  # the guard collapses it
+    assert uncapped > 3000  # the hot-bucket blow-up is real
+    assert capped < uncapped / 4  # the guard collapses it
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.5, max_block_rows=30
+        ).collect()
+    }
+    assert got == {(0, 500)}  # exact verify still prunes the boilerplate
+
+    plan = (
+        ngram_jaccard_pairs(df, "doc_id", "text", max_block_rows=30)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
     got = {
         (r.id_a, r.id_b)
