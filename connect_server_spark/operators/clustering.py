@@ -1,0 +1,104 @@
+"""Near-dup clustering: connected components over candidate-pair output,
+then canonical-document selection — the stage between "these pairs are
+near-duplicates" and "keep THIS copy, drop those" that a training-data
+pipeline actually acts on.
+
+Scale design: min-label propagation over the (undirected) pair edges.
+Every iteration is one narrow shuffle — edges join the current label
+table on an 8-byte id, aggregate a per-node neighbor minimum (map-side
+combined), and merge back. Labels are ``localCheckpoint``-ed each round
+to keep the lineage flat (an iterative DataFrame loop otherwise re-plans
+the whole history each round). Iterations needed = the component
+diameter; near-dup clusters are stars/cliques around a source document,
+so 2–4 rounds converge in practice, and the loop STOPS as soon as a
+round changes nothing. For adversarial long-chain graphs the documented
+upgrade is the alternating large-star/small-star algorithm (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC 2014) with
+O(log²) rounds; the per-round join structure is identical.
+
+The driver-side loop only ever touches counts — node labels stay
+distributed throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "assign_clusters"]
+
+
+class ConvergenceError(RuntimeError):
+    """Raised when label propagation hits ``max_iterations`` while labels
+    are still moving — wrong components must never be returned silently."""
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``pairs``, where
+    ``component`` is the minimum node id reachable through the pair
+    graph — deterministic, engine-independent labels."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("component").alias("_nbr"))
+        )
+        merged = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                labels["id"],
+                labels["component"].alias("_old"),
+                F.least(
+                    labels["component"],
+                    F.coalesce(F.col("_nbr"), labels["component"]),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = merged.filter(F.col("component") != F.col("_old")).count()
+        labels = merged.drop("_old")
+        if changed == 0:
+            return labels
+    raise ConvergenceError(
+        f"components still moving after {max_iterations} iterations"
+    )
+
+
+def assign_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Fold components back over the FULL corpus: every document gets a
+    ``component`` (its own id when it has no near-dup), a
+    ``cluster_size``, and ``is_canonical`` (the minimum id of its
+    component — the copy a dedup pass keeps). Two narrow left joins; the
+    corpus body columns never enter the component computation."""
+    comps = connected_components(pairs, src, dst)
+    assigned = docs.join(
+        comps.withColumnRenamed("id", id_col), on=id_col, how="left"
+    ).withColumn("component", F.coalesce("component", F.col(id_col)))
+    sizes = assigned.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return assigned.join(sizes, "component").withColumn(
+        "is_canonical", F.col(id_col) == F.col("component")
+    )

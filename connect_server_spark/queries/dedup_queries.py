@@ -139,6 +139,64 @@ register(
 )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end: MinHash pairs → connected
+    components (min-label propagation) → per-document canonical
+    assignment over the FULL corpus. The oracle recomputes components
+    with brute-force Jaccard pairs and a recursive transitive closure —
+    two entirely different algorithms agreeing on every label."""
+    from connect_server_spark.operators.clustering import assign_clusters
+
+    corpus = _corpus_neardup(spark, sf_dir)
+    pairs = minhash_neardup_pairs(
+        corpus, "doc_id", "text", threshold=0.5, num_hashes=32, bands=16
+    )
+    return assign_clusters(corpus, pairs, "doc_id").select(
+        "doc_id", "component", "cluster_size", "is_canonical"
+    )
+
+
+register(
+    "dedup_clusters",
+    dedup_clusters,
+    sql=f"""
+    WITH RECURSIVE corpus AS ({_CORPUS_NEARDUP_SQL}),
+    sets_ AS ({_SHINGLES_SQL}),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sets_ a JOIN sets_ b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT a AS id, a AS r FROM edges
+      UNION
+      SELECT e.a AS id, x.r
+      FROM edges e JOIN reach x ON e.b = x.id
+    ),
+    comp AS (
+      SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+    ),
+    assigned AS (
+      SELECT c.doc_id, coalesce(k.component, c.doc_id) AS component
+      FROM corpus c LEFT JOIN comp k ON c.doc_id = k.doc_id
+    ),
+    sizes AS (
+      SELECT component, count(*) AS cluster_size
+      FROM assigned GROUP BY component
+    )
+    SELECT a.doc_id, a.component, s.cluster_size,
+           a.doc_id = a.component AS is_canonical
+    FROM assigned a JOIN sizes s ON a.component = s.component
+    """,
+)
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup with lossless rarest-first prefix
     filtering co-blocked on source — the signature-free exact dedup path:

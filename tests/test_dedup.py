@@ -372,3 +372,47 @@ def test_ngram_jaccard_rejects_nonpositive_threshold(spark):
 
     with _pytest.raises(ValueError):
         ngram_jaccard_pairs(_df(spark), "doc_id", "text", threshold=0.0)
+
+
+def test_connected_components_chain_and_star(spark):
+    """A 4-chain, a 3-star, and an isolated pair: labels = min reachable
+    id regardless of edge direction or shape."""
+    from connect_server_spark.operators.clustering import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_connected_components_raises_instead_of_wrong_labels(spark):
+    from connect_server_spark.operators.clustering import (
+        ConvergenceError,
+        connected_components,
+    )
+    import pytest as _pytest
+
+    # a 6-chain needs ~5 propagation rounds; cap at 2 must raise
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(ConvergenceError):
+        connected_components(pairs, max_iterations=2)
+
+
+def test_assign_clusters_covers_singletons(spark):
+    from connect_server_spark.operators.clustering import assign_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    rows = {r.doc_id: r for r in assign_clusters(docs, pairs, "doc_id").collect()}
+    assert [rows[i].component for i in range(1, 6)] == [1, 1, 1, 4, 5]
+    assert [rows[i].cluster_size for i in range(1, 6)] == [3, 3, 3, 1, 1]
+    assert [rows[i].is_canonical for i in range(1, 6)] == [
+        True, False, False, True, True,
+    ]
