@@ -108,16 +108,27 @@ _TOK_LO, _TOK_HI = 10, 1000
 
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical LLM training-data curation pipeline, composed from
-    the text + dedup operator families in ONE plan: quality-score gate →
-    language gate → token-count bounds → exact dedup (canonical doc per
-    normalized digest). Everything before the dedup groupBy is scan-stage
-    expressions; the only shuffle carries (16-byte digest, doc_id)."""
+    the text + dedup + curation operator families in ONE plan:
+    quality-score gate → language gate → token-count bounds → exact dedup
+    (canonical doc per normalized digest) → benchmark decontamination
+    (every 41st document stands in as the held-out test set; any document
+    sharing a 6-gram with it is dropped) → deterministic stratified
+    sampling (per-source keep rate 0.5 / 0.25, decided by md5 — no
+    rand(), so the sample is stable across runs, engines, and task
+    retries). Gates are scan-stage expressions; the dedup shuffle carries
+    (16-byte digest, doc_id); the benchmark gram set broadcasts; the
+    sample decision is a pure projection."""
+    from connect_server_spark.operators.curation import (
+        decontaminate,
+        stratified_sample,
+    )
     from connect_server_spark.operators.dedup import normalize_text
 
     docs = load_table(spark, "documents", sf_dir)
     t = F.col("text")
     scored = docs.select(
         "doc_id",
+        "source",
         "text",
         language_id(t).alias("lang_pred"),
         quality_score(t).alias("quality_e7"),
@@ -133,8 +144,15 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("_d")
         .agg(F.min("doc_id").alias("doc_id"))
     )
-    return kept.join(canon, "doc_id").select(
-        "doc_id", "lang_pred", "quality_e7", "n_tok"
+    deduped = kept.join(canon, "doc_id")
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select("text")
+    decon = decontaminate(deduped, bench, "doc_id", "text", "text", n=6)
+    frac = F.when(
+        F.substring(F.md5(F.col("source")), 1, 1) < "8", F.lit(0.5)
+    ).otherwise(F.lit(0.25))
+    sampled = stratified_sample(decon, "doc_id", frac, seed="s1:")
+    return sampled.select(
+        "doc_id", "source", "lang_pred", "quality_e7", "n_tok"
     )
 
 
@@ -143,7 +161,7 @@ register(
     corpus_curation,
     sql=f"""
     WITH toks AS (
-      SELECT doc_id, text,
+      SELECT doc_id, source, text,
              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
       FROM documents
     ),
@@ -161,7 +179,7 @@ register(
       FROM toks
     ),
     graded AS (
-      SELECT doc_id, text,
+      SELECT doc_id, source, text, w,
         {_LANG_CASE} AS lang_pred,
         CAST(round(swr * 1e6, 0) AS BIGINT) * 4
           + CAST(round(least(mwl / 8.0, 1.0) * 1e6, 0) AS BIGINT) * 3
@@ -179,8 +197,38 @@ register(
       SELECT min(doc_id) AS doc_id
       FROM kept
       GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ),
+    deduped AS (
+      SELECT k.* FROM kept k JOIN canon c ON k.doc_id = c.doc_id
+    ),
+    bench_grams AS (
+      SELECT DISTINCT unnest(
+        CASE WHEN len(w) >= 6 THEN
+          list_distinct(list_transform(range(1, greatest(len(w) - 4, 2)),
+            i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5])))
+        ELSE [array_to_string(w, ' ')] END) AS g
+      FROM toks WHERE doc_id % 41 = 0
+    ),
+    doc_grams AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(w) >= 6 THEN
+          list_distinct(list_transform(range(1, greatest(len(w) - 4, 2)),
+            i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5])))
+        ELSE [array_to_string(w, ' ')] END) AS g
+      FROM deduped
+    ),
+    hits AS (
+      SELECT DISTINCT d.doc_id
+      FROM doc_grams d JOIN bench_grams b ON d.g = b.g
+    ),
+    decon AS (
+      SELECT * FROM deduped
+      WHERE doc_id NOT IN (SELECT doc_id FROM hits)
     )
-    SELECT k.doc_id, k.lang_pred, k.quality_e7, k.n_tok
-    FROM kept k JOIN canon c ON k.doc_id = c.doc_id
+    SELECT doc_id, source, lang_pred, quality_e7, n_tok
+    FROM decon
+    WHERE substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 4)
+          < CASE WHEN substr(md5(source), 1, 1) < '8'
+                 THEN '8000' ELSE '4000' END
     """,
 )

@@ -45,3 +45,64 @@ def test_fingerprint_order_sensitive(spark):
     b = _one(spark, "gamma beta alpha", doc_fingerprint)
     c = _one(spark, "alpha beta gamma", doc_fingerprint)
     assert a == c and a != b
+
+
+def test_decontaminate_drops_leaking_docs(spark):
+    from connect_server_spark.operators.curation import (
+        contaminated_ids,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [("what is the capital of france paris is",)], ["q"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "trivia time what is the capital of france paris is correct"),
+            (2, "a completely unrelated training document about spark plans"),
+            (3, "another clean document with enough words to shingle over"),
+        ],
+        ["doc_id", "text"],
+    )
+    hits = {r.doc_id for r in contaminated_ids(
+        docs, __import__("connect_server_spark.operators.curation",
+                         fromlist=["benchmark_ngrams"]).benchmark_ngrams(
+            bench, "q", 6), "doc_id", "text", 6).collect()}
+    assert hits == {1}
+    kept = {r.doc_id for r in
+            decontaminate(docs, bench, "doc_id", "text", "q", 6).collect()}
+    assert kept == {2, 3}
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    from connect_server_spark.operators.curation import decontaminate
+
+    bench = spark.createDataFrame([("a b c d e f",)], ["q"])
+    docs = spark.createDataFrame([(1, "x y z w v u")], ["doc_id", "text"])
+    plan = (
+        decontaminate(docs, bench, "doc_id", "text", "q", 6)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    from connect_server_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(4000)],
+        ["id", "stratum"],
+    )
+    frac = F.when(F.col("stratum") == "a", F.lit(0.5)).otherwise(F.lit(0.1))
+    s1 = stratified_sample(df, "id", frac, seed="t:").collect()
+    s2 = stratified_sample(df, "id", frac, seed="t:").collect()
+    assert {r.id for r in s1} == {r.id for r in s2}  # pure function of key
+    by = {"a": 0, "b": 0}
+    for r in s1:
+        by[r.stratum] += 1
+    assert abs(by["a"] / 2000 - 0.5) < 0.05
+    assert abs(by["b"] / 2000 - 0.1) < 0.03
+    # a different seed draws a different sample
+    s3 = {r.id for r in stratified_sample(df, "id", frac, seed="u:").collect()}
+    assert s3 != {r.id for r in s1}
