@@ -83,9 +83,15 @@ def main() -> None:
     # Warm-up every query once: JVM/codegen/parquet-footer caches and JIT
     # profile settling, not measured. (A single-query warm-up leaves the
     # first heavy expression pipeline to trigger C2 recompilation storms
-    # that land on whichever query runs next.)
+    # that land on whichever query runs next.) A query that errors here is
+    # recorded and skipped from timing — one broken query must never erase
+    # the whole round's bench evidence.
+    errors: dict[str, str] = {}
     for name in names:
-        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        try:
+            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        except Exception as exc:  # noqa: BLE001 — record, keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     # Best-of-3 per query: the builder container shares cores with the
     # driver's own processes, so single-shot timings swing 10×; the min is
@@ -93,24 +99,33 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in names:
+        if name in errors:
+            continue
         best = float("inf")
         for _ in range(reps):
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            try:
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                break
+        if name not in errors and best < float("inf"):
+            timings[name] = round(best, 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(sf_dir),
-            }
-        )
-    )
+    out: dict = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": {
+            **timings,
+            **{name: {"err": msg} for name, msg in errors.items()},
+        },
+        "sf": _sf_from_dir(sf_dir),
+    }
+    if errors:
+        out["errors"] = len(errors)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -3,21 +3,27 @@ then canonical-document selection — the stage between "these pairs are
 near-duplicates" and "keep THIS copy, drop those" that a training-data
 pipeline actually acts on.
 
-Scale design: min-label propagation over the (undirected) pair edges.
-Every iteration is one narrow shuffle — edges join the current label
-table on an 8-byte id, aggregate a per-node neighbor minimum (map-side
-combined), and merge back. Labels are ``localCheckpoint``-ed each round
-to keep the lineage flat (an iterative DataFrame loop otherwise re-plans
-the whole history each round). Iterations needed = the component
-diameter; near-dup clusters are stars/cliques around a source document,
-so 2–4 rounds converge in practice, and the loop STOPS as soon as a
-round changes nothing. For adversarial long-chain graphs the documented
-upgrade is the alternating large-star/small-star algorithm (Kiveris et
-al., "Connected Components in MapReduce and Beyond", SoCC 2014) with
-O(log²) rounds; the per-round join structure is identical.
+Scale design: min-label propagation with **pointer jumping** over the
+(undirected) pair edges. Every iteration is two narrow shuffles — edges
+join the current label table on an 8-byte id and aggregate a per-node
+neighbor minimum (map-side combined); then labels self-join once to
+compress ``component → component-of-component`` (the pointer-doubling /
+path-halving step of classic PRAM connectivity, same device as
+Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014). The jump makes the distance a label travels per round
+roughly double, so a length-k chain converges in O(log k) rounds, not k
+— near-dup stars/cliques still finish in 2–3, and adversarial chains
+are bounded instead of hitting the iteration cap. Labels are
+``localCheckpoint``-ed each round to keep the lineage flat (an
+iterative DataFrame loop otherwise re-plans the whole history each
+round), and the loop STOPS as soon as a round changes nothing.
 
-The driver-side loop only ever touches counts — node labels stay
-distributed throughout.
+Correctness invariants: labels start at self, only ever decrease, and
+never drop below the true component minimum (both the neighbor-min and
+the jump assign some reachable node's current label); at the fixpoint
+every edge's endpoints agree, so all labels in a component equal its
+minimum id. The driver-side loop only ever touches counts — node labels
+stay distributed throughout.
 """
 
 from __future__ import annotations
@@ -59,20 +65,34 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("_nbr"))
         )
-        merged = (
-            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+        merged = labels.join(
+            nbr_min, labels["id"] == nbr_min["a"], "left"
+        ).select(
+            labels["id"],
+            labels["component"].alias("_old"),
+            F.least(
+                labels["component"],
+                F.coalesce(F.col("_nbr"), labels["component"]),
+            ).alias("_c1"),
+        )
+        # pointer jump: component ← component's own (post-min) label.
+        # Component values are always node ids present in the label table,
+        # so the lookup is a plain equi-join; labels only decrease
+        # (ℓ(x) ≤ x throughout), so the jump preserves monotonicity.
+        lookup = merged.select(
+            F.col("id").alias("_jid"), F.col("_c1").alias("_jc")
+        )
+        jumped = (
+            merged.join(lookup, merged["_c1"] == lookup["_jid"], "left")
             .select(
-                labels["id"],
-                labels["component"].alias("_old"),
-                F.least(
-                    labels["component"],
-                    F.coalesce(F.col("_nbr"), labels["component"]),
-                ).alias("component"),
+                "id",
+                "_old",
+                F.coalesce(F.col("_jc"), F.col("_c1")).alias("component"),
             )
             .localCheckpoint()
         )
-        changed = merged.filter(F.col("component") != F.col("_old")).count()
-        labels = merged.drop("_old")
+        changed = jumped.filter(F.col("component") != F.col("_old")).count()
+        labels = jumped.drop("_old")
         if changed == 0:
             return labels
     raise ConvergenceError(

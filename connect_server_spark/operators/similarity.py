@@ -209,19 +209,28 @@ def train_ivf_centroids(
     """Spherical k-means coarse quantizer, FAISS-style: train on a
     BOUNDED sample, assign distributed.
 
-    The sample is the first ``sample_size`` vectors by id — deterministic
-    (no ``sample()`` nondeterminism across retries/partitionings), and at
-    100 TB it is one ``limit`` pull, independent of corpus size. Lloyd's
-    iterations run driver-side in NumPy over ≤ ``sample_size`` rows —
-    training cost is O(sample·nlist·iters), never touches the full
-    corpus; only the (nlist, dim) centroid matrix ships to executors,
-    closure-captured by :func:`ivf_assign_udf`. Empty cells re-seed from
-    the sample (fixed RNG) so every cell stays live.
+    The sample is the ``sample_size`` smallest vectors in **hash order**
+    of the id (``xxhash64``) — deterministic across retries and
+    partitionings (no ``sample()`` nondeterminism) yet
+    distribution-representative: ids at 100 TB correlate with source and
+    ingestion time, so a first-N-by-id sample would train centroids on
+    one corner of the corpus and quietly degrade recall; hashing
+    decorrelates the order from any data-layout structure. Spark runs
+    the order-by-hash + limit as a per-partition top-K and a final merge
+    of K·partitions candidates (TakeOrderedAndProject) — one bounded
+    pull, never a full sort. Lloyd's iterations run driver-side in NumPy
+    over ≤ ``sample_size`` rows — training cost is
+    O(sample·nlist·iters), never touches the full corpus; only the
+    (nlist, dim) centroid matrix ships to executors, closure-captured by
+    :func:`ivf_assign_udf`. Empty cells re-seed from the sample (fixed
+    RNG) so every cell stays live.
     """
     sample = np.array(
         [
             row[0]
-            for row in corpus.orderBy(F.col(corpus_id))
+            for row in corpus.orderBy(
+                F.xxhash64(F.col(corpus_id)), F.col(corpus_id)
+            )
             .limit(sample_size)
             .select(corpus_vec)
             .collect()

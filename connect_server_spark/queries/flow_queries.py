@@ -72,7 +72,23 @@ def flow_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
             hibernate=F.col("decision") == "pending",
             result={"decision": F.col("decision")},
         ),
-        FlowStage("mint_doi", step="ingest_publish", choice=F.col("mint_doi")),
+        # MintDOI + AddDoiToSearchRecord (automate/minimus_mdf_flow.py:316-355):
+        # the minted DOI is written back into the record as
+        # $.dataset_mdata.dc.identifier = {identifierType: 'DOI',
+        # identifier: <doi>} — modeled as the stage's ResultPath payload.
+        # The DOI itself is deterministic from the key (the fixture's
+        # stand-in for the DataCite mint call).
+        FlowStage(
+            "mint_doi",
+            step="ingest_publish",
+            choice=F.col("mint_doi"),
+            result={
+                "identifierType": F.lit("DOI"),
+                "identifier": F.concat(
+                    F.lit("10.00000/mdf."), F.col("c_custkey").cast("string")
+                ),
+            },
+        ),
         FlowStage("search_ingest", step="ingest_search"),
         FlowStage(
             "backup_transfer",
@@ -86,11 +102,20 @@ def flow_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         FlowStage("cleanup", step="ingest_cleanup"),
     ]
     out = run_flow(subs, stages, cancelled_col="cancelled")
+    ran_doi = F.col("mint_doi_result.ran")
     return out.select(
         "c_custkey",
         "status_code",
         "flow_state",
         curation_failure_classifier(F.col("status_code")).alias("is_failure"),
+        # AddDoiToSearchRecord: dc.identifier only exists on rows where the
+        # mint stage actually ran (flow still active AND mint_doi chosen)
+        F.when(ran_doi, F.col("mint_doi_result.identifier")).alias(
+            "dc_identifier"
+        ),
+        F.when(ran_doi, F.col("mint_doi_result.identifierType")).alias(
+            "dc_identifier_type"
+        ),
     )
 
 
@@ -170,7 +195,12 @@ register(
         OR (len(regexp_replace(status_code, 'z+$', '')) > 0
             AND right(regexp_replace(status_code, 'z+$', ''), 1)
                 NOT IN ('S', 'M', 'L'))
-        AS is_failure
+        AS is_failure,
+      CASE WHEN a_curation AND mint_doi
+           THEN '10.00000/mdf.' || CAST(c_custkey AS VARCHAR) END
+        AS dc_identifier,
+      CASE WHEN a_curation AND mint_doi THEN 'DOI' END
+        AS dc_identifier_type
     FROM coded
     """,
 )

@@ -49,8 +49,9 @@ def get_spark(
         # keep file split size at the default 128 MiB so a 100 TB table
         # yields ~800k splits, well within scheduler range.
         .config("spark.sql.parquet.filterPushdown", "true")
-        # events.parquet carries TIMESTAMP(NANOS); Spark reads them as
-        # long nanos (convert with timestamp_nanos_to_ts where needed).
+        # Legacy testdata generations wrote events.ts as TIMESTAMP(NANOS);
+        # this conf lets Spark read those as long nanos (tables.load_events
+        # branches on the dtype). A no-op for current timestamp[us] data.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -16,12 +16,23 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark.errors.exceptions.base import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from connect_server_spark.operators.org import anti_join_insert
 
 __all__ = ["idempotent_append", "search_ingest", "read_search_index"]
+
+
+def _is_path_not_found(exc: AnalysisException) -> bool:
+    """True only for the "the table does not exist yet" read failure.
+
+    Anything else (permissions, corrupt footer, transient storage error)
+    must propagate: treating an arbitrary read failure as "first write"
+    would silently drop the existing data under overwrite semantics."""
+    cond = exc.getErrorClass() or ""
+    return cond.startswith("PATH_NOT_FOUND") or "PATH_NOT_FOUND" in str(exc)
 
 
 def idempotent_append(
@@ -33,8 +44,10 @@ def idempotent_append(
     try:
         existing = spark.read.parquet(path).select(*keys)
         fresh = anti_join_insert(incoming, existing, keys)
-    except Exception:  # first write: nothing to guard against
-        fresh = incoming
+    except AnalysisException as exc:
+        if not _is_path_not_found(exc):
+            raise  # a real read failure must not masquerade as first-write
+        fresh = incoming  # first write: nothing to guard against
     n = fresh.count()
     if n:
         fresh.write.mode("append").parquet(path)
@@ -67,8 +80,12 @@ def search_ingest(
             .localCheckpoint(eager=True)
         )
         out = survivors.unionByName(batch)
-    except Exception:  # first write
-        out = batch
+    except AnalysisException as exc:
+        if not _is_path_not_found(exc):
+            # Overwriting on a transient read failure would drop every
+            # surviving subject in the touched buckets — fail loudly.
+            raise
+        out = batch  # first write
     out.write.mode("overwrite").partitionBy("subject_bucket").parquet(path)
 
 

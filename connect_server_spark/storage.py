@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "write_bucketed",
     "write_partitioned",
+    "write_status_layout",
+    "status_point_read",
     "read_table",
     "salted_collect_set",
 ]
@@ -56,6 +58,59 @@ def write_partitioned(
     scan). The layout for low-cardinality scan keys (lang, date,
     event_type) — bucketing covers high-cardinality JOIN keys."""
     df.write.mode(mode).partitionBy(key).parquet(path)
+
+
+def write_status_layout(
+    df: DataFrame,
+    path: str,
+    hash_key: str,
+    range_key: str,
+    n_buckets: int = 256,
+    mode: str = "overwrite",
+) -> None:
+    """The status table's 100 TB layout: the DynamoDB hash+range-key
+    access pattern (``infra/mdf/modules/dynamo/main.tf:7-8`` — hash key
+    ``source_id``, range key ``version``) mapped to parquet.
+
+    * **hash key** → a ``key_bucket`` partition directory
+      (``pmod(xxhash64(hash_key), n_buckets)``): a point read prunes to
+      1/``n_buckets`` of the table via PartitionFilters before any file
+      opens. Bounded bucket count (not one directory per key) keeps the
+      metastore sane at billions of keys.
+    * **range key** → files sorted by (hash_key, range_key) within each
+      bucket, so parquet row-group min/max stats prune range predicates
+      (the Query-with-range-condition analog) inside the surviving
+      bucket.
+    """
+    (
+        df.withColumn(
+            "key_bucket", F.pmod(F.xxhash64(F.col(hash_key)), F.lit(n_buckets))
+        )
+        .repartition("key_bucket")
+        .sortWithinPartitions(hash_key, range_key)
+        .write.mode(mode)
+        .partitionBy("key_bucket")
+        .parquet(path)
+    )
+
+
+def status_point_read(
+    spark: SparkSession, path: str, hash_key: str, value, n_buckets: int = 256
+) -> DataFrame:
+    """Point read against :func:`write_status_layout`: the bucket
+    predicate is a *foldable* expression (``xxhash64`` of a literal), so
+    Catalyst constant-folds it to a single partition directory and the
+    key equality pushes to the parquet scan — the plan touches one
+    bucket's files, never the table."""
+    df = spark.read.parquet(path)
+    # xxhash64 hashes by physical type: a Python int literal (INT) and a
+    # BIGINT column hash differently — cast the probe to the column type
+    # so the folded bucket equals the written bucket.
+    key = F.lit(value).cast(df.schema[hash_key].dataType)
+    return df.filter(
+        (F.col("key_bucket") == F.pmod(F.xxhash64(key), F.lit(n_buckets)))
+        & (F.col(hash_key) == key)
+    )
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:

@@ -14,7 +14,15 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["TABLES", "default_sf_dir", "load_table", "load_all", "register_views"]
+__all__ = [
+    "TABLES",
+    "default_sf_dir",
+    "load_table",
+    "load_events",
+    "normalize_event_ts",
+    "load_all",
+    "register_views",
+]
 
 TABLES = (
     "region",
@@ -39,26 +47,44 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name not in TABLES:
         raise KeyError(f"unknown table '{name}'; known: {TABLES}")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark can only read
-        # as raw longs. Runtime-settable SQL conf — set it on whatever
-        # session the caller hands us, so reads work for sessions we did
-        # not build (the correctness driver constructs its own).
+        # Older testdata generations wrote events.ts as TIMESTAMP(NANOS),
+        # which Spark can only read as raw longs under this conf; current
+        # generations write timestamp[us], where the conf is a no-op.
+        # Setting it unconditionally keeps reads working either way, on
+        # sessions we did not build (the correctness driver makes its own).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def load_events(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
-    """``events`` with its TIMESTAMP(NANOS) column (read as long nanos —
-    ``spark.sql.legacy.parquet.nanosAsLong``) converted to a usable
-    ``event_ts`` timestamp at microsecond precision."""
+def normalize_event_ts(ev: DataFrame) -> DataFrame:
+    """Add ``event_ts`` (session-tz timestamp) derived from ``ts``.
+
+    The testdata's ``ts`` physical type has changed across generations
+    (TIMESTAMP(NANOS) read as long nanos vs plain ``timestamp[us]``), so
+    branch on the dtype actually read rather than assuming either:
+
+    * timestamp / timestamp_ntz → cast to session-tz timestamp (UTC).
+    * bigint (legacy nanos-as-long) → integer ``div`` to micros, then
+      ``timestamp_micros``. Integer ``div``, not ``/1000``: double
+      division loses sub-µs precision at ~1.7e15 µs (ulp 0.25 µs) and
+      shifts session starts by 1 µs.
+
+    Works on batch and streaming DataFrames alike (pure projection).
+    """
     from pyspark.sql import functions as F
 
-    ev = load_table(spark, "events", sf_dir)
-    # integer `div`, not `/1000`: double division loses sub-µs precision at
-    # ~1.7e15 µs (ulp 0.25 µs) and shifts session starts by 1 µs
-    return ev.withColumn(
-        "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":
+        event_ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        event_ts = F.col("ts").cast("timestamp")
+    return ev.withColumn("event_ts", event_ts)
+
+
+def load_events(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """``events`` with ``ts`` normalized to an ``event_ts`` timestamp
+    (see :func:`normalize_event_ts` for the dtype-robust conversion)."""
+    return normalize_event_ts(load_table(spark, "events", sf_dir))
 
 
 def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

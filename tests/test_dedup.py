@@ -403,6 +403,20 @@ def test_connected_components_raises_instead_of_wrong_labels(spark):
         connected_components(pairs, max_iterations=2)
 
 
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    """A 200-node chain is the adversarial case for plain min-label
+    propagation (needs ~199 rounds). Pointer jumping must converge it
+    well inside the default max_iterations=25 (O(log k) rounds), with
+    labels equal to the brute-force closure (all = min id)."""
+    from connect_server_spark.operators.clustering import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["id_a", "id_b"]
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(201)}
+
+
 def test_assign_clusters_covers_singletons(spark):
     from connect_server_spark.operators.clustering import assign_clusters
 

@@ -112,3 +112,35 @@ def test_ivf_trained_centroids_recall_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_ivf_training_sample_spans_sources(spark):
+    """Ids at scale correlate with source/ingestion time. A corpus whose
+    id ranges are cluster-segregated (ids 0-399 all from cluster A,
+    400-799 all B, ...) must still train centroids that cover every
+    cluster from a sample smaller than one id block — i.e. the sampler
+    must be hash-ordered, not first-N-by-id (which would only ever see
+    cluster A and leave B/C/D to the empty-cell re-seeder)."""
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import train_ivf_centroids
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 16)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for cluster in range(4):  # contiguous id block per source cluster
+        for i in range(400):
+            v = centers[cluster] + 0.05 * rng.randn(16)
+            rows.append((cluster * 400 + i, v.tolist()))
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    # sample (256) < one block (400): first-N-by-id would see only cluster 0
+    cents = train_ivf_centroids(corpus, nlist=8, sample_size=256, iters=8)
+    cents = np.asarray(cents)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    # every source cluster's center must have a nearby trained centroid
+    covered = {int(np.argmax(cents @ c)) for c in centers}
+    best = (cents @ centers.T).max(axis=0)
+    assert (best > 0.9).all(), best
+    assert len(covered) >= 4

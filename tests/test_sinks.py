@@ -1,6 +1,9 @@
 """Tests for the write-path sinks: idempotent append (S8) and
 replace-by-subject search ingest (S9)."""
 
+import pytest
+from pyspark.errors.exceptions.base import AnalysisException
+
 from connect_server_spark.sinks import (
     idempotent_append,
     read_search_index,
@@ -39,3 +42,41 @@ def test_search_ingest_replaces_by_subject(spark, tmp_path):
     rows = {r.subject: r.body for r in read_search_index(spark, path).collect()}
     # s1 replaced, s2 untouched even if it shares a hash bucket
     assert rows == {"s1-1.0": "updated", "s2-1.0": "other"}
+
+
+def test_search_ingest_raises_on_unreadable_existing_index(spark, tmp_path):
+    """A read failure of an EXISTING index must RAISE, not be treated as
+    'first write' — overwriting would drop every surviving subject in the
+    touched buckets.
+
+    Empty directory → AnalysisException (UNABLE_TO_INFER_SCHEMA), the
+    exact class the first-write branch catches: it must still re-raise
+    because the condition is not PATH_NOT_FOUND."""
+    d = tmp_path / "index"
+    d.mkdir()  # exists, but unreadable as a parquet table
+    batch = spark.createDataFrame([("s1-1.0", "x")], ["subject", "body"])
+    with pytest.raises(AnalysisException):
+        search_ingest(batch, str(d), "subject", n_buckets=4)
+
+
+def test_search_ingest_does_not_clobber_corrupt_index(spark, tmp_path):
+    """Corrupt parquet footer → the executor-side SparkException also
+    propagates, and the broken-but-existing data is left untouched for a
+    human to recover rather than silently replaced by the batch."""
+    d = tmp_path / "index"
+    d.mkdir()
+    (d / "part-00000.parquet").write_text("this is not parquet")
+    batch = spark.createDataFrame([("s1-1.0", "x")], ["subject", "body"])
+    with pytest.raises(Exception):
+        search_ingest(batch, str(d), "subject", n_buckets=4)
+    assert (d / "part-00000.parquet").read_text() == "this is not parquet"
+
+
+def test_idempotent_append_raises_on_unreadable_existing_table(spark, tmp_path):
+    d = tmp_path / "status"
+    d.mkdir()  # exists but not a readable table → must raise, not duplicate
+    incoming = spark.createDataFrame(
+        [("a", "1.0", 1)], ["source_id", "version", "payload"]
+    )
+    with pytest.raises(AnalysisException):
+        idempotent_append(spark, incoming, str(d), ["source_id", "version"])

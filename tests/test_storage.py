@@ -43,6 +43,39 @@ def test_bucketed_join_has_no_exchange(spark, no_broadcast):
         spark.sql("DROP TABLE IF EXISTS t_subs_b")
 
 
+def test_status_layout_point_read_prunes_partitions(spark, sf_dir, tmp_path):
+    """The status table's hash+range layout (DynamoDB analog): a point
+    read must (a) constant-fold the bucket hash into a PartitionFilter —
+    pruning to one directory in 1/n_buckets of the table — and (b) push
+    the key equality into the parquet scan, and (c) return exactly the
+    rows a full-scan filter would."""
+    from connect_server_spark.storage import status_point_read, write_status_layout
+    from connect_server_spark.tables import load_table
+
+    orders = load_table(spark, "orders", sf_dir)
+    path = str(tmp_path / "status_layout")
+    write_status_layout(
+        orders, path, hash_key="o_custkey", range_key="o_orderkey", n_buckets=16
+    )
+
+    probe = orders.select("o_custkey").first().o_custkey
+    read = status_point_read(spark, path, "o_custkey", probe, n_buckets=16)
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    # bucket predicate folded to a literal partition filter
+    part_section = plan.split("PartitionFilters")[1][:200]
+    assert "key_bucket" in part_section, plan
+    assert "xxhash64" not in part_section, part_section  # folded, not runtime
+    # key equality pushed to the parquet reader
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "o_custkey" in pushed, plan
+
+    want = sorted(
+        r.o_orderkey for r in orders.filter(F.col("o_custkey") == probe).collect()
+    )
+    got = sorted(r.o_orderkey for r in read.collect())
+    assert got == want and len(got) > 0
+
+
 def test_salted_collect_set_matches_unsalted(spark):
     df = spark.createDataFrame(
         [("hot", f"u{i % 7}") for i in range(200)] + [("cold", "u1")],

@@ -12,12 +12,13 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _event_stream(spark):
+    from connect_server_spark.tables import normalize_event_ts
+
     schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
-    return (
+    return normalize_event_ts(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(SF_DIR)
-        .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
 
@@ -56,6 +57,32 @@ def test_tumbling_window_stream_matches_batch(spark):
     expected = {
         (r.window_start, r.event_type): r.n_events
         for r in tumbling_counts(load_events(spark, SF_DIR)).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_session_window_stream_matches_batch(spark):
+    """T6 gate: gap-based session windows computed incrementally
+    (readStream + watermark) must equal the oracle-gated batch result."""
+    from connect_server_spark.streaming.windows import session_counts
+    from connect_server_spark.tables import load_events
+
+    streamed = session_counts(_event_stream(spark), watermark="1 hour")
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.session_start, r.user_id): r.n_events
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    expected = {
+        (r.session_start, r.user_id): r.n_events
+        for r in session_counts(load_events(spark, SF_DIR)).collect()
     }
     assert got == expected and len(got) > 0
 
