@@ -48,10 +48,16 @@ def connected_components(
     """(id, component) for every node appearing in ``pairs``, where
     ``component`` is the minimum node id reachable through the pair
     graph — deterministic, engine-independent labels."""
+    # Materialize the edge list ONCE: every round re-references it, and
+    # without the checkpoint each iteration would re-run the entire
+    # upstream candidate-pair pipeline (MinHash, prefix filtering, ...)
+    # — the iterative loop must iterate over edges, not over the plan
+    # that produced them.
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("a").alias("id"))
