@@ -25,6 +25,7 @@ __all__ = [
     "write_partitioned",
     "write_status_layout",
     "status_point_read",
+    "compact",
     "read_table",
     "salted_collect_set",
 ]
@@ -111,6 +112,39 @@ def status_point_read(
         (F.col("key_bucket") == F.pmod(F.xxhash64(key), F.lit(n_buckets)))
         & (F.col(hash_key) == key)
     )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    shuffle: bool = False,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files.
+
+    Streaming sinks and idempotent appends accrete small files (every
+    micro-batch / retry writes its own); at 100 TB the resulting
+    footer-read and task-scheduling overhead dominates scan cost, so
+    periodic compaction is part of the table lifecycle. The new file
+    count is ``ceil(bytes_on_disk / target)``; ``shuffle=False`` uses
+    ``coalesce`` (no data movement — merges co-located files),
+    ``shuffle=True`` uses ``repartition`` for evenly-sized output when
+    the inputs are badly skewed. The data is checkpointed before the
+    overwrite to sever lineage from the path being rewritten. For
+    hive-partitioned layouts compact each partition directory.
+
+    Returns the new file count.
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    size = fs.getContentSummary(jpath).getLength()
+    n = max(1, math.ceil(size / target_file_bytes))
+    out = df.repartition(n) if shuffle else df.coalesce(n)
+    out.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    return n
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:

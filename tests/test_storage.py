@@ -76,6 +76,69 @@ def test_status_layout_point_read_prunes_partitions(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_aqe_splits_skewed_join(spark):
+    """The skew story for big fact-fact joins: one hot key (a dominant
+    org/source) must not serialize the join onto one reducer — AQE's
+    runtime skew-join splitting handles it without salting. Asserted on
+    the finalized adaptive plan (SortMergeJoin(skew=true))."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        # shrink thresholds so test-sized data exhibits "skew"
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        left = spark.range(0, 300000).select(
+            F.when(F.col("id") % 3 == 0, 0)
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = left.join(right, "k")
+        assert len(joined.collect()) == 300000
+        # executedPlan AFTER execution = the finalized adaptive plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    """Micro-batch sinks accrete small files; compaction must rewrite to
+    the size-targeted count without changing the data."""
+    from connect_server_spark.storage import compact
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    )
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    import glob
+
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 64
+    # huge target → everything folds into one file
+    n = compact(spark, path, target_file_bytes=1 << 30)
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert n == 1 and len(files) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg(F.sum("id")).first()[0] == sum(range(10000))
+
+
 def test_salted_collect_set_matches_unsalted(spark):
     df = spark.createDataFrame(
         [("hot", f"u{i % 7}") for i in range(200)] + [("cold", "u1")],

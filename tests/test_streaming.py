@@ -61,6 +61,32 @@ def test_tumbling_window_stream_matches_batch(spark):
     assert got == expected and len(got) > 0
 
 
+def test_sliding_window_stream_matches_batch(spark):
+    """T6 gate: 1h/30min sliding value sums computed incrementally must
+    equal the oracle-gated batch result."""
+    from connect_server_spark.streaming.windows import sliding_value_sums
+    from connect_server_spark.tables import load_events
+
+    streamed = sliding_value_sums(_event_stream(spark))
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName("sliding")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.window_start: r.value_cents
+        for r in spark.sql("SELECT * FROM sliding").collect()
+    }
+    expected = {
+        r.window_start: r.value_cents
+        for r in sliding_value_sums(load_events(spark, SF_DIR)).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
 def test_session_window_stream_matches_batch(spark):
     """T6 gate: gap-based session windows computed incrementally
     (readStream + watermark) must equal the oracle-gated batch result."""
