@@ -26,6 +26,10 @@ __all__ = [
     "punct_ratio",
     "quality_score",
     "doc_fingerprint",
+    "dup_line_ratio",
+    "top_ngram_share",
+    "pii_flags",
+    "pii_scrub",
 ]
 
 # Tiny per-language stopword inventories (n-gram-heuristic stand-in; a
@@ -137,6 +141,125 @@ def quality_score(text: Column) -> Column:
     b = F.round(F.least(mean_word_length(text) / 8.0, F.lit(1.0)) * 1e6, 0).cast("long")
     c = F.round((1.0 - F.least(punct_ratio(text) * 4.0, F.lit(1.0))) * 1e6, 0).cast("long")
     return a * 4 + b * 3 + c * 3
+
+
+def dup_line_ratio(text: Column) -> Column:
+    """Fraction of lines that are duplicates of an earlier line —
+    the Gopher-style repetition signal (Rae et al., 2021, "Scaling
+    Language Models: ... Gopher", repetition filters §A1.3). Template
+    spam and scraped boilerplate score high; prose scores ~0. Pure
+    array expressions: split on newlines, trim, drop empties, compare
+    distinct count against total."""
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: F.length(ln) > 0,
+    )
+    return let_col(
+        lines,
+        lambda ls: F.round(
+            (F.size(ls) - F.size(F.array_distinct(ls))).cast("double")
+            / F.greatest(F.size(ls), F.lit(1)),
+            6,
+        ),
+    )
+
+
+def top_ngram_share(text: Column, n: int = 2) -> Column:
+    """Share of the document's n-grams taken by its single most frequent
+    n-gram (the other Gopher repetition axis: a high top-2-gram share
+    marks keyword-stuffed / looping text). Computed without a shuffle:
+    per-row sort of the RAW n-gram list (``word_shingles`` dedups — right
+    for Jaccard sets, wrong for frequencies), then the most-frequent
+    count = the longest run of equal neighbors via a (best, current)
+    struct fold over the indices — whole-stage codegen, no UDF.
+
+    The grams are reduced to ``xxhash64`` longs before the sort: run
+    detection only needs equality, and sorting 8-byte ints beats sorting
+    n-word strings ~2× on long documents (a 64-bit collision inside one
+    document is ~1e-13 at 10⁴ grams — far below any engine's float
+    noise)."""
+
+    def raw_ngrams(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        grams = F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(toks, (i + j + 1).cast("int"))
+                        for j in range(n)
+                    ],
+                )
+            ),
+        )
+        return F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    def share(sorted_grams: Column) -> Column:
+        size = F.size(sorted_grams)
+        run = F.aggregate(
+            F.sequence(F.lit(2), size),  # guarded: only reached if size>=2
+            F.struct(F.lit(1).alias("best"), F.lit(1).alias("cur")),
+            lambda acc, i: let_col(
+                F.when(
+                    F.element_at(sorted_grams, i)
+                    == F.element_at(sorted_grams, i - 1),
+                    acc["cur"] + 1,
+                ).otherwise(F.lit(1)),
+                lambda cur: F.struct(
+                    F.greatest(acc["best"], cur).alias("best"),
+                    cur.alias("cur"),
+                ),
+            ),
+        )["best"]
+        return (
+            F.when(size <= 0, F.lit(0.0))
+            .when(size == 1, F.lit(1.0))
+            .otherwise(F.round(run.cast("double") / size, 6))
+        )
+
+    return let_col(
+        F.array_sort(let_col(tokens(text), raw_ngrams)), share
+    )
+
+
+# PII patterns: deliberately conservative/auditable regexes — emails,
+# 13-16-digit card-like numbers, international-ish phone numbers. A
+# production pass plugs richer recognizers into the same columns.
+# ORDER IS LOAD-BEARING: emails before numbers, cards before phones (a
+# spaced card number is a perfectly valid match for the phone pattern).
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("card", r"\b(?:\d[ -]?){12,15}\d\b"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d"),
+)
+
+
+def pii_flags(text: Column) -> Column:
+    """Struct of per-category PII hit counts — the audit column a
+    curation pipeline filters or routes on. Each category counts on the
+    text with earlier categories already removed, so a card number is
+    never double-counted as a phone number."""
+    cols = []
+    cur = text
+    for name, pat in _PII_PATTERNS:
+        cols.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).alias(name)
+        )
+        cur = F.regexp_replace(cur, pat, " ")
+    return F.struct(*cols)
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact PII in place with typed placeholders (``<EMAIL>`` ...).
+    Pure ``regexp_replace`` chain in `_PII_PATTERNS` order — scan-stage,
+    no UDF."""
+    out = text
+    for name, pat in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
 
 
 def doc_fingerprint(text: Column) -> Column:

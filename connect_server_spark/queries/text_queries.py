@@ -10,12 +10,15 @@ from connect_server_spark.operators.text import (
     STOPWORDS,
     alnum_token_count,
     doc_fingerprint,
+    dup_line_ratio,
     language_id,
     mean_word_length,
+    pii_flags,
     punct_ratio,
     quality_score,
     stopword_ratio,
     token_count,
+    top_ngram_share,
 )
 from connect_server_spark.registry import register
 from connect_server_spark.tables import load_table
@@ -24,6 +27,7 @@ from connect_server_spark.tables import load_table
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     t = F.col("text")
+    pii = pii_flags(t)
     return docs.select(
         "doc_id",
         token_count(t).alias("n_tokens"),
@@ -34,6 +38,11 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         punct_ratio(t).alias("punct_ratio"),
         quality_score(t).alias("quality_e7"),
         doc_fingerprint(t).alias("fingerprint"),
+        dup_line_ratio(t).alias("dup_line_ratio"),
+        top_ngram_share(t, 2).alias("top2gram_share"),
+        pii["email"].alias("pii_email"),
+        pii["card"].alias("pii_card"),
+        pii["phone"].alias("pii_phone"),
     )
 
 
@@ -58,6 +67,10 @@ _LANG_CASE = f"""
       ELSE 'und' END
 """
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_CARD = r"\b(?:\d[ -]?){12,15}\d\b"
+_PII_PHONE = r"\+?\d[\d\s().-]{7,}\d"
+
 register(
     "text_analysis",
     text_analysis,
@@ -66,6 +79,18 @@ register(
       SELECT doc_id, text,
              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
       FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, concat_ws(' ', w[i], w[i + 1]) AS g
+      FROM toks, unnest(range(1, len(w))) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    gcnt AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+    ),
+    gtop AS (
+      SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top2
+      FROM gcnt GROUP BY doc_id
     ),
     scored AS (
       SELECT *,
@@ -77,11 +102,13 @@ register(
         round(list_sum(list_transform(w, t -> CAST(len(t) AS DOUBLE)))
               / greatest(len(w), 1), 6) AS mwl,
         round(CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
-              / greatest(len(text), 1), 6) AS pr
+              / greatest(len(text), 1), 6) AS pr,
+        list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                    x -> len(x) > 0) AS ls
       FROM toks
     )
     SELECT
-      doc_id,
+      s.doc_id,
       len(w) AS n_tokens,
       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_alnum_tokens,
       {_LANG_CASE} AS lang_guess,
@@ -96,8 +123,18 @@ register(
         list_prepend(CAST(0 AS BIGINT),
                      list_transform(w, t -> CAST(ascii(t) + len(t) AS BIGINT))),
         (acc, x) -> (acc * 31 + x) % 1000000007
-      ) AS fingerprint
-    FROM scored
+      ) AS fingerprint,
+      round(CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+            / greatest(len(ls), 1), 6) AS dup_line_ratio,
+      coalesce(g.top2, 0.0) AS top2gram_share,
+      len(regexp_extract_all(text, '{_PII_EMAIL}')) AS pii_email,
+      len(regexp_extract_all(regexp_replace(text, '{_PII_EMAIL}', ' ', 'g'),
+                             '{_PII_CARD}')) AS pii_card,
+      len(regexp_extract_all(
+            regexp_replace(regexp_replace(text, '{_PII_EMAIL}', ' ', 'g'),
+                           '{_PII_CARD}', ' ', 'g'),
+            '{_PII_PHONE}')) AS pii_phone
+    FROM scored s LEFT JOIN gtop g ON s.doc_id = g.doc_id
     """,
 )
 

@@ -47,6 +47,46 @@ def test_fingerprint_order_sensitive(spark):
     assert a == c and a != b
 
 
+def test_dup_line_ratio(spark):
+    from connect_server_spark.operators.text import dup_line_ratio
+
+    spam = "buy now\nbuy now\nbuy now\nlimited offer"
+    assert _one(spark, spam, dup_line_ratio) == 0.5  # 2 dup lines of 4
+    prose = "first line\nsecond line\nthird line"
+    assert _one(spark, prose, dup_line_ratio) == 0.0
+    # blank lines are ignored, trailing whitespace is trimmed
+    assert _one(spark, "a\n\n a \n\nb", dup_line_ratio) == round(1 / 3, 6)
+
+
+def test_top_ngram_share(spark):
+    from connect_server_spark.operators.text import top_ngram_share
+
+    looped = "spam ham spam ham spam ham spam"  # 'spam ham' 2-gram x3 of 6
+    assert _one(spark, looped, top_ngram_share) == 0.5
+    varied = "one two three four five six"
+    assert _one(spark, varied, top_ngram_share) == round(1 / 5, 6)
+    # degenerate: one 2-gram -> share 1, no shingles -> 0
+    assert _one(spark, "just two", top_ngram_share) == 1.0
+    assert _one(spark, "solo", top_ngram_share) == 0.0
+
+
+def test_pii_flags_and_scrub(spark):
+    from connect_server_spark.operators.text import pii_flags, pii_scrub
+
+    text = (
+        "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567; "
+        "card 4111 1111 1111 1111 expires soon"
+    )
+    flags = _one(spark, text, pii_flags)
+    assert flags.email == 1 and flags.phone >= 1 and flags.card >= 1
+    scrubbed = _one(spark, text, pii_scrub)
+    assert "<EMAIL>" in scrubbed and "<PHONE>" in scrubbed and "<CARD>" in scrubbed
+    assert "example.co.uk" not in scrubbed
+    assert "4111" not in scrubbed
+    clean = _one(spark, "no contact details in this text", pii_scrub)
+    assert clean == "no contact details in this text"
+
+
 def test_decontaminate_drops_leaking_docs(spark):
     from connect_server_spark.operators.curation import (
         contaminated_ids,
