@@ -305,10 +305,24 @@ def submissions_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("FAILED"))
         .alias("flow_status"),
     )
+    latest = latest_per_key(
+        status,
+        "source_id",
+        "version",
+        payload=[
+            "submitter", "title", "submission_time", "test", "flow_status",
+        ],
+        tiebreakers=["o_orderkey"],
+    )
+    scoped = latest.filter(F.col("submitter") == "u5")  # P11 user scope
     # Lossless raw retention (``aws/submit.py:299-312``): the status row
     # carries the original submission doc verbatim; the read path returns
-    # it so a failed flow can be replayed from status alone.
-    status = status.withColumn(
+    # it so a failed flow can be replayed from status alone. It is a
+    # deterministic function of fields the aggregate already carries, so
+    # it is (re)built AFTER latest-resolution + user scoping — JSON for
+    # the result rows only, never materialized for (or shuffled with)
+    # every status row.
+    scoped = scoped.withColumn(
         "original_submission",
         F.to_json(
             F.struct(
@@ -317,17 +331,6 @@ def submissions_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    latest = latest_per_key(
-        status,
-        "source_id",
-        "version",
-        payload=[
-            "submitter", "title", "submission_time", "test", "flow_status",
-            "original_submission",
-        ],
-        tiebreakers=["o_orderkey"],
-    )
-    scoped = latest.filter(F.col("submitter") == "u5")  # P11 user scope
     return scoped.select(
         "source_id",
         "version",
