@@ -40,6 +40,48 @@ ARROW_BOUNDARY_OK = {
 }
 
 
+# Shuffle budget per query: the number of Exchange nodes (excluding
+# ReusedExchange) each plan is ALLOWED — pinned at the current audited
+# counts so any change that adds a shuffle fails loudly and has to be
+# justified here. Scans/pure projections are 0 by design; versioned
+# reads pay their agg + final ordering; the dedup/curation composites
+# document their multi-stage pipelines. (Queries absent from the map
+# default to 0.)
+SHUFFLE_BUDGET = {
+    "latest_version_probes": 2,
+    "latest_status_join": 2,
+    "version_existence_probe": 2,
+    "submissions_read_path": 1,
+    "events_grouping_sets": 2,
+    "org_resolve": 3,
+    "org_parent_rules": 2,
+    "status_insert_guard": 2,
+    "dedup_exact": 1,
+    "dedup_neardup_minhash": 5,
+    "dedup_clusters": 6,
+    "dedup_ngram_jaccard": 10,
+    "dedup_neardup_embedding": 1,
+    "similarity_topk_exact": 2,
+    "corpus_curation": 8,
+    "submit_pipeline": 5,
+    "validator_dataset_size": 1,
+    "validator_feedstock": 1,
+    "validator_submitters": 3,
+    "extract_crystal": 3,
+    "extract_grouped": 1,
+    "status_poll": 1,
+    "events_time_windows": 2,
+    "events_session_windows": 1,
+    "transfer_manifest": 3,
+    "version_reset_rule": 2,
+    "submission_rollup": 3,
+    "dedup_neardup_simhash": 3,
+    "dedup_neardup_embedding_lsh": 4,
+    "similarity_topk_ann": 3,
+    "similarity_topk_ivf": 2,
+}
+
+
 def _plan(spark, sf_dir, name: str) -> str:
     df = _QUERIES[name](spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
@@ -58,3 +100,15 @@ def test_plan_scale_invariants(spark, sf_dir, name):
     if name not in ARROW_BOUNDARY_OK:
         for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
             assert node not in plan, f"{name}: undeclared Python boundary {node}"
+    # Shuffle-count ceiling: a new Exchange is a scale regression unless
+    # the budget is consciously raised alongside the plan change.
+    n_exchange = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "ReusedExchange" not in line
+    )
+    budget = SHUFFLE_BUDGET.get(name, 0)
+    assert n_exchange <= budget, (
+        f"{name}: {n_exchange} shuffles > budget {budget} — if intended, "
+        "raise SHUFFLE_BUDGET with a justification"
+    )
