@@ -87,6 +87,54 @@ def test_pii_flags_and_scrub(spark):
     assert clean == "no contact details in this text"
 
 
+def test_text_metric_invariants_on_adversarial_corpus(spark):
+    """Range/idempotence invariants over a seeded corpus of edge cases:
+    empties, whitespace, newline soup, unicode, heavy repetition, PII.
+    One Spark job for the whole batch."""
+    import random
+
+    from connect_server_spark.operators.text import (
+        dup_line_ratio,
+        pii_flags,
+        pii_scrub,
+        quality_score,
+        top_ngram_share,
+    )
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "x1", "café", "Ω", "a@b.io", "42"]
+    rows = [
+        "", " ", "\n\n\n", "one", "a b", "same\nsame\nsame",
+        "no newline just words " * 30,
+        "spam ham " * 50,
+        "é ü ñ 漢字 emoji ☃",
+        "reach me: bob@corp.example and +44 20 7946 0958",
+        "cards 4111 1111 1111 1111 and 5500-0000-0000-0004",
+    ] + [
+        " ".join(rng.choice(words) for _ in range(rng.randint(0, 40)))
+        + ("\n" * rng.randint(0, 3))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(rows)], ["i", "t"])
+    t = F.col("t")
+    out = df.select(
+        "i",
+        dup_line_ratio(t).alias("dlr"),
+        top_ngram_share(t, 2).alias("tgs"),
+        quality_score(t).alias("q"),
+        pii_flags(pii_scrub(t)).alias("flags_after_scrub"),
+        (pii_scrub(pii_scrub(t)) == pii_scrub(t)).alias("scrub_idempotent"),
+    ).collect()
+    for r in out:
+        assert 0.0 <= r.dlr <= 1.0, (r.i, r.dlr)
+        assert 0.0 <= r.tgs <= 1.0, (r.i, r.tgs)
+        assert 0 <= r.q <= 10_000_000, (r.i, r.q)
+        assert r.flags_after_scrub.email == 0, r.i
+        assert r.flags_after_scrub.card == 0, r.i
+        assert r.flags_after_scrub.phone == 0, r.i
+        assert r.scrub_idempotent, r.i
+
+
 def test_decontaminate_drops_leaking_docs(spark):
     from connect_server_spark.operators.curation import (
         contaminated_ids,
