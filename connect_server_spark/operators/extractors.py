@@ -105,6 +105,78 @@ def composition_elements(
     return toks.groupBy(key_col, "element").agg(F.sum("cnt").alias("cnt"))
 
 
+def stoichiometry_struct(comp: Column) -> Column:
+    """Per-ROW anonymized stoichiometry: a struct
+    ``(stoichiometry, number_of_atoms)`` computed entirely with array
+    expressions — no explode, no shuffle, so a CIF extractor over 100 TB
+    of compositions stays in the scan stage. Same semantics as
+    :func:`anonymized_stoichiometry` (which groups exploded element rows
+    and also feeds the A6 element-derivation path): repeated element
+    tokens summed, counts GCD-reduced, sorted ascending, lettered A, B,
+    C, … with count 1 omitted. Compositions have ≤ ~10 distinct
+    elements, so the O(distinct × tokens) per-row fold is trivial."""
+    from connect_server_spark.functions.expr import let_col
+
+    toks = F.regexp_extract_all(comp, F.lit(r"([A-Z][a-z]?[0-9]*)"), 1)
+
+    def elem(t: Column) -> Column:
+        return F.regexp_extract(t, r"^([A-Za-z]+)", 1)
+
+    def cnt(t: Column) -> Column:
+        return F.coalesce(
+            F.nullif(F.regexp_extract(t, r"([0-9]+)$", 1), F.lit("")),
+            F.lit("1"),
+        ).cast("long")
+
+    def build(ts: Column) -> Column:
+        # parse each token ONCE into (element, count); the distinct×tokens
+        # summing fold then touches only parsed structs, never a regex
+        pairs = F.transform(
+            ts, lambda t: F.struct(elem(t).alias("e"), cnt(t).alias("c"))
+        )
+
+        def sum_counts(ps: Column) -> Column:
+            per_elem = F.transform(
+                F.array_distinct(F.transform(ps, lambda p: p["e"])),
+                lambda e: F.aggregate(
+                    ps,
+                    F.lit(0).cast("long"),
+                    lambda acc, p: acc
+                    + F.when(p["e"] == e, p["c"]).otherwise(0),
+                ),
+            )
+            return let_col(F.array_sort(per_elem), _stoich_from_counts)
+
+        return let_col(pairs, sum_counts)
+
+    return let_col(toks, build)
+
+
+def _stoich_from_counts(counts: Column) -> Column:
+    """(stoichiometry, number_of_atoms) from ascending per-element counts."""
+    gcd = F.array_max(
+        F.filter(
+            F.sequence(F.lit(1).cast("long"), F.element_at(counts, 1)),
+            lambda d: F.forall(counts, lambda c: c % d == 0),
+        )
+    )
+    reduced = F.transform(counts, lambda c: (c / gcd).cast("long"))
+    stoich = F.array_join(
+        F.transform(
+            reduced,
+            lambda c, i: F.concat(
+                F.char(F.lit(65) + i),
+                F.when(c == 1, F.lit("")).otherwise(c.cast("string")),
+            ),
+        ),
+        "",
+    )
+    atoms = F.aggregate(counts, F.lit(0).cast("long"), lambda a, c: a + c)
+    return F.struct(
+        stoich.alias("stoichiometry"), atoms.alias("number_of_atoms")
+    )
+
+
 def anonymized_stoichiometry(
     df: DataFrame, key_col: str, comp_col: str
 ) -> DataFrame:

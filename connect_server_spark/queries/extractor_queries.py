@@ -156,10 +156,17 @@ def extract_crystal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(70.0) + F.col("p_partkey") % 30).alias("_be"),
         (F.lit(80.0) + F.col("p_partkey") % 20).alias("_ga"),
     )
-    stoich = anonymized_stoichiometry(base, "p_partkey", "composition")
-    vols = base.select(
+    # Per-row stoichiometry expression: the whole extractor is one
+    # projection in the scan stage — zero shuffles (was explode +
+    # groupBy + join = 3).
+    from connect_server_spark.operators.extractors import stoichiometry_struct
+
+    st = stoichiometry_struct(F.col("composition"))
+    return base.select(
         "p_partkey",
         "composition",
+        st["stoichiometry"].alias("stoichiometry"),
+        st["number_of_atoms"].alias("number_of_atoms"),
         F.round(
             cell_volume(
                 F.col("_a"), F.col("_b"), F.col("_c"),
@@ -167,9 +174,6 @@ def extract_crystal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("volume"),
-    )
-    return vols.join(stoich, "p_partkey").select(
-        "p_partkey", "composition", "stoichiometry", "number_of_atoms", "volume"
     )
 
 

@@ -67,7 +67,6 @@ SHUFFLE_BUDGET = {
     "validator_dataset_size": 1,
     "validator_feedstock": 1,
     "validator_submitters": 3,
-    "extract_crystal": 3,
     "extract_grouped": 1,
     "status_poll": 1,
     "events_time_windows": 2,
