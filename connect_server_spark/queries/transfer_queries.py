@@ -4,7 +4,7 @@ F5, F8, F11, A3, A8, O3)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from connect_server_spark.functions.source_ids import split_source_id
@@ -70,8 +70,17 @@ def transfer_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("globus://"), F.col("u.origin_id"), F.col("u.origin_path"))
         ).alias("app_link"),
     )
-    check = single_endpoint_check(items, "dataset_id", "origin_id")
-    return items.join(check, "dataset_id").select(
+    # Per-dataset endpoint invariant via a window over the SAME shuffle
+    # the items already need — one Exchange, not agg + join-back (three).
+    # Groups are bounded (≤ 7 lines/dataset), so the windowed
+    # collect_list holds a handful of 36-char ids, never a hot key.
+    # `single_endpoint_check` (operators/transfer.py) stays as the
+    # relational form for standalone use.
+    w = Window.partitionBy("dataset_id")
+    n_endpoints = F.size(
+        F.array_distinct(F.collect_list("origin_id").over(w))
+    ).cast("long")
+    return items.select(
         "dataset_id",
         "l_linenumber",
         "origin_id",
@@ -79,8 +88,8 @@ def transfer_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("item.destination_path").alias("destination_path"),
         F.col("item.recursive").alias("recursive"),
         "app_link",
-        "n_endpoints",
-        "endpoints_ok",
+        n_endpoints.alias("n_endpoints"),
+        (n_endpoints == 1).alias("endpoints_ok"),
     )
 
 

@@ -71,7 +71,7 @@ SHUFFLE_BUDGET = {
     "status_poll": 1,
     "events_time_windows": 2,
     "events_session_windows": 1,
-    "transfer_manifest": 3,
+    "transfer_manifest": 1,
     "version_reset_rule": 2,
     "submission_rollup": 3,
     "dedup_neardup_simhash": 3,
