@@ -3,7 +3,7 @@ fully oracle-gated (every operator is pure arithmetic/string logic)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from connect_server_spark.operators.text import (
@@ -176,12 +176,14 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("n_tok").between(_TOK_LO, _TOK_HI)
         & (F.col("lang_pred") != "und")
     )
-    canon = (
-        kept.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("_d"))
-        .groupBy("_d")
-        .agg(F.min("doc_id").alias("doc_id"))
+    # canonical-per-digest via a window on the digest: one shuffle
+    # (bounded groups — copies of one text), not agg + join-back
+    w = Window.partitionBy(F.md5(normalize_text(F.col("text"))))
+    deduped = (
+        kept.withColumn("_min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_min_id"))
+        .drop("_min_id")
     )
-    deduped = kept.join(canon, "doc_id")
     bench = docs.filter(F.col("doc_id") % 41 == 0).select("text")
     decon = decontaminate(deduped, bench, "doc_id", "text", "text", n=6)
     frac = F.when(

@@ -62,7 +62,7 @@ SHUFFLE_BUDGET = {
     "dedup_ngram_jaccard": 10,
     "dedup_neardup_embedding": 1,
     "similarity_topk_exact": 2,
-    "corpus_curation": 8,
+    "corpus_curation": 6,
     "submit_pipeline": 5,
     "validator_dataset_size": 1,
     "validator_feedstock": 1,
