@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 
 from connect_server_spark.operators.org import anti_join_insert
 
-__all__ = ["idempotent_append", "search_ingest", "read_search_index"]
+__all__ = [
+    "idempotent_append",
+    "search_ingest",
+    "read_search_index",
+    "write_feedstock",
+    "read_feedstock",
+]
 
 
 def _is_path_not_found(exc: AnalysisException) -> bool:
@@ -91,3 +97,23 @@ def search_ingest(
 
 def read_search_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("subject_bucket")
+
+
+def write_feedstock(df: DataFrame, path: str) -> None:
+    """Feedstock sink: the validator's scroll_id-addressed record stream
+    (``tests/test_validator.py:165-247``) as newline-delimited JSON — the
+    artifact the flow's SearchIngest step pulls over HTTPS
+    (``automate/mdf_flow_def.json:102,302-303``). Partitioned JSONL: the
+    write stays distributed (one file per task), and ``scroll_id`` stays
+    the record address, independent of file layout."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_feedstock(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read a feedstock directory back. Pass ``schema`` to pin field
+    types (JSONL carries no schema of its own); without it Spark infers,
+    which is fine for the self-written artifact."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

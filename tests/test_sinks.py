@@ -72,6 +72,48 @@ def test_search_ingest_does_not_clobber_corrupt_index(spark, tmp_path):
     assert (d / "part-00000.parquet").read_text() == "this is not parquet"
 
 
+def test_feedstock_roundtrip_into_search_ingest(spark, tmp_path):
+    """§3.2 ingest leg end-to-end: validator feedstock (A7) → JSONL
+    feedstock artifact → search index keyed by (dataset, scroll_id)
+    subject — the validate→feedstock→SearchIngest chain of the flow
+    (automate/mdf_flow_def.json SearchIngest pulls the feedstock)."""
+    from pyspark.sql import functions as F
+
+    from connect_server_spark.operators.validator import feedstock
+    from connect_server_spark.sinks import read_feedstock, write_feedstock
+
+    datasets = spark.createDataFrame([("ds1",), ("ds2",)], ["source_id"])
+    records = spark.createDataFrame(
+        [("ds1", 10), ("ds1", 30), ("ds1", 20), ("ds2", 5)],
+        ["source_id", "rec_id"],
+    )
+    fs = feedstock(datasets, records, "source_id", "rec_id")
+    fpath = str(tmp_path / "feedstock")
+    write_feedstock(fs, fpath)
+    back = read_feedstock(spark, fpath)
+    # scroll ids survive the JSONL roundtrip: header 0 + contiguous 1..N
+    got = {
+        (r.source_id, r.scroll_id): (r.resource_type, r.record_ref)
+        for r in back.collect()
+    }
+    assert got[("ds1", 0)] == ("dataset", None)
+    assert got[("ds1", 1)] == ("record", 10)
+    assert got[("ds1", 2)] == ("record", 20)
+    assert got[("ds1", 3)] == ("record", 30)
+    assert got[("ds2", 1)] == ("record", 5)
+
+    # and the feedstock lands in the search index by composite subject
+    ipath = str(tmp_path / "index")
+    subj = back.withColumn(
+        "subject",
+        F.concat_ws("/", "source_id", F.col("scroll_id").cast("string")),
+    )
+    search_ingest(subj, ipath, "subject", n_buckets=4)
+    rows = read_search_index(spark, ipath)
+    assert rows.count() == 6  # 2 dataset headers + 4 records
+    assert rows.filter(F.col("resource_type") == "dataset").count() == 2
+
+
 def test_idempotent_append_raises_on_unreadable_existing_table(spark, tmp_path):
     d = tmp_path / "status"
     d.mkdir()  # exists but not a readable table → must raise, not duplicate
