@@ -52,8 +52,11 @@ HEADLINE = [
     "submit_pipeline",
     "flow_execute",
     "validator_feedstock",
+    "transfer_manifest",
     "extract_crystal",
     "extract_tdb",
+    "extract_doc_props",
+    "multimodal_frame_sample",
     "status_poll",
     "events_time_windows",
     "events_session_windows",
