@@ -417,6 +417,41 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
     assert got == {i: 0 for i in range(201)}
 
 
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Pointer-jumped propagation vs an in-process union-find on seeded
+    random graphs of varying density — every node's label must equal the
+    min id of its component, for shapes no fixture anticipates."""
+    import random
+
+    from connect_server_spark.operators.clustering import connected_components
+
+    rng = random.Random(23)
+    for n_nodes, n_edges in [(30, 10), (40, 40), (25, 80)]:
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        in_graph = {v for e in edges for v in e}
+        expected = {v: find(v) for v in in_graph}
+
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r.id: r.component for r in connected_components(pairs).collect()}
+        assert got == expected, (n_nodes, n_edges)
+
+
 def test_assign_clusters_covers_singletons(spark):
     from connect_server_spark.operators.clustering import assign_clusters
 
