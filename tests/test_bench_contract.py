@@ -1,0 +1,38 @@
+"""bench.py contract guards (no Spark needed — pure registry checks)."""
+
+import bench
+
+import __spark_entry__ as entry_mod
+
+
+def test_headline_names_all_registered():
+    """bench silently skips unknown names (`if n in queries`): a typo'd
+    or renamed headline entry would vanish from the round's evidence
+    without failing anything — pin every name to the registry."""
+    registered = set(entry_mod.queries())
+    missing = [n for n in bench.HEADLINE if n not in registered]
+    assert not missing, f"headline entries not in registry: {missing}"
+
+
+def test_headline_has_no_duplicates():
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+def test_headline_covers_every_operator_family():
+    """One representative per family that matters at scale — if a family
+    disappears from the headline, its perf regressions go unmeasured."""
+    families = {
+        "scan": ["scan_status_read_path"],
+        "versioned": ["latest_version_probes", "latest_status_join"],
+        "dedup": ["dedup_exact", "dedup_neardup_minhash", "dedup_clusters"],
+        "similarity": ["similarity_topk_exact"],
+        "text": ["text_analysis", "corpus_curation"],
+        "pipeline": ["submit_pipeline", "flow_execute"],
+        "transfer": ["transfer_manifest"],
+        "extract": ["extract_crystal", "extract_doc_props"],
+        "multimodal": ["multimodal_frame_sample"],
+        "streaming": ["events_time_windows", "events_session_windows"],
+    }
+    headline = set(bench.HEADLINE)
+    for family, members in families.items():
+        assert headline & set(members), f"family '{family}' not benched"
