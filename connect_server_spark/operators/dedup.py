@@ -449,28 +449,47 @@ def simhash_fingerprints(
     bits: int = 64,
 ) -> DataFrame:
     """(id, _fp) with the same fingerprint as :func:`simhash`, computed as
-    explode(shingles) → groupBy(id) with one codegen'd ``sum`` per bit.
+    explode(shingles) → groupBy(id) with codegen'd packed ``sum``s.
 
-    Scale: the shuffle after map-side partial aggregation is one row of 63
-    ints per document — independent of document length — and every vote
-    stays inside whole-stage codegen instead of interpreted HOF lambdas.
+    Two 31-bit vote counters pack into each 64-bit accumulator (bit b in
+    the low field, bit b+32 in the high field): each vote contributes
+    0/1 per field, and a per-document shingle count < 2³¹ can never
+    carry across, so 32 sums replace 63 — half the aggregation-buffer
+    width and half the per-row update work. Scale: the shuffle after
+    map-side partial aggregation is one row of 32 longs per document —
+    independent of document length — and every vote stays inside
+    whole-stage codegen instead of interpreted HOF lambdas.
     """
+    n_pairs = bits // 2  # 32 packed accumulators for 64-bit fingerprints
     hashes = df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
     ).select(F.col(id_col), F.xxhash64(F.col("_sh")).alias("_h"))
+    h = F.col("_h")
+
+    def packed(b: int) -> Column:
+        lo = F.shiftright(h, b).bitwiseAND(F.lit(1))
+        if b + 32 >= bits - 1:  # sign bit (63) is skipped — lone low field
+            return lo
+        hi = F.shiftright(h, b + 32).bitwiseAND(F.lit(1))
+        return lo + F.shiftleft(hi.cast("long"), 32)
+
     votes = hashes.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
-        *[
-            F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
-            for b in range(bits - 1)
-        ],
+        *[F.sum(packed(b)).alias(f"_p{b}") for b in range(n_pairs)],
     )
+
     fp = F.lit(0).cast("long")
     for b in range(bits - 1):
-        fp = fp + (F.col(f"_b{b}") * 2 > F.col("_n")).cast("long") * F.lit(
-            2 ** b
-        ).cast("long")
+        pair = F.col(f"_p{b % 32}")
+        cnt = (
+            pair.bitwiseAND(F.lit(0x7FFFFFFF))
+            if b < 32
+            else F.shiftright(pair, 32)
+        )
+        fp = fp + (cnt * 2 > F.col("_n")).cast("long") * F.lit(2 ** b).cast(
+            "long"
+        )
     return votes.select(F.col(id_col), fp.alias("_fp"))
 
 
