@@ -118,13 +118,16 @@ def assign_clusters(
     ``cluster_size``, and ``is_canonical`` (the minimum id of its
     component — the copy a dedup pass keeps). Two narrow left joins; the
     corpus body columns never enter the component computation."""
+    from pyspark.sql import Window
+
     comps = connected_components(pairs, src, dst)
     assigned = docs.join(
         comps.withColumnRenamed("id", id_col), on=id_col, how="left"
     ).withColumn("component", F.coalesce("component", F.col(id_col)))
-    sizes = assigned.groupBy("component").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return assigned.join(sizes, "component").withColumn(
-        "is_canonical", F.col(id_col) == F.col("component")
-    )
+    # cluster_size via a window on the component — one shuffle, not
+    # agg + join-back (which hash-partitions by component anyway, so a
+    # mega-cluster is the same single-task hot key either way)
+    w = Window.partitionBy("component")
+    return assigned.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(w)
+    ).withColumn("is_canonical", F.col(id_col) == F.col("component"))

@@ -58,7 +58,7 @@ SHUFFLE_BUDGET = {
     "status_insert_guard": 2,
     "dedup_exact": 1,
     "dedup_neardup_minhash": 5,
-    "dedup_clusters": 6,
+    "dedup_clusters": 3,
     "dedup_ngram_jaccard": 10,
     "dedup_neardup_embedding": 1,
     "similarity_topk_exact": 2,
