@@ -32,6 +32,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_verify",
     "minhash_neardup_pairs",
+    "minhash_neardup_against",
     "ngram_jaccard_candidates",
     "ngram_jaccard_pairs",
     "simhash",
@@ -244,6 +245,61 @@ def minhash_neardup_pairs(
     )
     cands = lsh_candidate_pairs(docs, id_col, "_shingles", num_hashes, bands)
     return jaccard_verify(cands, docs, id_col, "_shingles", threshold)
+
+
+def minhash_neardup_against(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup: each NEW document vs an EXISTING corpus —
+    the daily-ingest shape. Band buckets are computed for both sides
+    with the same seeded hashes, candidates are the band collisions of a
+    TWO-TABLE equi-join (the corpus is never self-paired), and only
+    candidates reach the exact-Jaccard verify. A batch ingest therefore
+    costs O(batch) signature work plus the bucket join against the
+    corpus's (id, band, band_hash) index — which can be precomputed and
+    persisted — never O(corpus²) re-pairing.
+
+    Returns ``(new_id, corpus_id, jaccard)`` with ``jaccard >=
+    threshold``. Ids may overlap between the two tables (they are never
+    compared for identity)."""
+    nd = new.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")
+    )
+    cd = corpus.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")
+    )
+    nb = minhash_band_buckets(nd, id_col, "_sh", num_hashes, bands).select(
+        F.col(id_col).alias("new_id"), "band", "band_hash"
+    )
+    cb = minhash_band_buckets(cd, id_col, "_sh", num_hashes, bands).select(
+        F.col(id_col).alias("corpus_id"), "band", "band_hash"
+    )
+    cands = nb.join(cb, ["band", "band_hash"]).select(
+        "new_id", "corpus_id"
+    ).distinct()
+    a = nd.select(F.col(id_col).alias("new_id"), F.col("_sh").alias("_sh_a"))
+    b = cd.select(
+        F.col(id_col).alias("corpus_id"), F.col("_sh").alias("_sh_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size("_sh_a") + F.size("_sh_b") - inter
+    return (
+        cands.join(a, "new_id")
+        .join(b, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def ngram_jaccard_candidates(

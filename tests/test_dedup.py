@@ -374,6 +374,49 @@ def test_ngram_jaccard_rejects_nonpositive_threshold(spark):
         ngram_jaccard_pairs(_df(spark), "doc_id", "text", threshold=0.0)
 
 
+def test_minhash_incremental_matches_cross_pairs_of_union(spark):
+    """Daily-ingest dedup: new-batch-vs-corpus must surface exactly the
+    cross-batch pairs the full union-self-pairing would (same hashes,
+    same bands, same verify) — without ever self-pairing the corpus."""
+    from connect_server_spark.operators.dedup import (
+        minhash_neardup_against,
+        minhash_neardup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    corpus_rows = [
+        (1, base),
+        (2, base.replace("dog", "cat")),
+        (3, "completely unrelated text about spark physical plans and joins"),
+        (4, "another document with its own distinct vocabulary entirely here"),
+    ]
+    new_rows = [
+        (101, base),  # near-dup of 1 (and 2)
+        (102, "fresh content that matches nothing in the existing corpus"),
+        (103, base.replace("dog", "cat").replace("fast", "quickly")),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+
+    inc = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in minhash_neardup_against(
+            new, corpus, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    # reference: full pairing of the union, restricted to cross pairs
+    union = corpus.unionByName(new)
+    full = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b)): r.jaccard
+        for r in minhash_neardup_pairs(
+            union, "doc_id", "text", threshold=0.5
+        ).collect()
+        if (r.id_a >= 100) != (r.id_b >= 100)  # exactly one side is new
+    }
+    assert inc == full and len(inc) > 0
+    assert (101, 1) in inc  # the planted near-dup surfaced
+
+
 def test_connected_components_chain_and_star(spark):
     """A 4-chain, a 3-star, and an isolated pair: labels = min reachable
     id regardless of edge direction or shape."""
