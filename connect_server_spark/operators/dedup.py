@@ -27,6 +27,7 @@ __all__ = [
     "normalize_text",
     "word_shingles",
     "exact_dedup",
+    "exact_dedup_against",
     "minhash_signature",
     "minhash_band_buckets",
     "lsh_candidate_pairs",
@@ -90,6 +91,25 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_list(id_col)), ",").alias("member_ids_csv"),
         )
         .select("canonical_id", "n_copies", "member_ids_csv")
+    )
+
+
+def exact_dedup_against(
+    new: DataFrame, corpus: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Ingest-time exact dedup: keep only NEW documents whose normalized
+    text digest is absent from the existing corpus — a left-anti join on
+    16-byte md5 digests (the S8 insert-guard discipline applied to
+    content rather than keys). Neither side's bodies cross the shuffle;
+    at 100 TB the corpus side reduces to its distinct digest set, which
+    can be precomputed and persisted. Intra-batch copies are NOT
+    collapsed here (run :func:`exact_dedup` on the survivors)."""
+    digest = F.md5(normalize_text(F.col(text_col))).alias("_digest")
+    seen = corpus.select(digest).distinct()
+    return (
+        new.withColumn("_digest", F.md5(normalize_text(F.col(text_col))))
+        .join(seen, "_digest", "left_anti")
+        .drop("_digest")
     )
 
 

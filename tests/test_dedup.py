@@ -374,6 +374,29 @@ def test_ngram_jaccard_rejects_nonpositive_threshold(spark):
         ngram_jaccard_pairs(_df(spark), "doc_id", "text", threshold=0.0)
 
 
+def test_exact_dedup_against_drops_known_digests(spark):
+    """Ingest gate: new docs whose normalized text already exists in the
+    corpus are dropped; whitespace/case variants count as the same text;
+    intra-batch copies pass through (exact_dedup's job)."""
+    from connect_server_spark.operators.dedup import exact_dedup_against
+
+    corpus = spark.createDataFrame(
+        [(1, "Known   Document one"), (2, "another known text")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (101, "known document ONE"),   # dup of 1 after normalization
+            (102, "genuinely new content"),
+            (103, "genuinely new content"),  # intra-batch copy: kept here
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r.doc_id for r in
+            exact_dedup_against(new, corpus, "doc_id", "text").collect()}
+    assert kept == {102, 103}
+
+
 def test_minhash_incremental_matches_cross_pairs_of_union(spark):
     """Daily-ingest dedup: new-batch-vs-corpus must surface exactly the
     cross-batch pairs the full union-self-pairing would (same hashes,
