@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_neardup_simhash",
     "dedup_neardup_embedding_lsh",
+    "dedup_incremental_minhash",
     "dedup_clusters",
     "similarity_topk_exact",
     "similarity_topk_ann",

@@ -276,6 +276,51 @@ def dedup_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("dedup_neardup_simhash", dedup_neardup_simhash, defer=True)
 
 
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (daily-ingest) MinHash near-dup: every ``doc_id % 7
+    == 0`` document plays the NEW batch, the rest the existing corpus —
+    band-joined as two tables (the corpus is never self-paired). Rows-
+    only check; the cross-pairs-of-union equivalence is pinned in
+    ``tests/test_dedup.py``."""
+    from connect_server_spark.operators.dedup import minhash_neardup_against
+
+    corpus = _corpus_neardup(spark, sf_dir)
+    return minhash_neardup_against(
+        corpus.filter(F.col("doc_id") % 7 == 0),
+        corpus.filter(F.col("doc_id") % 7 != 0),
+        "doc_id",
+        "text",
+        threshold=0.5,
+    )
+
+
+register("dedup_incremental_minhash", dedup_incremental_minhash, defer=True)
+
+
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time exact-digest gate: the new batch mixes exact copies
+    of known documents (uppercased + padded — same digest after
+    normalization, dropped) with genuinely novel texts (suffix-extended,
+    kept); survivors are anti-joined on 16-byte digests."""
+    from connect_server_spark.operators.dedup import exact_dedup_against
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    known_again = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
+    )
+    novel = docs.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" entirely novel suffix")).alias("text"),
+    )
+    return exact_dedup_against(
+        known_again.unionByName(novel), docs, "doc_id", "text"
+    ).select("doc_id")
+
+
+register("dedup_incremental_exact", dedup_incremental_exact, defer=True)
+
+
 def _emb_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup corpus: every 5th vector, plus planted twins
     (id + 1000000) for every 25th — the twin is the parent plus 0.25× its

@@ -75,6 +75,8 @@ SHUFFLE_BUDGET = {
     "version_reset_rule": 2,
     "submission_rollup": 3,
     "dedup_neardup_simhash": 3,
+    "dedup_incremental_minhash": 5,
+    "dedup_incremental_exact": 4,
     "dedup_neardup_embedding_lsh": 4,
     "similarity_topk_ann": 3,
     "similarity_topk_ivf": 2,
