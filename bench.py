@@ -117,18 +117,21 @@ def main() -> None:
         if name not in errors and best < float("inf"):
             timings[name] = round(best, 4)
 
+    # A partial round must never read as a speedup: when any query errored
+    # the headline total is null (totals over different query sets are not
+    # comparable round-over-round) and `partial` is set. `queries` stays
+    # float-only; error messages live in their own top-level map.
     out: dict = {
         "metric": "headline_queries_total_runtime",
-        "value": round(sum(timings.values()), 4),
+        "value": None if errors else round(sum(timings.values()), 4),
         "unit": "sec",
-        "queries": {
-            **timings,
-            **{name: {"err": msg} for name, msg in errors.items()},
-        },
+        "queries": timings,
         "sf": _sf_from_dir(sf_dir),
     }
     if errors:
-        out["errors"] = len(errors)
+        out["partial"] = True
+        out["partial_total"] = round(sum(timings.values()), 4)
+        out["query_errors"] = errors
     print(json.dumps(out))
 
 

@@ -116,18 +116,35 @@ def assign_clusters(
     """Fold components back over the FULL corpus: every document gets a
     ``component`` (its own id when it has no near-dup), a
     ``cluster_size``, and ``is_canonical`` (the minimum id of its
-    component — the copy a dedup pass keeps). Two narrow left joins; the
-    corpus body columns never enter the component computation."""
-    from pyspark.sql import Window
+    component — the copy a dedup pass keeps). The corpus body columns
+    never enter the component computation, and — critically for the
+    100 TB bar — the corpus is never partitioned by ``component``: a
+    boilerplate farm collapsing 10⁸ documents into one component must
+    not land them all in one task (which is exactly what a
+    ``Window.partitionBy(component)`` or a shuffle join-back on
+    component would do).
 
+    ``cluster_size`` instead comes from the GRAPH-NODE label table
+    (one row per near-dup document): ``groupBy(component).count()``
+    there is skew-proof — hash partial aggregation combines map-side,
+    so the reduce side sees one partial row per (task, component), not
+    the raw rows (the same device as an explicit two-phase
+    ``groupBy(component, salt)`` → ``groupBy(component)``, done by the
+    engine per task). The resulting one-row-per-component sizes table
+    is bounded by the number of multi-document clusters, so it
+    **broadcast**-joins back to the corpus on ``component`` — the full
+    corpus is shuffled by nothing at all. Documents outside the pair
+    graph never enter the join; their size coalesces to 1."""
     comps = connected_components(pairs, src, dst)
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
     assigned = docs.join(
         comps.withColumnRenamed("id", id_col), on=id_col, how="left"
     ).withColumn("component", F.coalesce("component", F.col(id_col)))
-    # cluster_size via a window on the component — one shuffle, not
-    # agg + join-back (which hash-partitions by component anyway, so a
-    # mega-cluster is the same single-task hot key either way)
-    w = Window.partitionBy("component")
-    return assigned.withColumn(
-        "cluster_size", F.count(F.lit(1)).over(w)
-    ).withColumn("is_canonical", F.col(id_col) == F.col("component"))
+    return (
+        assigned.join(F.broadcast(sizes), on="component", how="left")
+        .withColumn("cluster_size", F.coalesce("cluster_size", F.lit(1)))
+        .withColumn("is_canonical", F.col(id_col) == F.col("component"))
+        .select(*docs.columns, "component", "cluster_size", "is_canonical")
+    )

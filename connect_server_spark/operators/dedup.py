@@ -536,18 +536,24 @@ def simhash_fingerprints(
     independent of document length — and every vote stays inside
     whole-stage codegen instead of interpreted HOF lambdas.
     """
-    n_pairs = bits // 2  # 32 packed accumulators for 64-bit fingerprints
+    if not 2 <= bits <= 64:
+        raise ValueError(f"bits must be in [2, 64], got {bits}")
+    n_pairs = max(1, bits // 2)  # 32 packed accumulators for 64-bit fingerprints
     hashes = df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
     ).select(F.col(id_col), F.xxhash64(F.col("_sh")).alias("_h"))
     h = F.col("_h")
 
+    # Bit b of the fingerprint votes in pair b % n_pairs: low field when
+    # b < n_pairs, high field (fixed 32-bit offset — counts stay < 2³¹)
+    # otherwise. Derived from n_pairs, not a hard-coded 64-bit layout, so
+    # narrower fingerprints pack correctly too.
     def packed(b: int) -> Column:
         lo = F.shiftright(h, b).bitwiseAND(F.lit(1))
-        if b + 32 >= bits - 1:  # sign bit (63) is skipped — lone low field
+        if b + n_pairs >= bits - 1:  # top (sign) bit is skipped — lone low field
             return lo
-        hi = F.shiftright(h, b + 32).bitwiseAND(F.lit(1))
+        hi = F.shiftright(h, b + n_pairs).bitwiseAND(F.lit(1))
         return lo + F.shiftleft(hi.cast("long"), 32)
 
     votes = hashes.groupBy(id_col).agg(
@@ -557,10 +563,10 @@ def simhash_fingerprints(
 
     fp = F.lit(0).cast("long")
     for b in range(bits - 1):
-        pair = F.col(f"_p{b % 32}")
+        pair = F.col(f"_p{b % n_pairs}")
         cnt = (
             pair.bitwiseAND(F.lit(0x7FFFFFFF))
-            if b < 32
+            if b < n_pairs
             else F.shiftright(pair, 32)
         )
         fp = fp + (cnt * 2 > F.col("_n")).cast("long") * F.lit(2 ** b).cast(

@@ -54,6 +54,10 @@ def idempotent_append(
         if not _is_path_not_found(exc):
             raise  # a real read failure must not masquerade as first-write
         fresh = incoming  # first write: nothing to guard against
+    # Materialize once: count and append read the same checkpointed rows
+    # instead of running the anti-join twice (and the checkpoint severs
+    # lineage from `path`, which the append itself targets).
+    fresh = fresh.localCheckpoint(eager=True)
     n = fresh.count()
     if n:
         fresh.write.mode("append").parquet(path)

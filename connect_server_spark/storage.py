@@ -83,12 +83,18 @@ def write_status_layout(
       (the Query-with-range-condition analog) inside the surviving
       bucket.
     """
+    # key_bucket leads the sort so the child ordering satisfies the
+    # dynamic-partition writer's required ordering (it sorts by the
+    # partition column before opening files); without it FileFormatWriter
+    # inserts its own sort on key_bucket alone and the (hash_key,
+    # range_key) clustering inside each file would depend on that sorter's
+    # stability instead of the declared plan ordering.
     (
         df.withColumn(
             "key_bucket", F.pmod(F.xxhash64(F.col(hash_key)), F.lit(n_buckets))
         )
         .repartition("key_bucket")
-        .sortWithinPartitions(hash_key, range_key)
+        .sortWithinPartitions("key_bucket", hash_key, range_key)
         .write.mode(mode)
         .partitionBy("key_bucket")
         .parquet(path)
@@ -129,21 +135,42 @@ def compact(
     count is ``ceil(bytes_on_disk / target)``; ``shuffle=False`` uses
     ``coalesce`` (no data movement — merges co-located files),
     ``shuffle=True`` uses ``repartition`` for evenly-sized output when
-    the inputs are badly skewed. The data is checkpointed before the
-    overwrite to sever lineage from the path being rewritten. For
-    hive-partitioned layouts compact each partition directory.
+    the inputs are badly skewed. For hive-partitioned layouts compact
+    each partition directory.
+
+    Crash-safe by construction: the compacted copy is written to a
+    sibling temp directory and swapped in with two renames, so the
+    original files survive untouched until the full replacement is
+    durable on the table's own filesystem. (An in-place overwrite
+    guarded by ``localCheckpoint`` would lose data on executor failure
+    mid-write — checkpoint blocks are non-replicated executor-local
+    storage, and the overwrite deletes the originals first.) A crash
+    between the two renames leaves the table at ``*._compact_old`` —
+    recoverable by hand — never deleted.
 
     Returns the new file count.
     """
     import math
 
     df = spark.read.parquet(path)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
+    jpath = hadoop_path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     size = fs.getContentSummary(jpath).getLength()
     n = max(1, math.ceil(size / target_file_bytes))
     out = df.repartition(n) if shuffle else df.coalesce(n)
-    out.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    tmp = hadoop_path(path.rstrip("/") + "._compact_tmp")
+    old = hadoop_path(path.rstrip("/") + "._compact_old")
+    fs.delete(tmp, True)
+    fs.delete(old, True)
+    out.write.mode("overwrite").parquet(str(tmp))
+    if not fs.rename(jpath, old):
+        raise IOError(f"compact: could not move {path} aside to {old}")
+    if not fs.rename(tmp, jpath):
+        fs.rename(old, jpath)  # roll back: original data wins
+        raise IOError(f"compact: could not swap {tmp} into {path}")
+    fs.delete(old, True)
     return n
 
 

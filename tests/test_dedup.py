@@ -120,6 +120,29 @@ def test_simhash_fingerprints_match_expression_spec(spark):
     assert spec == fast
 
 
+def test_simhash_fingerprints_narrow_widths_match_spec(spark):
+    """The packed-counter layout must not hard-code the 64-bit shape:
+    narrower fingerprints (32-bit, and an odd width) must still match the
+    per-row expression spec bit-for-bit."""
+    for bits in (32, 17):
+        spec = {
+            r.doc_id: r.fp
+            for r in _df(spark)
+            .select(
+                "doc_id",
+                simhash(word_shingles(F.col("text"), 2), bits=bits).alias("fp"),
+            )
+            .collect()
+        }
+        fast = {
+            r.doc_id: r._fp
+            for r in simhash_fingerprints(
+                _df(spark), "doc_id", "text", 2, bits=bits
+            ).collect()
+        }
+        assert spec == fast, f"bits={bits}"
+
+
 def test_simhash_plan_no_cartesian(spark):
     plan = simhash_neardup_pairs(
         _df(spark), "doc_id", "text"
@@ -531,3 +554,39 @@ def test_assign_clusters_covers_singletons(spark):
     assert [rows[i].is_canonical for i in range(1, 6)] == [
         True, False, False, True, True,
     ]
+
+
+def test_assign_clusters_mega_component_no_corpus_partition_by_component(spark):
+    """The 100×-scale hot-key guard: one component holding half the corpus
+    must not serialize onto one task. The plan must contain no Window (the
+    old per-component window) and the only shuffle keyed on `component`
+    is the one-row-per-component sizes aggregation over GRAPH NODES —
+    the full corpus joins sizes back via broadcast, never an Exchange on
+    component."""
+    from connect_server_spark.operators.clustering import assign_clusters
+
+    n = 2000
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], ["doc_id", "text"]
+    )
+    # star: doc 0 paired with every even doc — one component of size n/2
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(2, n, 2)], ["id_a", "id_b"]
+    )
+    out = assign_clusters(docs, pairs, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    component_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning(component" in line
+        and "ReusedExchange" not in line
+    ]
+    assert len(component_exchanges) <= 1, plan  # the sizes agg only
+    assert "BroadcastHashJoin" in plan, plan
+
+    rows = {r.doc_id: r for r in out.collect()}
+    mega = [r for r in rows.values() if r.component == 0]
+    assert len(mega) == n // 2 and all(r.cluster_size == n // 2 for r in mega)
+    assert rows[0].is_canonical and not rows[2].is_canonical
+    assert rows[1].cluster_size == 1 and rows[1].is_canonical

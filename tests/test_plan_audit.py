@@ -58,7 +58,12 @@ SHUFFLE_BUDGET = {
     "status_insert_guard": 2,
     "dedup_exact": 1,
     "dedup_neardup_minhash": 5,
-    "dedup_clusters": 3,
+    # r5: +1 — cluster sizes moved off Window.partitionBy(component) (a
+    # mega-component single-task hot key) onto a graph-node-only count
+    # whose one-row-per-component result broadcasts back; the extra
+    # Exchange is narrow (labels only) and the corpus is no longer
+    # partitioned by component at all.
+    "dedup_clusters": 4,
     "dedup_ngram_jaccard": 10,
     "dedup_neardup_embedding": 1,
     "similarity_topk_exact": 2,
