@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_neardup_simhash",
     "dedup_neardup_embedding_lsh",
     "dedup_incremental_minhash",
+    "dedup_incremental_minhash_indexed",
     "dedup_clusters",
     "similarity_topk_exact",
     "similarity_topk_ann",

@@ -34,6 +34,8 @@ __all__ = [
     "jaccard_verify",
     "minhash_neardup_pairs",
     "minhash_neardup_against",
+    "write_minhash_index",
+    "minhash_neardup_against_index",
     "ngram_jaccard_candidates",
     "ngram_jaccard_pairs",
     "simhash",
@@ -281,10 +283,12 @@ def minhash_neardup_against(
     the daily-ingest shape. Band buckets are computed for both sides
     with the same seeded hashes, candidates are the band collisions of a
     TWO-TABLE equi-join (the corpus is never self-paired), and only
-    candidates reach the exact-Jaccard verify. A batch ingest therefore
-    costs O(batch) signature work plus the bucket join against the
-    corpus's (id, band, band_hash) index — which can be precomputed and
-    persisted — never O(corpus²) re-pairing.
+    candidates reach the exact-Jaccard verify — never O(corpus²)
+    re-pairing. This variant recomputes the corpus index from text each
+    call (fine for one-shot splits); for repeated daily ingest persist
+    the index once with :func:`write_minhash_index` and use
+    :func:`minhash_neardup_against_index`, which makes each batch
+    O(batch) + the index join instead of an O(corpus) rescan.
 
     Returns ``(new_id, corpus_id, jaccard)`` with ``jaccard >=
     threshold``. Ids may overlap between the two tables (they are never
@@ -307,6 +311,118 @@ def minhash_neardup_against(
     a = nd.select(F.col(id_col).alias("new_id"), F.col("_sh").alias("_sh_a"))
     b = cd.select(
         F.col(id_col).alias("corpus_id"), F.col("_sh").alias("_sh_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size("_sh_a") + F.size("_sh_b") - inter
+    return (
+        cands.join(a, "new_id")
+        .join(b, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def write_minhash_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    shingle_path: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus side of incremental MinHash dedup so a daily
+    batch never re-reads corpus TEXT: the O(corpus) shingling +
+    signature pass is paid ONCE here, at ingest/backfill time.
+
+    Two artifacts:
+
+    * ``shingle_path`` — the (id, shingles) store the verify stage joins
+      candidates against (corpus text itself is never needed again).
+    * ``index_path`` — the (id, band, band_hash) LSH band index,
+      hive-partitioned by ``band`` so a batch probing one band's buckets
+      prunes the other ``bands - 1`` directories at scan time.
+
+    The band buckets are derived FROM the persisted shingle store, so the
+    corpus is shingled exactly once end-to-end. ``mode="append"`` closes
+    the daily-ingest loop: after a batch clears the dedup gate, write its
+    survivors into both artifacts — the index grows by O(batch), which is
+    the whole point, and tomorrow's batch dedups against today's
+    survivors too (round-trip pinned in ``tests/test_dedup.py``).
+    Consumed by :func:`minhash_neardup_against_index`; seeds are
+    deterministic (``xxhash64(·, i)``), so index and batch signatures
+    agree across sessions by construction."""
+    spark = corpus.sparkSession
+    shingled = corpus.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    )
+    if mode == "append":
+        # appending: the new rows are batch-sized — derive buckets
+        # directly (reading the whole store back would be O(corpus))
+        shingled = shingled.localCheckpoint(eager=False)
+        shingled.write.mode("append").parquet(shingle_path)
+        buckets = minhash_band_buckets(
+            shingled, id_col, "shingles", num_hashes, bands
+        )
+        buckets.write.mode("append").partitionBy("band").parquet(index_path)
+        return
+    shingled.write.mode(mode).parquet(shingle_path)
+    shingles = spark.read.parquet(shingle_path)
+    buckets = minhash_band_buckets(
+        shingles, id_col, "shingles", num_hashes, bands
+    )
+    buckets.write.mode(mode).partitionBy("band").parquet(index_path)
+
+
+def minhash_neardup_against_index(
+    new: DataFrame,
+    spark,
+    index_path: str,
+    shingle_path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup against a PRE-BUILT corpus index (written by
+    :func:`write_minhash_index`): the daily-ingest fast path. Per batch
+    the plan computes signatures for the NEW documents only, equi-joins
+    the persisted (id, band, band_hash) index, and verifies candidates
+    against the persisted shingle store — no corpus text is scanned, no
+    corpus shingle or signature is recomputed (asserted on the physical
+    plan in ``tests/test_dedup.py``). Ingest cost is O(batch) + the
+    index join, vs :func:`minhash_neardup_against`'s O(corpus) rescan.
+
+    Same output contract as :func:`minhash_neardup_against`:
+    ``(new_id, corpus_id, jaccard)`` with ``jaccard >= threshold``."""
+    nd = new.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")
+    )
+    nb = minhash_band_buckets(nd, id_col, "_sh", num_hashes, bands).select(
+        F.col(id_col).alias("new_id"), "band", "band_hash"
+    )
+    cb = spark.read.parquet(index_path).select(
+        F.col(id_col).alias("corpus_id"),
+        # partition column reads back as int; band keys were written from
+        # posexplode ints, so cast only to be explicit about the join type
+        F.col("band").cast("int").alias("band"),
+        "band_hash",
+    )
+    cands = (
+        nb.join(cb, ["band", "band_hash"]).select("new_id", "corpus_id").distinct()
+    )
+    a = nd.select(F.col(id_col).alias("new_id"), F.col("_sh").alias("_sh_a"))
+    b = spark.read.parquet(shingle_path).select(
+        F.col(id_col).alias("corpus_id"), F.col("shingles").alias("_sh_b")
     )
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size("_sh_a") + F.size("_sh_b") - inter
@@ -457,6 +573,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_n: int = 3,
     max_block_rows: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup via LOSSLESS prefix filtering — the
     signature-free exact path (MinHash trades exactness for fewer
@@ -469,6 +586,16 @@ def ngram_jaccard_pairs(
     source/lang); the only pairwise work is exact Jaccard over
     candidates. Never all-pairs.
 
+    ``collapse_exact`` (default on) closes the exact-copy-farm corner:
+    documents with identical normalized text have identical shingle
+    sets, so prefix filtering is run on ONE representative per digest
+    group and pairs expand back through group membership afterwards —
+    candidate generation is O(distinct texts), not O(documents), and a
+    farm of thousands of byte-identical copies costs the prefix filter
+    nothing. Intra-group pairs (Jaccard exactly 1.0) and cross-group
+    expansions are emitted so the output still provably equals brute
+    force; the only quadratic term left is the true output itself.
+
     ``max_block_rows`` is the skew guard for 100 TB corpora: prefix-hash
     buckets larger than the cap (mostly-boilerplate corpora) fall back to
     banded MinHash-LSH candidate generation (exact verify, LSH-recall
@@ -479,13 +606,88 @@ def ngram_jaccard_pairs(
     ``threshold`` must be positive: at t = 0 every pair qualifies and
     only a full cross join could be exact.
     """
-    cands = ngram_jaccard_candidates(
-        df, id_col, text_col, block_col, threshold, shingle_n, max_block_rows
+    if not collapse_exact:
+        cands = ngram_jaccard_candidates(
+            df, id_col, text_col, block_col, threshold, shingle_n, max_block_rows
+        )
+        docs = df.select(
+            F.col(id_col),
+            word_shingles(F.col(text_col), shingle_n).alias("_shingles"),
+        )
+        return jaccard_verify(cands, docs, id_col, "_shingles", threshold)
+
+    blocks = [block_col] if block_col else []
+    # (id, digest) is narrow — document bodies never enter the digest
+    # shuffles. min-per-group (not collect_list) keeps the aggregation
+    # buffer O(1) even for a mega-group of copies. The three tables below
+    # are each consumed by several downstream branches (the prefix
+    # pipeline alone reads rep_docs five times); lazy localCheckpoints
+    # truncate lineage so each is computed ONCE at runtime instead of
+    # per-reference — the same reuse device as connected_components'
+    # edge table.
+    keyed = df.select(
+        F.col(id_col),
+        *[F.col(b) for b in blocks],
+        F.md5(normalize_text(F.col(text_col))).alias("_digest"),
+    ).localCheckpoint(eager=False)
+    reps = keyed.groupBy("_digest", *blocks).agg(F.min(id_col).alias("_rep"))
+    member_map = (
+        keyed.join(reps, ["_digest", *blocks])
+        .select(F.col(id_col), *[F.col(b) for b in blocks], F.col("_rep"))
+        .localCheckpoint(eager=False)
     )
-    docs = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_shingles")
+    rep_docs = df.join(
+        reps.select(F.col("_rep").alias(id_col)), on=id_col, how="leftsemi"
+    ).localCheckpoint(eager=False)
+    rep_pairs = ngram_jaccard_pairs(
+        rep_docs,
+        id_col,
+        text_col,
+        block_col,
+        threshold,
+        shingle_n,
+        max_block_rows,
+        collapse_exact=False,
     )
-    return jaccard_verify(cands, docs, id_col, "_shingles", threshold)
+    # Cross-group expansion: J(a, b) = J(rep_a, rep_b) for every a, b in
+    # the two groups (identical shingle sets within a group), so each
+    # qualifying rep pair fans out through both membership lists. Ids
+    # interleave across groups — reorder to keep the id_a < id_b contract.
+    ma = member_map.select(
+        F.col("_rep").alias("id_a"), F.col(id_col).alias("_ma")
+    )
+    mb = member_map.select(
+        F.col("_rep").alias("id_b"), F.col(id_col).alias("_mb")
+    )
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            F.col("jaccard"),
+        )
+    )
+    # Intra-group pairs: identical sets, Jaccard exactly 1.0 ≥ t. The
+    # equi-join on digest streams the quadratic TRUE output of a copy
+    # farm without materializing any group in memory.
+    gl, gr = keyed.alias("gl"), keyed.alias("gr")
+    cond = (F.col("gl._digest") == F.col("gr._digest")) & (
+        F.col(f"gl.{id_col}") < F.col(f"gr.{id_col}")
+    )
+    for b in blocks:
+        cond = cond & (F.col(f"gl.{b}") == F.col(f"gr.{b}"))
+    intra = (
+        gl.join(gr, cond)
+        .select(
+            F.col(f"gl.{id_col}").alias("id_a"),
+            F.col(f"gr.{id_col}").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        # constant-folds away for any real threshold; keeps t > 1 exact
+        .filter(F.lit(1.0) >= F.lit(float(threshold)))
+    )
+    return cross.unionByName(intra)
 
 
 def simhash(shingles: Column, bits: int = 64) -> Column:

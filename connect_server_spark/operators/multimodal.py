@@ -2,17 +2,22 @@
 decoded / feature-extracted through Arrow-batched ``mapInPandas``.
 
 Images/audio/video are carried as ``binary`` columns plus a metadata
-struct (mime, byte length, digest). The *decode* step is a clearly-marked
-stub (``NotImplementedError`` when a real codec is demanded — the image/
-audio libraries are not in this environment); everything around it — the
-schema contract, partition-preserving mapInPandas, Arrow batch shape,
-deterministic fallback features — is real and tested.
+struct (mime, byte length, digest). The *decode* step is REAL for
+uncompressed formats — BMP (24/32 bpp) and binary PPM are pure struct
+parsing over numpy, no codec library needed — and raises a clearly-marked
+``NotImplementedError`` for compressed mimes (JPEG/PNG/…, whose codecs
+are not in this environment; a deployment wires Pillow/libvips behind the
+same contract). Everything around the decode — the schema contract,
+partition-preserving mapInPandas, Arrow batch shape, deterministic
+features — is real and tested either way.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -22,7 +27,11 @@ __all__ = [
     "attach_binary",
     "binary_metadata",
     "extract_binary_features",
+    "encode_bmp",
     "decode_image",
+    "synthesize_bmp_payloads",
+    "extract_image_features",
+    "resize_image_binary",
     "resize_binary",
     "sample_frames",
 ]
@@ -50,12 +59,91 @@ def binary_metadata(payload: Column, mime: str) -> Column:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """STUB: decode an image payload to pixels. The container has no image
-    codec; a deployment wires Pillow/libvips here. The Spark-side contract
-    (binary in, array out via mapInPandas) is what the engine owns."""
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bpp BMP
+    (bottom-up, BGR, rows padded to 4 bytes) — the inverse of
+    :func:`decode_image` for round-trip tests and the resize re-encode."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    pad = (-(w * 3)) % 4
+    bgr = arr[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    if pad:
+        rows = np.zeros((h, w * 3 + pad), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        body = rows.tobytes()
+    else:
+        body = bgr.tobytes()
+    pixel_offset = 14 + 40
+    file_header = b"BM" + struct.pack(
+        "<IHHI", pixel_offset + len(body), 0, 0, pixel_offset
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + body
+
+
+def _decode_bmp(b: bytes) -> np.ndarray:
+    (pixel_offset,) = struct.unpack_from("<I", b, 10)
+    w, h = struct.unpack_from("<ii", b, 18)
+    (bpp,) = struct.unpack_from("<H", b, 28)
+    (compression,) = struct.unpack_from("<I", b, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"BMP decode supports uncompressed 24/32 bpp only "
+            f"(got bpp={bpp}, compression={compression})"
+        )
+    bottom_up, h = h > 0, abs(h)
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) & ~3 if nch == 3 else w * 4
+    data = np.frombuffer(b, np.uint8, count=row_bytes * h, offset=pixel_offset)
+    rows = data.reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
+    rgb = rows[:, :, :3][:, :, ::-1]  # BGR(A) → RGB
+    if bottom_up:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def _decode_ppm(b: bytes) -> np.ndarray:
+    # header: P6 <w> <h> <maxval>, tokens separated by whitespace,
+    # '#' comments allowed, one whitespace byte before pixel data
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(b[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError(f"PPM maxval {maxval} != 255 unsupported")
+    data = np.frombuffer(b, np.uint8, count=w * h * 3, offset=pos)
+    return np.ascontiguousarray(data.reshape(h, w, 3))
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an (H, W, 3) uint8 RGB array.
+
+    REAL for uncompressed formats — BMP (24/32 bpp, 'BM' magic) and
+    binary PPM ('P6') are plain struct parsing over numpy, no codec
+    library involved. Compressed formats (JPEG/PNG/…) raise
+    ``NotImplementedError``: their codecs are not in this environment,
+    and a deployment wires Pillow/libvips here behind the same
+    bytes-in / array-out contract."""
+    b = bytes(payload)
+    if b[:2] == b"BM":
+        return _decode_bmp(b)
+    if b[:2] == b"P6":
+        return _decode_ppm(b)
     raise NotImplementedError(
-        "image decode requires an image codec; not available in this environment"
+        "only uncompressed BMP/PPM decode without a codec library; "
+        f"got magic {b[:4]!r}"
     )
 
 
@@ -92,6 +180,102 @@ def extract_binary_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(features, FEATURE_SCHEMA)
+
+
+def synthesize_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic images as REAL BMP payloads: per id, an
+    (8 + id%9) × (6 + id%7) RGB raster whose pixel (y, x, c) value is
+    ``(31·id + 17·y + 7·x + 101·c) mod 256``, encoded through
+    :func:`encode_bmp`. The image libs missing from this container only
+    affect COMPRESSED formats — these payloads exercise the full real
+    decode path end-to-end, reproducibly on any engine."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = 8 + i % 9, 6 + i % 7
+                y, x, c = np.ogrid[:h, :w, :3]
+                pix = ((31 * i + 17 * y + 7 * x + 101 * c) % 256).astype(
+                    np.uint8
+                )
+                rows.append((i, encode_bmp(pix)))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return df.select(id_col).mapInPandas(synth, f"{id_col} long, payload binary")
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, "
+    "mean_r_milli int, mean_g_milli int, mean_b_milli int"
+)
+
+
+def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL decode → featurize: width, height, and per-channel pixel means
+    (milli-units — integer, hash-stable) from :func:`decode_image`.
+    Partition-preserving Arrow-batched ``mapInPandas``; payloads never
+    shuffle."""
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                arr = decode_image(payload)
+                h, w, _ = arr.shape
+                means = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64) * 1000
+                means = np.rint(means / (h * w)).astype(int)
+                rows.append((doc_id, w, h, means[0], means[1], means[2]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height",
+                    "mean_r_milli", "mean_g_milli", "mean_b_milli",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        features, IMAGE_FEATURE_SCHEMA
+    )
+
+
+IMAGE_RESIZE_SCHEMA = (
+    "doc_id long, src_width int, src_height int, thumb_width int, "
+    "thumb_height int, thumb_bytes int, thumb_digest string"
+)
+
+
+def resize_image_binary(
+    df: DataFrame, id_col: str = "doc_id", stride: int = 2
+) -> DataFrame:
+    """REAL image resize: decode → nearest-neighbor downsample (every
+    ``stride``-th pixel in both axes) → re-encode BMP. The thumb digest
+    pins the whole decode→resample→encode path byte-for-byte; golden
+    values in ``tests/test_extractors.py``."""
+    import hashlib
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                arr = decode_image(payload)
+                h, w, _ = arr.shape
+                thumb = arr[::stride, ::stride]
+                tb = encode_bmp(thumb)
+                rows.append(
+                    (doc_id, w, h, thumb.shape[1], thumb.shape[0],
+                     len(tb), hashlib.md5(tb).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "src_width", "src_height", "thumb_width",
+                    "thumb_height", "thumb_bytes", "thumb_digest",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(resize, IMAGE_RESIZE_SCHEMA)
 
 
 RESIZE_SCHEMA = (

@@ -47,10 +47,59 @@ _CORPUS_EXACT_SQL = """
 """
 
 
+def _incremental_exact_batch(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(new batch, existing corpus) for ingest-time exact dedup: the batch
+    mixes exact copies of known documents (uppercased + padded — same
+    digest after normalization, must drop) with genuinely novel texts
+    (suffix-extended, must survive)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    known_again = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
+    )
+    novel = docs.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" entirely novel suffix")).alias("text"),
+    )
+    return known_again.unionByName(novel), docs
+
+
+_INCREMENTAL_EXACT_BATCH_SQL = """
+      SELECT doc_id + 100000 AS doc_id, concat(upper(text), '  ') AS text
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id,
+             concat(text, ' entirely novel suffix') AS text
+      FROM documents WHERE doc_id % 7 = 3
+"""
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by md5 of normalized text: canonical id, copy count,
-    member ids."""
-    return exact_dedup(_corpus_exact(spark, sf_dir), "doc_id", "text")
+    """Exact dedup, both shapes the reference pipeline needs, in one
+    gated result (r4 review: the incremental family must sit inside the
+    oracle gate window, so it is FOLDED into this query — the protocol
+    used for repetition/PII in ``text_analysis``):
+
+    * ``family='group'`` — whole-corpus grouping by md5 of normalized
+      text: canonical id, copy count, member ids.
+    * ``family='new_batch_survivor'`` — ingest-time anti-join: new-batch
+      documents whose digest is absent from the existing corpus."""
+    from connect_server_spark.operators.dedup import exact_dedup_against
+
+    groups = exact_dedup(_corpus_exact(spark, sf_dir), "doc_id", "text").select(
+        F.lit("group").alias("family"),
+        "canonical_id",
+        "n_copies",
+        "member_ids_csv",
+    )
+    new, corpus = _incremental_exact_batch(spark, sf_dir)
+    survivors = exact_dedup_against(new, corpus, "doc_id", "text").select(
+        F.lit("new_batch_survivor").alias("family"),
+        F.col("doc_id").alias("canonical_id"),
+        F.lit(None).cast("long").alias("n_copies"),
+        F.lit(None).cast("string").alias("member_ids_csv"),
+    )
+    return groups.unionByName(survivors)
 
 
 register(
@@ -62,13 +111,37 @@ register(
       SELECT doc_id,
              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
       FROM corpus
+    ),
+    groups AS (
+      SELECT
+        'group' AS family,
+        min(doc_id) AS canonical_id,
+        count(*) AS n_copies,
+        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS member_ids_csv
+      FROM normed
+      GROUP BY norm
+    ),
+    batch AS ({_INCREMENTAL_EXACT_BATCH_SQL}),
+    batch_normed AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM batch
+    ),
+    known AS (
+      SELECT DISTINCT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    survivors AS (
+      SELECT 'new_batch_survivor' AS family,
+             b.doc_id AS canonical_id,
+             CAST(NULL AS BIGINT) AS n_copies,
+             CAST(NULL AS VARCHAR) AS member_ids_csv
+      FROM batch_normed b
+      WHERE NOT EXISTS (SELECT 1 FROM known k WHERE k.norm = b.norm)
     )
-    SELECT
-      min(doc_id) AS canonical_id,
-      count(*) AS n_copies,
-      string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS member_ids_csv
-    FROM normed
-    GROUP BY norm
+    SELECT * FROM groups
+    UNION ALL
+    SELECT * FROM survivors
     """,
 )
 
@@ -108,15 +181,41 @@ _SHINGLES_SQL = """
 
 
 def dedup_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs at Jaccard ≥ 0.5 (verified exactly)."""
-    return minhash_neardup_pairs(
-        _corpus_neardup(spark, sf_dir),
+    """MinHash-LSH near-dup at Jaccard ≥ 0.5 (verified exactly), both
+    ingest shapes in one gated result (r4 review: the incremental family
+    must sit inside the oracle gate window — folded, like
+    repetition/PII into ``text_analysis``):
+
+    * ``family='self'`` — whole-corpus self near-dup pairs.
+    * ``family='incremental'`` — daily-ingest shape: every ``doc_id % 7
+      == 0`` document plays the NEW batch against the rest as the
+      existing corpus; two-table band join, the corpus never
+      self-paired. Gated against *brute-force cross Jaccard* exactly
+      like the self family (16 bands × 2 rows: planted pairs at
+      J ≥ 0.8 are missed with p < 1e-9; random pairs sit at J ≈ 0.04)."""
+    from connect_server_spark.operators.dedup import minhash_neardup_against
+
+    corpus = _corpus_neardup(spark, sf_dir)
+    self_pairs = minhash_neardup_pairs(
+        corpus, "doc_id", "text", threshold=0.5, num_hashes=32, bands=16
+    ).select(
+        F.lit("self").alias("family"), "id_a", "id_b", "jaccard"
+    )
+    incremental = minhash_neardup_against(
+        corpus.filter(F.col("doc_id") % 7 == 0),
+        corpus.filter(F.col("doc_id") % 7 != 0),
         "doc_id",
         "text",
         threshold=0.5,
         num_hashes=32,
         bands=16,
-    ).select("id_a", "id_b", "jaccard")
+    ).select(
+        F.lit("incremental").alias("family"),
+        F.col("new_id").alias("id_a"),
+        F.col("corpus_id").alias("id_b"),
+        "jaccard",
+    )
+    return self_pairs.unionByName(incremental)
 
 
 register(
@@ -126,6 +225,7 @@ register(
     WITH corpus AS ({_CORPUS_NEARDUP_SQL}),
     sets_ AS ({_SHINGLES_SQL})
     SELECT
+      'self' AS family,
       a.doc_id AS id_a,
       b.doc_id AS id_b,
       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
@@ -135,6 +235,19 @@ register(
     WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
         / (len(a.shingles) + len(b.shingles)
            - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    UNION ALL
+    SELECT
+      'incremental' AS family,
+      n.doc_id AS id_a,
+      c.doc_id AS id_b,
+      CAST(len(list_intersect(n.shingles, c.shingles)) AS DOUBLE)
+        / (len(n.shingles) + len(c.shingles)
+           - len(list_intersect(n.shingles, c.shingles))) AS jaccard
+    FROM sets_ n JOIN sets_ c
+      ON n.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
+    WHERE CAST(len(list_intersect(n.shingles, c.shingles)) AS DOUBLE)
+        / (len(n.shingles) + len(c.shingles)
+           - len(list_intersect(n.shingles, c.shingles))) >= 0.5
     """,
 )
 
@@ -277,11 +390,12 @@ register("dedup_neardup_simhash", dedup_neardup_simhash, defer=True)
 
 
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental (daily-ingest) MinHash near-dup: every ``doc_id % 7
-    == 0`` document plays the NEW batch, the rest the existing corpus —
-    band-joined as two tables (the corpus is never self-paired). Rows-
-    only check; the cross-pairs-of-union equivalence is pinned in
-    ``tests/test_dedup.py``."""
+    """Incremental (daily-ingest) MinHash near-dup, standalone (bench
+    isolation; the ORACLE-gated twin is the ``incremental`` family folded
+    into ``dedup_neardup_minhash``): every ``doc_id % 7 == 0`` document
+    plays the NEW batch, the rest the existing corpus — band-joined as
+    two tables (the corpus is never self-paired). Cross-pairs-of-union
+    equivalence is additionally pinned in ``tests/test_dedup.py``."""
     from connect_server_spark.operators.dedup import minhash_neardup_against
 
     corpus = _corpus_neardup(spark, sf_dir)
@@ -297,25 +411,58 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("dedup_incremental_minhash", dedup_incremental_minhash, defer=True)
 
 
+def dedup_incremental_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest FAST path: same split as
+    ``dedup_incremental_minhash`` but the corpus (id, band, band_hash)
+    index and shingle store are persisted once (cached per scale factor
+    under /tmp; bench's warm-up pass pays the build) and every batch
+    thereafter joins the pre-built index — O(batch) work, no corpus-text
+    rescan. Rows-only; output equivalence to the recompute path is pinned
+    in ``tests/test_dedup.py`` along with a plan test that the batch
+    never reads corpus text."""
+    import os
+
+    from connect_server_spark.operators.dedup import (
+        minhash_neardup_against_index,
+        write_minhash_index,
+    )
+
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = f"/tmp/connect_server_spark_minhash_index_v1/{sf_name}"
+    index_path, shingle_path = f"{root}/band_index", f"{root}/shingles"
+    corpus = _corpus_neardup(spark, sf_dir)
+    existing = corpus.filter(F.col("doc_id") % 7 != 0)
+    if not (
+        os.path.exists(f"{index_path}/_SUCCESS")
+        and os.path.exists(f"{shingle_path}/_SUCCESS")
+    ):
+        write_minhash_index(
+            existing, "doc_id", "text", index_path, shingle_path
+        )
+    return minhash_neardup_against_index(
+        corpus.filter(F.col("doc_id") % 7 == 0),
+        spark,
+        index_path,
+        shingle_path,
+        "doc_id",
+        "text",
+        threshold=0.5,
+    )
+
+
+register(
+    "dedup_incremental_minhash_indexed", dedup_incremental_minhash_indexed, defer=True
+)
+
+
 def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingest-time exact-digest gate: the new batch mixes exact copies
-    of known documents (uppercased + padded — same digest after
-    normalization, dropped) with genuinely novel texts (suffix-extended,
-    kept); survivors are anti-joined on 16-byte digests."""
+    """Ingest-time exact-digest gate, standalone (bench isolation; the
+    ORACLE-gated twin is the ``new_batch_survivor`` family folded into
+    ``dedup_exact``): survivors are anti-joined on 16-byte digests."""
     from connect_server_spark.operators.dedup import exact_dedup_against
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    known_again = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
-    )
-    novel = docs.filter(F.col("doc_id") % 7 == 3).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" entirely novel suffix")).alias("text"),
-    )
-    return exact_dedup_against(
-        known_again.unionByName(novel), docs, "doc_id", "text"
-    ).select("doc_id")
+    new, corpus = _incremental_exact_batch(spark, sf_dir)
+    return exact_dedup_against(new, corpus, "doc_id", "text").select("doc_id")
 
 
 register("dedup_incremental_exact", dedup_incremental_exact, defer=True)

@@ -16,8 +16,6 @@ from connect_server_spark.operators.extractors import (
 )
 from connect_server_spark.operators.multimodal import (
     attach_binary,
-    extract_binary_features,
-    resize_binary,
     sample_frames,
 )
 from connect_server_spark.registry import register
@@ -324,10 +322,19 @@ register(
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction over binary payloads
-    (rows-only: pandas-side floats are not oracle-portable)."""
-    docs = load_table(spark, "documents", sf_dir)
-    return extract_binary_features(attach_binary(docs, "doc_id", "text"))
+    """REAL image decode → featurize: deterministic BMP payloads are
+    synthesized per doc_id, struct-parsed back to pixels (no codec lib —
+    uncompressed BMP is pure numpy), and reduced to width/height/channel
+    means. Rows-only driver check; the decode math is golden-pinned in
+    ``tests/test_extractors.py``. Byte-level (decode-free) features stay
+    covered by :func:`extract_binary_features` unit tests."""
+    from connect_server_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_bmp_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return extract_image_features(synthesize_bmp_payloads(docs))
 
 
 register("multimodal_features", multimodal_features, defer=True)
@@ -362,10 +369,17 @@ register(
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing (rows-only: the byte-stride downsample has no
-    clean SQL twin; the contract shape is pinned by pytest)."""
-    docs = load_table(spark, "documents", sf_dir)
-    return resize_binary(attach_binary(docs, "doc_id", "text"))
+    """REAL image resize: synthesized BMP payloads are decoded,
+    nearest-neighbor downsampled 2×, and re-encoded as BMP — the thumb
+    digest pins the full decode→resample→encode path (rows-only: binary
+    digests of BMP bytes have no SQL twin; goldens in pytest)."""
+    from connect_server_spark.operators.multimodal import (
+        resize_image_binary,
+        synthesize_bmp_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return resize_image_binary(synthesize_bmp_payloads(docs))
 
 
 register("multimodal_resize", multimodal_resize, defer=True)

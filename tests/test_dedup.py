@@ -252,6 +252,74 @@ def test_ngram_jaccard_blocking_is_lossless_vs_brute_force(spark):
     assert got == want
 
 
+def test_ngram_jaccard_exact_copy_farm_collapses_to_groups(spark):
+    """The exact-copy-farm corner (dedup.py documents it; r4 review asked
+    for it to be composed in, not left to the caller): a farm of hundreds
+    of byte-identical copies must flow through the prefix filter as ONE
+    representative — candidate generation O(groups) — while the output
+    still equals brute force: all intra-farm pairs at Jaccard 1.0 plus
+    every cross pair expanded through group membership."""
+    from connect_server_spark.operators.dedup import (
+        ngram_jaccard_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    farm_text = "identical boilerplate page repeated across the whole mirror set"
+    near_text = " ".join(farm_text.split()[2:])  # J vs farm ≈ 0.6
+    n_farm = 500
+    rows = [(i, farm_text) for i in range(n_farm)]
+    rows += [(9000, near_text)]
+    rows += [(9100, "some entirely unrelated document about spark plans"),
+             (9101, "different vocabulary again nothing shared with others")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5)
+    n_intra = n_farm * (n_farm - 1) // 2
+    counts = pairs.groupBy((F.col("jaccard") == 1.0).alias("is_exact")).count()
+    got = {r.is_exact: r["count"] for r in counts.collect()}
+    assert got.get(True) == n_intra          # every intra-farm pair, J = 1.0
+    assert got.get(False) == n_farm          # near-dup × every farm member
+    # candidate generation really ran on representatives: the distinct
+    # texts produce ≤ C(4,2) candidate pairs, not C(503,2)
+    reps = spark.createDataFrame(
+        [(0, farm_text), (9000, near_text),
+         (9100, "some entirely unrelated document about spark plans"),
+         (9101, "different vocabulary again nothing shared with others")],
+        ["doc_id", "text"],
+    )
+    assert ngram_jaccard_candidates(reps, "doc_id", "text", threshold=0.5).count() <= 6
+
+
+def test_ngram_jaccard_collapse_matches_uncollapsed_with_blocks(spark):
+    """collapse_exact must be invisible in the result, including under
+    co-blocking: same digest in different blocks stays unpaired, and the
+    jaccard values match the uncollapsed plan exactly."""
+    from connect_server_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "s1", base), (2, "s1", base), (3, "s1", base),      # farm in s1
+        (4, "s2", base),                                         # same text, other block
+        (5, "s1", " ".join(base.split()[2:])),                   # near-dup in s1
+        (6, "s2", "unrelated words entirely different content here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    kw = dict(block_col="source", threshold=0.5)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", **kw).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", collapse_exact=False, **kw
+        ).collect()
+    }
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert not any(4 in p for p in got)  # cross-block identical text: no pair
+
+
 def test_embedding_lsh_bucket_join_carries_no_vectors(spark):
     """The SRP bucket self-join must shuffle NARROW (id, table, sig) rows;
     embeddings join back in only for the verify, moving once per side.
@@ -461,6 +529,108 @@ def test_minhash_incremental_matches_cross_pairs_of_union(spark):
     }
     assert inc == full and len(inc) > 0
     assert (101, 1) in inc  # the planted near-dup surfaced
+
+
+def test_minhash_index_path_matches_recompute_and_never_rescans_corpus(spark, tmp_path):
+    """The persisted-index daily-ingest path must (a) return exactly what
+    the recompute-everything variant returns on the same split, and (b)
+    plan the batch WITHOUT touching corpus text: the executed plan reads
+    the index + shingle store and never the corpus parquet — no
+    corpus-side shingling/signature work survives into the batch."""
+    from connect_server_spark.operators.dedup import (
+        minhash_neardup_against,
+        minhash_neardup_against_index,
+        write_minhash_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    corpus_rows = [
+        (1, base),
+        (2, base.replace("dog", "cat")),
+        (3, "completely unrelated text about spark physical plans and joins"),
+        (4, "another document with its own distinct vocabulary entirely here"),
+    ]
+    new_rows = [
+        (101, base),
+        (102, "fresh content that matches nothing in the existing corpus"),
+        (103, base.replace("dog", "cat").replace("fast", "quickly")),
+    ]
+    corpus_path = str(tmp_path / "corpus_text")
+    spark.createDataFrame(corpus_rows, ["doc_id", "text"]).write.parquet(
+        corpus_path
+    )
+    corpus = spark.read.parquet(corpus_path)
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+
+    index_path = str(tmp_path / "band_index")
+    shingle_path = str(tmp_path / "shingle_store")
+    write_minhash_index(
+        corpus, "doc_id", "text", index_path, shingle_path
+    )
+
+    batch = minhash_neardup_against_index(
+        new, spark, index_path, shingle_path, "doc_id", "text", threshold=0.5
+    )
+    got = {(r.new_id, r.corpus_id): r.jaccard for r in batch.collect()}
+    want = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in minhash_neardup_against(
+            new, corpus, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert got == want and (101, 1) in got
+
+    # The batch reads ONLY the persisted index + shingle store — the
+    # corpus text parquet never appears among the scanned files, so no
+    # corpus-side shingling/signature computation can exist in the plan
+    # (the stores carry no text column to shingle). inputFiles() is the
+    # untruncated source of truth (plan toString elides long paths).
+    read_files = set(batch.inputFiles())
+    assert any("band_index" in f for f in read_files), read_files
+    assert any("shingle_store" in f for f in read_files), read_files
+    assert not any("corpus_text" in f for f in read_files), read_files
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    # belt-and-braces: every parquet scan in the plan reads the store
+    # schemas, never a text column
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines and not any("text" in l for l in scan_lines), plan
+
+
+def test_minhash_index_append_closes_ingest_loop(spark, tmp_path):
+    """The daily-ingest loop: day-1 corpus indexed, day-2 batch deduped
+    against it, day-2 survivors APPENDED (O(batch) index growth — no
+    corpus rewrite), and a day-3 copy of a day-2 survivor is then caught
+    by the grown index."""
+    from connect_server_spark.operators.dedup import (
+        minhash_neardup_against_index,
+        write_minhash_index,
+    )
+
+    day1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and runs away")],
+        ["doc_id", "text"],
+    )
+    day2 = spark.createDataFrame(
+        [(201, "a wholly new document about adaptive query execution plans")],
+        ["doc_id", "text"],
+    )
+    day3 = spark.createDataFrame(
+        [(301, "a wholly new document about adaptive query execution plans")],
+        ["doc_id", "text"],
+    )
+    ip, sp = str(tmp_path / "idx"), str(tmp_path / "sh")
+    write_minhash_index(day1, "doc_id", "text", ip, sp)
+
+    hits2 = minhash_neardup_against_index(
+        day2, spark, ip, sp, "doc_id", "text", threshold=0.5
+    )
+    assert hits2.count() == 0  # day-2 doc is novel → survives
+    write_minhash_index(day2, "doc_id", "text", ip, sp, mode="append")
+
+    hits3 = minhash_neardup_against_index(
+        day3, spark, ip, sp, "doc_id", "text", threshold=0.5
+    ).collect()
+    assert {(r.new_id, r.corpus_id, r.jaccard) for r in hits3} == {(301, 201, 1.0)}
 
 
 def test_connected_components_chain_and_star(spark):

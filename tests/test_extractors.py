@@ -111,9 +111,94 @@ def test_binary_features_batch_shape(spark):
     assert out[2].head_hex == "61626364"
 
 
-def test_decode_image_is_explicit_stub():
+def test_decode_image_compressed_formats_still_raise():
+    """Compressed mimes stay an explicit NotImplementedError (no codec in
+    this environment); uncompressed formats are decoded for real below."""
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0JFIF")
+
+
+def test_bmp_roundtrip_including_row_padding():
+    """encode_bmp → decode_image is the identity, including widths whose
+    3-byte rows need 4-byte padding (w=5 → 15-byte row, 1 pad byte)."""
+    import numpy as np
+
+    from connect_server_spark.operators.multimodal import encode_bmp
+
+    rng = np.random.default_rng(11)
+    for h, w in [(4, 4), (3, 5), (1, 1), (7, 2)]:
+        pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_image(encode_bmp(pix)) == pix).all(), (h, w)
+
+
+def test_decode_bmp_32bpp_and_topdown():
+    """32-bpp BGRA and top-down (negative height) BMPs decode too."""
+    import struct
+
+    import numpy as np
+
+    w, h = 2, 2
+    # pixels row-major top-down, BGRA
+    px = [
+        (10, 20, 30, 0), (40, 50, 60, 0),
+        (70, 80, 90, 0), (100, 110, 120, 0),
+    ]
+    body = b"".join(struct.pack("<BBBB", *p) for p in px)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0, len(body), 0, 0, 0, 0)
+    arr = decode_image(header + info + body)
+    assert arr.shape == (2, 2, 3)
+    assert arr[0, 0].tolist() == [30, 20, 10]  # BGR → RGB
+    assert arr[1, 1].tolist() == [120, 110, 100]
+
+
+def test_decode_ppm_with_comment():
+    import numpy as np
+
+    payload = b"P6\n# a comment\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    arr = decode_image(payload)
+    assert arr.shape == (1, 2, 3)
+    assert arr.reshape(-1).tolist() == [1, 2, 3, 4, 5, 6]
+
+
+def test_image_features_and_resize_real_decode_goldens(spark):
+    """The Spark-side real-decode pipeline: synthesized BMPs →
+    width/height/channel means, and decode → 2× downsample → re-encode
+    with a digest golden computed independently in numpy."""
+    import hashlib
+
+    import numpy as np
+
+    from connect_server_spark.operators.multimodal import (
+        encode_bmp,
+        extract_image_features,
+        resize_image_binary,
+        synthesize_bmp_payloads,
+    )
+
+    ids = spark.createDataFrame([(3,), (10,)], ["doc_id"])
+    payloads = synthesize_bmp_payloads(ids)
+
+    feats = {r.doc_id: r for r in extract_image_features(payloads).collect()}
+    rs = {r.doc_id: r for r in resize_image_binary(payloads, stride=2).collect()}
+
+    for i in (3, 10):
+        w, h = 8 + i % 9, 6 + i % 7
+        y, x, c = np.ogrid[:h, :w, :3]
+        pix = ((31 * i + 17 * y + 7 * x + 101 * c) % 256).astype(np.uint8)
+        f = feats[i]
+        assert (f.width, f.height) == (w, h)
+        means = np.rint(
+            pix.reshape(-1, 3).sum(axis=0, dtype=np.int64) * 1000 / (h * w)
+        ).astype(int)
+        assert [f.mean_r_milli, f.mean_g_milli, f.mean_b_milli] == means.tolist()
+        thumb = pix[::2, ::2]
+        r = rs[i]
+        assert (r.src_width, r.src_height) == (w, h)
+        assert (r.thumb_width, r.thumb_height) == (thumb.shape[1], thumb.shape[0])
+        assert r.thumb_digest == hashlib.md5(encode_bmp(thumb)).hexdigest()
 
 
 def test_resize_binary_strided(spark):

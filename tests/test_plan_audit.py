@@ -56,15 +56,24 @@ SHUFFLE_BUDGET = {
     "org_resolve": 3,
     "org_parent_rules": 2,
     "status_insert_guard": 2,
-    "dedup_exact": 1,
-    "dedup_neardup_minhash": 5,
+    # r5: both queries fold their incremental (new-batch-vs-corpus)
+    # family in so the daily-ingest path sits inside the driver's oracle
+    # gate window — the union roughly doubles the stage count; every
+    # added Exchange carries narrow keys (16-byte digests / band hashes),
+    # never document bodies.
+    "dedup_exact": 5,
+    "dedup_neardup_minhash": 10,
     # r5: +1 — cluster sizes moved off Window.partitionBy(component) (a
     # mega-component single-task hot key) onto a graph-node-only count
     # whose one-row-per-component result broadcasts back; the extra
     # Exchange is narrow (labels only) and the corpus is no longer
     # partitioned by component at all.
     "dedup_clusters": 4,
-    "dedup_ngram_jaccard": 10,
+    # r5: 10 → 13 — exact-copy collapse composed in (digest agg + member
+    # expansion + intra-group join). Every added Exchange carries narrow
+    # (id, 16-byte digest) rows, and the prefix-filter pipeline now runs
+    # on the DISTINCT-text corpus, so total shuffled bytes went down.
+    "dedup_ngram_jaccard": 13,
     "dedup_neardup_embedding": 1,
     "similarity_topk_exact": 2,
     "corpus_curation": 6,
@@ -81,6 +90,10 @@ SHUFFLE_BUDGET = {
     "submission_rollup": 3,
     "dedup_neardup_simhash": 3,
     "dedup_incremental_minhash": 5,
+    # same stages as the recompute path (batch signatures, index join,
+    # pair distinct, two verify joins) — the saving is the corpus-side
+    # scan+signature WORK, not the shuffle count
+    "dedup_incremental_minhash_indexed": 5,
     "dedup_incremental_exact": 4,
     "dedup_neardup_embedding_lsh": 4,
     "similarity_topk_ann": 3,
