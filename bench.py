@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_neardup_embedding_lsh",
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_indexed",
+    "dedup_incremental_exact",
     "dedup_clusters",
     "similarity_topk_exact",
     "similarity_topk_ann",
@@ -64,6 +65,33 @@ HEADLINE = [
     "events_session_windows",
     "events_grouping_sets",
 ]
+
+
+def _calibration(spark, reps: int) -> float:
+    """Fixed synthetic workload, independent of sf and of the query set:
+    a deterministic hash-aggregate over a generated range, sized to ~a few
+    hundred ms of pure compute on an idle 32-core container. Cross-round
+    headline comparisons divide by this to normalize for machine
+    contention (the builder container shares cores with the driver), so a
+    uniform 1.15× drift reads as noise, not regression."""
+    best = float("inf")
+    for _ in range(max(reps, 1)):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 50_000_000, 1, 32)
+            .selectExpr(
+                # pmod-bounded so the 50M-row sum can't overflow a long
+                # under ANSI mode
+                "sum(pmod(xxhash64(id), 1000003)) AS h",
+                "sum(id % 997) AS m",
+                "count(*) AS n",
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -128,6 +156,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
+        # warmed up by the query passes above; interpret per-query timings
+        # relative to this fixed-compute row across rounds
+        "calibration_sec": _calibration(spark, reps),
     }
     if errors:
         out["partial"] = True

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from connect_server_spark.operators.org import anti_join_insert
 
 __all__ = [
+    "fresh_rows",
     "idempotent_append",
     "search_ingest",
     "read_search_index",
@@ -41,12 +42,15 @@ def _is_path_not_found(exc: AnalysisException) -> bool:
     return cond.startswith("PATH_NOT_FOUND") or "PATH_NOT_FOUND" in str(exc)
 
 
-def idempotent_append(
+def fresh_rows(
     spark: SparkSession, incoming: DataFrame, path: str, keys: Sequence[str]
-) -> int:
-    """S8: append only rows whose key tuple is absent. Returns appended
-    row count (the reference returns a duplicate error per row; batch
-    semantics surface it as incoming-minus-appended)."""
+) -> DataFrame:
+    """The read side of the S8 guard: rows of ``incoming`` whose key tuple
+    is absent from the table at ``path``. Materialized once (checkpointed)
+    so callers can count AND write without re-running the anti-join — the
+    checkpoint also severs lineage from ``path``, which the append itself
+    targets. Exposed for sinks that need the surviving rows themselves
+    (the streaming ingest-dedup loop appends them to a second artifact)."""
     try:
         existing = spark.read.parquet(path).select(*keys)
         fresh = anti_join_insert(incoming, existing, keys)
@@ -54,10 +58,16 @@ def idempotent_append(
         if not _is_path_not_found(exc):
             raise  # a real read failure must not masquerade as first-write
         fresh = incoming  # first write: nothing to guard against
-    # Materialize once: count and append read the same checkpointed rows
-    # instead of running the anti-join twice (and the checkpoint severs
-    # lineage from `path`, which the append itself targets).
-    fresh = fresh.localCheckpoint(eager=True)
+    return fresh.localCheckpoint(eager=True)
+
+
+def idempotent_append(
+    spark: SparkSession, incoming: DataFrame, path: str, keys: Sequence[str]
+) -> int:
+    """S8: append only rows whose key tuple is absent. Returns appended
+    row count (the reference returns a duplicate error per row; batch
+    semantics surface it as incoming-minus-appended)."""
+    fresh = fresh_rows(spark, incoming, path, keys)
     n = fresh.count()
     if n:
         fresh.write.mode("append").parquet(path)

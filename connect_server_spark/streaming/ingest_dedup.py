@@ -1,0 +1,115 @@
+"""Streaming daily-ingest dedup: the end-to-end shape a training-data
+pipeline runs every day, as a Structured Streaming ``foreachBatch`` sink.
+
+New-document micro-batches dedup against the PERSISTED MinHash-LSH index
+(:func:`~connect_server_spark.operators.dedup.write_minhash_index`), so
+per batch the cluster does O(batch) work plus an equi-join against the
+band index — corpus text is never rescanned. Each micro-batch:
+
+1. computes shingles/signatures for the batch only and probes the
+   persisted ``(id, band, band_hash)`` index
+   (:func:`minhash_neardup_against_index`);
+2. verifies candidates exactly against the persisted shingle store and
+   logs confirmed near-dup pairs to ``pairs_path``;
+3. appends the surviving (novel) documents to ``survivors_path`` through
+   the S8 idempotent insert guard (``sinks.fresh_rows`` — a replayed
+   micro-batch after a checkpoint restart re-appends nothing);
+4. grows the index by exactly the fresh survivors via
+   ``write_minhash_index(mode="append")`` — O(batch) — so LATER batches
+   dedup against earlier survivors too.
+
+Delivery semantics, stated honestly: the survivors table is
+exactly-once (keyed anti-join guard); the pairs log and the index are
+at-least-once under replay. Duplicate index rows are harmless — band
+candidates are ``distinct``-ed before the verify — and the pairs log is
+an audit artifact whose consumers must key by (new_id, corpus_id), the
+classic split for idempotent-table + append-only-log sinks.
+
+Intra-batch duplicates are NOT collapsed here (both copies survive a
+single micro-batch): run ``exact_dedup``/``minhash_neardup_pairs`` as a
+pre-pass if batches can self-collide. At daily-ingest granularity the
+batch is the day's crawl, which upstream exact-dedups first.
+
+Reference parity: the reference gates every submission through a
+DynamoDB conditional insert (``aws/dynamo_manager.py:339-377``); this is
+that gate generalized to content-identity (near-dup) at corpus scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_server_spark.operators.dedup import (
+    minhash_neardup_against_index,
+    write_minhash_index,
+)
+from connect_server_spark.sinks import fresh_rows
+
+__all__ = ["dedup_ingest_sink"]
+
+
+def dedup_ingest_sink(
+    spark: SparkSession,
+    index_path: str,
+    shingle_path: str,
+    survivors_path: str,
+    pairs_path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> Callable[[DataFrame, int], None]:
+    """Build the ``foreachBatch`` function for the streaming ingest-dedup
+    loop. Usage::
+
+        stream.writeStream.foreachBatch(
+            dedup_ingest_sink(spark, ix, sh, surv, pairs, "doc_id", "text")
+        ).option("checkpointLocation", ckpt).start()
+
+    ``availableNow``/default triggers process micro-batches sequentially,
+    so batch N+1 sees the index grown by batch N's survivors — the
+    streaming run is equivalent to folding the batches through
+    ``minhash_neardup_against`` one at a time (pinned in
+    ``tests/test_streaming.py``)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # one materialization per batch: the batch feeds the probe, the
+        # anti-join, and the survivor write — and a checkpoint severs
+        # lineage from the streaming source for the writes below
+        batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
+        pairs = minhash_neardup_against_index(
+            batch,
+            spark,
+            index_path,
+            shingle_path,
+            id_col,
+            text_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+        ).localCheckpoint(eager=True)
+        pairs.write.mode("append").parquet(pairs_path)
+        dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
+        survivors = batch.join(dup_ids, id_col, "left_anti")
+        fresh = fresh_rows(spark, survivors, survivors_path, [id_col])
+        if fresh.count():
+            fresh.write.mode("append").parquet(survivors_path)
+            write_minhash_index(
+                fresh,
+                id_col,
+                text_col,
+                index_path,
+                shingle_path,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_n=shingle_n,
+                mode="append",
+            )
+
+    return sink

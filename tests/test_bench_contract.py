@@ -18,6 +18,13 @@ def test_headline_has_no_duplicates():
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
 
 
+def test_calibration_row_exists():
+    """BENCH_r{N}.json must carry `calibration_sec` (a fixed synthetic
+    workload) so per-query timings can be normalized for machine
+    contention across rounds (r4 verdict #5)."""
+    assert callable(bench._calibration)
+
+
 def test_headline_covers_every_operator_family():
     """One representative per family that matters at scale — if a family
     disappears from the headline, its perf regressions go unmeasured."""
@@ -25,6 +32,11 @@ def test_headline_covers_every_operator_family():
         "scan": ["scan_status_read_path"],
         "versioned": ["latest_version_probes", "latest_status_join"],
         "dedup": ["dedup_exact", "dedup_neardup_minhash", "dedup_clusters"],
+        "dedup_incremental": [
+            "dedup_incremental_exact",
+            "dedup_incremental_minhash",
+            "dedup_incremental_minhash_indexed",
+        ],
         "similarity": ["similarity_topk_exact"],
         "text": ["text_analysis", "corpus_curation"],
         "pipeline": ["submit_pipeline", "flow_execute"],
