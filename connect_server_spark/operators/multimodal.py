@@ -3,13 +3,13 @@ decoded / feature-extracted through Arrow-batched ``mapInPandas``.
 
 Images/audio/video are carried as ``binary`` columns plus a metadata
 struct (mime, byte length, digest). The *decode* step is REAL for
-uncompressed formats — BMP (24/32 bpp) and binary PPM are pure struct
-parsing over numpy, no codec library needed — and raises a clearly-marked
-``NotImplementedError`` for compressed mimes (JPEG/PNG/…, whose codecs
-are not in this environment; a deployment wires Pillow/libvips behind the
-same contract). Everything around the decode — the schema contract,
-partition-preserving mapInPandas, Arrow batch shape, deterministic
-features — is real and tested either way.
+uncompressed formats — BMP (24/32 bpp), binary PPM, and PCM16 WAV are
+pure struct parsing over numpy, no codec library needed — and raises a
+clearly-marked ``NotImplementedError`` for compressed mimes
+(JPEG/PNG/MP3/…, whose codecs are not in this environment; a deployment
+wires Pillow/libvips/ffmpeg behind the same contract). Everything around
+the decode — the schema contract, partition-preserving mapInPandas, Arrow
+batch shape, deterministic features — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -34,6 +34,10 @@ __all__ = [
     "resize_image_binary",
     "resize_binary",
     "sample_frames",
+    "encode_wav",
+    "decode_audio",
+    "synthesize_wav_payloads",
+    "extract_audio_features",
 ]
 
 FEATURE_SCHEMA = (
@@ -309,6 +313,139 @@ def resize_binary(df: DataFrame, id_col: str = "doc_id", stride: int = 4) -> Dat
             )
 
     return df.select(id_col, "payload").mapInPandas(resize, RESIZE_SCHEMA)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode an (N,) or (N, channels) int16 array as a PCM16 RIFF/WAVE
+    payload — the inverse of :func:`decode_audio` for round-trip tests
+    and the synthesized fixtures. Pure struct packing, no codec."""
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    body = arr.tobytes()  # interleaved frames: row-major (N, ch)
+    block_align = ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def _decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    if b[8:12] != b"WAVE":
+        raise NotImplementedError(f"RIFF payload is not WAVE: {b[8:12]!r}")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", b, pos + 8)
+        elif cid == b"data":
+            data = b[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    audio_format, ch, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV decode supports PCM16 only (format={audio_format}, bits={bits})"
+        )
+    usable = len(data) - len(data) % (ch * 2)
+    arr = np.frombuffer(data, "<i2", count=usable // 2).reshape(-1, ch)
+    return np.ascontiguousarray(arr), rate
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode an audio payload to ((N, channels) int16 samples, rate).
+
+    REAL for uncompressed PCM16 WAV ('RIFF'/'WAVE' magic) — plain struct
+    parsing over numpy, no codec library involved. Compressed formats
+    (MP3/FLAC/OGG/…) raise ``NotImplementedError``: their codecs are not
+    in this environment, and a deployment wires ffmpeg/soundfile here
+    behind the same bytes-in / (array, rate)-out contract."""
+    b = bytes(payload)
+    if b[:4] == b"RIFF":
+        return _decode_wav(b)
+    raise NotImplementedError(
+        f"only PCM16 WAV decode without a codec library; got magic {b[:4]!r}"
+    )
+
+
+def synthesize_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic audio as REAL PCM16 WAV payloads: per id, a
+    sawtooth of period ``50 + id%200`` samples, amplitude ``1000 +
+    (id%30)·1000``, ``800 + id%800`` samples at 8 kHz, mono/stereo
+    alternating by id (stereo right = left shifted half a period) — pure
+    integer math, so payload bytes are reproducible on any engine.
+    Exercises the full real decode path exactly like the BMP fixtures."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                p = 50 + i % 200
+                amp = 1000 + (i % 30) * 1000
+                n = 800 + i % 800
+                t = np.arange(n, dtype=np.int64)
+                left = ((t % p) * (2 * amp)) // max(p - 1, 1) - amp
+                if i % 2:
+                    right = (((t + p // 2) % p) * (2 * amp)) // max(p - 1, 1) - amp
+                    samples = np.stack([left, right], axis=1)
+                else:
+                    samples = left
+                rows.append(
+                    (i, encode_wav(samples.astype(np.int16), sample_rate=8000))
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return df.select(id_col).mapInPandas(synth, f"{id_col} long, payload binary")
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, n_samples int, "
+    "duration_ms int, rms_milli int, peak int"
+)
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL decode → featurize for audio: sample rate, channel count,
+    sample count, duration, RMS level (milli-units of full scale — integer,
+    hash-stable) and peak amplitude from :func:`decode_audio`.
+    Partition-preserving Arrow-batched ``mapInPandas``; payloads never
+    shuffle."""
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                arr, rate = decode_audio(payload)
+                n, ch = arr.shape
+                x = arr.astype(np.float64) / 32768.0
+                rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+                peak = int(np.abs(arr).max()) if n else 0
+                rows.append(
+                    (
+                        doc_id, rate, ch, n,
+                        int(round(n * 1000 / rate)),
+                        int(round(rms * 1000)), peak,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_rate", "n_channels", "n_samples",
+                    "duration_ms", "rms_milli", "peak",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        features, AUDIO_FEATURE_SCHEMA
+    )
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes int, frame_digest string"

@@ -58,6 +58,25 @@ def alnum_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), F.lit(0)))
 
 
+# The GPT-2 pre-tokenizer's split classes, ASCII-restricted and with the
+# apostrophe isolated into its own alternative so every alternation is
+# DISJOINT at any start position — leftmost-first (Java regex) and
+# RE2-style matching then agree by construction, which keeps the Spark
+# expression and the DuckDB oracle bit-identical.
+BPE_SPLIT_RE = r"'[A-Za-z]*| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """Sub-word-ish token-cost estimate: count of GPT-2-pre-tokenizer
+    pieces (contraction tails, space-prefixed letter runs, digit runs,
+    punctuation runs, residual whitespace) in one scan-stage regexp pass —
+    the standard cheap estimator for "how many BPE tokens will this
+    document cost" when no vocab is loaded. Underestimates a real merged
+    BPE count (long words stay one piece) but induces the same ordering,
+    which is what length gates and cost budgeting consume."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), F.lit(0)))
+
+
 def _hit_ratio(toks: Column, words: tuple[str, ...]) -> Column:
     wordset = F.array(*[F.lit(w) for w in words])
     hits = F.size(F.array_intersect(F.array_distinct(toks), wordset))

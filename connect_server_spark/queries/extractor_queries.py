@@ -385,6 +385,25 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("multimodal_resize", multimodal_resize, defer=True)
 
 
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode → featurize: deterministic PCM16 WAV payloads
+    (integer sawtooth, mono/stereo by id) are synthesized per doc_id,
+    RIFF-parsed back to samples (no codec lib — PCM16 WAV is pure struct
+    parsing), and reduced to rate/channels/duration/RMS/peak. Rows-only
+    driver check; the decode math is golden-pinned in
+    ``tests/test_extractors.py``."""
+    from connect_server_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_wav_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return extract_audio_features(synthesize_wav_payloads(docs))
+
+
+register("multimodal_audio_features", multimodal_audio_features, defer=True)
+
+
 def extract_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S14/§2.10: per-directory (here: per-source) grouped extraction —
     two 'format extractors' run over each group's members and dict-merge

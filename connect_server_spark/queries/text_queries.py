@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from connect_server_spark.operators.text import (
     STOPWORDS,
     alnum_token_count,
+    bpe_token_estimate,
     doc_fingerprint,
     dup_line_ratio,
     language_id,
@@ -32,6 +33,7 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         token_count(t).alias("n_tokens"),
         alnum_token_count(t).alias("n_alnum_tokens"),
+        bpe_token_estimate(t).alias("n_bpe_tokens"),
         language_id(t).alias("lang_guess"),
         stopword_ratio(t).alias("stopword_ratio_en"),
         mean_word_length(t).alias("mean_word_len"),
@@ -66,6 +68,12 @@ _LANG_CASE = f"""
         END)
       ELSE 'und' END
 """
+
+from connect_server_spark.operators.text import BPE_SPLIT_RE
+
+# SQL string literal form: apostrophes doubled; backslashes pass through
+# (standard SQL strings are not escape-processed in DuckDB)
+_BPE_RE_SQL = BPE_SPLIT_RE.replace("'", "''")
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_CARD = r"\b(?:\d[ -]?){12,15}\d\b"
@@ -111,6 +119,7 @@ register(
       s.doc_id,
       len(w) AS n_tokens,
       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_alnum_tokens,
+      len(regexp_extract_all(text, '{_BPE_RE_SQL}', 0)) AS n_bpe_tokens,
       {_LANG_CASE} AS lang_guess,
       swr AS stopword_ratio_en,
       mwl AS mean_word_len,

@@ -316,3 +316,77 @@ def test_tdb_extractor_reference_goldens(spark):
         import re
         got_symbols = set(re.findall(r"[A-Z][a-z]*", got_comp))
         assert got_symbols == symbols, fname
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    """encode_wav → decode_audio is the identity for PCM16, mono and
+    stereo, including odd-size word-aligned chunk traversal."""
+    import numpy as np
+
+    from connect_server_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    mono = rng.integers(-32768, 32768, size=37, dtype=np.int16)
+    arr, rate = decode_audio(encode_wav(mono, sample_rate=16000))
+    assert rate == 16000 and arr.shape == (37, 1)
+    assert (arr[:, 0] == mono).all()
+
+    stereo = rng.integers(-32768, 32768, size=(21, 2), dtype=np.int16)
+    arr, rate = decode_audio(encode_wav(stereo, sample_rate=8000))
+    assert rate == 8000 and arr.shape == (21, 2)
+    assert (arr == stereo).all()
+
+
+def test_decode_audio_compressed_formats_still_raise():
+    import pytest as _pytest
+
+    from connect_server_spark.operators.multimodal import decode_audio
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04\x00\x00")  # MP3 with ID3 tag
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"fLaC\x00\x00\x22")
+    # RIFF but not PCM16 (IEEE float format code 3)
+    import struct as _struct
+
+    fmt = _struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    bad = (
+        b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_audio(bad)
+
+
+def test_audio_features_real_decode_goldens(spark):
+    """Spark-side real audio decode: synthesized PCM16 WAVs →
+    rate/channels/duration/RMS/peak, goldens recomputed independently in
+    numpy from the documented sawtooth formula."""
+    import numpy as np
+
+    from connect_server_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_wav_payloads,
+    )
+
+    ids = spark.createDataFrame([(4,), (7,)], ["doc_id"])
+    feats = {
+        r.doc_id: r
+        for r in extract_audio_features(synthesize_wav_payloads(ids)).collect()
+    }
+    for i in (4, 7):
+        p, amp, n = 50 + i % 200, 1000 + (i % 30) * 1000, 800 + i % 800
+        t = np.arange(n, dtype=np.int64)
+        left = ((t % p) * (2 * amp)) // max(p - 1, 1) - amp
+        chans = [left]
+        if i % 2:
+            chans.append((((t + p // 2) % p) * (2 * amp)) // max(p - 1, 1) - amp)
+        x = np.stack(chans, axis=1).astype(np.float64) / 32768.0
+        f = feats[i]
+        assert (f.sample_rate, f.n_channels, f.n_samples) == (8000, len(chans), n)
+        assert f.duration_ms == int(round(n * 1000 / 8000))
+        assert f.rms_milli == int(round(float(np.sqrt(np.mean(x * x))) * 1000))
+        assert f.peak == int(np.abs(np.stack(chans, axis=1)).max())

@@ -36,6 +36,7 @@ ARROW_BOUNDARY_OK = {
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "multimodal_audio_features",
     "extract_grouped",
 }
 

@@ -194,3 +194,32 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     # a different seed draws a different sample
     s3 = {r.id for r in stratified_sample(df, "id", frac, seed="u:").collect()}
     assert s3 != {r.id for r in s1}
+
+
+def test_bpe_token_estimate_pieces(spark):
+    """Pin the GPT-2-pre-tokenizer piece count on hand-counted cases; the
+    pattern's alternatives are position-disjoint so Java regex and the
+    DuckDB oracle (RE2) agree — the gated query proves that at corpus
+    scale, this pins the absolute values."""
+    from connect_server_spark.operators.text import bpe_token_estimate
+
+    cases = [
+        ("hello world", 2),            # "hello", " world"
+        ("don't stop", 3),             # "don", "'t", " stop"
+        ("a1b2", 4),                   # letter/digit runs alternate
+        ("x  y", 3),                   # "x", " ", " y": double space leaves one ws piece
+        ("price: $4,200.50!", 9),      # "price", ":", " $", "4", ",", "200", ".", "50", "!"
+        ("", 0),
+        ("'", 1),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i long, t string"
+    )
+    got = {
+        r.i: r.n
+        for r in df.select(
+            "i", bpe_token_estimate(F.col("t")).alias("n")
+        ).collect()
+    }
+    for i, (text, want) in enumerate(cases):
+        assert got[i] == want, f"{text!r}: got {got[i]}, want {want}"
