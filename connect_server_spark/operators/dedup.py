@@ -34,6 +34,7 @@ __all__ = [
     "jaccard_verify",
     "minhash_neardup_pairs",
     "minhash_neardup_against",
+    "minhash_neardup_against_shingled",
     "write_minhash_index",
     "minhash_neardup_against_index",
     "ngram_jaccard_candidates",
@@ -202,8 +203,16 @@ def lsh_candidate_pairs(
 
     Explodes each doc into ``bands`` bucket keys and self-joins on the
     bucket key — an equi-join, broadcast/hash-planned, never a cross join.
+
+    The bucket table feeds BOTH sides of the self-join and Spark does not
+    dedupe common subplans, so it is lazily checkpointed: the signature
+    aggregation (the expensive pass over every shingle) runs once, and
+    what lands on executor-local disk is ``bands`` narrow rows per
+    document — id + two longs — independent of document size.
     """
-    buckets = minhash_band_buckets(df, id_col, shingles_col, num_hashes, bands)
+    buckets = minhash_band_buckets(
+        df, id_col, shingles_col, num_hashes, bands
+    ).localCheckpoint(eager=False)
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -299,18 +308,40 @@ def minhash_neardup_against(
     cd = corpus.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")
     )
-    nb = minhash_band_buckets(nd, id_col, "_sh", num_hashes, bands).select(
-        F.col(id_col).alias("new_id"), "band", "band_hash"
+    return minhash_neardup_against_shingled(
+        nd, cd, id_col, "_sh", threshold, num_hashes, bands
     )
-    cb = minhash_band_buckets(cd, id_col, "_sh", num_hashes, bands).select(
-        F.col(id_col).alias("corpus_id"), "band", "band_hash"
-    )
+
+
+def minhash_neardup_against_shingled(
+    new_sh: DataFrame,
+    corpus_sh: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """:func:`minhash_neardup_against` from PRE-SHINGLED inputs
+    (id, shingles). Callers that branch several dedup families off one
+    corpus shingle the text ONCE (and typically ``localCheckpoint`` the
+    shingles so the band-bucket pass and the verify pass both reuse the
+    materialized arrays instead of re-parsing text per branch — Spark
+    does not dedupe common subplans across DataFrame branches)."""
+    nb = minhash_band_buckets(
+        new_sh, id_col, shingles_col, num_hashes, bands
+    ).select(F.col(id_col).alias("new_id"), "band", "band_hash")
+    cb = minhash_band_buckets(
+        corpus_sh, id_col, shingles_col, num_hashes, bands
+    ).select(F.col(id_col).alias("corpus_id"), "band", "band_hash")
     cands = nb.join(cb, ["band", "band_hash"]).select(
         "new_id", "corpus_id"
     ).distinct()
-    a = nd.select(F.col(id_col).alias("new_id"), F.col("_sh").alias("_sh_a"))
-    b = cd.select(
-        F.col(id_col).alias("corpus_id"), F.col("_sh").alias("_sh_b")
+    a = new_sh.select(
+        F.col(id_col).alias("new_id"), F.col(shingles_col).alias("_sh_a")
+    )
+    b = corpus_sh.select(
+        F.col(id_col).alias("corpus_id"), F.col(shingles_col).alias("_sh_b")
     )
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size("_sh_a") + F.size("_sh_b") - inter
@@ -787,8 +818,14 @@ def simhash_neardup_pairs(
     """SimHash near-dup via chunk banding: split the 64-bit fingerprint
     into 4 16-bit chunks; pairs within ``max_hamming`` (< 4 by pigeonhole)
     share at least one exact chunk — an equi-join key. Verify with
-    ``bit_count(xor) <= max_hamming``."""
-    fp = simhash_fingerprints(df, id_col, text_col, shingle_n)
+    ``bit_count(xor) <= max_hamming``.
+
+    Fingerprints feed BOTH sides of the chunk self-join; the lazy
+    checkpoint makes the vote aggregation (the pass over every shingle)
+    run once — one (id, long) row per document lands on local disk."""
+    fp = simhash_fingerprints(df, id_col, text_col, shingle_n).localCheckpoint(
+        eager=False
+    )
     chunks = fp.select(
         id_col,
         "_fp",

@@ -192,20 +192,40 @@ def dedup_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       existing corpus; two-table band join, the corpus never
       self-paired. Gated against *brute-force cross Jaccard* exactly
       like the self family (16 bands × 2 rows: planted pairs at
-      J ≥ 0.8 are missed with p < 1e-9; random pairs sit at J ≈ 0.04)."""
-    from connect_server_spark.operators.dedup import minhash_neardup_against
+      J ≥ 0.8 are missed with p < 1e-9; random pairs sit at J ≈ 0.04).
+
+    Shingle-once: the two families branch four plans off the same corpus
+    (self buckets, self verify, incremental buckets, incremental verify),
+    and Spark does not dedupe common subplans across branches — so the
+    text is parsed into shingle arrays ONCE behind a lazy
+    ``localCheckpoint`` and every branch reuses the materialized arrays.
+    (At 100 TB scope this is the same tradeoff as the persisted shingle
+    store ``write_minhash_index`` makes durable: shingles land on
+    executor-local disk, ~2-3× the text bytes spread across the cluster,
+    in exchange for not re-running the regex parse per branch.)"""
+    from connect_server_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_neardup_against_shingled,
+        word_shingles,
+    )
 
     corpus = _corpus_neardup(spark, sf_dir)
-    self_pairs = minhash_neardup_pairs(
-        corpus, "doc_id", "text", threshold=0.5, num_hashes=32, bands=16
-    ).select(
-        F.lit("self").alias("family"), "id_a", "id_b", "jaccard"
-    )
-    incremental = minhash_neardup_against(
-        corpus.filter(F.col("doc_id") % 7 == 0),
-        corpus.filter(F.col("doc_id") % 7 != 0),
+    shingled = corpus.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("_sh")
+    ).localCheckpoint(eager=False)
+    self_pairs = jaccard_verify(
+        lsh_candidate_pairs(shingled, "doc_id", "_sh", num_hashes=32, bands=16),
+        shingled,
         "doc_id",
-        "text",
+        "_sh",
+        threshold=0.5,
+    ).select(F.lit("self").alias("family"), "id_a", "id_b", "jaccard")
+    incremental = minhash_neardup_against_shingled(
+        shingled.filter(F.col("doc_id") % 7 == 0),
+        shingled.filter(F.col("doc_id") % 7 != 0),
+        "doc_id",
+        "_sh",
         threshold=0.5,
         num_hashes=32,
         bands=16,
@@ -395,15 +415,24 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     into ``dedup_neardup_minhash``): every ``doc_id % 7 == 0`` document
     plays the NEW batch, the rest the existing corpus — band-joined as
     two tables (the corpus is never self-paired). Cross-pairs-of-union
-    equivalence is additionally pinned in ``tests/test_dedup.py``."""
-    from connect_server_spark.operators.dedup import minhash_neardup_against
+    equivalence is additionally pinned in ``tests/test_dedup.py``.
+    Shingle-once via lazy localCheckpoint, as in
+    :func:`dedup_neardup_minhash` (bucket and verify branches reuse the
+    materialized shingle arrays instead of re-parsing text)."""
+    from connect_server_spark.operators.dedup import (
+        minhash_neardup_against_shingled,
+        word_shingles,
+    )
 
     corpus = _corpus_neardup(spark, sf_dir)
-    return minhash_neardup_against(
-        corpus.filter(F.col("doc_id") % 7 == 0),
-        corpus.filter(F.col("doc_id") % 7 != 0),
+    shingled = corpus.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("_sh")
+    ).localCheckpoint(eager=False)
+    return minhash_neardup_against_shingled(
+        shingled.filter(F.col("doc_id") % 7 == 0),
+        shingled.filter(F.col("doc_id") % 7 != 0),
         "doc_id",
-        "text",
+        "_sh",
         threshold=0.5,
     )
 
