@@ -223,3 +223,40 @@ def test_bpe_token_estimate_pieces(spark):
     }
     for i, (text, want) in enumerate(cases):
         assert got[i] == want, f"{text!r}: got {got[i]}, want {want}"
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _BPE_TEXT = st.text(
+        alphabet=st.characters(
+            min_codepoint=9, max_codepoint=126, exclude_categories=("Cc",)
+        )
+        | st.sampled_from([" ", "\n", "\t", "'"]),
+        max_size=80,
+    )
+
+    @given(text=_BPE_TEXT)
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_bpe_token_estimate_matches_python_re(spark, text):
+        """Java regex (Spark) == Python re (leftmost-first reference) on
+        arbitrary printable strings; the gated text_analysis oracle pins
+        the third engine (DuckDB/RE2) at corpus scale."""
+        import re
+
+        from connect_server_spark.operators.text import (
+            BPE_SPLIT_RE,
+            bpe_token_estimate,
+        )
+
+        want = len(re.findall(BPE_SPLIT_RE, text))
+        df = spark.createDataFrame([(text,)], "t string")
+        [r] = df.select(bpe_token_estimate(F.col("t")).alias("n")).collect()
+        assert r.n == want, repr(text)
