@@ -46,10 +46,12 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_indexed",
     "dedup_incremental_exact",
+    "dedup_incremental_embedding",
     "dedup_clusters",
     "similarity_topk_exact",
     "similarity_topk_ann",
     "similarity_topk_ivf",
+    "similarity_topk_ivf_indexed",
     "text_analysis",
     "corpus_curation",
     "submit_pipeline",

@@ -44,6 +44,7 @@ __all__ = [
     "simhash_neardup_pairs",
     "embedding_neardup_exact",
     "embedding_neardup_lsh",
+    "embedding_neardup_against_index",
 ]
 
 
@@ -943,5 +944,63 @@ def embedding_neardup_lsh(
             "id_b",
             cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
         )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_against_index(
+    new: DataFrame,
+    spark,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Incremental embedding-cosine near-dup: each NEW vector vs an
+    EXISTING corpus through the persisted IVF index
+    (:func:`~connect_server_spark.operators.similarity.write_ivf_index`) —
+    the embedding twin of :func:`minhash_neardup_against_index`, closing
+    the daily-ingest shape for the third dedup modality. Per batch the
+    plan assigns the BATCH vectors to their ``nprobe`` nearest cells (one
+    Arrow matmul), joins the cell-partitioned store (directory-pruned to
+    the probed cells), and scores candidates exactly; the corpus is never
+    re-assigned or scanned outside those cells.
+
+    Recall follows IVF semantics: a true near-dup is found iff its
+    corpus twin lives in one of the batch vector's ``nprobe`` cells —
+    near-identical vectors assign to the same top cell, so recall at
+    high thresholds is excellent and ``nprobe = nlist`` degrades to the
+    exact all-pairs check (pinned in ``tests/test_dedup.py``). After the
+    gate, append survivors with ``write_ivf_index(mode="append")`` so
+    tomorrow's batch dedups against today's survivors.
+
+    Returns ``(new_id, corpus_id, cosine)`` with ``cosine >= threshold``.
+    """
+    from connect_server_spark.operators.similarity import (
+        cosine_similarity,
+        ivf_assign_udf,
+        read_ivf_centroids,
+    )
+
+    cents = read_ivf_centroids(spark, index_path)
+    corpus_cells = spark.read.parquet(f"{index_path}/cells").select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("_vb"),
+        F.col("cell").cast("int").alias("_cell"),
+    )
+    batch_cells = new.select(
+        F.col(id_col).alias("new_id"),
+        F.col(vec_col).alias("_va"),
+        F.explode(ivf_assign_udf(cents, nprobe)(F.col(vec_col))).alias("_cell"),
+    )
+    return (
+        corpus_cells.join(F.broadcast(batch_cells), "_cell")
+        .select(
+            "new_id",
+            "corpus_id",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .distinct()
         .filter(F.col("cosine") >= threshold)
     )

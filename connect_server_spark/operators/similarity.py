@@ -36,6 +36,9 @@ __all__ = [
     "ivf_assign_udf",
     "train_ivf_centroids",
     "ivf_topk",
+    "write_ivf_index",
+    "read_ivf_centroids",
+    "ivf_topk_indexed",
 ]
 
 _ROUND = 6
@@ -253,6 +256,114 @@ def train_ivf_centroids(
             m = members.mean(axis=0)
             cents[c] = m / max(np.linalg.norm(m), 1e-12)
     return cents
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    index_path: str,
+    nlist: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    centroids=None,
+    train_iters: int = 10,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the IVF index so ANN serving never re-trains or re-assigns
+    the corpus: the quantizer trains ONCE (bounded sample) and the
+    corpus-wide assignment pass is paid ONCE here, at build/backfill time.
+
+    Two artifacts under ``index_path``:
+
+    * ``centroids/`` — the (cell, weights) coarse quantizer, nlist rows.
+    * ``cells/`` — (vec_id, embedding, cell), hive-partitioned by
+      ``cell``: a probe searching ``nprobe`` cells prunes the other
+      ``nlist - nprobe`` directories at scan time, so query I/O is
+      ~``nprobe/nlist`` of the corpus by layout, not by filter luck.
+
+    ``mode="append"`` is the ingest path: new vectors are assigned with
+    the STORED centroids (never retrained — cell ids must stay stable)
+    and appended, growing the index by O(batch). Consumed by
+    :func:`ivf_topk_indexed`."""
+    spark = corpus.sparkSession
+    cent_path, cells_path = f"{index_path}/centroids", f"{index_path}/cells"
+    if mode == "append":
+        cents = read_ivf_centroids(spark, index_path)
+    else:
+        cents = (
+            np.asarray(centroids, dtype=np.float64)
+            if centroids is not None
+            else train_ivf_centroids(
+                corpus, nlist, corpus_id, corpus_vec, iters=train_iters
+            )
+        )
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
+            "cell int, weights array<double>",
+        ).coalesce(1).write.mode(mode).parquet(cent_path)
+    assigned = corpus.select(
+        F.col(corpus_id),
+        F.col(corpus_vec),
+        F.explode(ivf_assign_udf(cents, 1)(F.col(corpus_vec))).alias("cell"),
+    )
+    assigned.write.mode("append" if mode == "append" else mode).partitionBy(
+        "cell"
+    ).parquet(cells_path)
+
+
+def read_ivf_centroids(spark, index_path: str):
+    """The stored coarse quantizer as a (nlist, dim) float64 array —
+    nlist rows, a driver-side read by design (the matrix is the
+    broadcast-model that ships in the assignment UDF closure)."""
+    rows = (
+        spark.read.parquet(f"{index_path}/centroids")
+        .orderBy("cell")
+        .collect()
+    )
+    return np.array([r.weights for r in rows], dtype=np.float64)
+
+
+def ivf_topk_indexed(
+    probes: DataFrame,
+    spark,
+    index_path: str,
+    k: int,
+    nprobe: int = 4,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against a PRE-BUILT index (:func:`write_ivf_index`): the
+    serving fast path. Per query the plan assigns the PROBES only (tiny —
+    one Arrow batch), broadcast-joins them onto the cell-partitioned
+    store, and scores candidates; the corpus is never re-trained,
+    re-assigned, or scanned outside the probed cells (the join key is the
+    hive partition column, so Spark prunes the other ``nlist - nprobe``
+    cell directories — dynamic partition pruning off the broadcast
+    side). Output contract identical to :func:`ivf_topk`."""
+    cents = read_ivf_centroids(spark, index_path)
+    c_cells = spark.read.parquet(f"{index_path}/cells").select(
+        F.col(corpus_id),
+        F.col(corpus_vec),
+        F.col("cell").cast("int").alias("_cell"),
+    )
+    p_cells = probes.select(
+        F.col(probe_id),
+        F.col(probe_vec),
+        F.explode(ivf_assign_udf(cents, nprobe)(F.col(probe_vec))).alias("_cell"),
+    )
+    scored = c_cells.join(broadcast(p_cells), "_cell").select(
+        F.col(probe_id),
+        F.col(corpus_id),
+        cosine_similarity(F.col(probe_vec), F.col(corpus_vec)).alias("cosine"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def ivf_topk(

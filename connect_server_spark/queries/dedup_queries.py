@@ -578,3 +578,34 @@ def dedup_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("dedup_neardup_embedding_lsh", dedup_neardup_embedding_lsh, defer=True)
+
+
+def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding-cosine near-dup through the persisted IVF
+    index — the daily-ingest shape for the embedding modality (the
+    minhash twin is ``dedup_incremental_minhash_indexed``). Every 25th
+    corpus vector's planted twin plays the NEW batch against the base
+    corpus, whose IVF index is built once (cached per scale factor under
+    /tmp; bench's warm-up pays the build). Rows-only: IVF recall is
+    probabilistic at nprobe < nlist; nprobe = nlist equivalence to the
+    exact all-pairs check is pinned in ``tests/test_dedup.py``."""
+    import os
+
+    from connect_server_spark.operators.dedup import (
+        embedding_neardup_against_index,
+    )
+    from connect_server_spark.operators.similarity import write_ivf_index
+
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_path = f"/tmp/connect_server_spark_emb_ivf_index_v1/{sf_name}"
+    corpus = _emb_neardup_corpus(spark, sf_dir)
+    base = corpus.filter(F.col("vec_id") < 1000000)
+    if not os.path.exists(f"{index_path}/cells/_SUCCESS"):
+        write_ivf_index(base, index_path, nlist=16)
+    batch = corpus.filter(F.col("vec_id") >= 1000000)
+    return embedding_neardup_against_index(
+        batch, spark, index_path, threshold=0.9, nprobe=4
+    )
+
+
+register("dedup_incremental_embedding", dedup_incremental_embedding, defer=True)

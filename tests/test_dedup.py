@@ -760,3 +760,74 @@ def test_assign_clusters_mega_component_no_corpus_partition_by_component(spark):
     assert len(mega) == n // 2 and all(r.cluster_size == n // 2 for r in mega)
     assert rows[0].is_canonical and not rows[2].is_canonical
     assert rows[1].cluster_size == 1 and rows[1].is_canonical
+
+
+def test_embedding_incremental_against_index(spark, tmp_path):
+    """The embedding daily-ingest gate: (a) at nprobe = nlist the indexed
+    path equals the brute-force batch-vs-corpus check exactly; (b) at
+    nprobe < nlist the planted near-twin is still found (near-identical
+    vectors assign to the same top cell); (c) the batch plan scans only
+    the index store, and its single Python boundary assigns the batch."""
+    import numpy as np
+
+    from connect_server_spark.operators.dedup import (
+        embedding_neardup_against_index,
+    )
+    from connect_server_spark.operators.similarity import (
+        cosine_similarity as _cos,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(13)
+    centers = rng.randn(4, 16)
+    corpus_rows = [
+        (i, (centers[i % 4] + 0.1 * rng.randn(16)).tolist()) for i in range(80)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["vec_id", "embedding"])
+    ix = str(tmp_path / "ivf")
+    write_ivf_index(corpus, ix, nlist=8)
+
+    twin = (np.array(corpus_rows[5][1]) + 0.01 * rng.randn(16)).tolist()
+    novel = (10 * rng.randn(16)).tolist()
+    batch = spark.createDataFrame(
+        [(9001, twin), (9002, novel)], ["vec_id", "embedding"]
+    )
+
+    # (a) nprobe = nlist ≡ exact brute force
+    got = {
+        (r.new_id, r.corpus_id, r.cosine)
+        for r in embedding_neardup_against_index(
+            batch, spark, ix, threshold=0.9, nprobe=8
+        ).collect()
+    }
+    a = batch.select(
+        F.col("vec_id").alias("new_id"), F.col("embedding").alias("_va")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("_vb")
+    )
+    want = {
+        (r.new_id, r.corpus_id, r.cosine)
+        for r in a.crossJoin(b)
+        .select("new_id", "corpus_id",
+                _cos(F.col("_va"), F.col("_vb")).alias("cosine"))
+        .filter(F.col("cosine") >= 0.9)
+        .collect()
+    }
+    assert got == want and any(n == 9001 and c == 5 for n, c, _ in got)
+
+    # (b) nprobe = 2 still catches the twin; the novel vector stays clean
+    part = embedding_neardup_against_index(
+        batch, spark, ix, threshold=0.9, nprobe=2
+    )
+    pairs = {(r.new_id, r.corpus_id) for r in part.collect()}
+    assert (9001, 5) in pairs
+    assert not any(n == 9002 for n, _ in pairs)
+
+    # (c) plan hygiene
+    assert all("/cells" in f for f in part.inputFiles()), part.inputFiles()
+    # executed AQE plans print the final AND initial plan — count the final
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ArrowEvalPython") == 1
+    assert "CartesianProduct" not in plan

@@ -32,7 +32,9 @@ ALLPAIRS_BASELINES = {
 ARROW_BOUNDARY_OK = {
     "similarity_topk_ann",
     "similarity_topk_ivf",
+    "similarity_topk_ivf_indexed",
     "dedup_neardup_embedding_lsh",
+    "dedup_incremental_embedding",
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frame_sample",
@@ -99,6 +101,13 @@ SHUFFLE_BUDGET = {
     "dedup_neardup_embedding_lsh": 4,
     "similarity_topk_ann": 3,
     "similarity_topk_ivf": 2,
+    # indexed serving path: same rank shuffle + candidate distinct as the
+    # in-memory IVF — the index removes corpus TRAINING/ASSIGNMENT work,
+    # not the scoring shuffles
+    "similarity_topk_ivf_indexed": 2,
+    # batch-vs-index candidate distinct + the threshold-filtered scoring
+    # join back — same shape as the indexed IVF top-k minus the rank
+    "dedup_incremental_embedding": 2,
 }
 
 

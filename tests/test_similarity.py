@@ -144,3 +144,84 @@ def test_ivf_training_sample_spans_sources(spark):
     best = (cents @ centers.T).max(axis=0)
     assert (best > 0.9).all(), best
     assert len(covered) >= 4
+
+
+def test_ivf_indexed_matches_in_memory_and_appends(spark, tmp_path):
+    """The persisted IVF index path: (a) ivf_topk_indexed returns exactly
+    what ivf_topk returns with the same stored centroids; (b)
+    mode='append' assigns new vectors with the STORED quantizer (cell ids
+    stable) and they become searchable without retraining."""
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(4, 16)
+    rows = [
+        (i, (centers[i % 4] + 0.1 * rng.randn(16)).tolist()) for i in range(120)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = spark.createDataFrame(
+        [(j, rows[j * 30][1]) for j in range(4)], ["probe_id", "probe_vec"]
+    )
+    ix = str(tmp_path / "ivf")
+    write_ivf_index(corpus, ix, nlist=8)
+    cents = read_ivf_centroids(spark, ix)
+
+    got = {
+        (r.probe_id, r.vec_id, r.cosine, r.rank)
+        for r in ivf_topk_indexed(probes, spark, ix, 3, nprobe=4).collect()
+    }
+    want = {
+        (r.probe_id, r.vec_id, r.cosine, r.rank)
+        for r in ivf_topk(
+            probes, corpus, 3, nlist=8, nprobe=4, centroids=cents
+        ).collect()
+    }
+    assert got == want and len(got) == 12
+
+    # append: a near-exact twin of probe 0's vector, new id
+    twin = (np.array(rows[0][1]) + 0.01).tolist()
+    batch = spark.createDataFrame([(9001, twin)], ["vec_id", "embedding"])
+    write_ivf_index(batch, ix, mode="append")
+    assert (read_ivf_centroids(spark, ix) == cents).all()  # never retrained
+    after = {
+        (r.probe_id, r.vec_id)
+        for r in ivf_topk_indexed(probes, spark, ix, 3, nprobe=4).collect()
+    }
+    assert (0, 9001) in after  # the appended vector is searchable
+
+
+def test_ivf_indexed_plan_never_touches_corpus(spark, tmp_path):
+    """Serving plan hygiene: the indexed query scans the index store only
+    (no corpus parquet), and the single Python boundary is the PROBE
+    assignment — the corpus-wide assignment UDF ran at build time."""
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(9)
+    corpus = spark.createDataFrame(
+        [(i, rng.randn(8).tolist()) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    ix = str(tmp_path / "ivf")
+    write_ivf_index(corpus, ix, nlist=4)
+    probes = spark.createDataFrame(
+        [(1, rng.randn(8).tolist())], ["probe_id", "probe_vec"]
+    )
+    out = ivf_topk_indexed(probes, spark, ix, 2, nprobe=2)
+    # inputFiles() is the untruncated source of truth for scanned paths
+    read_files = set(out.inputFiles())
+    assert read_files and all("/cells" in f for f in read_files), read_files
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1  # probe assignment only
+    assert "CartesianProduct" not in plan
