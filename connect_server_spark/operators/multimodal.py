@@ -337,12 +337,18 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
 
 
 def _decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """Malformed payloads must stay inside the decode contract
+    (``NotImplementedError``), never leak ``struct.error`` or
+    ``ZeroDivisionError`` — one corrupt payload in a corpus would
+    otherwise fail the task, its retries, and the whole query."""
     if b[8:12] != b"WAVE":
         raise NotImplementedError(f"RIFF payload is not WAVE: {b[8:12]!r}")
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(b):
         cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
         if cid == b"fmt ":
+            if pos + 8 + 16 > len(b):
+                raise NotImplementedError("WAV fmt chunk truncated")
             fmt = struct.unpack_from("<HHIIHH", b, pos + 8)
         elif cid == b"data":
             data = b[pos + 8 : pos + 8 + size]
@@ -353,6 +359,10 @@ def _decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
             f"WAV decode supports PCM16 only (format={audio_format}, bits={bits})"
+        )
+    if ch < 1 or rate < 1:
+        raise NotImplementedError(
+            f"WAV fmt chunk invalid (channels={ch}, rate={rate})"
         )
     usable = len(data) - len(data) % (ch * 2)
     arr = np.frombuffer(data, "<i2", count=usable // 2).reshape(-1, ch)

@@ -352,10 +352,20 @@ def ivf_topk_indexed(
         F.col(probe_vec),
         F.explode(ivf_assign_udf(cents, nprobe)(F.col(probe_vec))).alias("_cell"),
     )
-    scored = c_cells.join(broadcast(p_cells), "_cell").select(
-        F.col(probe_id),
-        F.col(corpus_id),
-        cosine_similarity(F.col(probe_vec), F.col(corpus_vec)).alias("cosine"),
+    scored = (
+        c_cells.join(broadcast(p_cells), "_cell")
+        .select(
+            F.col(probe_id),
+            F.col(corpus_id),
+            cosine_similarity(F.col(probe_vec), F.col(corpus_vec)).alias(
+                "cosine"
+            ),
+        )
+        # a retried mode="append" ingest can leave duplicate rows in the
+        # cell store (at-least-once, like the minhash index); without
+        # this distinct the same vec_id would occupy two ranks and evict
+        # a legitimate k-th neighbor
+        .distinct()
     )
     w = Window.partitionBy(probe_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id).asc()

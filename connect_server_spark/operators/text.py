@@ -62,8 +62,14 @@ def alnum_token_count(text: Column) -> Column:
 # apostrophe isolated into its own alternative so every alternation is
 # DISJOINT at any start position — leftmost-first (Java regex) and
 # RE2-style matching then agree by construction, which keeps the Spark
-# expression and the DuckDB oracle bit-identical.
-BPE_SPLIT_RE = r"'[A-Za-z]*| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+# expression and the DuckDB oracle bit-identical. Whitespace is the
+# EXPLICIT class [ \t\n\f\r], never \s: the engines disagree on \s's
+# edges (Java includes \x0B, RE2 does not; Python adds \x1c-\x1f), and
+# any such byte in a document would silently shift the piece count
+# between the gated query and its oracle.
+BPE_SPLIT_RE = (
+    r"'[A-Za-z]*| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\f\r']+|[ \t\n\f\r]+"
+)
 
 
 def bpe_token_estimate(text: Column) -> Column:

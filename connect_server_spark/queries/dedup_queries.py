@@ -456,8 +456,12 @@ def dedup_incremental_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataF
         write_minhash_index,
     )
 
-    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    root = f"/tmp/connect_server_spark_minhash_index_v1/{sf_name}"
+    from connect_server_spark.tables import dataset_cache_key
+
+    # content-keyed (path+mtime+size): a regenerated dataset or a
+    # same-basename sf_dir can never be served a stale index
+    key = dataset_cache_key(sf_dir, "documents")
+    root = f"/tmp/connect_server_spark_minhash_index_v1/{key}"
     index_path, shingle_path = f"{root}/band_index", f"{root}/shingles"
     corpus = _corpus_neardup(spark, sf_dir)
     existing = corpus.filter(F.col("doc_id") % 7 != 0)
@@ -596,8 +600,10 @@ def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from connect_server_spark.operators.similarity import write_ivf_index
 
-    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    index_path = f"/tmp/connect_server_spark_emb_ivf_index_v1/{sf_name}"
+    from connect_server_spark.tables import dataset_cache_key
+
+    key = dataset_cache_key(sf_dir, "embeddings")
+    index_path = f"/tmp/connect_server_spark_emb_ivf_index_v1/{key}"
     corpus = _emb_neardup_corpus(spark, sf_dir)
     base = corpus.filter(F.col("vec_id") < 1000000)
     if not os.path.exists(f"{index_path}/cells/_SUCCESS"):

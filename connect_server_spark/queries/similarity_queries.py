@@ -103,8 +103,11 @@ def similarity_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_ivf_index,
     )
 
-    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    index_path = f"/tmp/connect_server_spark_ivf_index_v1/{sf_name}"
+    from connect_server_spark.tables import dataset_cache_key
+
+    # content-keyed cache (path+mtime+size) — see dedup_queries twin
+    key = dataset_cache_key(sf_dir, "embeddings")
+    index_path = f"/tmp/connect_server_spark_ivf_index_v1/{key}"
     emb = load_table(spark, "embeddings", sf_dir)
     if not os.path.exists(f"{index_path}/cells/_SUCCESS"):
         write_ivf_index(emb, index_path, nlist=16)

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from connect_server_spark.operators.text import (
+    BPE_SPLIT_RE,
     STOPWORDS,
     alnum_token_count,
     bpe_token_estimate,
@@ -68,8 +69,6 @@ _LANG_CASE = f"""
         END)
       ELSE 'und' END
 """
-
-from connect_server_spark.operators.text import BPE_SPLIT_RE
 
 # SQL string literal form: apostrophes doubled; backslashes pass through
 # (standard SQL strings are not escape-processed in DuckDB)

@@ -9,21 +9,29 @@ band index — corpus text is never rescanned. Each micro-batch:
 1. computes shingles/signatures for the batch only and probes the
    persisted ``(id, band, band_hash)`` index
    (:func:`minhash_neardup_against_index`);
-2. verifies candidates exactly against the persisted shingle store and
-   logs confirmed near-dup pairs to ``pairs_path``;
-3. appends the surviving (novel) documents to ``survivors_path`` through
-   the S8 idempotent insert guard (``sinks.fresh_rows`` — a replayed
-   micro-batch after a checkpoint restart re-appends nothing);
-4. grows the index by exactly the fresh survivors via
+2. verifies candidates exactly against the persisted shingle store,
+   drops self-pairs (a replayed batch colliding with its own prior index
+   entries), and logs confirmed near-dup pairs to ``pairs_path``;
+3. grows the index by exactly the fresh survivors via
    ``write_minhash_index(mode="append")`` — O(batch) — so LATER batches
-   dedup against earlier survivors too.
+   dedup against earlier survivors too;
+4. appends those survivors to ``survivors_path`` through the S8
+   idempotent insert guard (``sinks.fresh_rows`` — a replayed
+   micro-batch after a checkpoint restart re-appends nothing).
+
+Step order is load-bearing: the index append runs BEFORE the survivors
+append, so a crash between them replays into a state where the
+survivors table still selects the rows as fresh and both writes retry —
+index growth is genuinely at-least-once. (Survivors-first would let the
+S8 guard suppress the retry and lose the index growth permanently.)
 
 Delivery semantics, stated honestly: the survivors table is
 exactly-once (keyed anti-join guard); the pairs log and the index are
 at-least-once under replay. Duplicate index rows are harmless — band
-candidates are ``distinct``-ed before the verify — and the pairs log is
-an audit artifact whose consumers must key by (new_id, corpus_id), the
-classic split for idempotent-table + append-only-log sinks.
+candidates are ``distinct``-ed before the verify and self-collisions are
+filtered — and the pairs log is an audit artifact whose consumers must
+key by (new_id, corpus_id), the classic split for idempotent-table +
+append-only-log sinks.
 
 Intra-batch duplicates are NOT collapsed here (both copies survive a
 single micro-batch): run ``exact_dedup``/``minhash_neardup_pairs`` as a
@@ -82,24 +90,40 @@ def dedup_ingest_sink(
         # anti-join, and the survivor write — and a checkpoint severs
         # lineage from the streaming source for the writes below
         batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
-        pairs = minhash_neardup_against_index(
-            batch,
-            spark,
-            index_path,
-            shingle_path,
-            id_col,
-            text_col,
-            threshold=threshold,
-            num_hashes=num_hashes,
-            bands=bands,
-            shingle_n=shingle_n,
-        ).localCheckpoint(eager=True)
+        pairs = (
+            minhash_neardup_against_index(
+                batch,
+                spark,
+                index_path,
+                shingle_path,
+                id_col,
+                text_col,
+                threshold=threshold,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_n=shingle_n,
+            )
+            # In the ingest loop survivors join the corpus id-space, so a
+            # replayed batch probing an index that already holds its own
+            # survivors would self-pair (new_id == corpus_id, J = 1.0) —
+            # and, unfiltered, those self-pairs would anti-join the
+            # replayed batch's NOVEL documents out of the survivor set.
+            # Identity here always means "my own prior index entry".
+            .filter(F.col("new_id") != F.col("corpus_id"))
+            .localCheckpoint(eager=True)
+        )
         pairs.write.mode("append").parquet(pairs_path)
         dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
         survivors = batch.join(dup_ids, id_col, "left_anti")
         fresh = fresh_rows(spark, survivors, survivors_path, [id_col])
         if fresh.count():
-            fresh.write.mode("append").parquet(survivors_path)
+            # Index growth FIRST, survivors table second: a crash between
+            # the two replays the batch, and because the survivors table
+            # does not yet hold these rows, fresh_rows re-selects them and
+            # BOTH appends retry — the index is at-least-once (duplicate
+            # rows neutralized by the candidate distinct + the self-pair
+            # filter above). The reverse order would let the S8 guard
+            # suppress the retry and lose the index growth forever.
             write_minhash_index(
                 fresh,
                 id_col,
@@ -111,5 +135,6 @@ def dedup_ingest_sink(
                 shingle_n=shingle_n,
                 mode="append",
             )
+            fresh.write.mode("append").parquet(survivors_path)
 
     return sink

@@ -95,3 +95,20 @@ def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
     """Register every table as a temp view so spark.sql() can use them."""
     for name, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def dataset_cache_key(sf_dir: str, table: str) -> str:
+    """Cache key for per-dataset derived artifacts (persisted dedup/ANN
+    indexes cached under /tmp): a short digest of the table's ABSOLUTE
+    path, mtime, and size — two sf_dirs sharing a basename, or a dataset
+    regenerated in place, can never be served a stale index (keying by
+    basename alone would)."""
+    import hashlib
+
+    path = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    try:
+        st = os.stat(path)
+        stamp = f"{path}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = path  # directory-shaped tables: path identity only
+    return hashlib.md5(stamp.encode()).hexdigest()[:16]

@@ -390,3 +390,34 @@ def test_audio_features_real_decode_goldens(spark):
         assert f.duration_ms == int(round(n * 1000 / 8000))
         assert f.rms_milli == int(round(float(np.sqrt(np.mean(x * x))) * 1000))
         assert f.peak == int(np.abs(np.stack(chans, axis=1)).max())
+
+
+def test_decode_wav_malformed_stays_in_contract():
+    """Corrupt payloads must surface as the documented
+    NotImplementedError, never struct.error / ZeroDivisionError (one bad
+    payload would otherwise fail the whole corpus query)."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from connect_server_spark.operators.multimodal import decode_audio
+
+    # fmt chunk header present but body truncated
+    trunc = (
+        b"RIFF" + _struct.pack("<I", 20) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", 16) + b"\x01\x00"
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_audio(trunc)
+    # zero channels
+    fmt = _struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    zero_ch = (
+        b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", 0)
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_audio(zero_ch)
+    # payload shorter than a RIFF header
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF")

@@ -101,10 +101,11 @@ SHUFFLE_BUDGET = {
     "dedup_neardup_embedding_lsh": 4,
     "similarity_topk_ann": 3,
     "similarity_topk_ivf": 2,
-    # indexed serving path: same rank shuffle + candidate distinct as the
-    # in-memory IVF — the index removes corpus TRAINING/ASSIGNMENT work,
-    # not the scoring shuffles
-    "similarity_topk_ivf_indexed": 2,
+    # indexed serving path: rank shuffle + candidate distinct + the
+    # duplicate-tolerance distinct over (probe, vec, cosine) triples —
+    # narrow rows; the third Exchange buys correctness under an
+    # at-least-once retried index append
+    "similarity_topk_ivf_indexed": 3,
     # batch-vs-index candidate distinct + the threshold-filtered scoring
     # join back — same shape as the indexed IVF top-k minus the rank
     "dedup_incremental_embedding": 2,

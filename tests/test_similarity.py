@@ -225,3 +225,33 @@ def test_ivf_indexed_plan_never_touches_corpus(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1  # probe assignment only
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_indexed_tolerates_duplicate_store_rows(spark, tmp_path):
+    """Review pin: a retried mode='append' ingest leaves duplicate
+    (vec_id, embedding, cell) rows in the store (at-least-once). The
+    serving path must still rank each vec_id once."""
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(21)
+    rows = [(i, rng.randn(8).tolist()) for i in range(30)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    ix = str(tmp_path / "ivf")
+    write_ivf_index(corpus, ix, nlist=4)
+    # simulate the replayed append: the same batch lands twice
+    batch = spark.createDataFrame(rows[:5], ["vec_id", "embedding"])
+    write_ivf_index(batch, ix, mode="append")
+    write_ivf_index(batch, ix, mode="append")
+
+    probes = spark.createDataFrame(
+        [(1, rows[2][1])], ["probe_id", "probe_vec"]
+    )
+    out = ivf_topk_indexed(probes, spark, ix, 5, nprobe=4).collect()
+    ids = [r.vec_id for r in out]
+    assert len(ids) == len(set(ids)), ids  # no vec_id occupies two ranks
+    assert sorted(r.rank for r in out) == [1, 2, 3, 4, 5]

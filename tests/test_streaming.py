@@ -379,3 +379,33 @@ def test_ingest_dedup_sink_replay_is_idempotent_on_survivors(spark, tmp_path):
         spark, ix, sh, "doc_id", "text",
     )
     assert {(r.new_id, r.corpus_id) for r in reprobe.collect()} == {(301, 102)}
+
+
+def test_ingest_dedup_replay_pairs_log_has_no_self_pairs(spark, tmp_path):
+    """Review pin: a replayed batch probes an index already holding its
+    own survivors; without the self-pair filter those collisions would
+    (a) pollute the pairs log with (id, id) rows no keyed dedup can
+    remove and (b) anti-join the replayed batch's novel docs OUT of the
+    survivor set under the index-first write order. Both stay clean."""
+    from connect_server_spark.streaming.ingest_dedup import dedup_ingest_sink
+    from connect_server_spark.operators.dedup import write_minhash_index
+
+    def words(tag, n=21):
+        return " ".join(f"{tag}w{j}" for j in range(n))
+
+    corpus = spark.createDataFrame(
+        [(i, words(f"c{i}")) for i in range(1, 6)], "doc_id long, text string"
+    )
+    ix, sh = str(tmp_path / "ix"), str(tmp_path / "sh")
+    write_minhash_index(corpus, "doc_id", "text", ix, sh)
+    batch = spark.createDataFrame(
+        [(102, words("n102"))], "doc_id long, text string"
+    )
+    surv, pairs = str(tmp_path / "surv"), str(tmp_path / "pairs")
+    sink = dedup_ingest_sink(spark, ix, sh, surv, pairs, "doc_id", "text")
+    sink(batch, 0)
+    sink(batch, 0)  # replay: 102 now collides with its own index entry
+    assert {r.doc_id for r in spark.read.parquet(surv).collect()} == {102}
+    logged = spark.read.parquet(pairs)
+    assert logged.filter("new_id = corpus_id").count() == 0
+    assert logged.count() == 0  # nothing near-dups 102 here at all

@@ -260,3 +260,29 @@ if _HYP:
         df = spark.createDataFrame([(text,)], "t string")
         [r] = df.select(bpe_token_estimate(F.col("t")).alias("n")).collect()
         assert r.n == want, repr(text)
+
+
+def test_bpe_token_estimate_vertical_tab_consistency(spark):
+    """Review pin: \\x0b sits inside Java's \\s but outside RE2's — the
+    pattern's explicit ASCII whitespace class keeps it a PUNCTUATION run
+    in every engine, so the count stays oracle-identical."""
+    import re
+
+    from connect_server_spark.operators.text import (
+        BPE_SPLIT_RE,
+        bpe_token_estimate,
+    )
+
+    text = "a\x0b\x0b b"
+    want = len(re.findall(BPE_SPLIT_RE, text))
+    df = spark.createDataFrame([(text,)], "t string")
+    [r] = df.select(bpe_token_estimate(F.col("t")).alias("n")).collect()
+    assert r.n == want == 3  # "a", "\x0b\x0b", " b"
+
+    import duckdb
+
+    sql_pat = BPE_SPLIT_RE.replace("'", "''")
+    [(oracle_n,)] = duckdb.connect().execute(
+        f"SELECT len(regexp_extract_all('a' || chr(11) || chr(11) || ' b', '{sql_pat}', 0))"
+    ).fetchall()
+    assert oracle_n == r.n
