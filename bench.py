@@ -54,6 +54,8 @@ HEADLINE = [
     "similarity_topk_ivf_indexed",
     "text_analysis",
     "corpus_curation",
+    "training_pack",
+    "corpus_stats",
     "submit_pipeline",
     "flow_execute",
     "validator_feedstock",

@@ -1,0 +1,90 @@
+"""Sequence packing for training-data pipelines: group documents into
+"packs" whose total token count fits a fixed context-window budget.
+
+The training analog of bin packing — LLM pretraining concatenates
+documents into fixed-length sequences, and a packer that wastes context
+wastes compute. Global bin packing is inherently sequential, so the
+Spark-natural decomposition is PARTITION-LOCAL greedy packing:
+
+* each partition packs its own documents in deterministic id order
+  (hash-repartition + sortWithinPartitions pins both membership and
+  order, so output is stable across runs and retries);
+* the only waste vs a global greedy is the final partial pack per
+  partition — bounded by ``n_partitions / n_packs``, negligible when
+  partitions hold millions of tokens;
+* no shuffle beyond the one repartition; state never leaves a task.
+
+``mapInPandas`` iterates every Arrow batch of one partition inside a
+single task, so the greedy accumulator carries across batches without
+``collect`` or ``applyInPandasWithState``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pack_sequences"]
+
+# pack_id = partition_id * _PART_STRIDE + local pack index: globally
+# unique without coordination, and 2^40 packs per partition is
+# unreachable (a pack is >= 1 document).
+_PART_STRIDE = 1 << 40
+
+PACK_SCHEMA = "id long, n_tokens long, pack_id long, pack_slot int"
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each document to a pack so that every pack's token total is
+    ``<= budget`` — except a single document longer than the budget,
+    which gets a pack of its own (the caller chunks or drops those;
+    packing must not silently truncate).
+
+    Greedy first-fit in ascending id order per partition: accumulate
+    documents until the next one would overflow, then open a new pack.
+    Returns ``(id, n_tokens, pack_id, pack_slot)`` — ``pack_slot`` is the
+    document's position within its pack, so downstream concatenation is
+    order-stable.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    narrow = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+    )
+    if num_partitions is not None:
+        narrow = narrow.repartition(num_partitions, "id")
+    narrow = narrow.sortWithinPartitions("id").select(
+        F.spark_partition_id().alias("_pid"), "id", "n_tokens"
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pack_idx, used, slot = -1, 0, 0
+        base = None
+        for pdf in batches:
+            rows = []
+            for pid, doc_id, n in zip(pdf["_pid"], pdf["id"], pdf["n_tokens"]):
+                if base is None:
+                    base = int(pid) * _PART_STRIDE
+                n = int(n)
+                if pack_idx < 0 or used + n > budget:
+                    pack_idx += 1
+                    used, slot = 0, 0
+                rows.append((int(doc_id), n, base + pack_idx, slot))
+                used += n
+                slot += 1
+            yield pd.DataFrame(
+                rows, columns=["id", "n_tokens", "pack_id", "pack_slot"]
+            )
+
+    return narrow.mapInPandas(pack, PACK_SCHEMA)

@@ -89,3 +89,28 @@ register(
     SELECT 'cube' AS gset, * FROM ({_GSET_SQL.format(clause="CUBE")})
     """,
 )
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based corpus telemetry, the monitoring shape a 100 TB
+    pipeline actually runs: per source, document counts, HLL++ distinct
+    text estimates (`approx_count_distinct` — fixed-size sketch per
+    group, merges map-side; an exact distinct would shuffle every digest),
+    and t-digest length quantiles (`percentile_approx` — same property).
+    Rows-only: sketch values are engine-specific (DuckDB's HLL differs);
+    the ≤5%-error-vs-exact bound is pinned in ``tests/test_aggs.py``."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.approx_count_distinct(F.md5("text")).alias("approx_distinct_texts"),
+            F.percentile_approx("n_chars", 0.5).alias("p50_chars"),
+            F.percentile_approx("n_chars", 0.95).alias("p95_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+register("corpus_stats", corpus_stats, defer=True)

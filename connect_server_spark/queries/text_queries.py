@@ -279,3 +279,22 @@ register(
                  THEN '8000' ELSE '4000' END
     """,
 )
+
+
+def training_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the documents table: whitespace token counts
+    feed partition-local greedy first-fit packing at a 2048-token
+    context budget. Rows-only: greedy packing is a sequential recurrence
+    (running reset-sum), not SQL-expressible; the reference greedy
+    equivalence and pack invariants are pinned in
+    ``tests/test_packing.py``."""
+    from connect_server_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_toks")
+    )
+    return pack_sequences(toks, "doc_id", "n_toks", budget=2048)
+
+
+register("training_pack", training_pack, defer=True)

@@ -1,0 +1,77 @@
+"""Sequence-packing operator: partition-local greedy bin packing."""
+
+from pyspark.sql import functions as F
+
+from connect_server_spark.operators.packing import pack_sequences
+
+
+def _greedy(rows, budget):
+    """Reference greedy first-fit in id order."""
+    out, pack, used, slot = {}, 0, 0, 0
+    first = True
+    for doc_id, n in sorted(rows):
+        if first or used + n > budget:
+            pack += 0 if first else 1
+            used, slot, first = 0, 0, False
+        out[doc_id] = (pack, slot)
+        used += n
+        slot += 1
+    return out
+
+
+def test_single_partition_matches_reference_greedy(spark):
+    rows = [(i, (i * 37) % 900 + 10) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "toks"])
+    got = {
+        r.id: (r.pack_id, r.pack_slot)
+        for r in pack_sequences(
+            df, "doc_id", "toks", budget=2048, num_partitions=1
+        ).collect()
+    }
+    want = _greedy(rows, 2048)
+    # partition 0 → pack_id == local index
+    assert {k: v for k, v in got.items()} == want
+
+
+def test_multi_partition_invariants_and_determinism(spark):
+    rows = [(i, (i * 53) % 1200 + 5) for i in range(500)]
+    # one oversized doc: must sit alone in its pack
+    rows.append((9999, 10_000))
+    df = spark.createDataFrame(rows, ["doc_id", "toks"])
+    out1 = pack_sequences(df, "doc_id", "toks", budget=4096,
+                          num_partitions=7).collect()
+    out2 = pack_sequences(df, "doc_id", "toks", budget=4096,
+                          num_partitions=7).collect()
+    # deterministic across runs
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    # every doc exactly once
+    assert sorted(r.id for r in out1) == sorted(i for i, _ in rows)
+    by_pack = {}
+    for r in out1:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for pack_id, members in by_pack.items():
+        total = sum(m.n_tokens for m in members)
+        # budget respected unless the pack is a lone oversized doc
+        assert total <= 4096 or len(members) == 1, (pack_id, total)
+        # slots contiguous from 0 in id order
+        members.sort(key=lambda m: m.pack_slot)
+        assert [m.pack_slot for m in members] == list(range(len(members)))
+        assert [m.id for m in members] == sorted(m.id for m in members)
+    [oversized] = [r for r in out1 if r.id == 9999]
+    assert len(by_pack[oversized.pack_id]) == 1
+
+
+def test_packing_efficiency_bound(spark):
+    """Greedy first-fit wastes < one doc per pack boundary: with docs
+    ≤ budget/4, fill ratio must exceed 75% on every CLOSED pack."""
+    rows = [(i, (i * 17) % 512 + 1) for i in range(400)]  # ≤ 512 ≤ 2048/4
+    df = spark.createDataFrame(rows, ["doc_id", "toks"])
+    out = pack_sequences(df, "doc_id", "toks", budget=2048,
+                         num_partitions=4).collect()
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r.pack_id, 0)
+        by_pack[r.pack_id] += r.n_tokens
+    # last pack of each partition may be partial — drop the 4 smallest
+    fills = sorted(by_pack.values())[4:]
+    assert all(f > 2048 * 0.75 for f in fills), fills

@@ -39,6 +39,7 @@ ARROW_BOUNDARY_OK = {
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_audio_features",
+    "training_pack",
     "extract_grouped",
 }
 
@@ -99,6 +100,9 @@ SHUFFLE_BUDGET = {
     "dedup_incremental_minhash_indexed": 5,
     "dedup_incremental_exact": 4,
     "dedup_neardup_embedding_lsh": 4,
+    # groupBy(source) over map-side-merged sketches + the orderBy range
+    # exchange — the rows crossing both are one sketch row per source
+    "corpus_stats": 2,
     "similarity_topk_ann": 3,
     "similarity_topk_ivf": 2,
     # indexed serving path: rank shuffle + candidate distinct + the
