@@ -4,7 +4,12 @@
 The training analog of bin packing — LLM pretraining concatenates
 documents into fixed-length sequences, and a packer that wastes context
 wastes compute. Global bin packing is inherently sequential, so the
-Spark-natural decomposition is PARTITION-LOCAL greedy packing:
+Spark-natural decomposition is PARTITION-LOCAL greedy NEXT-FIT packing
+(only the currently-open pack is considered; first-fit's
+keep-earlier-packs-open variant would need per-task open-pack state
+with no better bound than next-fit's 50% worst case, and in practice
+token counts ≪ budget keep next-fit's fill near-optimal — see the
+fill-ratio test):
 
 * each partition packs its own documents in deterministic id order
   (hash-repartition + sortWithinPartitions pins both membership and
@@ -50,21 +55,35 @@ def pack_sequences(
     which gets a pack of its own (the caller chunks or drops those;
     packing must not silently truncate).
 
-    Greedy first-fit in ascending id order per partition: accumulate
+    Greedy next-fit in ascending id order per partition: accumulate
     documents until the next one would overflow, then open a new pack.
     Returns ``(id, n_tokens, pack_id, pack_slot)`` — ``pack_slot`` is the
     document's position within its pack, so downstream concatenation is
     order-stable.
+
+    Input hygiene: a null/negative token count packs as 0 tokens (the
+    document still gets a slot — a packer must never silently drop
+    training data; raw NaN reaching the accumulator would otherwise
+    abort the task). A null id raises a clear ValueError (``id`` is the
+    pack ordering key — a missing key is an upstream contract bug, not
+    something to guess around). Duplicate ids are tolerated — the sort
+    adds ``n_tokens`` as a tie-break so retries stay deterministic even
+    then.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
     narrow = df.select(
         F.col(id_col).cast("long").alias("id"),
-        F.col(token_col).cast("long").alias("n_tokens"),
+        F.greatest(
+            F.coalesce(F.col(token_col).cast("long"), F.lit(0)), F.lit(0)
+        ).alias("n_tokens"),
     )
     if num_partitions is not None:
         narrow = narrow.repartition(num_partitions, "id")
-    narrow = narrow.sortWithinPartitions("id").select(
+    # (id, n_tokens) sort: with unique ids the tie-break is inert; with
+    # duplicates it pins an order that bare sortWithinPartitions("id")
+    # would leave to nondeterministic shuffle-arrival order
+    narrow = narrow.sortWithinPartitions("id", "n_tokens").select(
         F.spark_partition_id().alias("_pid"), "id", "n_tokens"
     )
 
@@ -74,6 +93,11 @@ def pack_sequences(
         for pdf in batches:
             rows = []
             for pid, doc_id, n in zip(pdf["_pid"], pdf["id"], pdf["n_tokens"]):
+                if pd.isna(doc_id):
+                    raise ValueError(
+                        "pack_sequences: null id — the id column is the "
+                        "pack ordering key and must be non-null"
+                    )
                 if base is None:
                     base = int(pid) * _PART_STRIDE
                 n = int(n)

@@ -283,7 +283,7 @@ register(
 
 def training_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing over the documents table: whitespace token counts
-    feed partition-local greedy first-fit packing at a 2048-token
+    feed partition-local greedy next-fit packing at a 2048-token
     context budget. Rows-only: greedy packing is a sequential recurrence
     (running reset-sum), not SQL-expressible; the reference greedy
     equivalence and pack invariants are pinned in

@@ -1,4 +1,4 @@
-"""Sequence-packing operator: partition-local greedy bin packing."""
+"""Sequence-packing operator: partition-local greedy next-fit packing."""
 
 from pyspark.sql import functions as F
 
@@ -6,7 +6,7 @@ from connect_server_spark.operators.packing import pack_sequences
 
 
 def _greedy(rows, budget):
-    """Reference greedy first-fit in id order."""
+    """Reference greedy next-fit in id order."""
     out, pack, used, slot = {}, 0, 0, 0
     first = True
     for doc_id, n in sorted(rows):
@@ -29,8 +29,7 @@ def test_single_partition_matches_reference_greedy(spark):
         ).collect()
     }
     want = _greedy(rows, 2048)
-    # partition 0 → pack_id == local index
-    assert {k: v for k, v in got.items()} == want
+    assert got == want  # partition 0 → pack_id == local index
 
 
 def test_multi_partition_invariants_and_determinism(spark):
@@ -62,7 +61,7 @@ def test_multi_partition_invariants_and_determinism(spark):
 
 
 def test_packing_efficiency_bound(spark):
-    """Greedy first-fit wastes < one doc per pack boundary: with docs
+    """Greedy next-fit wastes < one doc per pack boundary: with docs
     ≤ budget/4, fill ratio must exceed 75% on every CLOSED pack."""
     rows = [(i, (i * 17) % 512 + 1) for i in range(400)]  # ≤ 512 ≤ 2048/4
     df = spark.createDataFrame(rows, ["doc_id", "toks"])
@@ -75,3 +74,28 @@ def test_packing_efficiency_bound(spark):
     # last pack of each partition may be partial — drop the 4 smallest
     fills = sorted(by_pack.values())[4:]
     assert all(f > 2048 * 0.75 for f in fills), fills
+
+
+def test_packing_null_and_negative_token_counts(spark):
+    """Review pin: null/negative token counts pack as 0 (never dropped,
+    never a NaN crash); a null id raises a clear contract error."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, None), (3, -5), (4, 50)],
+        "doc_id long, toks long",
+    )
+    out = {
+        r.id: (r.n_tokens, r.pack_id)
+        for r in pack_sequences(
+            df, "doc_id", "toks", budget=200, num_partitions=1
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}          # nothing dropped
+    assert out[2][0] == 0 and out[3][0] == 0  # clamped to 0 cost
+    # 100 + 0 + 0 + 50 fit one pack
+    assert len({p for _, p in out.values()}) == 1
+
+    bad = spark.createDataFrame([(None, 10)], "doc_id long, toks long")
+    with pytest.raises(Exception, match="null id"):
+        pack_sequences(bad, "doc_id", "toks", budget=10).collect()
