@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "chunk_documents"]
 
 # pack_id = partition_id * _PART_STRIDE + local pack index: globally
 # unique without coordination, and 2^40 packs per partition is
@@ -112,3 +112,41 @@ def pack_sequences(
             )
 
     return narrow.mapInPandas(pack, PACK_SCHEMA)
+
+
+CHUNK_SCHEMA = "id long, chunk_idx int, token_start long, chunk_tokens long"
+
+
+def chunk_documents(
+    df: DataFrame, id_col: str, token_col: str, budget: int
+) -> DataFrame:
+    """Split documents into ``ceil(n/budget)`` contiguous token RANGES of
+    at most ``budget`` tokens — the standard long-document pre-pass
+    before :func:`pack_sequences`, whose contract gives oversized
+    documents a lone overflowing pack rather than truncating them.
+
+    The engine owns the plan shape only: output is (id, chunk_idx,
+    token_start, chunk_tokens) ranges; materializing the text slices is
+    tokenizer-side work downstream. Pure Catalyst (sequence + explode),
+    scan-stage, zero shuffle; a document at or under budget passes
+    through as its single chunk 0, and null/negative counts clamp to one
+    empty chunk (nothing is ever dropped)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    n = F.greatest(
+        F.coalesce(F.col(token_col).cast("long"), F.lit(0)), F.lit(0)
+    )
+    n_chunks = F.greatest(F.ceil(n / F.lit(budget)), F.lit(1)).cast("int")
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        "id",
+        "chunk_idx",
+        (F.col("chunk_idx").cast("long") * budget).alias("token_start"),
+        F.least(
+            F.lit(budget).cast("long"),
+            F.col("_n") - F.col("chunk_idx").cast("long") * budget,
+        ).alias("chunk_tokens"),
+    )

@@ -56,7 +56,7 @@ from connect_server_spark.operators.dedup import (
 )
 from connect_server_spark.sinks import fresh_rows
 
-__all__ = ["dedup_ingest_sink"]
+__all__ = ["dedup_ingest_sink", "embedding_ingest_sink"]
 
 
 def dedup_ingest_sink(
@@ -135,6 +135,57 @@ def dedup_ingest_sink(
                 shingle_n=shingle_n,
                 mode="append",
             )
+            fresh.write.mode("append").parquet(survivors_path)
+
+    return sink
+
+
+def embedding_ingest_sink(
+    spark: SparkSession,
+    index_path: str,
+    survivors_path: str,
+    pairs_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    nprobe: int = 4,
+) -> Callable[[DataFrame, int], None]:
+    """The embedding twin of :func:`dedup_ingest_sink`: new-vector
+    micro-batches dedup against the persisted IVF index
+    (:func:`~connect_server_spark.operators.similarity.write_ivf_index`)
+    and grow it by their survivors, closing the daily-ingest loop for the
+    third dedup modality as a stream. Same write discipline, proven on
+    the minhash sink: self-pairs filtered (a replayed batch collides
+    with its own prior index entries), index append BEFORE the survivor
+    append so index growth is at-least-once, survivors exactly-once
+    through the S8 guard, pairs log at-least-once keyed by
+    (new_id, corpus_id)."""
+    from connect_server_spark.operators.dedup import (
+        embedding_neardup_against_index,
+    )
+    from connect_server_spark.operators.similarity import write_ivf_index
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
+        pairs = (
+            embedding_neardup_against_index(
+                batch,
+                spark,
+                index_path,
+                id_col=id_col,
+                vec_col=vec_col,
+                threshold=threshold,
+                nprobe=nprobe,
+            )
+            .filter(F.col("new_id") != F.col("corpus_id"))
+            .localCheckpoint(eager=True)
+        )
+        pairs.write.mode("append").parquet(pairs_path)
+        dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
+        survivors = batch.join(dup_ids, id_col, "left_anti")
+        fresh = fresh_rows(spark, survivors, survivors_path, [id_col])
+        if fresh.count():
+            write_ivf_index(fresh, index_path, mode="append")
             fresh.write.mode("append").parquet(survivors_path)
 
     return sink

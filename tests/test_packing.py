@@ -99,3 +99,54 @@ def test_packing_null_and_negative_token_counts(spark):
     bad = spark.createDataFrame([(None, 10)], "doc_id long, toks long")
     with pytest.raises(Exception, match="null id"):
         pack_sequences(bad, "doc_id", "toks", budget=10).collect()
+
+
+def test_chunk_documents_ranges_and_compose_with_packing(spark):
+    """chunk_documents emits exact ceil(n/budget) contiguous ranges; an
+    empty/null doc keeps one empty chunk; composing chunk → pack makes
+    EVERY pack respect the budget strictly (no oversized singletons)."""
+    df = spark.createDataFrame(
+        [(1, 100), (2, 1000), (3, 0), (4, None), (5, 256)],
+        "doc_id long, toks long",
+    )
+    from connect_server_spark.operators.packing import chunk_documents
+
+    chunks = chunk_documents(df, "doc_id", "toks", budget=256).collect()
+    by_id = {}
+    for r in chunks:
+        by_id.setdefault(r.id, []).append(r)
+    assert len(by_id[1]) == 1 and by_id[1][0].chunk_tokens == 100
+    got2 = sorted((r.chunk_idx, r.token_start, r.chunk_tokens)
+                  for r in by_id[2])
+    assert got2 == [(0, 0, 256), (1, 256, 256), (2, 512, 256), (3, 768, 232)]
+    assert sum(c for _, _, c in got2) == 1000  # lossless coverage
+    assert [r.chunk_tokens for r in by_id[3]] == [0]
+    assert [r.chunk_tokens for r in by_id[4]] == [0]
+    assert [r.chunk_tokens for r in by_id[5]] == [256]
+
+    # compose: synthetic chunk id keeps id order, then pack strictly
+    chunked = chunk_documents(df, "doc_id", "toks", budget=256)
+    packable = chunked.select(
+        (F.col("id") * 1024 + F.col("chunk_idx")).alias("cid"),
+        "chunk_tokens",
+    )
+    packed = pack_sequences(
+        packable, "cid", "chunk_tokens", budget=512, num_partitions=1
+    ).collect()
+    by_pack = {}
+    for r in packed:
+        by_pack.setdefault(r.pack_id, 0)
+        by_pack[r.pack_id] += r.n_tokens
+    assert all(total <= 512 for total in by_pack.values())  # STRICT now
+    assert sum(by_pack.values()) == 100 + 1000 + 0 + 0 + 256
+
+
+def test_chunk_documents_plan_is_scan_stage(spark):
+    from connect_server_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, 10)], "doc_id long, toks long")
+    plan = (
+        chunk_documents(df, "doc_id", "toks", 8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -409,3 +409,71 @@ def test_ingest_dedup_replay_pairs_log_has_no_self_pairs(spark, tmp_path):
     logged = spark.read.parquet(pairs)
     assert logged.filter("new_id = corpus_id").count() == 0
     assert logged.count() == 0  # nothing near-dups 102 here at all
+
+
+def test_streaming_embedding_ingest_dedup(spark, tmp_path):
+    """The embedding ingest loop as a stream: batch-1 near-twin of a
+    corpus vector dropped, novel survives and grows the IVF index,
+    batch-2 near-twin of that SURVIVOR is dropped (index genuinely
+    grew) — mirroring the minhash sink's pins."""
+    import json
+    import os
+
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import write_ivf_index
+    from connect_server_spark.streaming.ingest_dedup import (
+        embedding_ingest_sink,
+    )
+
+    rng = np.random.RandomState(31)
+    centers = rng.randn(4, 12)
+    corpus_rows = [
+        (i, (centers[i % 4] + 0.1 * rng.randn(12)).tolist()) for i in range(60)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["vec_id", "embedding"])
+    ix = str(tmp_path / "ivf")
+    write_ivf_index(corpus, ix, nlist=8)
+
+    novel = rng.randn(12)
+    novel = (novel / np.linalg.norm(novel) * 3).tolist()
+    b1 = [
+        (101, (np.array(corpus_rows[7][1]) + 0.01).tolist()),  # twin → drop
+        (102, novel),                                          # → survive
+    ]
+    b2 = [
+        (201, (np.array(novel) + 0.01).tolist()),  # twin of SURVIVOR → drop
+        (202, (-np.array(novel)).tolist()),        # anti-parallel → survive
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    f1, f2 = src / "b1.json", src / "b2.json"
+    f1.write_text("\n".join(
+        json.dumps({"vec_id": i, "embedding": v}) for i, v in b1))
+    f2.write_text("\n".join(
+        json.dumps({"vec_id": i, "embedding": v}) for i, v in b2))
+    past = os.stat(f2).st_mtime - 60
+    os.utime(f1, (past, past))
+
+    surv, pairs = str(tmp_path / "surv"), str(tmp_path / "pairs")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            embedding_ingest_sink(spark, ix, surv, pairs, threshold=0.9)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {r.vec_id for r in spark.read.parquet(surv).collect()}
+    assert got == {102, 202}
+    logged = {(r.new_id, r.corpus_id)
+              for r in spark.read.parquet(pairs).collect()}
+    assert (101, 7) in logged
+    assert (201, 102) in logged  # caught only because the index grew
