@@ -114,7 +114,15 @@ def pack_sequences(
     return narrow.mapInPandas(pack, PACK_SCHEMA)
 
 
-CHUNK_SCHEMA = "id long, chunk_idx int, token_start long, chunk_tokens long"
+CHUNK_SCHEMA = "id long, chunk_idx bigint, token_start long, chunk_tokens long"
+
+# Token counts clamp to this ceiling (2^40 ≈ a trillion tokens per
+# document — far past any real payload): below it the ceil-division
+# double arithmetic is exact (< 2^53) and the chunk count can neither
+# overflow nor produce a negative sequence bound, so output is provably
+# lossless within the clamp and degenerate inputs clamp rather than
+# silently corrupt.
+_MAX_DOC_TOKENS = 1 << 40
 
 
 def chunk_documents(
@@ -129,24 +137,40 @@ def chunk_documents(
     token_start, chunk_tokens) ranges; materializing the text slices is
     tokenizer-side work downstream. Pure Catalyst (sequence + explode),
     scan-stage, zero shuffle; a document at or under budget passes
-    through as its single chunk 0, and null/negative counts clamp to one
-    empty chunk (nothing is ever dropped)."""
+    through as its single chunk 0, null/negative counts clamp to one
+    empty chunk (nothing is ever dropped), and a null id raises — the
+    same contract error :func:`pack_sequences` gives it (an
+    unattributable range is useless to the tokenizer downstream)."""
     if budget <= 0:
         raise ValueError("budget must be positive")
-    n = F.greatest(
-        F.coalesce(F.col(token_col).cast("long"), F.lit(0)), F.lit(0)
+    raw_id = F.col(id_col).cast("long")
+    ident = F.when(
+        raw_id.isNull(),
+        F.raise_error(
+            F.lit(
+                "chunk_documents: null id — ranges must be attributable"
+            )
+        ).cast("long"),
+    ).otherwise(raw_id)
+    n = F.least(
+        F.greatest(
+            F.coalesce(F.col(token_col).cast("long"), F.lit(0)), F.lit(0)
+        ),
+        F.lit(_MAX_DOC_TOKENS),
     )
-    n_chunks = F.greatest(F.ceil(n / F.lit(budget)), F.lit(1)).cast("int")
+    n_chunks = F.greatest(F.ceil(n / F.lit(budget)), F.lit(1)).cast("long")
     return df.select(
-        F.col(id_col).cast("long").alias("id"),
+        ident.alias("id"),
         n.alias("_n"),
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+        ).alias("chunk_idx"),
     ).select(
         "id",
         "chunk_idx",
-        (F.col("chunk_idx").cast("long") * budget).alias("token_start"),
+        (F.col("chunk_idx") * budget).alias("token_start"),
         F.least(
             F.lit(budget).cast("long"),
-            F.col("_n") - F.col("chunk_idx").cast("long") * budget,
+            F.col("_n") - F.col("chunk_idx") * budget,
         ).alias("chunk_tokens"),
     )

@@ -85,59 +85,90 @@ def dedup_ingest_sink(
     ``minhash_neardup_against`` one at a time (pinned in
     ``tests/test_streaming.py``)."""
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # one materialization per batch: the batch feeds the probe, the
-        # anti-join, and the survivor write — and a checkpoint severs
-        # lineage from the streaming source for the writes below
-        batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
-        pairs = (
-            minhash_neardup_against_index(
-                batch,
-                spark,
-                index_path,
-                shingle_path,
-                id_col,
-                text_col,
-                threshold=threshold,
-                num_hashes=num_hashes,
-                bands=bands,
-                shingle_n=shingle_n,
-            )
-            # In the ingest loop survivors join the corpus id-space, so a
-            # replayed batch probing an index that already holds its own
-            # survivors would self-pair (new_id == corpus_id, J = 1.0) —
-            # and, unfiltered, those self-pairs would anti-join the
-            # replayed batch's NOVEL documents out of the survivor set.
-            # Identity here always means "my own prior index entry".
-            .filter(F.col("new_id") != F.col("corpus_id"))
-            .localCheckpoint(eager=True)
+    def probe(batch: DataFrame) -> DataFrame:
+        return minhash_neardup_against_index(
+            batch,
+            spark,
+            index_path,
+            shingle_path,
+            id_col,
+            text_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
         )
-        pairs.write.mode("append").parquet(pairs_path)
-        dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
-        survivors = batch.join(dup_ids, id_col, "left_anti")
-        fresh = fresh_rows(spark, survivors, survivors_path, [id_col])
-        if fresh.count():
-            # Index growth FIRST, survivors table second: a crash between
-            # the two replays the batch, and because the survivors table
-            # does not yet hold these rows, fresh_rows re-selects them and
-            # BOTH appends retry — the index is at-least-once (duplicate
-            # rows neutralized by the candidate distinct + the self-pair
-            # filter above). The reverse order would let the S8 guard
-            # suppress the retry and lose the index growth forever.
-            write_minhash_index(
-                fresh,
-                id_col,
-                text_col,
-                index_path,
-                shingle_path,
-                num_hashes=num_hashes,
-                bands=bands,
-                shingle_n=shingle_n,
-                mode="append",
-            )
-            fresh.write.mode("append").parquet(survivors_path)
+
+    def append_index(fresh: DataFrame) -> None:
+        write_minhash_index(
+            fresh,
+            id_col,
+            text_col,
+            index_path,
+            shingle_path,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            mode="append",
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _run_ingest_batch(
+            spark,
+            batch_df.select(id_col, text_col),
+            probe,
+            append_index,
+            survivors_path,
+            pairs_path,
+            id_col,
+        )
 
     return sink
+
+
+def _run_ingest_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    probe: Callable[[DataFrame], DataFrame],
+    append_index: Callable[[DataFrame], None],
+    survivors_path: str,
+    pairs_path: str,
+    id_col: str,
+) -> None:
+    """The shared ingest-dedup write discipline, ONE place for the
+    load-bearing ordering invariants both modality sinks rely on.
+    ``probe(batch)`` returns (new_id, corpus_id, score) candidate pairs;
+    ``append_index(fresh)`` grows the modality's persisted index by the
+    fresh survivors."""
+    # one materialization per batch: the batch feeds the probe, the
+    # anti-join, and the survivor write — and a checkpoint severs
+    # lineage from the streaming source for the writes below
+    batch = batch_df.localCheckpoint(eager=True)
+    pairs = (
+        probe(batch)
+        # In the ingest loop survivors join the corpus id-space, so a
+        # replayed batch probing an index that already holds its own
+        # survivors would self-pair (new_id == corpus_id) — and,
+        # unfiltered, those self-pairs would anti-join the replayed
+        # batch's NOVEL rows out of the survivor set. Identity here
+        # always means "my own prior index entry".
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .localCheckpoint(eager=True)
+    )
+    pairs.write.mode("append").parquet(pairs_path)
+    dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
+    survivors = batch.join(dup_ids, id_col, "left_anti")
+    fresh = fresh_rows(spark, survivors, survivors_path, [id_col])
+    if fresh.count():
+        # Index growth FIRST, survivors table second: a crash between
+        # the two replays the batch, and because the survivors table
+        # does not yet hold these rows, fresh_rows re-selects them and
+        # BOTH appends retry — the index is at-least-once (duplicate
+        # rows neutralized by the candidate distinct + the self-pair
+        # filter above). The reverse order would let the S8 guard
+        # suppress the retry and lose the index growth forever.
+        append_index(fresh)
+        fresh.write.mode("append").parquet(survivors_path)
 
 
 def embedding_ingest_sink(
@@ -165,27 +196,37 @@ def embedding_ingest_sink(
     )
     from connect_server_spark.operators.similarity import write_ivf_index
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
-        pairs = (
-            embedding_neardup_against_index(
-                batch,
-                spark,
-                index_path,
-                id_col=id_col,
-                vec_col=vec_col,
-                threshold=threshold,
-                nprobe=nprobe,
-            )
-            .filter(F.col("new_id") != F.col("corpus_id"))
-            .localCheckpoint(eager=True)
+    def probe(batch: DataFrame) -> DataFrame:
+        return embedding_neardup_against_index(
+            batch,
+            spark,
+            index_path,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            nprobe=nprobe,
         )
-        pairs.write.mode("append").parquet(pairs_path)
-        dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
-        survivors = batch.join(dup_ids, id_col, "left_anti")
-        fresh = fresh_rows(spark, survivors, survivors_path, [id_col])
-        if fresh.count():
-            write_ivf_index(fresh, index_path, mode="append")
-            fresh.write.mode("append").parquet(survivors_path)
+
+    def append_index(fresh: DataFrame) -> None:
+        # forward the caller's column names — the index append reads
+        # them off `fresh` directly
+        write_ivf_index(
+            fresh,
+            index_path,
+            corpus_id=id_col,
+            corpus_vec=vec_col,
+            mode="append",
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _run_ingest_batch(
+            spark,
+            batch_df.select(id_col, vec_col),
+            probe,
+            append_index,
+            survivors_path,
+            pairs_path,
+            id_col,
+        )
 
     return sink

@@ -150,3 +150,41 @@ def test_chunk_documents_plan_is_scan_stage(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_chunk_documents_schema_and_edge_contracts(spark):
+    """Review pins: CHUNK_SCHEMA matches the actual output schema; a
+    null id raises; huge counts clamp (never a negative/descending
+    chunk sequence)."""
+    import pytest
+
+    from connect_server_spark.operators.packing import (
+        CHUNK_SCHEMA,
+        _MAX_DOC_TOKENS,
+        chunk_documents,
+    )
+    from pyspark.sql.types import StructType
+
+    df = spark.createDataFrame([(1, 10)], "doc_id long, toks long")
+    out = chunk_documents(df, "doc_id", "toks", 8)
+    declared = StructType.fromDDL(CHUNK_SCHEMA)
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in declared.fields
+    ]
+
+    bad = spark.createDataFrame([(None, 10)], "doc_id long, toks long")
+    with pytest.raises(Exception, match="null id"):
+        chunk_documents(bad, "doc_id", "toks", 8).collect()
+
+    # a degenerate count clamps to _MAX_DOC_TOKENS and still chunks with
+    # non-negative ascending indices (budget sized to keep the fan-out
+    # collectable)
+    huge = spark.createDataFrame(
+        [(7, (1 << 60))], "doc_id long, toks long"
+    )
+    rows = chunk_documents(
+        huge, "doc_id", "toks", budget=1 << 36
+    ).collect()
+    assert len(rows) == _MAX_DOC_TOKENS // (1 << 36)
+    assert all(r.chunk_idx >= 0 and r.chunk_tokens > 0 for r in rows)
+    assert sum(r.chunk_tokens for r in rows) == _MAX_DOC_TOKENS
