@@ -56,6 +56,7 @@ HEADLINE = [
     "corpus_curation",
     "training_pack",
     "corpus_stats",
+    "vocab_top_tokens",
     "submit_pipeline",
     "flow_execute",
     "validator_feedstock",

@@ -19,6 +19,8 @@ __all__ = [
     "tokens",
     "token_count",
     "alnum_token_count",
+    "BPE_SPLIT_RE",
+    "bpe_token_estimate",
     "stopword_ratio",
     "language_scores",
     "language_id",
@@ -30,6 +32,8 @@ __all__ = [
     "top_ngram_share",
     "pii_flags",
     "pii_scrub",
+    "token_frequencies",
+    "top_tokens",
 ]
 
 # Tiny per-language stopword inventories (n-gram-heuristic stand-in; a
@@ -301,4 +305,41 @@ def doc_fingerprint(text: Column) -> Column:
             )
             % _MOD,
         ),
+    )
+
+
+def token_frequencies(df, id_col: str, text_col: str):
+    """Corpus vocabulary statistics: one row per distinct token with its
+    total occurrence count and document frequency — the vocab-building /
+    stopword-discovery pass of a training pipeline.
+
+    Scale shape: explode to (id, token) rows, then TWO narrow
+    aggregations — ``groupBy(token, id).count()`` followed by
+    ``groupBy(token)`` summing occurrences and counting rows. That
+    computes ``count(DISTINCT id)`` without Catalyst's Expand rewrite
+    (which would double every exploded row); both shuffles carry one
+    row per (token, doc) resp. token, and both combine map-side. Token
+    cardinality, not corpus size, bounds the final state."""
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).filter(F.col("token") != "")
+    per_doc = exploded.groupBy("token", "_id").agg(
+        F.count(F.lit(1)).alias("_occ")
+    )
+    return per_doc.groupBy("token").agg(
+        F.sum("_occ").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def top_tokens(df, id_col: str, text_col: str, k: int):
+    """The ``k`` most frequent tokens (ties broken lexically — output is
+    deterministic and engine-portable). Spark plans the order+limit as a
+    per-partition top-k merge (TakeOrderedAndProject), never a full
+    sort."""
+    return (
+        token_frequencies(df, id_col, text_col)
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
     )

@@ -298,3 +298,18 @@ def training_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("training_pack", training_pack, defer=True)
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: the 200 most frequent tokens with occurrence
+    and document-frequency counts — deterministic (lexical tie-break),
+    computed with the two-stage no-Expand distinct shape. Rows-only by
+    gate-capacity only; the DuckDB mirror runs in
+    ``tests/test_text.py`` instead."""
+    from connect_server_spark.operators.text import top_tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    return top_tokens(docs, "doc_id", "text", k=200)
+
+
+register("vocab_top_tokens", vocab_top_tokens, defer=True)

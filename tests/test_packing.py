@@ -188,3 +188,34 @@ def test_chunk_documents_schema_and_edge_contracts(spark):
     assert len(rows) == _MAX_DOC_TOKENS // (1 << 36)
     assert all(r.chunk_idx >= 0 and r.chunk_tokens > 0 for r in rows)
     assert sum(r.chunk_tokens for r in rows) == _MAX_DOC_TOKENS
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @given(
+        toks=st.lists(st.integers(min_value=0, max_value=300),
+                      min_size=1, max_size=60),
+        budget=st.integers(min_value=1, max_value=500),
+    )
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_pack_sequences_property_matches_reference(spark, toks, budget):
+        """Any token distribution, any budget: single-partition packing
+        equals the reference next-fit fold exactly."""
+        rows = [(i, t) for i, t in enumerate(toks)]
+        df = spark.createDataFrame(rows, "doc_id long, toks long")
+        got = {
+            r.id: (r.pack_id, r.pack_slot)
+            for r in pack_sequences(
+                df, "doc_id", "toks", budget=budget, num_partitions=1
+            ).collect()
+        }
+        assert got == _greedy(rows, budget), (toks, budget)

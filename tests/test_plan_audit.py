@@ -103,6 +103,9 @@ SHUFFLE_BUDGET = {
     # groupBy(source) over map-side-merged sketches + the orderBy range
     # exchange — the rows crossing both are one sketch row per source
     "corpus_stats": 2,
+    # (token, doc) partial-count exchange + per-token rollup exchange;
+    # the top-k itself is a TakeOrderedAndProject merge, no extra shuffle
+    "vocab_top_tokens": 2,
     "similarity_topk_ann": 3,
     "similarity_topk_ivf": 2,
     # indexed serving path: rank shuffle + candidate distinct + the

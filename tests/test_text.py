@@ -286,3 +286,46 @@ def test_bpe_token_estimate_vertical_tab_consistency(spark):
         f"SELECT len(regexp_extract_all('a' || chr(11) || chr(11) || ' b', '{sql_pat}', 0))"
     ).fetchall()
     assert oracle_n == r.n
+
+
+def test_vocab_top_tokens_matches_duckdb_mirror(spark, sf_dir):
+    """Oracle-grade check outside the driver's 50-query gate window: the
+    vocab query's exact rows vs DuckDB on the same parquet."""
+    import duckdb
+
+    from connect_server_spark.queries.text_queries import vocab_top_tokens
+
+    got = [
+        (r.token, r.n_occurrences, r.n_docs)
+        for r in vocab_top_tokens(spark, sf_dir).collect()
+    ]
+    con = duckdb.connect()
+    want = con.execute(f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+          FROM read_parquet('{sf_dir}/documents.parquet')
+        )
+        SELECT token,
+               count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM toks WHERE token <> ''
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token ASC
+        LIMIT 200
+    """).fetchall()
+    assert got == want
+
+
+def test_top_tokens_plan_no_expand_and_bounded_limit(spark):
+    from connect_server_spark.operators.text import top_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], ["doc_id", "text"]
+    )
+    out = top_tokens(df, "doc_id", "text", 2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan  # no count-distinct rewrite
+    assert "TakeOrderedAndProject" in plan  # top-k merge, never full sort
+    rows = [(r.token, r.n_occurrences, r.n_docs) for r in out.collect()]
+    assert rows == [("a", 2, 1), ("b", 2, 2)]
