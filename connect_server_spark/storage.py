@@ -26,6 +26,7 @@ __all__ = [
     "write_status_layout",
     "status_point_read",
     "compact",
+    "compact_partitioned",
     "read_table",
     "salted_collect_set",
 ]
@@ -203,3 +204,47 @@ def salted_collect_set(
             ).alias(f"{value}_set")
         )
     )
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    shuffle: bool = False,
+) -> dict:
+    """Compact every LEAF partition directory of a hive-partitioned table
+    (``band=*/``, ``cell=*/``, nested ``a=*/b=*/``) independently — the
+    lifecycle pass the append-mode index stores need: each daily
+    ``mode="append"`` batch adds its own small files per partition, and
+    after N days a band/cell directory holds N tiny files whose footer
+    reads dominate probe cost.
+
+    Rows never cross partition directories (the partition value lives in
+    the directory NAME, which is preserved), each leaf swap reuses
+    :func:`compact`'s temp-dir + two-rename discipline — so a crash
+    mid-pass leaves every partition either fully old or fully new, never
+    mixed — and partitions compact one at a time, bounding transient
+    extra disk at one partition's size. Returns
+    ``{leaf_path: new_file_count}``."""
+    hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hadoop_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def leaves(p) -> list:
+        subs = [
+            s.getPath()
+            for s in fs.listStatus(p)
+            if s.isDirectory() and "=" in s.getPath().getName()
+        ]
+        if not subs:
+            return [p]
+        out = []
+        for s in subs:
+            out.extend(leaves(s))
+        return out
+
+    results = {}
+    for leaf in leaves(hadoop_path(path)):
+        results[str(leaf.toUri().getPath())] = compact(
+            spark, str(leaf), target_file_bytes, shuffle
+        )
+    return results

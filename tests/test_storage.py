@@ -170,3 +170,52 @@ def test_write_partitioned_prunes_at_read(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
     want = docs.filter(F.col("lang") == "en").count()
     assert filtered.count() == want
+
+
+def test_compact_partitioned_merges_leaf_files_and_preserves_index(spark, tmp_path):
+    """The append-mode index lifecycle: daily appends accrete small files
+    per band directory; compact_partitioned merges each leaf in place
+    (crash-safe per-leaf swap) and the index reads back row-identical,
+    partition column included."""
+    from connect_server_spark.operators.dedup import (
+        minhash_neardup_against_index,
+        write_minhash_index,
+    )
+    from connect_server_spark.storage import compact_partitioned
+
+    def words(tag, n=21):
+        return " ".join(f"{tag}w{j}" for j in range(n))
+
+    ix, sh = str(tmp_path / "ix"), str(tmp_path / "sh")
+    corpus = spark.createDataFrame(
+        [(i, words(f"c{i}")) for i in range(1, 6)], "doc_id long, text string"
+    )
+    write_minhash_index(corpus, "doc_id", "text", ix, sh)
+    for day in range(3):  # three daily appends → small files accrete
+        batch = spark.createDataFrame(
+            [(100 + day, words(f"d{day}"))], "doc_id long, text string"
+        )
+        write_minhash_index(
+            batch, "doc_id", "text", ix, sh, mode="append"
+        )
+    before = spark.read.parquet(ix)
+    before_rows = sorted(tuple(r) for r in before.collect())
+    import glob
+
+    files_before = len(glob.glob(f"{ix}/band=*/*.parquet"))
+    results = compact_partitioned(spark, ix)
+    files_after = len(glob.glob(f"{ix}/band=*/*.parquet"))
+    assert files_after < files_before
+    assert set(results.values()) == {1}  # tiny leaves → one file each
+    after = spark.read.parquet(ix)
+    assert sorted(tuple(r) for r in after.collect()) == before_rows
+    assert "band" in after.columns  # hive layout intact
+
+    # the compacted index still serves the probe path
+    probe = spark.createDataFrame(
+        [(900, words("d1"))], "doc_id long, text string"
+    )
+    pairs = minhash_neardup_against_index(
+        probe, spark, ix, sh, "doc_id", "text"
+    )
+    assert {(r.new_id, r.corpus_id) for r in pairs.collect()} == {(900, 101)}
