@@ -38,6 +38,9 @@ def test_headline_covers_every_operator_family():
             "dedup_incremental_minhash_indexed",
         ],
         "similarity": ["similarity_topk_exact"],
+        "similarity_indexed": ["similarity_topk_ivf_indexed"],
+        "packing": ["training_pack"],
+        "telemetry": ["corpus_stats", "vocab_top_tokens"],
         "text": ["text_analysis", "corpus_curation"],
         "pipeline": ["submit_pipeline", "flow_execute"],
         "transfer": ["transfer_manifest"],
