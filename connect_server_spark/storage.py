@@ -146,8 +146,16 @@ def compact(
     guarded by ``localCheckpoint`` would lose data on executor failure
     mid-write — checkpoint blocks are non-replicated executor-local
     storage, and the overwrite deletes the originals first.) A crash
-    between the two renames leaves the table at ``*._compact_old`` —
+    between the two renames leaves the table at ``.*._compact_old`` —
     recoverable by hand — never deleted.
+
+    The work directories are DOT-PREFIXED siblings: when ``path`` is a
+    partition leaf (``.../cells/cell=3``), a visible sibling like
+    ``cell=3._compact_tmp`` would sit INSIDE the partitioned table root
+    and be parsed as a partition directory by any concurrent reader of
+    the whole table (and a crash-leftover ``_compact_old`` would poison
+    every later read); hidden names are excluded from Spark's partition
+    discovery, so mid-compaction and post-crash states stay readable.
 
     Returns the new file count.
     """
@@ -161,8 +169,9 @@ def compact(
     n = max(1, math.ceil(size / target_file_bytes))
     out = df.repartition(n) if shuffle else df.coalesce(n)
 
-    tmp = hadoop_path(path.rstrip("/") + "._compact_tmp")
-    old = hadoop_path(path.rstrip("/") + "._compact_old")
+    parent, name = jpath.getParent(), jpath.getName()
+    tmp = hadoop_path(parent, f".{name}._compact_tmp")
+    old = hadoop_path(parent, f".{name}._compact_old")
     fs.delete(tmp, True)
     fs.delete(old, True)
     out.write.mode("overwrite").parquet(str(tmp))
@@ -233,7 +242,11 @@ def compact_partitioned(
         subs = [
             s.getPath()
             for s in fs.listStatus(p)
-            if s.isDirectory() and "=" in s.getPath().getName()
+            # hidden names (".", "_" prefixes) are invisible to Spark's
+            # partition discovery — and include our own work dirs
+            if s.isDirectory()
+            and "=" in s.getPath().getName()
+            and not s.getPath().getName().startswith((".", "_"))
         ]
         if not subs:
             return [p]

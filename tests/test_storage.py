@@ -219,3 +219,33 @@ def test_compact_partitioned_merges_leaf_files_and_preserves_index(spark, tmp_pa
         probe, spark, ix, sh, "doc_id", "text"
     )
     assert {(r.new_id, r.corpus_id) for r in pairs.collect()} == {(900, 101)}
+
+
+def test_compact_work_dirs_invisible_to_partition_discovery(spark, tmp_path):
+    """Review pin: compaction work dirs are dot-prefixed so a concurrent
+    reader (or a crash leftover) inside a partitioned table root is
+    ignored by partition discovery instead of parsed as a bogus
+    partition value."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from connect_server_spark.storage import compact_partitioned
+
+    root = str(tmp_path / "cells")
+    df = spark.range(20).select(
+        F.col("id"), (F.col("id") % 4).alias("cell")
+    )
+    df.write.partitionBy("cell").parquet(root)
+    # simulate a crash leftover + an in-flight temp beside a leaf
+    os.makedirs(f"{root}/.cell=1._compact_old/")
+    os.makedirs(f"{root}/.cell=2._compact_tmp/")
+    back = spark.read.parquet(root)
+    assert back.count() == 20
+    assert sorted(r.cell for r in back.select("cell").distinct().collect()) == [0, 1, 2, 3]
+
+    # and a real compaction pass leaves no visible work dirs behind
+    compact_partitioned(spark, root)
+    visible = [d for d in os.listdir(root) if not d.startswith((".", "_"))]
+    assert sorted(visible) == ["cell=0", "cell=1", "cell=2", "cell=3"], visible
+    assert spark.read.parquet(root).count() == 20
