@@ -368,18 +368,27 @@ def write_minhash_index(
     bands: int = 8,
     shingle_n: int = 3,
     mode: str = "overwrite",
+    store_buckets: int = 32,
 ) -> None:
     """Persist the corpus side of incremental MinHash dedup so a daily
     batch never re-reads corpus TEXT: the O(corpus) shingling +
     signature pass is paid ONCE here, at ingest/backfill time.
 
-    Two artifacts:
+    Two artifacts, both written as **path-addressed bucketed tables**
+    (:func:`~connect_server_spark.storage.write_bucketed_path`) so the
+    probe-time joins are Exchange-free on the store side BY LAYOUT, not
+    by broadcast luck:
 
     * ``shingle_path`` — the (id, shingles) store the verify stage joins
-      candidates against (corpus text itself is never needed again).
+      candidates against (corpus text itself is never needed again),
+      bucketed by ``id``: the verify join shuffles only the batch-sized
+      candidate rows; the O(corpus) shingle arrays never move, at ANY
+      batch size (a broadcast-the-batch design caps the daily batch at
+      the driver's memory — this doesn't).
     * ``index_path`` — the (id, band, band_hash) LSH band index,
-      hive-partitioned by ``band`` so a batch probing one band's buckets
-      prunes the other ``bands - 1`` directories at scan time.
+      bucketed by ``band_hash``: the candidate-generation join shuffles
+      only the batch's band rows; the O(corpus·bands) index rows stay
+      put.
 
     The band buckets are derived FROM the persisted shingle store, so the
     corpus is shingled exactly once end-to-end. ``mode="append"`` closes
@@ -387,9 +396,14 @@ def write_minhash_index(
     survivors into both artifacts — the index grows by O(batch), which is
     the whole point, and tomorrow's batch dedups against today's
     survivors too (round-trip pinned in ``tests/test_dedup.py``).
+    Lifecycle: appends accrete bucket-suffixed small files; compact with
+    :func:`~connect_server_spark.storage.compact_bucketed` (never plain
+    ``compact`` — it would strip the bucket-id file names).
     Consumed by :func:`minhash_neardup_against_index`; seeds are
     deterministic (``xxhash64(·, i)``), so index and batch signatures
     agree across sessions by construction."""
+    from connect_server_spark.storage import read_bucketed, write_bucketed_path
+
     spark = corpus.sparkSession
     shingled = corpus.select(
         F.col(id_col),
@@ -399,18 +413,22 @@ def write_minhash_index(
         # appending: the new rows are batch-sized — derive buckets
         # directly (reading the whole store back would be O(corpus))
         shingled = shingled.localCheckpoint(eager=False)
-        shingled.write.mode("append").parquet(shingle_path)
+        write_bucketed_path(
+            shingled, shingle_path, id_col, store_buckets, mode="append"
+        )
         buckets = minhash_band_buckets(
             shingled, id_col, "shingles", num_hashes, bands
         )
-        buckets.write.mode("append").partitionBy("band").parquet(index_path)
+        write_bucketed_path(
+            buckets, index_path, "band_hash", store_buckets, mode="append"
+        )
         return
-    shingled.write.mode(mode).parquet(shingle_path)
-    shingles = spark.read.parquet(shingle_path)
+    write_bucketed_path(shingled, shingle_path, id_col, store_buckets, mode=mode)
+    shingles = read_bucketed(spark, shingle_path, id_col, store_buckets)
     buckets = minhash_band_buckets(
         shingles, id_col, "shingles", num_hashes, bands
     )
-    buckets.write.mode(mode).partitionBy("band").parquet(index_path)
+    write_bucketed_path(buckets, index_path, "band_hash", store_buckets, mode=mode)
 
 
 def minhash_neardup_against_index(
@@ -424,43 +442,55 @@ def minhash_neardup_against_index(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    store_buckets: int = 32,
 ) -> DataFrame:
     """Incremental near-dup against a PRE-BUILT corpus index (written by
     :func:`write_minhash_index`): the daily-ingest fast path. Per batch
     the plan computes signatures for the NEW documents only, equi-joins
     the persisted (id, band, band_hash) index, and verifies candidates
     against the persisted shingle store — no corpus text is scanned, no
-    corpus shingle or signature is recomputed (asserted on the physical
+    corpus shingle or signature is recomputed, and **neither store-side
+    scan feeds an Exchange** (both stores are bucketed on their join
+    key, so only batch-sized rows shuffle — asserted on the physical
     plan in ``tests/test_dedup.py``). Ingest cost is O(batch) + the
     index join, vs :func:`minhash_neardup_against`'s O(corpus) rescan.
 
-    Same output contract as :func:`minhash_neardup_against`:
-    ``(new_id, corpus_id, jaccard)`` with ``jaccard >= threshold``."""
+    Both store joins are hinted ``shuffle_hash`` with the batch as the
+    build side: sort-merge would insert an O(corpus) Sort above each
+    store scan (appended stores have several files per bucket, so the
+    scan cannot claim sortedness); a shuffled-hash join streams the
+    store through a batch-sized hash table instead.
+
+    The candidate join keys on ``band_hash`` alone — the hash already
+    commits to the band (``xxhash64(lit(band), slice)``), and a
+    cross-band 64-bit collision merely adds a candidate that the exact
+    Jaccard verify scores anyway, so the output contract is unchanged:
+    ``(new_id, corpus_id, jaccard)`` with ``jaccard >= threshold``,
+    exactly :func:`minhash_neardup_against`'s."""
+    from connect_server_spark.storage import read_bucketed
+
     nd = new.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")
     )
     nb = minhash_band_buckets(nd, id_col, "_sh", num_hashes, bands).select(
-        F.col(id_col).alias("new_id"), "band", "band_hash"
+        F.col(id_col).alias("new_id"), "band_hash"
     )
-    cb = spark.read.parquet(index_path).select(
-        F.col(id_col).alias("corpus_id"),
-        # partition column reads back as int; band keys were written from
-        # posexplode ints, so cast only to be explicit about the join type
-        F.col("band").cast("int").alias("band"),
-        "band_hash",
+    cb = read_bucketed(spark, index_path, "band_hash", store_buckets).select(
+        F.col(id_col).alias("corpus_id"), "band_hash"
     )
     cands = (
-        nb.join(cb, ["band", "band_hash"]).select("new_id", "corpus_id").distinct()
+        cb.join(nb.hint("shuffle_hash"), "band_hash")
+        .select("new_id", "corpus_id")
+        .distinct()
     )
     a = nd.select(F.col(id_col).alias("new_id"), F.col("_sh").alias("_sh_a"))
-    b = spark.read.parquet(shingle_path).select(
+    b = read_bucketed(spark, shingle_path, id_col, store_buckets).select(
         F.col(id_col).alias("corpus_id"), F.col("shingles").alias("_sh_b")
     )
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size("_sh_a") + F.size("_sh_b") - inter
     return (
-        cands.join(a, "new_id")
-        .join(b, "corpus_id")
+        b.join(cands.join(a, "new_id").hint("shuffle_hash"), "corpus_id")
         .select(
             "new_id",
             "corpus_id",
@@ -974,6 +1004,18 @@ def embedding_neardup_against_index(
     exact all-pairs check (pinned in ``tests/test_dedup.py``). After the
     gate, append survivors with ``write_ivf_index(mode="append")`` so
     tomorrow's batch dedups against today's survivors.
+
+    **Batch-size contract**: the batch side is EXPLICITLY broadcast —
+    that is what keeps the O(corpus) cell store from ever shuffling or
+    sorting (plan-pinned in ``tests/test_dedup.py``: the store scan
+    feeds a BroadcastHashJoin, never an Exchange). One call must
+    therefore fit ``batch × nprobe`` (id, vector, cell) rows in the
+    broadcast budget — ~1 GiB ≈ 250k rows of 1024-dim float32 at the
+    default threshold. A larger daily batch is sliced upstream and
+    gated slice-by-slice (each slice appends its survivors before the
+    next probes — exactly the streaming ``foreachBatch`` loop in
+    :mod:`~connect_server_spark.streaming.ingest_dedup`); total cost
+    stays O(batch) and the store still never moves.
 
     Returns ``(new_id, corpus_id, cosine)`` with ``cosine >= threshold``.
     """

@@ -340,7 +340,14 @@ def ivf_topk_indexed(
     re-assigned, or scanned outside the probed cells (the join key is the
     hive partition column, so Spark prunes the other ``nlist - nprobe``
     cell directories — dynamic partition pruning off the broadcast
-    side). Output contract identical to :func:`ivf_topk`."""
+    side). Output contract identical to :func:`ivf_topk`.
+
+    **Probe-size contract**: the probe side is EXPLICITLY broadcast —
+    that is what keeps the O(corpus) cell store from ever shuffling
+    (plan-pinned in ``tests/test_similarity.py``). One call must fit
+    ``probes × nprobe`` (id, vector, cell) rows in the broadcast
+    budget; serve larger probe sets in slices — per-slice results are
+    independent, so slicing changes nothing but peak memory."""
     cents = read_ivf_centroids(spark, index_path)
     c_cells = spark.read.parquet(f"{index_path}/cells").select(
         F.col(corpus_id),

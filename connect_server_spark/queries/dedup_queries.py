@@ -461,7 +461,10 @@ def dedup_incremental_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataF
     # content-keyed (path+mtime+size): a regenerated dataset or a
     # same-basename sf_dir can never be served a stale index
     key = dataset_cache_key(sf_dir, "documents")
-    root = f"/tmp/connect_server_spark_minhash_index_v1/{key}"
+    # v2: the stores became path-addressed BUCKETED tables (shingles by
+    # id, band index by band_hash) so the probe joins are Exchange-free
+    # on the store side by layout — v1 plain-parquet caches are stale
+    root = f"/tmp/connect_server_spark_minhash_index_v2/{key}"
     index_path, shingle_path = f"{root}/band_index", f"{root}/shingles"
     corpus = _corpus_neardup(spark, sf_dir)
     existing = corpus.filter(F.col("doc_id") % 7 != 0)

@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "write_bucketed",
+    "write_bucketed_path",
+    "read_bucketed",
+    "ensure_bucketed_table",
+    "compact_bucketed",
     "write_partitioned",
     "write_status_layout",
     "status_point_read",
@@ -49,6 +53,182 @@ def write_bucketed(
         .sortBy(key)
         .saveAsTable(table)
     )
+
+
+def _bucket_table_name(path: str) -> str:
+    """Deterministic catalog name for a path-addressed bucketed store.
+
+    Bucket metadata (key, count, sort) lives in the catalog, not in the
+    parquet files, so a PATH-based store needs a stable table identity
+    that any session can re-derive from the path alone — a content hash
+    of the absolute path. The in-memory catalog is per-session; a fresh
+    session re-registers via :func:`ensure_bucketed_table`."""
+    import hashlib
+    import os
+
+    return "bkt_" + hashlib.md5(
+        os.path.abspath(path).encode("utf-8")
+    ).hexdigest()[:16]
+
+
+def ensure_bucketed_table(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    buckets: int = 32,
+    sort_key: str | None = None,
+    schema=None,
+) -> str:
+    """Register (if absent) the external bucketed table describing the
+    parquet files at ``path`` and return its catalog name.
+
+    Spark persists the bucket id in each FILE NAME (``..._00007...``)
+    but the spec itself only in catalog metadata — a plain
+    ``spark.read.parquet(path)`` forgets the layout and every join
+    re-shuffles. This re-attaches the spec in a new session with a
+    ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` DDL over the existing
+    files, so the layout guarantee survives process restarts (the
+    daily-ingest case: the index is built by yesterday's job)."""
+    name = _bucket_table_name(path)
+    if not spark.catalog.tableExists(name):
+        if schema is None:
+            schema = spark.read.parquet(path).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING PARQUET "
+            f"CLUSTERED BY (`{key}`) SORTED BY (`{sort_key or key}`) "
+            f"INTO {buckets} BUCKETS LOCATION '{path}'"
+        )
+    return name
+
+
+def write_bucketed_path(
+    df: DataFrame,
+    path: str,
+    key: str,
+    buckets: int = 32,
+    mode: str = "overwrite",
+    sort_key: str | None = None,
+) -> None:
+    """:func:`write_bucketed` addressed by filesystem PATH (external
+    table): the layout for persisted index/feature stores that outlive
+    any one session. A store written here joins on ``key`` with **zero
+    Exchange on the store side** — batch-sized probes shuffle to the
+    store's bucketing; the O(corpus) store never moves.
+
+    ``mode="append"`` appends bucket-suffixed files (the daily-ingest
+    leg); Spark validates the spec against the registered table, so an
+    append can never silently break the layout. NOTE: appended stores
+    must be compacted with :func:`compact_bucketed` — plain
+    :func:`compact` would rewrite files WITHOUT bucket-id names and
+    corrupt the bucketed read."""
+    spark = df.sparkSession
+    name = _bucket_table_name(path)
+    sort_key = sort_key or key
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
+        jpath = hadoop_path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", path)
+            .bucketBy(buckets, key)
+            .sortBy(sort_key)
+            .saveAsTable(name)
+        )
+    elif mode == "append":
+        ensure_bucketed_table(
+            spark, path, key, buckets, sort_key, schema=df.schema
+        )
+        (
+            df.write.mode("append")
+            .format("parquet")
+            .bucketBy(buckets, key)
+            .sortBy(sort_key)
+            .saveAsTable(name)
+        )
+    else:
+        raise ValueError(f"write_bucketed_path: unsupported mode {mode!r}")
+
+
+def read_bucketed(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    buckets: int = 32,
+    sort_key: str | None = None,
+) -> DataFrame:
+    """Read a :func:`write_bucketed_path` store WITH its layout: the
+    scan reports ``HashPartitioning(key, buckets)`` so a join on ``key``
+    needs no Exchange on this side (re-registering the table first if
+    this session has never seen it).
+
+    Always refreshes first: the session's table-relation cache pins the
+    FILE LISTING from the previous read, and an append from another
+    session (the streaming foreachBatch clone is one) would otherwise be
+    invisible — batch N+1 must see the rows batch N appended. One
+    re-listing per probe is the price of read-your-writes on an
+    append-mode store."""
+    name = ensure_bucketed_table(spark, path, key, buckets, sort_key)
+    spark.catalog.refreshTable(name)
+    return spark.table(name)
+
+
+def compact_bucketed(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    buckets: int = 32,
+    sort_key: str | None = None,
+) -> None:
+    """Compact an append-accreted bucketed store back to ~one file per
+    bucket WITHOUT losing the layout: rewrite through a bucketed write
+    (so the new files carry bucket-id names), then swap directories with
+    :func:`compact`'s two-rename discipline. ``repartition(buckets, key)``
+    uses the same murmur3-mod-buckets hash as the bucketed writer, so
+    each task holds exactly one bucket's rows → one file per bucket.
+
+    The table's catalog LOCATION never changes (the directory is swapped
+    underneath it), so concurrent readers in this session stay valid and
+    a crash between the renames leaves the store at
+    ``.<name>._compact_old`` — recoverable, never deleted."""
+    sort_key = sort_key or key
+    name = ensure_bucketed_table(spark, path, key, buckets, sort_key)
+    df = spark.table(name)
+
+    hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
+    jpath = hadoop_path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    parent, leaf = jpath.getParent(), jpath.getName()
+    tmp = hadoop_path(parent, f".{leaf}._compact_tmp")
+    old = hadoop_path(parent, f".{leaf}._compact_old")
+    tmp_table = f"{name}_ctmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    fs.delete(tmp, True)
+    fs.delete(old, True)
+    (
+        df.repartition(buckets, F.col(key))
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", str(tmp))
+        .bucketBy(buckets, key)
+        .sortBy(sort_key)
+        .saveAsTable(tmp_table)
+    )
+    # metadata-only drop: the external table's files move in the swap
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    if not fs.rename(jpath, old):
+        raise IOError(f"compact_bucketed: could not move {path} aside")
+    if not fs.rename(tmp, jpath):
+        fs.rename(old, jpath)  # roll back: original data wins
+        raise IOError(f"compact_bucketed: could not swap {tmp} into {path}")
+    fs.delete(old, True)
+    spark.catalog.refreshTable(name)
 
 
 def write_partitioned(

@@ -94,10 +94,15 @@ SHUFFLE_BUDGET = {
     "submission_rollup": 3,
     "dedup_neardup_simhash": 3,
     "dedup_incremental_minhash": 5,
-    # same stages as the recompute path (batch signatures, index join,
-    # pair distinct, two verify joins) — the saving is the corpus-side
-    # scan+signature WORK, not the shuffle count
-    "dedup_incremental_minhash_indexed": 5,
+    # r6: 5 → 6, but every Exchange is now BATCH-sized: the stores became
+    # bucketed tables (band index by band_hash, shingles by id) so the
+    # store-side scans feed shuffled-hash joins with zero Exchange — the
+    # O(corpus) index/shingle rows never move. The +1 is the cands⋈batch
+    # sort-merge pair (two batch-sized exchanges where the old plan
+    # broadcast one side); the two exchanges the old plan spent shuffling
+    # the FULL index and shingle store are gone (layout pin:
+    # tests/test_dedup.py indexed-path plan test).
+    "dedup_incremental_minhash_indexed": 6,
     "dedup_incremental_exact": 4,
     "dedup_neardup_embedding_lsh": 4,
     # groupBy(source) over map-side-merged sketches + the orderBy range

@@ -225,6 +225,12 @@ def test_ivf_indexed_plan_never_touches_corpus(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1  # probe assignment only
     assert "CartesianProduct" not in plan
+    # r6 layout pin: the cells scan never feeds an Exchange — probes are
+    # explicitly broadcast (contract: bounded probe set per call), so the
+    # store streams through a BroadcastHashJoin; the only shuffled rows
+    # are the (probe, vec, cosine) triples entering distinct + rank.
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
 
 
 def test_ivf_indexed_tolerates_duplicate_store_rows(spark, tmp_path):

@@ -173,15 +173,74 @@ def test_write_partitioned_prunes_at_read(spark, sf_dir, tmp_path):
 
 
 def test_compact_partitioned_merges_leaf_files_and_preserves_index(spark, tmp_path):
-    """The append-mode index lifecycle: daily appends accrete small files
-    per band directory; compact_partitioned merges each leaf in place
+    """The append-mode index lifecycle for the HIVE-PARTITIONED store
+    (the IVF cells directory): daily appends accrete small files per
+    cell directory; compact_partitioned merges each leaf in place
     (crash-safe per-leaf swap) and the index reads back row-identical,
     partition column included."""
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+    from connect_server_spark.storage import compact_partitioned
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 8)
+
+    def vec(c, eps=0.01):
+        v = centers[c] + eps * rng.randn(8)
+        return [float(x) for x in v]
+
+    ix = str(tmp_path / "ivf")
+    corpus = spark.createDataFrame(
+        [(i, vec(i % 4)) for i in range(1, 9)],
+        "vec_id long, embedding array<double>",
+    )
+    write_ivf_index(corpus, ix, nlist=4)
+    for day in range(3):  # three daily appends → small files accrete
+        batch = spark.createDataFrame(
+            [(100 + day, vec(day % 4))],
+            "vec_id long, embedding array<double>",
+        )
+        write_ivf_index(batch, ix, mode="append")
+    cells = f"{ix}/cells"
+    before = spark.read.parquet(cells)
+    before_rows = sorted((r.vec_id, r.cell) for r in before.collect())
+    import glob
+
+    files_before = len(glob.glob(f"{cells}/cell=*/*.parquet"))
+    results = compact_partitioned(spark, cells)
+    files_after = len(glob.glob(f"{cells}/cell=*/*.parquet"))
+    assert files_after < files_before
+    assert set(results.values()) == {1}  # tiny leaves → one file each
+    after = spark.read.parquet(cells)
+    assert sorted((r.vec_id, r.cell) for r in after.collect()) == before_rows
+    assert "cell" in after.columns  # hive layout intact
+
+    # the compacted index still serves the probe path
+    probes = spark.createDataFrame(
+        [(900, vec(1))], "probe_id long, probe_vec array<double>"
+    )
+    top = ivf_topk_indexed(probes, spark, ix, k=1, nprobe=1).collect()
+    # center-1 members: corpus ids 1, 5 (i % 4 == 1) and day-1 append 101
+    assert len(top) == 1 and top[0].vec_id in {1, 5, 101}
+
+
+def test_compact_bucketed_merges_files_and_preserves_layout(spark, tmp_path):
+    """The append-mode lifecycle for the BUCKETED stores (minhash band
+    index + shingle store): appends accrete bucket-suffixed small files;
+    compact_bucketed rewrites to ~one file per bucket WITHOUT losing the
+    bucket layout — the probe plan afterwards still shows bucketed scans
+    and shuffled-hash joins (no Exchange, no Sort on the store side)."""
+    import glob
+
     from connect_server_spark.operators.dedup import (
         minhash_neardup_against_index,
         write_minhash_index,
     )
-    from connect_server_spark.storage import compact_partitioned
+    from connect_server_spark.storage import compact_bucketed
 
     def words(tag, n=21):
         return " ".join(f"{tag}w{j}" for j in range(n))
@@ -191,33 +250,31 @@ def test_compact_partitioned_merges_leaf_files_and_preserves_index(spark, tmp_pa
         [(i, words(f"c{i}")) for i in range(1, 6)], "doc_id long, text string"
     )
     write_minhash_index(corpus, "doc_id", "text", ix, sh)
-    for day in range(3):  # three daily appends → small files accrete
+    for day in range(4):  # daily appends → small files accrete per bucket
         batch = spark.createDataFrame(
             [(100 + day, words(f"d{day}"))], "doc_id long, text string"
         )
-        write_minhash_index(
-            batch, "doc_id", "text", ix, sh, mode="append"
-        )
-    before = spark.read.parquet(ix)
-    before_rows = sorted(tuple(r) for r in before.collect())
-    import glob
+        write_minhash_index(batch, "doc_id", "text", ix, sh, mode="append")
 
-    files_before = len(glob.glob(f"{ix}/band=*/*.parquet"))
-    results = compact_partitioned(spark, ix)
-    files_after = len(glob.glob(f"{ix}/band=*/*.parquet"))
+    rows_before = sorted(tuple(r) for r in spark.read.parquet(ix).collect())
+    files_before = len(glob.glob(f"{ix}/*.parquet"))
+    compact_bucketed(spark, ix, "band_hash")
+    compact_bucketed(spark, sh, "doc_id")
+    files_after = len(glob.glob(f"{ix}/*.parquet"))
     assert files_after < files_before
-    assert set(results.values()) == {1}  # tiny leaves → one file each
-    after = spark.read.parquet(ix)
-    assert sorted(tuple(r) for r in after.collect()) == before_rows
-    assert "band" in after.columns  # hive layout intact
+    assert sorted(tuple(r) for r in spark.read.parquet(ix).collect()) == rows_before
 
-    # the compacted index still serves the probe path
+    # the compacted stores still serve the probe path, with the layout
+    # guarantee intact: bucketed scans, batch-side-build hash joins
     probe = spark.createDataFrame(
         [(900, words("d1"))], "doc_id long, text string"
     )
     pairs = minhash_neardup_against_index(
         probe, spark, ix, sh, "doc_id", "text"
     )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Bucketed: true") == 2, plan
+    assert plan.count("ShuffledHashJoin") == 2, plan
     assert {(r.new_id, r.corpus_id) for r in pairs.collect()} == {(900, 101)}
 
 
