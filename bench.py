@@ -55,6 +55,8 @@ HEADLINE = [
     "text_analysis",
     "corpus_curation",
     "training_pack",
+    "training_pack_chunked",
+    "tokenize_bpe",
     "corpus_stats",
     "vocab_top_tokens",
     "submit_pipeline",

@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences", "chunk_documents"]
+__all__ = ["pack_sequences", "chunk_documents", "pack_chunks", "chunk_and_pack"]
 
 # pack_id = partition_id * _PART_STRIDE + local pack index: globally
 # unique without coordination, and 2^40 packs per partition is
@@ -173,4 +173,103 @@ def chunk_documents(
             F.lit(budget).cast("long"),
             F.col("_n") - F.col("chunk_idx") * budget,
         ).alias("chunk_tokens"),
+    )
+
+
+CHUNK_PACK_SCHEMA = (
+    "id long, chunk_idx bigint, n_tokens long, pack_id long, pack_slot int"
+)
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """:func:`pack_sequences` over (id, chunk_idx, chunk_tokens) CHUNK
+    rows: greedy next-fit in (id, chunk_idx) order per partition, so a
+    document's chunks stay adjacent and pack in document order. Because
+    :func:`chunk_documents` caps every chunk at ``budget``, **every pack
+    is ≤ budget** — the lone-oversized-pack escape hatch of
+    :func:`pack_sequences` is structurally unreachable here (pinned in
+    ``tests/test_packing.py``). Same hygiene contract: null id raises;
+    null/negative chunk_tokens pack as 0; retries are deterministic
+    (the sort key (id, chunk_idx, n_tokens) is total for the well-formed
+    case of unique (id, chunk_idx))."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    narrow = chunks.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.greatest(
+            F.coalesce(F.col("chunk_tokens").cast("long"), F.lit(0)), F.lit(0)
+        ).alias("n_tokens"),
+    )
+    if num_partitions is not None:
+        narrow = narrow.repartition(num_partitions, "id")
+    narrow = narrow.sortWithinPartitions("id", "chunk_idx", "n_tokens").select(
+        F.spark_partition_id().alias("_pid"), "id", "chunk_idx", "n_tokens"
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pack_idx, used, slot = -1, 0, 0
+        base = None
+        for pdf in batches:
+            rows = []
+            for pid, doc_id, cidx, n in zip(
+                pdf["_pid"], pdf["id"], pdf["chunk_idx"], pdf["n_tokens"]
+            ):
+                if pd.isna(doc_id):
+                    raise ValueError(
+                        "pack_chunks: null id — the id column is the "
+                        "pack ordering key and must be non-null"
+                    )
+                if base is None:
+                    base = int(pid) * _PART_STRIDE
+                n = int(n)
+                if pack_idx < 0 or used + n > budget:
+                    pack_idx += 1
+                    used, slot = 0, 0
+                rows.append((int(doc_id), int(cidx), n, base + pack_idx, slot))
+                used += n
+                slot += 1
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "chunk_idx", "n_tokens", "pack_id", "pack_slot"],
+            )
+
+    return narrow.mapInPandas(pack, CHUNK_PACK_SCHEMA)
+
+
+def chunk_and_pack(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The end-to-end pretraining shape: split over-budget documents
+    into ≤-budget token ranges (:func:`chunk_documents`), then pack the
+    chunks greedily (:func:`pack_chunks`) — EVERY pack fits the context
+    window, and token coverage is lossless (sum of a document's
+    chunk_tokens = its clamped token count; both pinned in
+    ``tests/test_packing.py``). Output: (id, chunk_idx, token_start,
+    chunk_tokens, pack_id, pack_slot) — the tokenizer-side concatenator
+    downstream consumes pack order and slices text by token range.
+
+    Plan shape: chunking is scan-stage Catalyst (sequence + explode,
+    zero shuffle); packing is one ``mapInPandas`` pass per partition —
+    the whole composition adds NO shuffle beyond the optional
+    repartition."""
+    chunks = chunk_documents(df, id_col, token_col, budget)
+    packed = pack_chunks(chunks, budget, num_partitions)
+    # re-attach token_start (a pure function of chunk_idx × budget — no
+    # join back to the chunk set needed)
+    return packed.select(
+        "id",
+        "chunk_idx",
+        (F.col("chunk_idx") * budget).alias("token_start"),
+        F.col("n_tokens").alias("chunk_tokens"),
+        "pack_id",
+        "pack_slot",
     )

@@ -219,3 +219,98 @@ if _HYP:
             ).collect()
         }
         assert got == _greedy(rows, budget), (toks, budget)
+
+
+def test_chunk_and_pack_every_pack_fits_and_coverage_is_lossless(spark):
+    """The composed chunk→pack pipeline (r5 verdict "missing #2"):
+    (a) ZERO packs over budget — even with documents several times the
+    budget (pack_sequences alone would give those a lone oversized
+    pack); (b) token coverage is lossless — each document's chunk_tokens
+    sum to its clamped count; (c) a document's chunks pack in order;
+    (d) re-running yields the identical assignment (retry determinism)."""
+    from connect_server_spark.operators.packing import chunk_and_pack
+
+    budget = 100
+    rows = [
+        (1, 950),   # ~10 chunks
+        (2, 100),   # exactly budget
+        (3, 101),   # budget + 1 → two chunks
+        (4, 0),     # empty doc → one 0-token chunk
+        (5, None),  # null count → clamps to 0, still present
+        (6, 37),
+        (7, 250),
+        (8, -5),    # negative clamps to 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = chunk_and_pack(df, "doc_id", "n", budget=budget, num_partitions=2)
+    got = out.collect()
+
+    # (a) no pack over budget
+    by_pack = {}
+    for r in got:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    assert by_pack
+    for pack_id, members in by_pack.items():
+        assert sum(m.chunk_tokens for m in members) <= budget, pack_id
+        # slots are 0..k-1 in order
+        assert sorted(m.pack_slot for m in members) == list(
+            range(len(members))
+        )
+
+    # (b) lossless coverage per document
+    per_doc = {}
+    for r in got:
+        per_doc.setdefault(r.id, []).append(r)
+    clamped = {i: max(n or 0, 0) for i, n in rows}
+    for doc_id, chunks in per_doc.items():
+        assert sum(c.chunk_tokens for c in chunks) == clamped[doc_id]
+        # ranges tile the document contiguously
+        idxs = sorted(c.chunk_idx for c in chunks)
+        assert idxs == list(range(len(idxs)))
+        for c in chunks:
+            assert c.token_start == c.chunk_idx * budget
+            assert 0 <= c.chunk_tokens <= budget
+    assert set(per_doc) == set(clamped)  # nothing dropped
+
+    # (c) chunk order within a document follows (pack_id, pack_slot)
+    for doc_id, chunks in per_doc.items():
+        by_order = sorted(chunks, key=lambda c: (c.pack_id, c.pack_slot))
+        assert [c.chunk_idx for c in by_order] == sorted(
+            c.chunk_idx for c in chunks
+        )
+
+    # (d) deterministic under retry
+    again = chunk_and_pack(
+        df, "doc_id", "n", budget=budget, num_partitions=2
+    ).collect()
+    key = lambda r: (r.id, r.chunk_idx)
+    assert sorted(map(tuple, again), key=lambda t: t[:2]) == sorted(
+        map(tuple, got), key=lambda t: t[:2]
+    )
+
+
+def test_pack_chunks_null_id_raises(spark):
+    import pytest
+
+    from connect_server_spark.operators.packing import pack_chunks
+
+    df = spark.createDataFrame(
+        [(None, 0, 10)], "id long, chunk_idx long, chunk_tokens long"
+    )
+    with pytest.raises(Exception, match="null id"):
+        pack_chunks(df, budget=100).collect()
+
+
+def test_chunk_and_pack_plan_adds_no_shuffle(spark):
+    """Chunking is scan-stage Catalyst and packing is one mapInPandas
+    pass: without an explicit repartition the composed plan has ZERO
+    Exchange nodes."""
+    from connect_server_spark.operators.packing import chunk_and_pack
+
+    df = spark.createDataFrame(
+        [(i, 100 + i) for i in range(10)], "doc_id long, n long"
+    )
+    out = chunk_and_pack(df, "doc_id", "n", budget=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan

@@ -40,6 +40,8 @@ ARROW_BOUNDARY_OK = {
     "multimodal_frame_sample",
     "multimodal_audio_features",
     "training_pack",
+    "training_pack_chunked",
+    "tokenize_bpe",
     "extract_grouped",
 }
 
