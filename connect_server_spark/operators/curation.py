@@ -30,6 +30,9 @@ __all__ = [
     "benchmark_ngrams",
     "contaminated_ids",
     "decontaminate",
+    "benchmark_bloom",
+    "contaminated_ids_bloom",
+    "decontaminate_bloom",
     "deterministic_keep",
     "stratified_sample",
 ]
@@ -89,6 +92,137 @@ def decontaminate(
     ids — document bodies cross no shuffle)."""
     hits = contaminated_ids(
         docs, benchmark_ngrams(bench, bench_text_col, n), id_col, text_col, n
+    )
+    return docs.join(hits, id_col, "left_anti")
+
+
+# ---- Bloom-filter decontamination (the 100× contamination-list path) ----
+#
+# The exact variant broadcasts the DISTINCT gram-hash set — right for
+# benchmark suites (thousands of grams) but a web-dump-scale
+# contamination list outgrows broadcast (1e9 grams × 8 B = 8 GB). The
+# bloom variant broadcasts a REGISTER-BLOCKED bloom filter instead
+# (split-block, the parquet bloom design): each gram maps to ONE 64-bit
+# word and a k-bit mask inside it, so
+#
+# * the build is a `bit_or` aggregate over (word_idx, mask) rows —
+#   map-side combined, final state = n_words rows no matter how large
+#   the list;
+# * the probe is ONE broadcast equi-join on word_idx plus a scan-stage
+#   `(bits & mask) = mask` check — no extra join per hash function, no
+#   Python, and the corpus side keeps the exact variant's plan shape;
+# * memory is bits_per_item/8 bytes per gram (default 16 bits → 2 B/gram,
+#   4× smaller than exact, and tunable) at a measured false-positive
+#   rate ~(k·load/64)^k — with the default 16 bits/item, k = 6, that is
+#   ~(6·4/64)^6 ≈ 3e-3.
+#
+# Errors are one-sided in the SAFE direction: a false positive drops an
+# extra (clean) training document; a truly contaminated document can
+# never slip through (bloom filters have no false negatives) — pinned in
+# ``tests/test_text.py``.
+
+_BLOOM_WORD_SEED = 9001
+_BLOOM_BIT_SEED = 101
+
+
+def _bloom_word_and_mask(gram: Column, n_words: int, k: int):
+    """(word_idx, mask) of one gram hash: word index from one seeded
+    rehash, k bit positions inside the 64-bit word from k more. Pure
+    Catalyst (xxhash64 / pmod / shiftleft) — identical on build and
+    probe sides by construction."""
+    word = F.pmod(F.xxhash64(gram, F.lit(_BLOOM_WORD_SEED)), F.lit(n_words))
+    mask = F.lit(0).cast("long")
+    for j in range(k):
+        bit = F.pmod(
+            F.xxhash64(gram, F.lit(_BLOOM_BIT_SEED + j)), F.lit(64)
+        ).cast("int")
+        mask = mask.bitwiseOR(
+            F.call_function("shiftleft", F.lit(1).cast("long"), bit)
+        )
+    return word, mask
+
+
+def benchmark_bloom(
+    bench: DataFrame,
+    text_col: str,
+    n: int = 8,
+    expected_items: int | None = None,
+    bits_per_item: int = 16,
+    k: int = 6,
+) -> tuple[DataFrame, int]:
+    """Blocked-bloom filter of the benchmark/contamination n-gram set as
+    a (word_idx, bits) DataFrame plus its word count. The aggregate is
+    map-side combined, so the filter builds in one narrow shuffle of at
+    most n_words rows per partition regardless of list size.
+    ``expected_items`` defaults to the exact distinct-gram count (one
+    cheap job on the list side); pass an estimate to skip it."""
+    grams = benchmark_ngrams(bench, text_col, n)
+    if expected_items is None:
+        expected_items = grams.count()
+    n_words = max(1, -(-(max(expected_items, 1) * bits_per_item) // 64))
+    word, mask = _bloom_word_and_mask(F.col("_gram"), n_words, k)
+    words = (
+        grams.select(word.alias("word_idx"), mask.alias("_mask"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("_mask").alias("bits"))
+    )
+    return words, n_words
+
+
+def contaminated_ids_bloom(
+    docs: DataFrame,
+    bloom_words: DataFrame,
+    n_words: int,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    k: int = 6,
+) -> DataFrame:
+    """Ids of documents whose ANY n-gram the bloom filter reports —
+    a superset of :func:`contaminated_ids` (no false negatives;
+    false-positive rate set by the filter's sizing). Broadcast equi-join
+    on word_idx; corpus text stays put, same plan shape as the exact
+    sweep."""
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+            )
+        ).alias("_gram"),
+    )
+    word, mask = _bloom_word_and_mask(F.col("_gram"), n_words, k)
+    probes = grams.select(
+        F.col(id_col), word.alias("word_idx"), mask.alias("_mask")
+    )
+    return (
+        probes.join(F.broadcast(bloom_words), "word_idx")
+        .filter(F.col("bits").bitwiseAND(F.col("_mask")) == F.col("_mask"))
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str,
+    n: int = 8,
+    expected_items: int | None = None,
+    bits_per_item: int = 16,
+    k: int = 6,
+) -> DataFrame:
+    """:func:`decontaminate` with the broadcast side compressed to a
+    blocked bloom filter — equivalence modulo the measured one-sided
+    false-positive budget (every truly leaked document is still dropped;
+    a ~(k·load/64)^k fraction of clean documents is dropped with it)."""
+    words, n_words = benchmark_bloom(
+        bench, bench_text_col, n, expected_items, bits_per_item, k
+    )
+    hits = contaminated_ids_bloom(
+        docs, words, n_words, id_col, text_col, n, k
     )
     return docs.join(hits, id_col, "left_anti")
 

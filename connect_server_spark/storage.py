@@ -400,6 +400,8 @@ def compact_partitioned(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     shuffle: bool = False,
+    max_workers: int = 8,
+    timings: dict | None = None,
 ) -> dict:
     """Compact every LEAF partition directory of a hive-partitioned table
     (``band=*/``, ``cell=*/``, nested ``a=*/b=*/``) independently — the
@@ -409,12 +411,19 @@ def compact_partitioned(
     reads dominate probe cost.
 
     Rows never cross partition directories (the partition value lives in
-    the directory NAME, which is preserved), each leaf swap reuses
+    the directory NAME, which is preserved) and each leaf swap reuses
     :func:`compact`'s temp-dir + two-rename discipline — so a crash
     mid-pass leaves every partition either fully old or fully new, never
-    mixed — and partitions compact one at a time, bounding transient
-    extra disk at one partition's size. Returns
-    ``{leaf_path: new_file_count}``."""
+    mixed. Leaves compact CONCURRENTLY through a bounded thread pool
+    (SparkContext is thread-safe; each leaf is one independent read +
+    write + swap): a 256-partition lifecycle pass overlaps its per-leaf
+    scheduling and I/O stalls instead of serializing 256 jobs, while
+    ``max_workers`` bounds transient extra disk at that many partitions'
+    size. ``timings`` (optional, test hook) is filled with
+    ``{leaf: (start_monotonic, end_monotonic)}`` so concurrency is
+    assertable. Returns ``{leaf_path: new_file_count}``."""
+    from concurrent.futures import ThreadPoolExecutor
+
     hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
     fs = hadoop_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
 
@@ -435,9 +444,22 @@ def compact_partitioned(
             out.extend(leaves(s))
         return out
 
+    import time
+
+    def work(leaf_str: str) -> tuple[str, int]:
+        t0 = time.monotonic()
+        n = compact(spark, leaf_str, target_file_bytes, shuffle)
+        if timings is not None:
+            timings[leaf_str] = (t0, time.monotonic())
+        return leaf_str, n
+
+    leaf_paths = [
+        str(leaf.toUri().getPath()) for leaf in leaves(hadoop_path(path))
+    ]
     results = {}
-    for leaf in leaves(hadoop_path(path)):
-        results[str(leaf.toUri().getPath())] = compact(
-            spark, str(leaf), target_file_bytes, shuffle
-        )
+    with ThreadPoolExecutor(
+        max_workers=max(1, min(max_workers, len(leaf_paths) or 1))
+    ) as pool:
+        for leaf_str, n in pool.map(work, leaf_paths):
+            results[leaf_str] = n
     return results

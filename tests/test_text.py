@@ -175,6 +175,86 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_decontaminate_bloom_no_false_negatives_and_fpr_budget(spark):
+    """Equivalence modulo the one-sided FPR: every id the exact sweep
+    flags is flagged by the bloom sweep (no false negatives — a leaked
+    document can never survive), and on a corpus of clean documents the
+    extra drops stay within the sized false-positive budget."""
+    from connect_server_spark.operators.curation import (
+        benchmark_bloom,
+        benchmark_ngrams,
+        contaminated_ids,
+        contaminated_ids_bloom,
+        decontaminate_bloom,
+    )
+
+    def words(tag, n=12):
+        return " ".join(f"{tag}w{j}" for j in range(n))
+
+    bench = spark.createDataFrame(
+        [(words(f"b{i}"),) for i in range(20)], ["q"]
+    )
+    # 10 leaking docs (contain a full benchmark row) + 300 clean docs
+    docs = spark.createDataFrame(
+        [(i, f"prefix {words(f'b{i}')} suffix") for i in range(10)]
+        + [(1000 + i, words(f"c{i}")) for i in range(300)],
+        ["doc_id", "text"],
+    )
+    exact = {
+        r.doc_id
+        for r in contaminated_ids(
+            docs, benchmark_ngrams(bench, "q", 6), "doc_id", "text", 6
+        ).collect()
+    }
+    assert exact == set(range(10))
+    bloom_words, n_words = benchmark_bloom(bench, "q", 6)
+    got = {
+        r.doc_id
+        for r in contaminated_ids_bloom(
+            docs, bloom_words, n_words, "doc_id", "text", 6
+        ).collect()
+    }
+    assert exact <= got  # no false negatives, structurally
+    # FPR budget: default sizing targets ~3e-3 per probed gram; with ~7
+    # grams per clean doc the per-doc budget is well under 5%
+    false_pos = len(got - exact)
+    assert false_pos <= 15, (false_pos, sorted(got - exact)[:5])
+
+    kept = {
+        r.doc_id
+        for r in decontaminate_bloom(
+            docs, bench, "doc_id", "text", "q", 6
+        ).collect()
+    }
+    assert kept.isdisjoint(exact) and kept == {
+        1000 + i for i in range(300)
+    } - (got - exact)
+
+
+def test_decontaminate_bloom_plan_never_shuffles_corpus(spark):
+    """The corpus side of the bloom sweep is explode → broadcast
+    equi-join → id distinct: the only Exchanges carry the bloom words
+    (bounded by the filter size) and the candidate ids — never corpus
+    text. One broadcast join total (one probe per gram, not per hash
+    function), no cartesian, no Python."""
+    from connect_server_spark.operators.curation import decontaminate_bloom
+
+    bench = spark.createDataFrame([("a b c d e f g h",)], ["q"])
+    docs = spark.createDataFrame(
+        [(1, "x y z w v u t s")], ["doc_id", "text"]
+    )
+    out = decontaminate_bloom(docs, bench, "doc_id", "text", "q", 6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan  # pure Catalyst, both sides
+    # no Exchange consumes a plan branch containing the corpus text
+    # column: text appears only below the (exchange-free) gram explode
+    for line in plan.splitlines():
+        if "Exchange" in line and "ReusedExchange" not in line:
+            assert "text" not in line, line
+
+
 def test_stratified_sample_deterministic_and_proportional(spark):
     from connect_server_spark.operators.curation import stratified_sample
 
