@@ -45,6 +45,7 @@ __all__ = [
     "embedding_neardup_exact",
     "embedding_neardup_lsh",
     "embedding_neardup_against_index",
+    "embedding_neardup_against_index_sliced",
 ]
 
 
@@ -455,11 +456,17 @@ def minhash_neardup_against_index(
     plan in ``tests/test_dedup.py``). Ingest cost is O(batch) + the
     index join, vs :func:`minhash_neardup_against`'s O(corpus) rescan.
 
-    Both store joins are hinted ``shuffle_hash`` with the batch as the
-    build side: sort-merge would insert an O(corpus) Sort above each
-    store scan (appended stores have several files per bucket, so the
-    scan cannot claim sortedness); a shuffled-hash join streams the
-    store through a batch-sized hash table instead.
+    The store-join strategy is size-adaptive (one driver-side size probe
+    per store): a store still under the broadcast threshold joins
+    broadcast — the fastest shape while a corpus is small, zero Exchange
+    anywhere — and past the threshold the batch side is hinted
+    ``shuffle_hash`` with the batch as the build side: sort-merge would
+    insert an O(corpus) Sort above each store scan (appended stores have
+    several files per bucket, so the scan cannot claim sortedness); a
+    shuffled-hash join streams the store through a batch-sized hash
+    table instead. At 100 TB the stores are always past the threshold,
+    so the at-scale plan is exactly the hinted one — pinned with
+    broadcast disabled in ``tests/test_dedup.py``.
 
     The candidate join keys on ``band_hash`` alone — the hash already
     commits to the band (``xxhash64(lit(band), slice)``), and a
@@ -467,7 +474,12 @@ def minhash_neardup_against_index(
     Jaccard verify scores anyway, so the output contract is unchanged:
     ``(new_id, corpus_id, jaccard)`` with ``jaccard >= threshold``,
     exactly :func:`minhash_neardup_against`'s."""
-    from connect_server_spark.storage import read_bucketed
+    from connect_server_spark.storage import broadcastable, read_bucketed
+
+    def probe_side(df: DataFrame, store_path: str) -> DataFrame:
+        # small store → no hint (Catalyst broadcasts the store itself);
+        # big store → force SHJ so the store neither sorts nor shuffles
+        return df if broadcastable(spark, store_path) else df.hint("shuffle_hash")
 
     nd = new.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")
@@ -479,7 +491,7 @@ def minhash_neardup_against_index(
         F.col(id_col).alias("corpus_id"), "band_hash"
     )
     cands = (
-        cb.join(nb.hint("shuffle_hash"), "band_hash")
+        cb.join(probe_side(nb, index_path), "band_hash")
         .select("new_id", "corpus_id")
         .distinct()
     )
@@ -490,7 +502,7 @@ def minhash_neardup_against_index(
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size("_sh_a") + F.size("_sh_b") - inter
     return (
-        b.join(cands.join(a, "new_id").hint("shuffle_hash"), "corpus_id")
+        b.join(probe_side(cands.join(a, "new_id"), shingle_path), "corpus_id")
         .select(
             "new_id",
             "corpus_id",
@@ -976,6 +988,48 @@ def embedding_neardup_lsh(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_neardup_against_index_sliced(
+    new: DataFrame,
+    spark,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    nprobe: int = 4,
+    slices: int = 8,
+) -> DataFrame:
+    """:func:`embedding_neardup_against_index` for batches too large for
+    one broadcast: the batch is split into ``slices`` deterministic hash
+    slices, each gated independently, results unioned. Per-slice results
+    are independent (each new vector's matches depend only on the
+    corpus index), so slicing changes nothing but peak broadcast memory —
+    equivalence is pinned in ``tests/test_dedup.py``. Total cost stays
+    O(batch); the store is scanned once per slice (cell-directory-pruned
+    to each slice's probed cells), which is the deliberate trade: batch
+    slices at driver-RAM scale vs corpus never moving. Size ``slices`` so
+    ``batch/slices × nprobe`` rows fit the broadcast budget."""
+    if slices < 1:
+        raise ValueError("slices must be >= 1")
+    parts = [
+        embedding_neardup_against_index(
+            new.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(slices)) == s
+            ),
+            spark,
+            index_path,
+            id_col,
+            vec_col,
+            threshold,
+            nprobe,
+        )
+        for s in range(slices)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def embedding_neardup_against_index(

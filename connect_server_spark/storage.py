@@ -179,6 +179,37 @@ def read_bucketed(
     return spark.table(name)
 
 
+def broadcastable(spark: SparkSession, path: str) -> bool:
+    """True when the data at ``path`` fits the session's
+    autoBroadcastJoinThreshold — the store-size probe behind the
+    adaptive join strategy for bucketed stores: a store under the
+    threshold joins fastest BROADCAST (one tiny table ships, no
+    Exchange anywhere); past it, the bucketed layout + a shuffled-hash
+    hint keeps the store-side scan Exchange-free while only probes
+    move. One driver-side content-summary call; -1/unset thresholds
+    read as never-broadcast."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("b", 1)):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        threshold = int(raw) * mult
+    except ValueError:
+        threshold = 10 * 1024 * 1024
+    if threshold <= 0:
+        return False
+    hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
+    jpath = hadoop_path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    return fs.getContentSummary(jpath).getLength() <= threshold
+
+
 def compact_bucketed(
     spark: SparkSession,
     path: str,

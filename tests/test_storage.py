@@ -266,16 +266,23 @@ def test_compact_bucketed_merges_files_and_preserves_layout(spark, tmp_path):
 
     # the compacted stores still serve the probe path, with the layout
     # guarantee intact: bucketed scans, batch-side-build hash joins
+    # (broadcast disabled to expose the at-scale shape — the adaptive
+    # strategy would rightly broadcast a test-sized store)
     probe = spark.createDataFrame(
         [(900, words("d1"))], "doc_id long, text string"
     )
-    pairs = minhash_neardup_against_index(
-        probe, spark, ix, sh, "doc_id", "text"
-    )
-    plan = pairs._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Bucketed: true") == 2, plan
-    assert plan.count("ShuffledHashJoin") == 2, plan
-    assert {(r.new_id, r.corpus_id) for r in pairs.collect()} == {(900, 101)}
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = minhash_neardup_against_index(
+            probe, spark, ix, sh, "doc_id", "text"
+        )
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Bucketed: true") == 2, plan
+        assert plan.count("ShuffledHashJoin") == 2, plan
+        assert {(r.new_id, r.corpus_id) for r in pairs.collect()} == {(900, 101)}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
 
 
 def test_compact_work_dirs_invisible_to_partition_discovery(spark, tmp_path):
