@@ -57,6 +57,7 @@ HEADLINE = [
     "training_pack",
     "training_pack_chunked",
     "tokenize_bpe",
+    "training_pack_bpe",
     "corpus_stats",
     "vocab_top_tokens",
     "submit_pipeline",

@@ -40,7 +40,9 @@ __all__ = ["pack_sequences", "chunk_documents", "pack_chunks", "chunk_and_pack"]
 # unreachable (a pack is >= 1 document).
 _PART_STRIDE = 1 << 40
 
-PACK_SCHEMA = "id long, n_tokens long, pack_id long, pack_slot int"
+PACK_SCHEMA = (
+    "id long, n_tokens long, pack_id long, pack_slot int, token_offset long"
+)
 
 
 def pack_sequences(
@@ -57,9 +59,11 @@ def pack_sequences(
 
     Greedy next-fit in ascending id order per partition: accumulate
     documents until the next one would overflow, then open a new pack.
-    Returns ``(id, n_tokens, pack_id, pack_slot)`` — ``pack_slot`` is the
-    document's position within its pack, so downstream concatenation is
-    order-stable.
+    Returns ``(id, n_tokens, pack_id, pack_slot, token_offset)`` —
+    ``pack_slot`` is the document's position within its pack and
+    ``token_offset`` its first token's position in the concatenated
+    pack (the cumulative width of earlier slots), so a training loader
+    can place every document without re-walking the pack.
 
     Input hygiene: a null/negative token count packs as 0 tokens (the
     document still gets a slot — a packer must never silently drop
@@ -104,11 +108,12 @@ def pack_sequences(
                 if pack_idx < 0 or used + n > budget:
                     pack_idx += 1
                     used, slot = 0, 0
-                rows.append((int(doc_id), n, base + pack_idx, slot))
+                rows.append((int(doc_id), n, base + pack_idx, slot, used))
                 used += n
                 slot += 1
             yield pd.DataFrame(
-                rows, columns=["id", "n_tokens", "pack_id", "pack_slot"]
+                rows,
+                columns=["id", "n_tokens", "pack_id", "pack_slot", "token_offset"],
             )
 
     return narrow.mapInPandas(pack, PACK_SCHEMA)
@@ -177,7 +182,8 @@ def chunk_documents(
 
 
 CHUNK_PACK_SCHEMA = (
-    "id long, chunk_idx bigint, n_tokens long, pack_id long, pack_slot int"
+    "id long, chunk_idx bigint, n_tokens long, pack_id long, pack_slot int, "
+    "token_offset long"
 )
 
 
@@ -230,12 +236,17 @@ def pack_chunks(
                 if pack_idx < 0 or used + n > budget:
                     pack_idx += 1
                     used, slot = 0, 0
-                rows.append((int(doc_id), int(cidx), n, base + pack_idx, slot))
+                rows.append(
+                    (int(doc_id), int(cidx), n, base + pack_idx, slot, used)
+                )
                 used += n
                 slot += 1
             yield pd.DataFrame(
                 rows,
-                columns=["id", "chunk_idx", "n_tokens", "pack_id", "pack_slot"],
+                columns=[
+                    "id", "chunk_idx", "n_tokens", "pack_id", "pack_slot",
+                    "token_offset",
+                ],
             )
 
     return narrow.mapInPandas(pack, CHUNK_PACK_SCHEMA)
@@ -272,4 +283,5 @@ def chunk_and_pack(
         F.col("n_tokens").alias("chunk_tokens"),
         "pack_id",
         "pack_slot",
+        "token_offset",
     )

@@ -27,22 +27,28 @@ from connect_server_spark.tables import load_table
 
 
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connect_server_spark.operators.text import tokens
+
     docs = load_table(spark, "documents", sf_dir)
     t = F.col("text")
     pii = pii_flags(t)
-    return docs.select(
+    # normalize+split ONCE per row; every token-based metric references
+    # the materialized column (~5% at sf0.1, interleaved A/B; values
+    # bit-identical, so the oracle below is untouched)
+    toks = F.col("_toks")
+    return docs.select("doc_id", "text", tokens(t).alias("_toks")).select(
         "doc_id",
-        token_count(t).alias("n_tokens"),
+        token_count(t, toks=toks).alias("n_tokens"),
         alnum_token_count(t).alias("n_alnum_tokens"),
         bpe_token_estimate(t).alias("n_bpe_tokens"),
-        language_id(t).alias("lang_guess"),
-        stopword_ratio(t).alias("stopword_ratio_en"),
-        mean_word_length(t).alias("mean_word_len"),
+        language_id(t, toks=toks).alias("lang_guess"),
+        stopword_ratio(t, toks=toks).alias("stopword_ratio_en"),
+        mean_word_length(t, toks=toks).alias("mean_word_len"),
         punct_ratio(t).alias("punct_ratio"),
-        quality_score(t).alias("quality_e7"),
-        doc_fingerprint(t).alias("fingerprint"),
+        quality_score(t, toks=toks).alias("quality_e7"),
+        doc_fingerprint(t, toks=toks).alias("fingerprint"),
         dup_line_ratio(t).alias("dup_line_ratio"),
-        top_ngram_share(t, 2).alias("top2gram_share"),
+        top_ngram_share(t, 2, toks=toks).alias("top2gram_share"),
         pii["email"].alias("pii_email"),
         pii["card"].alias("pii_card"),
         pii["phone"].alias("pii_phone"),
@@ -169,14 +175,19 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from connect_server_spark.operators.dedup import normalize_text
 
+    from connect_server_spark.operators.text import tokens
+
     docs = load_table(spark, "documents", sf_dir)
     t = F.col("text")
+    toks = F.col("_toks")
     scored = docs.select(
+        "doc_id", "source", "text", tokens(t).alias("_toks")
+    ).select(
         "doc_id",
         "source",
         "text",
-        language_id(t).alias("lang_pred"),
-        quality_score(t).alias("quality_e7"),
+        language_id(t, toks=toks).alias("lang_pred"),
+        quality_score(t, toks=toks).alias("quality_e7"),
         alnum_token_count(t).alias("n_tok"),
     )
     kept = scored.filter(
@@ -318,6 +329,27 @@ def training_pack_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("training_pack_chunked", training_pack_chunked, defer=True)
+
+
+def training_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining token pipeline in ONE plan: REAL BPE token
+    counts (trained merges, Arrow-batched segmentation) feed
+    chunk-then-pack at a 256-token budget — what ``training_pack``
+    approximates with whitespace counts, now measured end-to-end. The
+    tokenizer UDF, the chunk explode, and the packing ``mapInPandas``
+    all compose pipeline-parallel with zero added shuffle. Rows-only
+    (corpus-trained state + sequential packing recurrence); both stages'
+    invariants are pytest-pinned in their own suites."""
+    from connect_server_spark.operators.packing import chunk_and_pack
+    from connect_server_spark.operators.tokenizer import tokenize_bpe as tok
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = _bpe_merges_for(spark, sf_dir)
+    counts = tok(docs, "doc_id", "text", merges).select("doc_id", "n_tokens")
+    return chunk_and_pack(counts, "doc_id", "n_tokens", budget=256)
+
+
+register("training_pack_bpe", training_pack_bpe, defer=True)
 
 
 def _bpe_merges_for(spark: SparkSession, sf_dir: str) -> list:

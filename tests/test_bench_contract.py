@@ -40,7 +40,7 @@ def test_headline_covers_every_operator_family():
         "similarity": ["similarity_topk_exact"],
         "similarity_indexed": ["similarity_topk_ivf_indexed"],
         "packing": ["training_pack", "training_pack_chunked"],
-        "tokenizer": ["tokenize_bpe"],
+        "tokenizer": ["tokenize_bpe", "training_pack_bpe"],
         "telemetry": ["corpus_stats", "vocab_top_tokens"],
         "text": ["text_analysis", "corpus_curation"],
         "pipeline": ["submit_pipeline", "flow_execute"],

@@ -256,6 +256,11 @@ def test_chunk_and_pack_every_pack_fits_and_coverage_is_lossless(spark):
         assert sorted(m.pack_slot for m in members) == list(
             range(len(members))
         )
+        # token_offset = cumulative width of earlier slots (loader-ready)
+        off = 0
+        for m in sorted(members, key=lambda x: x.pack_slot):
+            assert m.token_offset == off, (pack_id, m)
+            off += m.chunk_tokens
 
     # (b) lossless coverage per document
     per_doc = {}

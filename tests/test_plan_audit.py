@@ -42,6 +42,7 @@ ARROW_BOUNDARY_OK = {
     "training_pack",
     "training_pack_chunked",
     "tokenize_bpe",
+    "training_pack_bpe",
     "extract_grouped",
 }
 
