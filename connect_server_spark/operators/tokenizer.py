@@ -43,6 +43,7 @@ from connect_server_spark.operators.text import BPE_SPLIT_RE
 
 __all__ = [
     "piece_frequencies",
+    "train_bpe",
     "train_bpe_merges",
     "bpe_vocab",
     "tokenize_bpe",
@@ -75,14 +76,19 @@ def piece_frequencies(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def train_bpe_merges(
+def train_bpe(
     df: DataFrame,
     text_col: str,
     num_merges: int = 200,
     max_pieces: int = 20000,
-) -> list[tuple[str, str]]:
-    """Learn ``num_merges`` BPE merges from the corpus and return them
-    in rank order (rank = list position).
+) -> dict:
+    """Learn a BPE model from the corpus:
+    ``{"merges": [(a, b), ...], "alphabet": [ch, ...]}`` — merges in
+    rank order (rank = list position) plus the full training ALPHABET
+    (every character of the trained pieces, merged or not), so the
+    id space covers everything the corpus contains: a character that
+    never participates in a merge must still get a real id, not UNK
+    (real BPE vocabularies are alphabet + merges).
 
     The distributed part ends at ``piece_frequencies``; the driver pulls
     the ``max_pieces`` most frequent pieces (deterministic: count desc,
@@ -145,15 +151,33 @@ def train_bpe_merges(
                     i += 1
             pieces[idx] = out
             add_piece(idx, +1)
-    return merges
+    alphabet = sorted({c for r in top for c in r.piece})
+    return {"merges": merges, "alphabet": alphabet}
 
 
-def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
-    """token → id: single characters that participate in any merge come
-    first (sorted), then one entry per merge in rank order — the id
-    space a retrain with the same merges reproduces exactly. Characters
-    outside the vocab map to :data:`UNK_ID` at encode time."""
-    base = sorted({c for pair in merges for sym in pair for c in sym if len(sym) == 1})
+def train_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 200,
+    max_pieces: int = 20000,
+) -> list[tuple[str, str]]:
+    """:func:`train_bpe`'s merge list alone (compat shim for callers
+    that track the alphabet separately)."""
+    return train_bpe(df, text_col, num_merges, max_pieces)["merges"]
+
+
+def bpe_vocab(
+    merges: list[tuple[str, str]], alphabet=()
+) -> dict[str, int]:
+    """token → id: base characters first (sorted union of the training
+    ``alphabet`` and every merge's characters), then one entry per merge
+    in rank order — the id space a retrain with the same model
+    reproduces exactly. Only characters the training corpus NEVER
+    contained map to :data:`UNK_ID` at encode time."""
+    base = sorted(
+        set(alphabet)
+        | {c for pair in merges for sym in pair for c in sym if len(sym) == 1}
+    )
     # merged symbols in creation order; base chars inside longer symbols
     # are guaranteed present because merges only combine existing symbols
     vocab = {c: i for i, c in enumerate(base)}
@@ -199,6 +223,7 @@ def tokenize_bpe(
     id_col: str,
     text_col: str,
     merges: list[tuple[str, str]],
+    alphabet=(),
 ) -> DataFrame:
     """Segment every document with the trained merge table: returns
     ``(id, tokens array<string>, token_ids array<int>, n_tokens)``.
@@ -214,7 +239,7 @@ def tokenize_bpe(
     from pyspark.sql.functions import pandas_udf
 
     ranks = {pair: i for i, pair in enumerate(merges)}
-    vocab = bpe_vocab(merges)
+    vocab = bpe_vocab(merges, alphabet)
     split = re.compile(BPE_SPLIT_RE)
 
     @pandas_udf("struct<tokens:array<string>,token_ids:array<int>,n_tokens:int>")

@@ -344,38 +344,50 @@ def training_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connect_server_spark.operators.tokenizer import tokenize_bpe as tok
 
     docs = load_table(spark, "documents", sf_dir)
-    merges = _bpe_merges_for(spark, sf_dir)
-    counts = tok(docs, "doc_id", "text", merges).select("doc_id", "n_tokens")
+    model = _bpe_model_for(spark, sf_dir)
+    counts = tok(
+        docs, "doc_id", "text", model["merges"], model["alphabet"]
+    ).select("doc_id", "n_tokens")
     return chunk_and_pack(counts, "doc_id", "n_tokens", budget=256)
 
 
 register("training_pack_bpe", training_pack_bpe, defer=True)
 
 
-def _bpe_merges_for(spark: SparkSession, sf_dir: str) -> list:
-    """Train-once-per-dataset BPE merges, cached as JSON under /tmp
-    (content-keyed like the minhash/IVF index caches): bench repetitions
-    and the plan audit reuse the trained table instead of re-collecting
-    piece frequencies every call."""
+def _bpe_model_for(spark: SparkSession, sf_dir: str) -> dict:
+    """Train-once-per-dataset BPE model (merges + training alphabet),
+    cached as JSON under /tmp (content-keyed like the minhash/IVF index
+    caches): bench repetitions and the plan audit reuse the trained
+    model instead of re-collecting piece frequencies every call."""
     import json
     import os
 
-    from connect_server_spark.operators.tokenizer import train_bpe_merges
+    from connect_server_spark.operators.tokenizer import train_bpe
     from connect_server_spark.tables import dataset_cache_key
 
     key = dataset_cache_key(sf_dir, "documents")
-    path = f"/tmp/connect_server_spark_bpe_merges_v1/{key}.json"
+    # v2: the model now carries the full training alphabet so unmerged
+    # characters keep real ids (v1 cached the merge list alone)
+    path = f"/tmp/connect_server_spark_bpe_merges_v2/{key}.json"
     if os.path.exists(path):
         with open(path) as f:
-            return [tuple(m) for m in json.load(f)]
+            m = json.load(f)
+        return {
+            "merges": [tuple(x) for x in m["merges"]],
+            "alphabet": list(m["alphabet"]),
+        }
     docs = load_table(spark, "documents", sf_dir)
-    merges = train_bpe_merges(docs, "text", num_merges=500, max_pieces=20000)
+    model = train_bpe(docs, "text", num_merges=500, max_pieces=20000)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
-        json.dump([list(m) for m in merges], f)
+        json.dump(
+            {"merges": [list(m) for m in model["merges"]],
+             "alphabet": model["alphabet"]},
+            f,
+        )
     os.replace(tmp, path)  # atomic: concurrent trainers converge
-    return merges
+    return model
 
 
 def tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,8 +403,8 @@ def tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connect_server_spark.operators.tokenizer import tokenize_bpe as tok
 
     docs = load_table(spark, "documents", sf_dir)
-    merges = _bpe_merges_for(spark, sf_dir)
-    out = tok(docs, "doc_id", "text", merges)
+    model = _bpe_model_for(spark, sf_dir)
+    out = tok(docs, "doc_id", "text", model["merges"], model["alphabet"])
     return out.select(
         "doc_id",
         "n_tokens",

@@ -201,6 +201,38 @@ def test_vocab_ids_and_unk(trained):
     assert all(vocab.get(t, UNK_ID) == UNK_ID for t in toks)
 
 
+def test_alphabet_keeps_unmerged_training_chars_out_of_unk(spark):
+    """Real BPE vocabularies are alphabet + merges: a character the
+    training corpus CONTAINS but never merges (rare punctuation, a
+    one-off digit) must still map to a real id — only genuinely
+    never-seen characters are UNK."""
+    from connect_server_spark.operators.tokenizer import (
+        UNK_ID,
+        bpe_vocab,
+        tokenize_bpe,
+        train_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "aa bb aa bb ~ zz") for i in range(4)], ["doc_id", "text"]
+    )
+    model = train_bpe(df, "text", num_merges=10, max_pieces=100)
+    assert "~" in model["alphabet"]  # present in training, never merged
+    vocab = bpe_vocab(model["merges"], model["alphabet"])
+    assert "~" in vocab and vocab["~"] != UNK_ID
+    out = tokenize_bpe(
+        spark.createDataFrame([(1, "~ ✈")], ["doc_id", "text"]),
+        "doc_id",
+        "text",
+        model["merges"],
+        model["alphabet"],
+    ).collect()[0]
+    by_tok = dict(zip(out.tokens, out.token_ids))
+    # trained char → real id; never-seen char → UNK
+    assert by_tok["~"] >= 0
+    assert by_tok["✈"] == UNK_ID
+
+
 def test_tokenize_plan_is_single_arrow_boundary(spark, trained):
     from connect_server_spark.operators.tokenizer import tokenize_bpe
 
