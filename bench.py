@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_incremental_exact",
     "dedup_incremental_embedding",
     "dedup_clusters",
+    "dedup_substring_spans",
     "similarity_topk_exact",
     "similarity_topk_ann",
     "similarity_topk_ivf",

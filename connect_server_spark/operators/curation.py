@@ -33,6 +33,7 @@ __all__ = [
     "benchmark_bloom",
     "contaminated_ids_bloom",
     "decontaminate_bloom",
+    "make_curation_gate",
     "deterministic_keep",
     "stratified_sample",
 ]
@@ -225,6 +226,51 @@ def decontaminate_bloom(
         docs, words, n_words, id_col, text_col, n, k
     )
     return docs.join(hits, id_col, "left_anti")
+
+
+def make_curation_gate(
+    id_col: str,
+    text_col: str,
+    min_quality: int | None = None,
+    tok_bounds: tuple[int, int] | None = None,
+    require_lang: bool = False,
+    bloom: tuple | None = None,
+    ngram_n: int = 8,
+    bloom_k: int = 6,
+):
+    """A reusable batch→batch curation gate for ingest pipelines (the
+    ``gate=`` hook of the streaming dedup sinks): quality floor, token
+    bounds, language requirement, and bloom decontamination — all
+    scan-stage except the decon anti-join (broadcast + id distinct).
+    ``bloom`` is ``(bloom_words_df, n_words)`` from
+    :func:`benchmark_bloom`. Rows a gate drops never reach the dedup
+    probe, the pairs log, the survivor table, or the index — ingest-time
+    curation, not post-hoc cleanup."""
+    from connect_server_spark.operators.text import (
+        alnum_token_count,
+        language_id,
+        quality_score,
+    )
+
+    def gate(df: DataFrame) -> DataFrame:
+        t = F.col(text_col)
+        out = df
+        if min_quality is not None:
+            out = out.filter(quality_score(t) >= min_quality)
+        if tok_bounds is not None:
+            lo, hi = tok_bounds
+            out = out.filter(alnum_token_count(t).between(lo, hi))
+        if require_lang:
+            out = out.filter(language_id(t) != "und")
+        if bloom is not None:
+            words, n_words = bloom
+            hits = contaminated_ids_bloom(
+                out, words, n_words, id_col, text_col, ngram_n, bloom_k
+            )
+            out = out.join(hits, id_col, "left_anti")
+        return out
+
+    return gate
 
 
 def deterministic_keep(

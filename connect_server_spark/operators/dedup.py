@@ -18,7 +18,7 @@ These are the LLM-training-pipeline operators the reference lacks but a
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from connect_server_spark.functions.expr import let_col
@@ -46,6 +46,7 @@ __all__ = [
     "embedding_neardup_lsh",
     "embedding_neardup_against_index",
     "embedding_neardup_against_index_sliced",
+    "duplicated_ngram_spans",
 ]
 
 
@@ -1099,4 +1100,94 @@ def embedding_neardup_against_index(
         )
         .distinct()
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    min_occurrences: int = 2,
+    cross_doc_only: bool = False,
+) -> DataFrame:
+    """Substring-level duplicate detection: the maximal TOKEN SPANS of
+    each document covered by k-token windows that occur at least
+    ``min_occurrences`` times in the corpus — the exact-substring dedup
+    signal of Lee et al., ACL 2022, "Deduplicating Training Data Makes
+    Language Models Better", at k-gram granularity (their suffix-array
+    pass finds length-≥k repeats; every such repeat is a run of
+    duplicated k-windows, which is precisely what the span merge below
+    reconstructs). Document-level dedup misses boilerplate shared by
+    otherwise-distinct pages (licenses, navigation chrome, templated
+    intros); this finds the spans so a pipeline can CUT them instead of
+    dropping whole documents.
+
+    Relational shape, scale-first (no suffix array — a distributed
+    suffix array shuffles the corpus several times; the k-gram
+    formulation needs only narrow rows):
+
+    1. per document, one scan-stage pass emits (id, pos, md5(window))
+       for every k-token window — rows are ~40 bytes regardless of
+       document size;
+    2. window keys that repeat are found with ONE map-side-combined
+       count (plus a min≠max check instead of count-distinct's Expand
+       when ``cross_doc_only``);
+    3. repeated positions semi-join back (key equi-join) and merge into
+       maximal spans with the gaps-and-islands idiom: a new span starts
+       where the gap between consecutive flagged positions exceeds k —
+       a lag window + running sum + group-by, all partitioned by id, so
+       the last two steps share one Exchange.
+
+    Returns (id, span_start, span_end, n_windows): token range
+    [span_start, span_end) is duplicated; ``n_windows`` counts the
+    flagged windows merged into the span. Deterministic; md5 keys make
+    the whole pipeline oracle-ready in DuckDB (pinned in
+    ``tests/test_dedup.py``)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from connect_server_spark.operators.text import tokens as _tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= k)
+    idx = F.sequence(F.lit(0), F.size("_toks") - k)
+    window_keys = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                *[F.element_at("_toks", (i + j + 1).cast("int")) for j in range(k)],
+            )
+        ),
+    )
+    exploded = toks.select(
+        "id", F.posexplode(window_keys).alias("pos", "key")
+    )
+    counted = exploded.groupBy("key").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("id").alias("_min_id"),
+        F.max("id").alias("_max_id"),
+    )
+    dup = counted.filter(
+        (F.col("_min_id") != F.col("_max_id"))
+        if cross_doc_only
+        else (F.col("_n") >= min_occurrences)
+    ).select("key")
+    flagged = exploded.join(dup, "key", "leftsemi")
+    w = Window.partitionBy("id").orderBy("pos")
+    grouped = flagged.withColumn(
+        "_new_span",
+        F.when(
+            F.col("pos") - F.lag("pos", 1).over(w) > k, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("_grp", F.sum("_new_span").over(w))
+    return (
+        grouped.groupBy("id", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("id", "span_start", "span_end", "n_windows")
     )

@@ -618,3 +618,18 @@ def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("dedup_incremental_embedding", dedup_incremental_embedding, defer=True)
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level (Lee et al. exact-substring) duplicate spans over
+    the documents table at 8-token windows: the boilerplate-cutting
+    signal document-level dedup misses. Rows-only by gate capacity —
+    the pipeline is md5-keyed and fully relational, so its exact DuckDB
+    mirror runs in ``tests/test_dedup.py`` instead of the driver gate."""
+    from connect_server_spark.operators.dedup import duplicated_ngram_spans
+
+    docs = _corpus_neardup(spark, sf_dir)
+    return duplicated_ngram_spans(docs, "doc_id", "text", k=8)
+
+
+register("dedup_substring_spans", dedup_substring_spans, defer=True)

@@ -71,6 +71,7 @@ def dedup_ingest_sink(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    gate: Callable[[DataFrame], DataFrame] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` function for the streaming ingest-dedup
     loop. Usage::
@@ -83,7 +84,14 @@ def dedup_ingest_sink(
     so batch N+1 sees the index grown by batch N's survivors — the
     streaming run is equivalent to folding the batches through
     ``minhash_neardup_against`` one at a time (pinned in
-    ``tests/test_streaming.py``)."""
+    ``tests/test_streaming.py``).
+
+    ``gate`` (optional) filters each micro-batch BEFORE the dedup probe
+    — ingest-time curation
+    (:func:`~connect_server_spark.operators.curation.make_curation_gate`:
+    quality floor, token bounds, bloom decontamination). Gated-out rows
+    never touch the pairs log, the survivor table, or the index, and
+    the gate is deterministic, so replays gate identically."""
 
     def probe(batch: DataFrame) -> DataFrame:
         return minhash_neardup_against_index(
@@ -113,9 +121,12 @@ def dedup_ingest_sink(
         )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(id_col, text_col)
+        if gate is not None:
+            batch = gate(batch)
         _run_ingest_batch(
             spark,
-            batch_df.select(id_col, text_col),
+            batch,
             probe,
             append_index,
             survivors_path,

@@ -919,3 +919,137 @@ def test_embedding_incremental_sliced_equals_unsliced(spark, tmp_path):
     }
     assert sliced == plain
     assert {n for n, _, _ in plain} >= set(twins)  # every twin caught
+
+
+def _spans_reference(rows, k, min_occ=2, cross_doc=False):
+    """Brute-force python reference for duplicated_ngram_spans."""
+    import re
+    from collections import Counter, defaultdict
+
+    def norm_tokens(t):
+        return re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+
+    wins = []  # (id, pos, key)
+    for doc_id, text in rows:
+        toks = norm_tokens(text)
+        if len(toks) < k:
+            continue
+        for p in range(len(toks) - k + 1):
+            wins.append((doc_id, p, " ".join(toks[p : p + k])))
+    cnt = Counter(key for _, _, key in wins)
+    docs_of = defaultdict(set)
+    for d, _, key in wins:
+        docs_of[key].add(d)
+    if cross_doc:
+        dup = {key for key in cnt if len(docs_of[key]) >= 2}
+    else:
+        dup = {key for key, c in cnt.items() if c >= min_occ}
+    flagged = defaultdict(list)
+    for d, p, key in wins:
+        if key in dup:
+            flagged[d].append(p)
+    out = set()
+    for d, ps in flagged.items():
+        ps.sort()
+        start, last, n = ps[0], ps[0], 1
+        for p in ps[1:]:
+            if p - last > k:
+                out.add((d, start, last + k, n))
+                start, n = p, 0
+            last = p
+            n += 1
+        out.add((d, start, last + k, n))
+    return out
+
+
+def test_duplicated_ngram_spans_matches_reference(spark):
+    """Hand corpus: shared boilerplate between two docs, an internal
+    repeat inside one doc, overlapping windows merging into one maximal
+    span — output equals the brute-force reference exactly, in both
+    any-repeat and cross-doc-only modes."""
+    from connect_server_spark.operators.dedup import duplicated_ngram_spans
+
+    boiler = "all rights reserved contact us terms of service apply here"
+    rows = [
+        (1, f"alpha beta gamma {boiler} delta epsilon zeta"),
+        (2, f"one two three four {boiler} five six seven"),
+        (3, "self repeat block self repeat block self repeat block tail"),
+        (4, "wholly unique content with no duplication at all present"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for cross in (False, True):
+        got = {
+            (r.id, r.span_start, r.span_end, r.n_windows)
+            for r in duplicated_ngram_spans(
+                df, "doc_id", "text", k=4, cross_doc_only=cross
+            ).collect()
+        }
+        want = _spans_reference(rows, k=4, cross_doc=cross)
+        assert got == want, (cross, got ^ want)
+        assert any(d == 1 for d, *_ in got)  # boilerplate found
+        assert not any(d == 4 for d, *_ in got)  # unique doc untouched
+
+
+def test_duplicated_ngram_spans_duckdb_mirror(spark, sf_dir):
+    """Exact DuckDB mirror at test scale (md5 keys are engine-portable):
+    the rows-only registry query would be oracle-gated but for the
+    driver's 50-slot window — the oracle runs here instead."""
+    import duckdb
+
+    from connect_server_spark.queries.dedup_queries import (
+        dedup_substring_spans,
+    )
+
+    got = {
+        (r.id, r.span_start, r.span_end, r.n_windows)
+        for r in dedup_substring_spans(spark, sf_dir).collect()
+    }
+    k = 8
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    win_cols = ", ".join(f"w[i+{j}]" for j in range(k))
+    want = set(
+        map(
+            tuple,
+            con.execute(f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id,
+                 regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') AS text
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        toks AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+          FROM corpus
+        ),
+        win AS (
+          SELECT doc_id, i - 1 AS pos, md5(concat_ws(' ', {win_cols})) AS key
+          FROM toks, unnest(range(1, len(w) - {k} + 2)) AS u(i)
+          WHERE len(w) >= {k}
+        ),
+        dup AS (SELECT key FROM win GROUP BY key HAVING count(*) >= 2),
+        flagged AS (
+          SELECT doc_id, pos FROM win WHERE key IN (SELECT key FROM dup)
+        ),
+        lagged AS (
+          SELECT doc_id, pos,
+            CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {k}
+                 THEN 1 ELSE 0 END AS new_span
+          FROM flagged
+        ),
+        grp AS (
+          SELECT doc_id, pos,
+            sum(new_span)
+              OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+          FROM lagged
+        )
+        SELECT doc_id, min(pos), max(pos) + {k}, count(*)
+        FROM grp GROUP BY doc_id, g
+        """).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0

@@ -107,6 +107,12 @@ SHUFFLE_BUDGET = {
     # tests/test_dedup.py indexed-path plan test).
     "dedup_incremental_minhash_indexed": 6,
     "dedup_incremental_exact": 4,
+    # r6 substring-span dedup: the repeated-window count (narrow
+    # (pos, md5) rows, map-side combined), the semi-join back, and the
+    # shared id-partition Exchange under the lag window + span group-by
+    # (the group-by reuses the window's partitioning — one Exchange, not
+    # two). Document bodies never shuffle.
+    "dedup_substring_spans": 3,
     "dedup_neardup_embedding_lsh": 4,
     # groupBy(source) over map-side-merged sketches + the orderBy range
     # exchange — the rows crossing both are one sketch row per source

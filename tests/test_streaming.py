@@ -477,3 +477,68 @@ def test_streaming_embedding_ingest_dedup(spark, tmp_path):
               for r in spark.read.parquet(pairs).collect()}
     assert (101, 7) in logged
     assert (201, 102) in logged  # caught only because the index grew
+
+
+def test_ingest_dedup_with_curation_gate(spark, tmp_path):
+    """Ingest-time curation composed into the streaming dedup loop: a
+    micro-batch row that fails the quality floor or leaks a benchmark
+    n-gram is dropped BEFORE the probe — it never reaches the pairs log,
+    the survivor table, or the index — while clean novel docs survive
+    and near-dups of the corpus are still deduped."""
+    from connect_server_spark.operators.curation import (
+        benchmark_bloom,
+        make_curation_gate,
+    )
+    from connect_server_spark.operators.dedup import write_minhash_index
+    from connect_server_spark.streaming.ingest_dedup import dedup_ingest_sink
+
+    def words(tag):
+        # stopword-rich (passes the quality floor) but every 6-gram
+        # contains a tag-specific token, so benchmark grams are unique
+        # to the benchmark document — max stopword run length is 2
+        return " ".join(
+            f"the {tag}x{j} of {tag}y{j} and {tag}z{j} is" for j in range(4)
+        )
+
+    corpus = spark.createDataFrame(
+        [(i, words(f"c{i}")) for i in range(1, 4)], "doc_id long, text string"
+    )
+    ix, sh = str(tmp_path / "ix"), str(tmp_path / "sh")
+    write_minhash_index(corpus, "doc_id", "text", ix, sh)
+
+    bench = spark.createDataFrame([(words("secret"),)], ["q"])
+    bloom = benchmark_bloom(bench, "q", 6)
+    gate = make_curation_gate(
+        "doc_id",
+        "text",
+        # stopword-free 4-char gibberish caps at 4.5M (0 stopword term,
+        # half word-length term, full punct term); the stopword-rich
+        # fixtures score ~6.8M
+        min_quality=5_000_000,
+        bloom=bloom,
+        ngram_n=6,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (101, "zxqv wvut qqpl mmnn zzyy xxww ccdd eeff gghh iijj"),  # low quality
+            (102, f"prefix {words('secret')} suffix"),                   # leaks benchmark
+            (103, words("novel")),                                       # clean novel
+            (104, " ".join(words("c1").split()[:-2])),                   # near-dup of corpus 1
+        ],
+        "doc_id long, text string",
+    )
+    surv, pairs = str(tmp_path / "surv"), str(tmp_path / "pairs")
+    sink = dedup_ingest_sink(
+        spark, ix, sh, surv, pairs, "doc_id", "text", gate=gate
+    )
+    sink(batch, 0)
+
+    got_surv = {r.doc_id for r in spark.read.parquet(surv).collect()}
+    assert got_surv == {103}
+    logged = {r.new_id for r in spark.read.parquet(pairs).collect()}
+    assert logged == {104}  # the near-dup was probed and caught
+    # gated-out ids never entered the index (shingle store holds only
+    # the original corpus + the surviving novel doc)
+    index_ids = {r.doc_id for r in spark.read.parquet(sh).collect()}
+    assert index_ids == {1, 2, 3, 103}
