@@ -47,6 +47,7 @@ __all__ = [
     "embedding_neardup_against_index",
     "embedding_neardup_against_index_sliced",
     "duplicated_ngram_spans",
+    "cut_duplicate_spans",
 ]
 
 
@@ -1190,4 +1191,61 @@ def duplicated_ngram_spans(
             F.count(F.lit(1)).alias("n_windows"),
         )
         .select("id", "span_start", "span_end", "n_windows")
+    )
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Apply :func:`duplicated_ngram_spans` output: remove each
+    document's duplicated token ranges and return the cut text — the
+    "cut, don't drop" arm of exact-substring dedup (Lee et al. remove
+    one copy of each duplicate; removing every flagged span is the
+    conservative boilerplate-stripping variant a curation pipeline wants
+    for licenses/navigation chrome).
+
+    Plan shape: spans aggregate to ONE row per affected document
+    (``collect_list`` of (start, end) structs — bounded by the
+    document's own span count), broadcast-or-hash join back on id (only
+    affected ids carry spans; unaffected documents pass through via the
+    left join), and the cut itself is a scan-stage filter over the
+    token array with positional lambdas — no Python, no extra shuffle
+    beyond the span aggregation's.
+
+    Output: (id, text, n_tokens_cut) with ``text`` re-joined on single
+    spaces (the span positions were computed on normalized tokens, so
+    the cut text is normalized — document it downstream)."""
+    from connect_server_spark.operators.text import tokens as _tokens
+
+    per_doc = spans.groupBy(F.col("id")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    joined = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("_toks")
+    ).join(per_doc, "id", "left")
+
+    def keep(i: Column) -> Column:
+        # token index i survives iff NO span covers it
+        return ~F.exists(
+            F.col("_spans"),
+            lambda s: (s["span_start"] <= i) & (i < s["span_end"]),
+        )
+
+    # normalized tokens of any text have size >= 1 (split of "" is [""]),
+    # so the index sequence is always well-formed
+    idx = F.sequence(F.lit(0), F.size("_toks") - 1)
+    cut_tokens = F.transform(
+        F.filter(idx, keep),
+        lambda i: F.element_at(F.col("_toks"), (i + 1).cast("int")),
+    )
+    kept = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
+        cut_tokens
+    )
+    return joined.select(
+        "id",
+        F.array_join(kept, " ").alias("text"),
+        (F.size("_toks") - F.size(kept)).alias("n_tokens_cut"),
     )

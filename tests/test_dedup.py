@@ -1053,3 +1053,39 @@ def test_duplicated_ngram_spans_duckdb_mirror(spark, sf_dir):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_cut_duplicate_spans_strips_boilerplate_everywhere(spark):
+    """detect → cut composition: the shared boilerplate disappears from
+    every document, unaffected documents pass through untouched, and
+    n_tokens_cut accounts exactly for the removed ranges. Re-detecting
+    on the cut corpus finds no cross-document repeats."""
+    from connect_server_spark.operators.dedup import (
+        cut_duplicate_spans,
+        duplicated_ngram_spans,
+    )
+
+    boiler = "all rights reserved contact us terms of service apply here"
+    rows = [
+        (1, f"alpha beta gamma {boiler} delta epsilon zeta"),
+        (2, f"one two three four {boiler} five six seven"),
+        (3, "wholly unique content with no duplication at all present"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = duplicated_ngram_spans(df, "doc_id", "text", k=4)
+    cut = {
+        r.id: (r.text, r.n_tokens_cut)
+        for r in cut_duplicate_spans(df, spans, "doc_id", "text").collect()
+    }
+    n_boiler = len(boiler.split())
+    assert cut[1] == ("alpha beta gamma delta epsilon zeta", n_boiler)
+    assert cut[2] == ("one two three four five six seven", n_boiler)
+    assert cut[3] == (rows[2][1], 0)  # untouched, zero cut
+
+    cut_df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in cut.items()], ["doc_id", "text"]
+    )
+    again = duplicated_ngram_spans(
+        cut_df, "doc_id", "text", k=4, cross_doc_only=True
+    )
+    assert again.count() == 0
