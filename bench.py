@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_incremental_embedding",
     "dedup_clusters",
     "dedup_substring_spans",
+    "dedup_semantic",
     "similarity_topk_exact",
     "similarity_topk_ann",
     "similarity_topk_ivf",

@@ -633,3 +633,29 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("dedup_substring_spans", dedup_substring_spans, defer=True)
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): prune SEMANTIC
+    duplicates — embeddings whose cosine exceeds a high threshold —
+    keeping one canonical per cluster. Composed entirely from existing
+    scale paths: SRP-LSH candidate pairs (equi-join, never all-pairs)
+    → exact-cosine verify → pointer-jumping connected components →
+    skew-proof canonical assignment over the full embedding table.
+    Rows-only (SRP is a numpy UDF); the LSH-vs-exact and
+    clusters-vs-union-find gates run in ``tests/test_dedup.py``."""
+    from connect_server_spark.operators.clustering import assign_clusters
+    from connect_server_spark.operators.dedup import embedding_neardup_lsh
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    # 16 tables x 8 bits: collision probability >= 0.9999 at cosine 0.95
+    pairs = embedding_neardup_lsh(
+        emb, threshold=0.95, tables=16, bits=8
+    )
+    return assign_clusters(
+        emb.select("vec_id", "label"), pairs, "vec_id"
+    ).select("vec_id", "label", "component", "cluster_size", "is_canonical")
+
+
+register("dedup_semantic", dedup_semantic, defer=True)

@@ -31,7 +31,7 @@ def test_headline_covers_every_operator_family():
     families = {
         "scan": ["scan_status_read_path"],
         "versioned": ["latest_version_probes", "latest_status_join"],
-        "dedup": ["dedup_exact", "dedup_neardup_minhash", "dedup_clusters", "dedup_substring_spans"],
+        "dedup": ["dedup_exact", "dedup_neardup_minhash", "dedup_clusters", "dedup_substring_spans", "dedup_semantic"],
         "dedup_incremental": [
             "dedup_incremental_exact",
             "dedup_incremental_minhash",

@@ -1089,3 +1089,49 @@ def test_cut_duplicate_spans_strips_boilerplate_everywhere(spark):
         cut_df, "doc_id", "text", k=4, cross_doc_only=True
     )
     assert again.count() == 0
+
+
+def test_semantic_dedup_clusters_match_union_find(spark):
+    """SemDeDup composition on planted geometry: three twin groups plus
+    isolated vectors — the LSH pair set equals the exact all-pairs set
+    at the query's (16 tables × 8 bits) sizing, and the cluster
+    assignment matches a union-find reference (canonical = min id,
+    sizes exact, isolated vectors are their own canonical)."""
+    import numpy as np
+
+    from connect_server_spark.operators.clustering import assign_clusters
+    from connect_server_spark.operators.dedup import (
+        embedding_neardup_exact,
+        embedding_neardup_lsh,
+    )
+
+    rng = np.random.RandomState(11)
+    groups = {0: [1, 2, 3], 1: [10, 11], 2: [20, 21]}
+    centers = {g: rng.randn(32) for g in groups}
+    rows = []
+    for g, ids in groups.items():
+        for i in ids:
+            rows.append((i, (centers[g] + 0.005 * rng.randn(32)).tolist()))
+    rows += [(90 + j, (10 * rng.randn(32)).tolist()) for j in range(4)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_exact(emb, threshold=0.95).collect()
+    }
+    lsh_pairs = embedding_neardup_lsh(emb, threshold=0.95, tables=16, bits=8)
+    lsh = {(r.id_a, r.id_b) for r in lsh_pairs.collect()}
+    assert lsh == exact and len(exact) > 0
+
+    got = {
+        r.vec_id: (r.component, r.cluster_size, r.is_canonical)
+        for r in assign_clusters(
+            emb.select("vec_id"), lsh_pairs, "vec_id"
+        ).collect()
+    }
+    for g, ids in groups.items():
+        comp = min(ids)
+        for i in ids:
+            assert got[i] == (comp, len(ids), i == comp), (i, got[i])
+    for j in range(4):
+        assert got[90 + j] == (90 + j, 1, True)

@@ -34,6 +34,7 @@ ARROW_BOUNDARY_OK = {
     "similarity_topk_ivf",
     "similarity_topk_ivf_indexed",
     "dedup_neardup_embedding_lsh",
+    "dedup_semantic",
     "dedup_incremental_embedding",
     "multimodal_features",
     "multimodal_resize",
@@ -114,6 +115,12 @@ SHUFFLE_BUDGET = {
     # two). Document bodies never shuffle.
     "dedup_substring_spans": 3,
     "dedup_neardup_embedding_lsh": 4,
+    # r6 SemDeDup: the audited plan covers the post-components stages
+    # (the pointer-jumping loop executes eagerly at build, off
+    # checkpointed labels — its per-round shuffles are pinned by
+    # dedup_clusters' budget instead): graph-node size agg + label
+    # join-back; the corpus side joins the broadcast sizes.
+    "dedup_semantic": 4,
     # groupBy(source) over map-side-merged sketches + the orderBy range
     # exchange — the rows crossing both are one sketch row per source
     "corpus_stats": 2,
