@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_incremental_minhash_indexed",
     "dedup_incremental_exact",
     "dedup_incremental_embedding",
+    "dedup_incremental_spans",
     "dedup_clusters",
     "dedup_substring_spans",
     "dedup_semantic",

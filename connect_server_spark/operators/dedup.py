@@ -48,6 +48,8 @@ __all__ = [
     "embedding_neardup_against_index_sliced",
     "duplicated_ngram_spans",
     "cut_duplicate_spans",
+    "write_window_index",
+    "duplicated_spans_against_index",
 ]
 
 
@@ -1147,24 +1149,7 @@ def duplicated_ngram_spans(
     ``tests/test_dedup.py``)."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    from connect_server_spark.operators.text import tokens as _tokens
-
-    toks = df.select(
-        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("_toks")
-    ).filter(F.size("_toks") >= k)
-    idx = F.sequence(F.lit(0), F.size("_toks") - k)
-    window_keys = F.transform(
-        idx,
-        lambda i: F.md5(
-            F.concat_ws(
-                " ",
-                *[F.element_at("_toks", (i + j + 1).cast("int")) for j in range(k)],
-            )
-        ),
-    )
-    exploded = toks.select(
-        "id", F.posexplode(window_keys).alias("pos", "key")
-    )
+    exploded = _window_keys(df, id_col, text_col, k)
     counted = exploded.groupBy("key").agg(
         F.count(F.lit(1)).alias("_n"),
         F.min("id").alias("_min_id"),
@@ -1248,4 +1233,106 @@ def cut_duplicate_spans(
         "id",
         F.array_join(kept, " ").alias("text"),
         (F.size("_toks") - F.size(kept)).alias("n_tokens_cut"),
+    )
+
+
+def _window_keys(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, pos, key) rows: md5 of every k-token window of the
+    normalized token stream (the scan-stage pass shared by
+    :func:`duplicated_ngram_spans` and the incremental window index)."""
+    from connect_server_spark.operators.text import tokens as _tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= k)
+    idx = F.sequence(F.lit(0), F.size("_toks") - k)
+    keys = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                *[F.element_at("_toks", (i + j + 1).cast("int")) for j in range(k)],
+            )
+        ),
+    )
+    return toks.select("id", F.posexplode(keys).alias("pos", "key"))
+
+
+def write_window_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    k: int = 20,
+    store_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's distinct k-token window keys as a
+    path-addressed BUCKETED store (bucketed by ``key``) — the corpus
+    side of incremental substring-duplicate detection. The O(corpus)
+    windowing pass is paid once; a daily batch probes the store with
+    only batch-sized rows moving
+    (:func:`duplicated_spans_against_index`). ``mode="append"`` grows
+    the store by a gated batch's keys — appended duplicates are
+    harmless (the probe is an existence join) and reclaimed by
+    ``compact_bucketed``, which also restores ~one file per bucket."""
+    from connect_server_spark.storage import write_bucketed_path
+
+    keys = _window_keys(corpus, id_col, text_col, k).select("key")
+    if mode != "append":
+        keys = keys.distinct()
+    write_bucketed_path(keys, index_path, "key", store_buckets, mode=mode)
+
+
+def duplicated_spans_against_index(
+    new: DataFrame,
+    spark,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    store_buckets: int = 32,
+) -> DataFrame:
+    """Incremental substring-duplicate spans: the NEW batch's token
+    spans that duplicate the PERSISTED corpus window store
+    (:func:`write_window_index`) or repeat inside the batch itself —
+    exactly :func:`duplicated_ngram_spans` over corpus ∪ batch
+    restricted to batch documents (pinned in ``tests/test_dedup.py``),
+    at O(batch) cost: the batch windows once, the store is probed
+    through its bucketed layout (Exchange-free, streamed through a
+    batch-built hash table when past the broadcast threshold — the
+    minhash-index discipline), and corpus text is never scanned.
+
+    Returns the same (id, span_start, span_end, n_windows) contract."""
+    from connect_server_spark.storage import broadcastable, read_bucketed
+
+    wins = _window_keys(new, id_col, text_col, k).localCheckpoint(eager=False)
+    store = read_bucketed(spark, index_path, "key", store_buckets)
+    probe = wins.select("id", "pos", "key")
+    if not broadcastable(spark, index_path):
+        probe = probe.hint("shuffle_hash")
+    vs_corpus = store.join(probe, "key").select("id", "pos")
+    intra = (
+        wins.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("key")
+    )
+    vs_batch = wins.join(intra, "key", "leftsemi").select("id", "pos")
+    flagged = vs_corpus.unionByName(vs_batch).distinct()
+    w = Window.partitionBy("id").orderBy("pos")
+    grouped = flagged.withColumn(
+        "_new_span",
+        F.when(
+            F.col("pos") - F.lag("pos", 1).over(w) > k, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("_grp", F.sum("_new_span").over(w))
+    return (
+        grouped.groupBy("id", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("id", "span_start", "span_end", "n_windows")
     )

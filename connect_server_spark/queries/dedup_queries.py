@@ -659,3 +659,32 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("dedup_semantic", dedup_semantic, defer=True)
+
+
+def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest leg of substring-duplicate detection: batch
+    documents (every ``doc_id % 7 == 0``) probe the PERSISTED corpus
+    window store (bucketed by key — built once per dataset, cached under
+    /tmp) for spans duplicating the corpus or repeating internally.
+    Rows-only; union-reference equivalence + store-layout plan pin in
+    ``tests/test_dedup.py``."""
+    import os
+
+    from connect_server_spark.operators.dedup import (
+        duplicated_spans_against_index,
+        write_window_index,
+    )
+    from connect_server_spark.tables import dataset_cache_key
+
+    key = dataset_cache_key(sf_dir, "documents")
+    ix = f"/tmp/connect_server_spark_window_index_v1/{key}"
+    corpus = _corpus_neardup(spark, sf_dir)
+    existing = corpus.filter(F.col("doc_id") % 7 != 0)
+    if not os.path.exists(f"{ix}/_SUCCESS"):
+        write_window_index(existing, "doc_id", "text", ix, k=8)
+    return duplicated_spans_against_index(
+        corpus.filter(F.col("doc_id") % 7 == 0), spark, ix, "doc_id", "text", k=8
+    )
+
+
+register("dedup_incremental_spans", dedup_incremental_spans, defer=True)

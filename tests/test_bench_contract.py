@@ -36,6 +36,7 @@ def test_headline_covers_every_operator_family():
             "dedup_incremental_exact",
             "dedup_incremental_minhash",
             "dedup_incremental_minhash_indexed",
+            "dedup_incremental_spans",
         ],
         "similarity": ["similarity_topk_exact"],
         "similarity_indexed": ["similarity_topk_ivf_indexed"],

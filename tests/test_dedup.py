@@ -1135,3 +1135,77 @@ def test_semantic_dedup_clusters_match_union_find(spark):
             assert got[i] == (comp, len(ids), i == comp), (i, got[i])
     for j in range(4):
         assert got[90 + j] == (90 + j, 1, True)
+
+
+def test_window_index_incremental_spans_match_union_reference(spark, tmp_path):
+    """The incremental substring leg: batch spans against the persisted
+    window store equal duplicated_ngram_spans over corpus ∪ batch
+    restricted to batch documents — covering batch-vs-corpus overlap,
+    batch-internal repeats, and clean batch docs — and the append leg
+    grows the store so a later copy of a batch passage is caught. The
+    probe plan reads the store bucketed with no store-side Exchange."""
+    from connect_server_spark.operators.dedup import (
+        duplicated_ngram_spans,
+        duplicated_spans_against_index,
+        write_window_index,
+    )
+
+    boiler = "all rights reserved contact us terms of service apply here"
+    corpus_rows = [
+        (1, f"intro words before {boiler} and after them tail"),
+        (2, "corpus content with nothing shared across any batch row"),
+    ]
+    batch_rows = [
+        (101, f"fresh opening {boiler} fresh closing words here"),  # vs corpus
+        (102, "self block repeat self block repeat self block repeat end"),
+        (103, "entirely novel passage with unique vocabulary throughout"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+    ix = str(tmp_path / "winix")
+    write_window_index(corpus, "doc_id", "text", ix, k=4)
+
+    got = {
+        (r.id, r.span_start, r.span_end, r.n_windows)
+        for r in duplicated_spans_against_index(
+            batch, spark, ix, "doc_id", "text", k=4
+        ).collect()
+    }
+    union = spark.createDataFrame(
+        corpus_rows + batch_rows, ["doc_id", "text"]
+    )
+    want = {
+        (r.id, r.span_start, r.span_end, r.n_windows)
+        for r in duplicated_ngram_spans(union, "doc_id", "text", k=4)
+        .filter(F.col("id") >= 100)
+        .collect()
+    }
+    assert got == want
+    assert any(d == 101 for d, *_ in got)  # corpus overlap found
+    assert any(d == 102 for d, *_ in got)  # batch-internal repeat found
+    assert not any(d == 103 for d, *_ in got)
+
+    # store-side layout pin (broadcast disabled → the at-scale shape)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fresh = duplicated_spans_against_index(
+            batch, spark, ix, "doc_id", "text", k=4
+        )
+        plan = fresh._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("Bucketed: true") == 1, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+    # append leg: a later batch repeating a passage from THIS batch is
+    # caught only because the store grew
+    write_window_index(batch, "doc_id", "text", ix, k=4, mode="append")
+    later = spark.createDataFrame(
+        [(201, "entirely novel passage with unique vocabulary throughout")],
+        ["doc_id", "text"],
+    )
+    hits = duplicated_spans_against_index(
+        later, spark, ix, "doc_id", "text", k=4
+    ).collect()
+    assert {(r.id, r.span_start) for r in hits} == {(201, 0)}

@@ -114,6 +114,11 @@ SHUFFLE_BUDGET = {
     # (the group-by reuses the window's partitioning — one Exchange, not
     # two). Document bodies never shuffle.
     "dedup_substring_spans": 3,
+    # r6 incremental twin: batch windows shuffle to the bucketed store
+    # (store side Exchange-free), the intra-batch repeat count, the
+    # flagged-position distinct, and the shared id-partition Exchange
+    # under the span merge — all batch-sized.
+    "dedup_incremental_spans": 5,
     "dedup_neardup_embedding_lsh": 4,
     # r6 SemDeDup: the audited plan covers the post-components stages
     # (the pointer-jumping loop executes eagerly at build, off
