@@ -57,6 +57,7 @@ HEADLINE = [
     "similarity_topk_ivf_indexed",
     "text_analysis",
     "corpus_curation",
+    "lm_quality",
     "training_pack",
     "training_pack_chunked",
     "tokenize_bpe",

@@ -34,6 +34,8 @@ __all__ = [
     "pii_scrub",
     "token_frequencies",
     "top_tokens",
+    "unigram_lm",
+    "lm_quality_scores",
 ]
 
 # Tiny per-language stopword inventories (n-gram-heuristic stand-in; a
@@ -362,4 +364,70 @@ def top_tokens(df, id_col: str, text_col: str, k: int):
         token_frequencies(df, id_col, text_col)
         .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
         .limit(k)
+    )
+
+
+def unigram_lm(df, id_col: str, text_col: str, vocab_size: int = 50000):
+    """Corpus unigram language model: the top-``vocab_size`` tokens with
+    their log-probabilities, plus the out-of-vocabulary floor — the
+    model behind :func:`lm_quality_scores` (the CCNet-style LM quality
+    filter, Wenzek et al. 2020, with a unigram stand-in for the KenLM
+    5-gram: no LM library in this environment, and the unigram score
+    already separates gibberish/rare-token soup from fluent text).
+
+    Built from :func:`token_frequencies` (two narrow map-side-combined
+    shuffles); the vocab cut is a bounded TakeOrdered merge
+    (deterministic ties: count desc, token asc) and the only driver
+    scalar is the corpus token total. Returns ``(vocab_df(token, logp),
+    oov_logp)`` — the floor is half a count below the rarest possible
+    token, so OOV always scores beneath every in-vocab token."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+    freqs = token_frequencies(df, id_col, text_col)
+    total = freqs.agg(F.sum("n_occurrences")).first()[0] or 1
+    vocab = (
+        freqs.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select(
+            "token",
+            F.round(F.log(F.col("n_occurrences") / F.lit(float(total))), 6).alias(
+                "logp"
+            ),
+        )
+    )
+    oov_logp = round(math.log(0.5 / total), 6)
+    return vocab, oov_logp
+
+
+def lm_quality_scores(
+    df,
+    vocab,
+    oov_logp: float,
+    id_col: str,
+    text_col: str,
+):
+    """Per-document unigram LM quality: mean token log-probability under
+    the corpus model (higher = more fluent/typical) plus the OOV count —
+    the routing signal CCNet thresholds into head/middle/tail quality
+    buckets. Plan: explode tokens → BROADCAST-join the bounded vocab →
+    one map-side-combined per-doc aggregation; document bodies never
+    shuffle, and the only wide rows are (id, 8-byte logp) pairs.
+    ``avg_logprob`` is rounded to the 1e-6 grid so output is
+    hash-stable across engines."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    scored = exploded.join(F.broadcast(vocab), "token", "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("logp"), F.lit(oov_logp)).alias("_lp"),
+        F.col("logp").isNull().cast("int").alias("_oov"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+        F.sum("_oov").alias("n_oov"),
+        F.count(F.lit(1)).alias("n_scored_tokens"),
     )

@@ -428,3 +428,23 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("vocab_top_tokens", vocab_top_tokens, defer=True)
+
+
+def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter over the documents table: corpus
+    unigram model (bounded vocab, broadcast) scoring each document's
+    mean token log-probability + OOV count — the fluency/typicality
+    routing signal beside the heuristic ``quality_score``. Rows-only
+    (corpus-trained state); the python-reference equivalence gate runs
+    in ``tests/test_text.py``."""
+    from connect_server_spark.operators.text import (
+        lm_quality_scores,
+        unigram_lm,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    vocab, oov = unigram_lm(docs, "doc_id", "text")
+    return lm_quality_scores(docs, vocab, oov, "doc_id", "text")
+
+
+register("lm_quality", lm_quality, defer=True)

@@ -43,7 +43,7 @@ def test_headline_covers_every_operator_family():
         "packing": ["training_pack", "training_pack_chunked"],
         "tokenizer": ["tokenize_bpe", "training_pack_bpe"],
         "telemetry": ["corpus_stats", "vocab_top_tokens"],
-        "text": ["text_analysis", "corpus_curation"],
+        "text": ["text_analysis", "corpus_curation", "lm_quality"],
         "pipeline": ["submit_pipeline", "flow_execute"],
         "transfer": ["transfer_manifest"],
         "extract": ["extract_crystal", "extract_doc_props"],

@@ -126,6 +126,10 @@ SHUFFLE_BUDGET = {
     # dedup_clusters' budget instead): graph-node size agg + label
     # join-back; the corpus side joins the broadcast sizes.
     "dedup_semantic": 4,
+    # unigram-LM scoring: the model-build side (token frequency double
+    # agg + the bounded vocab TakeOrdered) executes at build; the scored
+    # plan pays the exploded-token broadcast join + one per-doc agg.
+    "lm_quality": 4,
     # groupBy(source) over map-side-merged sketches + the orderBy range
     # exchange — the rows crossing both are one sketch row per source
     "corpus_stats": 2,

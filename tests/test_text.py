@@ -409,3 +409,74 @@ def test_top_tokens_plan_no_expand_and_bounded_limit(spark):
     assert "TakeOrderedAndProject" in plan  # top-k merge, never full sort
     rows = [(r.token, r.n_occurrences, r.n_docs) for r in out.collect()]
     assert rows == [("a", 2, 1), ("b", 2, 2)]
+
+
+def test_lm_quality_matches_python_reference_and_ranks_gibberish_low(spark):
+    """The unigram LM scores equal a python reference exactly (rounded
+    grid), OOV accounting is exact under a truncated vocab, and fluent
+    corpus-like text outranks rare-token soup — the property the CCNet
+    filter thresholds on."""
+    import math
+    import re
+    from collections import Counter
+
+    from connect_server_spark.operators.text import (
+        lm_quality_scores,
+        unigram_lm,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat and the dog sat on the rug"),
+        (2, "the dog and the cat sat on the warm mat again today"),
+        (3, "zxqv wvut qqpl mmnn kkjj hhgg"),  # rare-token soup
+        (4, "the the the the the"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    vocab, oov = unigram_lm(df, "doc_id", "text", vocab_size=8)  # truncated
+    got = {
+        r.doc_id: (r.avg_logprob, r.n_oov, r.n_scored_tokens)
+        for r in lm_quality_scores(df, vocab, oov, "doc_id", "text").collect()
+    }
+
+    def toks(t):
+        return re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+
+    cnt = Counter(tok for _, t in rows for tok in toks(t))
+    total = sum(cnt.values())
+    top = {
+        tok: round(math.log(n / total), 6)
+        for tok, n in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    }
+    oov_ref = round(math.log(0.5 / total), 6)
+    assert oov == oov_ref
+    for doc_id, text in rows:
+        lps = [top.get(tok, oov_ref) for tok in toks(text)]
+        want = (
+            round(sum(lps) / len(lps), 6),
+            sum(1 for tok in toks(text) if tok not in top),
+            len(lps),
+        )
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+    # fluent text above soup; "the the the" is the most typical of all
+    assert got[4][0] > got[1][0] > got[3][0]
+    assert got[2][0] > got[3][0]
+
+
+def test_lm_quality_plan_broadcasts_vocab(spark):
+    from connect_server_spark.operators.text import (
+        lm_quality_scores,
+        unigram_lm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")], ["doc_id", "text"]
+    )
+    vocab, oov = unigram_lm(df, "doc_id", "text", vocab_size=4)
+    plan = (
+        lm_quality_scores(df, vocab, oov, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
