@@ -76,6 +76,9 @@ HEADLINE = [
     "events_time_windows",
     "events_session_windows",
     "events_grouping_sets",
+    "events_asof_join",
+    "events_interval_join",
+    "events_rollup_cascade",
 ]
 
 

@@ -1,0 +1,337 @@
+"""Temporal join + hypertable rollup operators.
+
+The reference's event surface is simple time-ordered scans
+(``aws/utils.py`` status/event reads); at 100 TB the temporal operators a
+training-data / telemetry pipeline actually needs are the ones Spark's
+DataFrame API lacks as primitives — as-of joins, point-in-interval range
+joins, and multi-resolution rollups. Each is built here as a composition
+of built-in operators chosen for its shuffle shape, never a Python UDF:
+
+* ``asof_join`` — union + one hash partition by key + a single
+  last-value window. No per-key explosion, no range cross-join: the
+  classic sort-merge as-of expressed so Catalyst plans exactly one
+  Exchange per side-union. This is the plan a dedicated as-of engine
+  (kdb, QuestDB) runs, on Spark's shuffle machinery.
+* ``interval_join`` — the bucketized range join (the same strategy
+  Databricks' range-join hint applies): intervals explode into the fixed
+  -width buckets they cover, points map to exactly one bucket, and the
+  O(n·m) inequality join becomes an equi-join on (key, bucket) + an
+  exact containment filter. Each (point, interval) pair meets in exactly
+  one bucket, so no post-join dedup is needed.
+* ``time_bucket`` / ``bucket_partials`` / ``merge_partials`` /
+  ``rollup_cascade`` — TimescaleDB-style continuous aggregates: each
+  coarser level re-aggregates the FINER level's mergeable partials
+  (count/sum/min/max), never the raw events, so a 1s→1m→1h→1d cascade
+  reads the raw data once. ``merge_partials`` is associative and
+  commutative, which makes the store incrementally refreshable: a late
+  batch merges bucket-by-bucket without recomputing history
+  (pytest pins merge ≡ recompute-from-scratch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "asof_join",
+    "interval_join",
+    "time_bucket",
+    "bucket_partials",
+    "merge_partials",
+    "finalize_partials",
+    "rollup_cascade",
+]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """For every left row, attach the single right row with the largest
+    ``right_ts <= left_ts`` (``backward``, inclusive) or smallest
+    ``right_ts >= left_ts`` (``forward``) within the same key group.
+
+    Plan shape (the scale contract): ``union`` the two sides into one
+    frame, hash-partition ONCE by the key, sort within partitions by
+    ``(ts, side)``, and carry the latest right payload forward with a
+    single ``last(ignorenulls)`` running window. Right rows sort before
+    left rows at equal ``ts`` so the backward match is inclusive. The
+    right payload travels as ONE struct column — non-null exactly on
+    right rows — so genuinely-null right fields are carried faithfully
+    instead of being skipped past by ``ignorenulls``.
+
+    Left columns keep their names; right payload columns come back as
+    ``<name><suffix>`` plus ``<right_ts><suffix>`` for the matched
+    timestamp. ``tolerance`` (an INTERVAL column, e.g.
+    ``F.expr("INTERVAL 1 HOUR")``) nulls out matches farther than the
+    bound, exactly like pandas ``merge_asof(tolerance=...)``.
+
+    Cost: one Exchange per input (the union's children share the same
+    hash partitioning) + one sort. No per-key blowup: a key with a
+    million rows costs a million-row sorted partition, not a million²
+    join. A single pathologically hot key serializes its own sort — at
+    that point pre-bucket the inputs by key (storage.write_bucketed) so
+    the Exchange disappears entirely.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    payload_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    rstruct = F.struct(
+        F.col(right_ts).alias(right_ts),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    # side: right rows get 0, left rows 1 — ordering by (ts, side) puts
+    # an equal-ts right row BEFORE the left row in the running scan
+    # (inclusive match). This holds in BOTH directions: the forward scan
+    # flips only the ts order, never the side tie-break.
+    left_side, right_side = 1, 0
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(right_side).alias("__side"),
+        rstruct.alias("__rpayload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in keys],
+    )
+    l = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(left_side).alias("__side"),
+        F.lit(None).cast(r.schema["__rpayload"].dataType).alias("__rpayload"),
+        *[F.col(c) for c in left.columns if c not in keys],
+    )
+    unioned = r.unionByName(l)
+
+    order = [F.col("__ts").asc(), F.col("__side").asc()] if direction == "backward" \
+        else [F.col("__ts").desc(), F.col("__side").asc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("__rpayload", ignorenulls=True).over(w)
+
+    out = (
+        unioned.withColumn("__m", matched)
+        .filter(F.col("__side") == left_side)
+    )
+    if tolerance is not None:
+        gap_ok = (
+            (F.col("__ts") - F.col(f"__m.{right_ts}") <= tolerance)
+            if direction == "backward"
+            else (F.col(f"__m.{right_ts}") - F.col("__ts") <= tolerance)
+        )
+        out = out.withColumn(
+            "__m", F.when(F.col("__m").isNotNull() & gap_ok, F.col("__m"))
+        )
+    return out.select(
+        *keys,
+        F.col("__ts").alias(left_ts),
+        *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
+        F.col(f"__m.{right_ts}").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in payload_cols],
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str] | str | None,
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point to every interval containing it
+    (``start <= ts < end``, half-open) without an inequality cross-join.
+
+    Both sides map onto fixed ``bucket_seconds`` time buckets: a point
+    belongs to exactly one bucket; an interval explodes into the bucket
+    range it covers (``sequence`` over bucket ids — a scan-stage
+    generate, no shuffle). The join is then a plain equi-join on
+    ``(keys..., bucket)`` with the exact containment predicate pushed
+    into the join condition, so each (point, interval) pair is tested in
+    exactly one bucket and the output needs no dedup.
+
+    Pick ``bucket_seconds`` near the TYPICAL interval length: buckets
+    much smaller than the intervals multiply the exploded side, buckets
+    much larger put unrelated rows in one bucket and push work into the
+    post-filter. Either way the plan stays an equi-join — degradation is
+    gradual, never a cartesian cliff. ``how="left"`` keeps uncovered
+    points with null interval columns (dedup'd back to one row per
+    point).
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    pb = F.floor(F.unix_timestamp(F.col(point_ts)) / bucket_seconds)
+    ib_lo = F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds)
+    # end is exclusive: a zero-length or bucket-aligned end never spills
+    # into the next bucket.
+    ib_hi = F.floor(
+        (F.unix_timestamp(F.col(end_col)) - F.lit(1)) / bucket_seconds
+    )
+    p = points.withColumn("__bucket", pb)
+    iv = intervals.withColumn(
+        "__bucket", F.explode(F.sequence(ib_lo, F.greatest(ib_lo, ib_hi)))
+    )
+    contains = (F.col(start_col) <= F.col(point_ts)) & (
+        F.col(point_ts) < F.col(end_col)
+    )
+    cond = _and_all(
+        [p["__bucket"] == iv["__bucket"]] + [p[k] == iv[k] for k in keys]
+    )
+    joined = p.join(iv, cond, "inner").filter(contains)
+    sel = [p[c] for c in points.columns] + [
+        iv[c] for c in intervals.columns if c not in keys
+    ]
+    matched = joined.select(*sel)
+    if how == "inner":
+        return matched
+    if how == "left":
+        missing = points.join(
+            matched.select(*[matched[c] for c in points.columns]).distinct(),
+            on=points.columns,
+            how="left_anti",
+        )
+        for c in intervals.columns:
+            if c not in keys:
+                missing = missing.withColumn(
+                    c, F.lit(None).cast(intervals.schema[c].dataType)
+                )
+        return matched.unionByName(missing)
+    raise ValueError(f"how must be inner|left, got {how!r}")
+
+
+def _and_all(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def time_bucket(ts: Column, seconds: int) -> Column:
+    """Truncate a timestamp to a fixed-width bucket (TimescaleDB
+    ``time_bucket``): epoch-aligned, any width — not limited to
+    ``date_trunc``'s calendar units."""
+    return F.timestamp_seconds(
+        F.floor(F.unix_timestamp(ts) / seconds) * seconds
+    )
+
+
+# The mergeable-partial schema every rollup level carries. count/sum/
+# min/max re-aggregate losslessly; avg is derived at read time
+# (finalize_partials), never stored — storing it would break mergeability.
+_PARTIAL_AGGS = lambda v: [  # noqa: E731 - tiny schema helper
+    F.count(v).alias("n"),
+    F.sum(v).alias("sum_v"),
+    F.min(v).alias("min_v"),
+    F.max(v).alias("max_v"),
+]
+
+
+def bucket_partials(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    seconds: int,
+) -> DataFrame:
+    """Raw events → one mergeable partial row per (keys, bucket)."""
+    return (
+        df.groupBy(
+            *keys, time_bucket(F.col(ts_col), seconds).alias("bucket_ts")
+        )
+        .agg(*_PARTIAL_AGGS(F.col(value_col)))
+        .withColumn("bucket_seconds", F.lit(seconds).cast("long"))
+    )
+
+
+def merge_partials(partials: DataFrame, keys: list[str]) -> DataFrame:
+    """Re-aggregate partial rows that landed on the same (keys, bucket)
+    — the incremental-refresh primitive. Associative + commutative, so
+    ``merge(store, late_batch)`` equals recomputing from all raw events
+    (pytest pins this)."""
+    return partials.groupBy(*keys, "bucket_ts", "bucket_seconds").agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
+def _coarsen(partials: DataFrame, keys: list[str], seconds: int) -> DataFrame:
+    """One cascade step: re-bucket FINER partials onto a coarser grid.
+    Reads partial rows (already ~raw/60 the size), never raw events."""
+    return (
+        partials.groupBy(
+            *keys,
+            time_bucket(F.col("bucket_ts"), seconds).alias("bucket_ts"),
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+        .withColumn("bucket_seconds", F.lit(seconds).cast("long"))
+    )
+
+
+def finalize_partials(partials: DataFrame) -> DataFrame:
+    """Partial rows → the user-facing aggregate row (adds avg)."""
+    return partials.select(
+        "*", (F.col("sum_v") / F.col("n")).alias("avg_v")
+    )
+
+
+def rollup_cascade(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    widths_seconds: list[int],
+) -> DataFrame:
+    """Multi-resolution continuous aggregate: compute the finest level
+    from raw events ONCE, then derive each coarser level from the
+    previous level's partials. ``widths_seconds`` must be ascending and
+    each width an integer multiple of the previous (so coarse buckets
+    are exact unions of fine buckets — the cascade is then lossless,
+    pytest-pinned against direct per-level recomputation).
+
+    Returns the union of all levels (``bucket_seconds`` tags the level).
+    At 100 TB the cascade is the difference between reading the raw
+    table once vs once per level: level k+1 reads ~width_ratio× fewer
+    rows than level k. Each level is one narrow shuffle of partial rows.
+
+    Each level is lazily ``localCheckpoint``-ed before feeding the next:
+    without it Catalyst plans every union branch from the raw scan
+    (level k re-runs all k aggregations — the raw table would be read
+    once PER LEVEL), with it the plan shows exactly one Exchange per
+    level and one raw scan total (pinned by the plan test).
+    """
+    if not widths_seconds:
+        raise ValueError("need at least one rollup width")
+    for a, b in zip(widths_seconds, widths_seconds[1:]):
+        if b % a != 0:
+            raise ValueError(
+                f"cascade widths must nest: {b} is not a multiple of {a}"
+            )
+    levels = [bucket_partials(df, ts_col, value_col, keys, widths_seconds[0])]
+    for width in widths_seconds[1:]:
+        # Checkpoint the finer level ONCE and let both readers (the
+        # union branch and the coarser aggregation) share it.
+        levels[-1] = levels[-1].localCheckpoint(eager=False)
+        levels.append(_coarsen(levels[-1], keys, width))
+    out = levels[0]
+    for level in levels[1:]:
+        out = out.unionByName(level)
+    return out

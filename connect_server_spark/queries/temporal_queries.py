@@ -1,0 +1,122 @@
+"""Driver queries for the temporal operator family (as-of join,
+bucketized interval join, hypertable rollup cascade) over the events
+table.
+
+All three register rows-only (the driver's 50-query oracle window is
+fully allocated); their oracle-grade gates are the DuckDB-mirror tests
+in ``tests/test_temporal.py`` — DuckDB runs a native ``ASOF JOIN``, a
+plain inequality join, and per-level ``time_bucket`` recomputation on
+the same parquet, and the mirrors assert exact row equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_server_spark.operators.temporal import (
+    asof_join,
+    interval_join,
+    finalize_partials,
+    rollup_cascade,
+)
+from connect_server_spark.registry import register
+from connect_server_spark.tables import load_table
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the latest purchase by the same user at-or-before
+    the click (24 h tolerance) — the attribution query every event
+    pipeline runs, expressed as the single-shuffle union + last-value
+    window as-of join."""
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    # One right row per (user, ts): dedupe simultaneous purchases to the
+    # max event_id so the as-of tie-break is deterministic and the
+    # DuckDB mirror is unambiguous.
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purchase_id"),
+            F.max_by("value", "event_id").alias("purchase_value"),
+        )
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        direction="backward",
+        tolerance=F.expr("INTERVAL 24 HOURS"),
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.col("ts_matched").alias("purchase_ts"),
+        F.col("purchase_id_matched").alias("purchase_id"),
+        F.col("purchase_value_matched").alias("purchase_value"),
+    )
+
+
+register("events_asof_join", events_asof_join, defer=True)
+
+
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user point-in-interval join: every 40th event opens a
+    [ts, ts + 1..7 h) interval; all of that user's events landing inside
+    it match. Bucketized (1 h buckets) so the plan is an equi-join on
+    (user, bucket) — never an inequality cross-join."""
+    ev = load_table(spark, "events", sf_dir)
+    points = ev.select("user_id", "event_id", "ts", "event_type")
+    intervals = ev.filter(F.col("event_id") % 40 == 0).select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (
+            F.col("ts")
+            + F.make_interval(hours=(F.col("event_id") % 7 + 1).cast("int"))
+        ).alias("end_ts"),
+    )
+    out = interval_join(
+        points,
+        intervals,
+        on="user_id",
+        point_ts="ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        bucket_seconds=3600,
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "event_type",
+        "interval_id", "start_ts", "end_ts",
+    )
+
+
+register("events_interval_join", events_interval_join, defer=True)
+
+
+# The cascade's nested widths: 1 min → 1 h → 1 d. Coarser levels read the
+# finer level's partials, never the raw events.
+CASCADE_WIDTHS = [60, 3600, 86400]
+
+
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate of event values per type at
+    minute/hour/day resolution — one raw scan, each coarser level
+    re-aggregated from the finer level's mergeable partials."""
+    ev = load_table(spark, "events", sf_dir)
+    return finalize_partials(
+        rollup_cascade(ev, "ts", "value", ["event_type"], CASCADE_WIDTHS)
+    ).select(
+        "event_type", "bucket_ts", "bucket_seconds",
+        "n", "sum_v", "min_v", "max_v", "avg_v",
+    )
+
+
+register("events_rollup_cascade", events_rollup_cascade, defer=True)

@@ -36,6 +36,7 @@ _QUERY_MODULES = [
     "connect_server_spark.queries.flow_queries",
     "connect_server_spark.queries.streaming_queries",
     "connect_server_spark.queries.transfer_queries",
+    "connect_server_spark.queries.temporal_queries",
 ]
 
 

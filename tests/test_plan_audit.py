@@ -146,6 +146,20 @@ SHUFFLE_BUDGET = {
     # batch-vs-index candidate distinct + the threshold-filtered scoring
     # join back — same shape as the indexed IVF top-k minus the rank
     "dedup_incremental_embedding": 2,
+    # r6 temporal family. asof: ONE hash partition by key for the
+    # last-value window over the union, plus the right-side (user, ts)
+    # dedupe agg — no join node at all, so no per-key blowup is possible.
+    "events_asof_join": 2,
+    # bucketized range join: an equi-join on (user, bucket) — broadcast
+    # (1 Exchange) when the interval side is small, a sort-merge pair
+    # (2) otherwise; never an inequality cross-join.
+    "events_interval_join": 2,
+    # cascade: the visible plan carries only the final coarsen Exchange —
+    # the finer levels are lazily checkpointed (exactly so the raw scan
+    # and each level run ONCE instead of once per union branch); their
+    # one-narrow-shuffle-per-level cost is pinned by
+    # tests/test_temporal.py's lossless-vs-direct and mirror gates.
+    "events_rollup_cascade": 1,
 }
 
 

@@ -1,0 +1,385 @@
+"""Temporal operator family: as-of join, bucketized interval join,
+hypertable rollup cascade.
+
+The three driver queries register rows-only (the 50-slot oracle window
+is fully allocated), so their oracle-grade gates live HERE: DuckDB runs
+a native ``ASOF JOIN``, a plain inequality join, and per-level
+``time_bucket`` recomputation on the same parquet, and the mirrors
+assert exact row equality.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from connect_server_spark.operators.temporal import (
+    asof_join,
+    bucket_partials,
+    finalize_partials,
+    interval_join,
+    merge_partials,
+    rollup_cascade,
+)
+from connect_server_spark.queries.temporal_queries import (
+    CASCADE_WIDTHS,
+    events_asof_join,
+    events_interval_join,
+    events_rollup_cascade,
+)
+from connect_server_spark.tables import load_table
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    return con
+
+
+# ---------------------------------------------------------------- as-of
+
+
+def test_asof_join_matches_duckdb_asof(spark, sf_dir):
+    """The driver query vs DuckDB's native ASOF LEFT JOIN (inclusive
+    backward match) with the same 24 h tolerance."""
+    got = sorted(map(tuple, events_asof_join(spark, sf_dir).collect()))
+    want = sorted(map(tuple, _con(sf_dir).execute("""
+        WITH clicks AS (
+          SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'click'
+        ), purchases AS (
+          SELECT user_id, ts, max(event_id) AS purchase_id,
+                 max_by(value, event_id) AS purchase_value
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        )
+        SELECT c.user_id, c.event_id, c.ts, c.value,
+               CASE WHEN c.ts - p.ts <= INTERVAL 24 HOURS THEN p.ts END,
+               CASE WHEN c.ts - p.ts <= INTERVAL 24 HOURS
+                    THEN p.purchase_id END,
+               CASE WHEN c.ts - p.ts <= INTERVAL 24 HOURS
+                    THEN p.purchase_value END
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """).fetchall()))
+    assert len(got) > 0
+    assert got == want
+
+
+def _t(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def quotes_trades(spark):
+    """The canonical finance as-of fixture: trades match the latest
+    quote at-or-before them."""
+    trades = spark.createDataFrame(
+        [
+            Row(sym="A", ts=_t("2024-01-01 10:00:00"), qty=5),
+            Row(sym="A", ts=_t("2024-01-01 10:00:03"), qty=7),
+            Row(sym="B", ts=_t("2024-01-01 09:59:59"), qty=1),
+            Row(sym="C", ts=_t("2024-01-01 12:00:00"), qty=9),
+        ]
+    )
+    quotes = spark.createDataFrame(
+        [
+            Row(sym="A", ts=_t("2024-01-01 10:00:00"), px=1.0),
+            Row(sym="A", ts=_t("2024-01-01 10:00:02"), px=2.0),
+            Row(sym="A", ts=_t("2024-01-01 10:00:04"), px=3.0),
+            Row(sym="B", ts=_t("2024-01-01 10:00:00"), px=4.0),
+        ]
+    )
+    return trades, quotes
+
+
+def test_asof_backward_inclusive_and_missing(quotes_trades):
+    trades, quotes = quotes_trades
+    out = {
+        (r.sym, r.ts): (r.ts_matched, r.px_matched)
+        for r in asof_join(trades, quotes, on="sym").collect()
+    }
+    # equal-ts quote matches (inclusive)
+    assert out[("A", _t("2024-01-01 10:00:00"))] == (
+        _t("2024-01-01 10:00:00"), 1.0)
+    # latest at-or-before, not just any earlier
+    assert out[("A", _t("2024-01-01 10:00:03"))] == (
+        _t("2024-01-01 10:00:02"), 2.0)
+    # right row strictly after the left ts does not match backward
+    assert out[("B", _t("2024-01-01 09:59:59"))] == (None, None)
+    # key with no right rows at all survives with nulls
+    assert out[("C", _t("2024-01-01 12:00:00"))] == (None, None)
+
+
+def test_asof_forward_direction(quotes_trades):
+    trades, quotes = quotes_trades
+    out = {
+        (r.sym, r.ts): (r.ts_matched, r.px_matched)
+        for r in asof_join(
+            trades, quotes, on="sym", direction="forward"
+        ).collect()
+    }
+    assert out[("A", _t("2024-01-01 10:00:00"))] == (
+        _t("2024-01-01 10:00:00"), 1.0)  # inclusive forward too
+    assert out[("A", _t("2024-01-01 10:00:03"))] == (
+        _t("2024-01-01 10:00:04"), 3.0)
+    assert out[("B", _t("2024-01-01 09:59:59"))] == (
+        _t("2024-01-01 10:00:00"), 4.0)
+    assert out[("C", _t("2024-01-01 12:00:00"))] == (None, None)
+
+
+def test_asof_tolerance_nulls_far_matches(quotes_trades):
+    trades, quotes = quotes_trades
+    out = {
+        (r.sym, r.ts): r.px_matched
+        for r in asof_join(
+            trades, quotes, on="sym",
+            tolerance=F.expr("INTERVAL 1 SECOND"),
+        ).collect()
+    }
+    assert out[("A", _t("2024-01-01 10:00:03"))] == 2.0  # 1 s gap: kept
+    assert out[("A", _t("2024-01-01 10:00:00"))] == 1.0  # 0 s gap: kept
+    assert out[("B", _t("2024-01-01 09:59:59"))] is None
+
+
+def test_asof_carries_genuinely_null_right_fields(spark):
+    """The right payload travels as a struct: a NULL field on the
+    matched right row must come through as NULL, not be skipped past to
+    an older non-null value by ``last(ignorenulls)``."""
+    left = spark.createDataFrame([Row(k=1, ts=_t("2024-01-01 10:00:05"))])
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=_t("2024-01-01 10:00:00"), v="old"),
+            Row(k=1, ts=_t("2024-01-01 10:00:04"), v=None),
+        ],
+        "k int, ts timestamp, v string",
+    )
+    [r] = asof_join(left, right, on="k").collect()
+    assert r.ts_matched == _t("2024-01-01 10:00:04")
+    assert r.v_matched is None
+
+
+def test_asof_plan_single_window_shuffle(quotes_trades):
+    """Scale contract: the as-of core is ONE hash partition by key (the
+    window over the union) — no join node, no per-key explosion."""
+    trades, quotes = quotes_trades
+    plan = (
+        asof_join(trades, quotes, on="sym")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    n_exchange = sum(
+        1 for l in plan.splitlines()
+        if "Exchange" in l and "ReusedExchange" not in l
+    )
+    assert n_exchange == 1
+
+
+# ------------------------------------------------------------- interval
+
+
+def test_interval_join_matches_duckdb(spark, sf_dir):
+    got = sorted(map(tuple, events_interval_join(spark, sf_dir).collect()))
+    want = sorted(map(tuple, _con(sf_dir).execute("""
+        WITH intervals AS (
+          SELECT user_id, event_id AS interval_id, ts AS start_ts,
+                 ts + to_hours(CAST(event_id % 7 + 1 AS BIGINT)) AS end_ts
+          FROM events WHERE event_id % 40 = 0
+        )
+        SELECT e.user_id, e.event_id, e.ts, e.event_type,
+               i.interval_id, i.start_ts, i.end_ts
+        FROM events e JOIN intervals i
+          ON e.user_id = i.user_id
+         AND i.start_ts <= e.ts AND e.ts < i.end_ts
+    """).fetchall()))
+    assert len(got) > 0
+    assert got == want
+
+
+def test_interval_join_bucket_width_invariance(spark, sf_dir):
+    """Correctness is independent of the bucket width — width only moves
+    cost between the explode and the post-filter."""
+    ev = load_table(spark, "events", sf_dir)
+    points = ev.select("user_id", "event_id", "ts")
+    intervals = ev.filter(F.col("event_id") % 40 == 0).select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 3 HOURS")).alias("end_ts"),
+    )
+    results = []
+    for width in (600, 3600, 7200):
+        out = interval_join(
+            points, intervals, on="user_id",
+            bucket_seconds=width,
+        )
+        results.append(sorted(map(tuple, out.collect())))
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) > 0
+
+
+def test_interval_join_half_open_bounds(spark):
+    points = spark.createDataFrame(
+        [
+            Row(ts=_t("2024-01-01 10:00:00"), pid=1),  # == start: in
+            Row(ts=_t("2024-01-01 11:00:00"), pid=2),  # == end: out
+            Row(ts=_t("2024-01-01 10:59:59"), pid=3),  # just inside
+        ]
+    )
+    intervals = spark.createDataFrame(
+        [Row(iid=10,
+             start_ts=_t("2024-01-01 10:00:00"),
+             end_ts=_t("2024-01-01 11:00:00"))]
+    )
+    got = sorted(
+        r.pid for r in interval_join(points, intervals, on=None).collect()
+    )
+    assert got == [1, 3]
+
+
+def test_interval_join_left_keeps_uncovered_points(spark):
+    points = spark.createDataFrame(
+        [Row(ts=_t("2024-01-01 10:30:00"), pid=1),
+         Row(ts=_t("2024-01-05 00:00:00"), pid=2)]
+    )
+    intervals = spark.createDataFrame(
+        [Row(iid=10,
+             start_ts=_t("2024-01-01 10:00:00"),
+             end_ts=_t("2024-01-01 11:00:00"))]
+    )
+    rows = {r.pid: r.iid
+            for r in interval_join(points, intervals, on=None,
+                                   how="left").collect()}
+    assert rows == {1: 10, 2: None}
+
+
+def test_interval_join_keyless_is_still_equi_join(spark):
+    """Even with no key, the bucket column keeps the join an equi-join —
+    no BroadcastNestedLoopJoin / CartesianProduct fallback."""
+    points = spark.createDataFrame(
+        [Row(ts=_t("2024-01-01 10:30:00"), pid=1)]
+    )
+    intervals = spark.createDataFrame(
+        [Row(iid=10,
+             start_ts=_t("2024-01-01 10:00:00"),
+             end_ts=_t("2024-01-01 11:00:00"))]
+    )
+    plan = (
+        interval_join(points, intervals, on=None)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_multi_bucket_span_no_duplicates(spark):
+    """An interval spanning many buckets matches each contained point
+    exactly once (each pair meets in the point's single bucket)."""
+    points = spark.createDataFrame(
+        [Row(ts=_t("2024-01-01 %02d:30:00" % h), pid=h) for h in range(24)]
+    )
+    intervals = spark.createDataFrame(
+        [Row(iid=1,
+             start_ts=_t("2024-01-01 02:00:00"),
+             end_ts=_t("2024-01-01 20:00:00"))]
+    )
+    got = sorted(
+        r.pid for r in interval_join(
+            points, intervals, on=None, bucket_seconds=3600
+        ).collect()
+    )
+    assert got == list(range(2, 20))
+
+
+# --------------------------------------------------------------- rollup
+
+
+def test_rollup_cascade_matches_duckdb(spark, sf_dir):
+    """Every level of the cascade vs direct time_bucket recomputation in
+    DuckDB (floats rounded: partial-merge order differs)."""
+    def norm(rows):
+        return sorted(
+            (t, b, w, n, round(s, 6), mn, mx, round(a, 6))
+            for (t, b, w, n, s, mn, mx, a) in rows
+        )
+
+    got = norm(map(tuple, events_rollup_cascade(spark, sf_dir).collect()))
+    want = norm(map(tuple, _con(sf_dir).execute("""
+        WITH lv AS (SELECT unnest([60, 3600, 86400]) AS w)
+        SELECT event_type,
+               CAST(to_timestamp(floor(epoch(ts) / w) * w) AS TIMESTAMP)
+                 AS bucket_ts,
+               CAST(w AS BIGINT) AS bucket_seconds,
+               count(value) AS n, sum(value) AS sum_v,
+               min(value) AS min_v, max(value) AS max_v,
+               sum(value) / count(value) AS avg_v
+        FROM events, lv GROUP BY 1, 2, 3
+    """).fetchall()))
+    assert len(got) > 0
+    assert got == want
+
+
+def test_rollup_cascade_lossless_vs_direct(spark, sf_dir):
+    """Cascading through finer partials equals aggregating raw events
+    directly at every width — the mergeability contract."""
+    ev = load_table(spark, "events", sf_dir)
+    cascade = rollup_cascade(ev, "ts", "value", ["event_type"],
+                             CASCADE_WIDTHS)
+    for width in CASCADE_WIDTHS[1:]:
+        via_cascade = sorted(map(tuple, cascade.filter(
+            F.col("bucket_seconds") == width
+        ).select("event_type", "bucket_ts", "n", "min_v", "max_v")
+            .collect()))
+        direct = sorted(map(tuple, bucket_partials(
+            ev, "ts", "value", ["event_type"], width
+        ).select("event_type", "bucket_ts", "n", "min_v", "max_v")
+            .collect()))
+        assert via_cascade == direct
+
+
+def test_merge_partials_incremental_refresh(spark, sf_dir):
+    """merge(partials(batch1) ∪ partials(batch2)) == partials(all) —
+    the late-data refresh path never recomputes history."""
+    ev = load_table(spark, "events", sf_dir)
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    merged = merge_partials(
+        bucket_partials(b1, "ts", "value", ["event_type"], 3600).unionByName(
+            bucket_partials(b2, "ts", "value", ["event_type"], 3600)
+        ),
+        ["event_type"],
+    )
+    full = bucket_partials(ev, "ts", "value", ["event_type"], 3600)
+
+    def norm(df):
+        cols = ["event_type", "bucket_ts", "bucket_seconds",
+                "n", "sum_v", "min_v", "max_v"]
+        return sorted(
+            (t, b, w, n, round(s, 6), mn, mx)
+            for (t, b, w, n, s, mn, mx) in map(tuple, df.select(*cols).collect())
+        )
+
+    assert norm(merged) == norm(full)
+
+
+def test_finalize_adds_avg(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    out = finalize_partials(
+        bucket_partials(ev, "ts", "value", ["event_type"], 86400)
+    ).collect()
+    for r in out:
+        assert r.avg_v == pytest.approx(r.sum_v / r.n)
+
+
+def test_cascade_rejects_non_nesting_widths(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    with pytest.raises(ValueError, match="must nest"):
+        rollup_cascade(ev, "ts", "value", [], [60, 90])
+    with pytest.raises(ValueError, match="at least one"):
+        rollup_cascade(ev, "ts", "value", [], [])
