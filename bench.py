@@ -79,6 +79,9 @@ HEADLINE = [
     "events_asof_join",
     "events_interval_join",
     "events_rollup_cascade",
+    "corpus_mixing",
+    "dsir_resample",
+    "diversity_sample",
 ]
 
 

@@ -278,12 +278,15 @@ def deterministic_keep(
 ) -> Column:
     """Reproducible Bernoulli(fraction) decision as a pure function of
     (seed, key): first 4 hex chars of md5 compared against the fraction
-    rendered on the same 16⁴ grid. fraction must be in [0, 1)."""
+    rendered on the same 16⁴ grid. fraction ≥ 1 keeps everything (the
+    hex render only covers [0, 1) — ``floor(1.0·65536)`` would print
+    five chars and the 4-char prefix comparison would silently keep
+    ~1/16; rate caps like ``least(1, target/n)`` hit exactly 1.0)."""
     prefix = F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, 4)
     threshold = F.format_string(
         "%04x", F.floor(fraction * F.lit(65536)).cast("int")
     )
-    return prefix < threshold
+    return F.when(fraction >= 1, F.lit(True)).otherwise(prefix < threshold)
 
 
 def stratified_sample(

@@ -1,0 +1,260 @@
+"""Corpus sampling operators for training-data assembly.
+
+Three samplers a pretraining pipeline runs between dedup/curation and
+packing, each deterministic (hash-derived randomness, never ``rand()``)
+so retries and audits reproduce bit-identically:
+
+* ``source_mixing_rates`` / ``mix_corpus`` — temperature-based domain
+  mixing (the Pile / Gopher recipe): per-source keep rates from
+  ``n_s^alpha`` weights, applied scan-stage via the md5 Bernoulli gate
+  (:func:`connect_server_spark.operators.curation.deterministic_keep`).
+  alpha=1 preserves natural proportions, alpha=0 equalizes sources,
+  0<alpha<1 up-weights small domains exactly like temperature-scaled
+  multinomial sampling — but as a reproducible per-row filter.
+* ``importance_weights`` / ``importance_resample`` — DSIR-flavored
+  importance resampling (Xie et al., NeurIPS 2023): score every
+  document by its log-likelihood ratio under a TARGET unigram LM (built
+  from an in-domain subset) vs the RAW corpus LM, then draw a
+  Gumbel-top-k sample with the hash-uniform trick — equivalent to
+  sampling k docs without replacement with probability ∝ exp(score),
+  computed as one TakeOrdered, no global sort materialized.
+* ``diversity_sample`` — cluster-balanced selection over the embedding
+  table: assign docs to IVF cells (the same coarse quantizer the ANN
+  index uses), keep a per-cell quota nearest each centroid. Caps any
+  one mode of the distribution at quota rows, which a plain top-k by
+  quality score cannot do.
+
+Scale notes: mixing is a broadcast of one row per source + a scan-stage
+filter (no corpus shuffle). DSIR is two bounded-vocab broadcasts + one
+map-side-combined per-doc agg + a TakeOrdered merge. Diversity is one
+Arrow-batched matmul assign + a per-cell window whose partitions are
+balanced by construction (cells ≈ corpus/nlist).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from connect_server_spark.operators.curation import deterministic_keep
+from connect_server_spark.operators.text import tokens, unigram_lm
+
+__all__ = [
+    "source_mixing_rates",
+    "mix_corpus",
+    "hash_uniform",
+    "importance_weights",
+    "importance_resample",
+    "diversity_sample",
+]
+
+
+def source_mixing_rates(
+    df: DataFrame, source_col: str, alpha: float, target_total: int
+) -> DataFrame:
+    """Per-source keep rates for temperature mixing: source s with n_s
+    rows gets weight ``n_s**alpha / Σ n**alpha`` and keep rate
+    ``min(1, target_total * weight / n_s)``. One narrow aggregation; the
+    result is one row per source (broadcast-sized by nature — a corpus
+    has thousands of sources, not billions).
+
+    Rates are rounded to the 1e-9 grid so the downstream 16-bit md5 gate
+    compares engines identically (the DuckDB mirror recomputes the same
+    formula; an unrounded double's last bit could straddle the
+    ``floor(rate * 65536)`` boundary).
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy()  # one-row-per-source frame: total is cheap
+    weight = F.pow(F.col("n_rows").cast("double"), F.lit(float(alpha)))
+    total_weight = F.sum(weight).over(w)
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(target_total)) * (weight / total_weight) / F.col("n_rows"),
+    )
+    return counts.select(
+        source_col,
+        "n_rows",
+        F.round(weight / total_weight, 9).alias("mix_weight"),
+        F.round(rate, 9).alias("keep_rate"),
+    )
+
+
+def mix_corpus(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    alpha: float,
+    target_total: int,
+    seed: str = "mix",
+) -> DataFrame:
+    """Apply temperature mixing: broadcast the per-source rate table
+    back and keep each row via the deterministic md5 Bernoulli gate.
+    The corpus never shuffles — the only Exchange is the per-source
+    count; expected output size is ``≈ target_total`` (binomial per
+    source, exact in expectation)."""
+    rates = source_mixing_rates(df, source_col, alpha, target_total)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(
+            deterministic_keep(F.col(id_col), F.col("keep_rate"), seed)
+        )
+    )
+
+
+def hash_uniform(key: Column, seed: str = "") -> Column:
+    """Deterministic U(0,1) from a key: the first 8 md5 hex chars as a
+    32-bit integer, centered on the lattice (+0.5) so 0 and 1 are never
+    produced (safe for log / log(-log))."""
+    bits = F.conv(F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, 8), 16, 10).cast("double")
+    return (bits + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+def importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+    vocab_size: int = 20000,
+) -> DataFrame:
+    """Per-document DSIR importance score: the summed per-token
+    log-likelihood ratio ``Σ log p_target(tok) - log p_raw(tok)`` under
+    two unigram LMs — target built from the in-domain frame, raw from
+    the full corpus. Positive = looks more like the target domain.
+
+    Plan: both vocabs are bounded (top-``vocab_size``) and broadcast;
+    the corpus explodes to tokens ONCE, joins both vocabs
+    broadcast-side, and folds back with one map-side-combined per-doc
+    aggregation. Document bodies never shuffle; the wide rows are
+    (id, two 8-byte logps). Scores are rounded to the 1e-6 grid for
+    hash-stable output.
+    """
+    t_vocab, t_oov = unigram_lm(target, id_col, text_col, vocab_size)
+    r_vocab, r_oov = unigram_lm(df, id_col, text_col, vocab_size)
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    scored = (
+        exploded.join(
+            F.broadcast(t_vocab.withColumnRenamed("logp", "logp_t")), "token", "left"
+        )
+        .join(
+            F.broadcast(r_vocab.withColumnRenamed("logp", "logp_r")), "token", "left"
+        )
+        .select(
+            F.col(id_col),
+            (
+                F.coalesce(F.col("logp_t"), F.lit(t_oov))
+                - F.coalesce(F.col("logp_r"), F.lit(r_oov))
+            ).alias("_llr"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum("_llr"), 6).alias("dsir_score"),
+        F.count(F.lit(1)).alias("n_scored_tokens"),
+    )
+
+
+def importance_resample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+    k: int,
+    temperature: float = 1.0,
+    seed: str = "dsir",
+    vocab_size: int = 20000,
+) -> DataFrame:
+    """Gumbel-top-k importance resampling: keep the k documents with the
+    largest ``score/T + Gumbel(hash(id))`` — a without-replacement
+    sample with P(doc) ∝ exp(score/T), fully deterministic in (seed,
+    corpus). T→0 approaches hard top-k by score; larger T preserves more
+    of the raw distribution. The selection is a TakeOrdered merge (k
+    rows per partition then k global), never a full sort."""
+    w = importance_weights(df, id_col, text_col, target, vocab_size)
+    gumbel = -F.log(-F.log(hash_uniform(F.col(id_col), seed)))
+    key = F.col("dsir_score") / F.lit(float(temperature)) + gumbel
+    return (
+        w.withColumn("gumbel_key", F.round(key, 6))
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def diversity_sample(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    quota: int = 10,
+    centroids=None,
+    sample_size: int = 4096,
+    seed: int = 17,
+) -> DataFrame:
+    """Cluster-balanced selection: assign every vector to its nearest
+    IVF centroid (Arrow-batched matmul — the ANN index's coarse
+    quantizer reused as a diversity grid), then keep the ``quota``
+    vectors nearest each centroid (deterministic tie-break by id).
+
+    Guarantees no region of embedding space contributes more than
+    ``quota`` rows — the balanced-coverage property quality-ranked
+    selection lacks. Output ≤ nlist × quota rows, each tagged with its
+    cell and rank. The per-cell window partitions are ≈ corpus/nlist —
+    balanced by construction, no hot key (k-means cells are bounded;
+    a degenerate all-identical-vectors corpus collapses to one cell,
+    which is the correct answer for 'how diverse is this corpus')."""
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        ivf_assign_udf,
+        train_ivf_centroids,
+    )
+
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else train_ivf_centroids(
+            emb_df, nlist, corpus_id=id_col, corpus_vec=vec_col,
+            sample_size=sample_size, seed=seed,
+        )
+    )
+    assign = ivf_assign_udf(cents, nprobe=1)
+    assigned = emb_df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        assign(F.col(vec_col)).getItem(0).alias("cell"),
+    )
+    # cosine to own centroid, computed JVM-side against the broadcast
+    # centroid weights (small: nlist × dim literals via a map lookup).
+    cent_rows = [
+        (int(c), [float(x) for x in row]) for c, row in enumerate(cents)
+    ]
+    cent_df = assigned.sparkSession.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    )
+    joined = assigned.join(F.broadcast(cent_df), "cell")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("centroid"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (
+        norm(F.col(vec_col).cast("array<double>")) * norm(F.col("centroid"))
+    )
+    ranked = joined.withColumn("centroid_cos", F.round(cos, 6)).withColumn(
+        "cell_rank",
+        F.row_number().over(
+            Window.partitionBy("cell").orderBy(
+                F.col("centroid_cos").desc(), F.col(id_col).asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("cell_rank") <= quota).select(
+        id_col, "cell", "cell_rank", "centroid_cos"
+    )

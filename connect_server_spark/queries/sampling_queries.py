@@ -1,0 +1,92 @@
+"""Driver queries for the corpus-sampling family (temperature mixing,
+DSIR importance resampling, cluster-balanced diversity sampling).
+
+All three register rows-only (the 50-slot oracle window is fully
+allocated); oracle-grade gates live in ``tests/test_sampling.py``:
+``corpus_mixing`` has a full DuckDB SQL mirror (the md5 Bernoulli gate
+is engine-portable by construction), ``dsir_resample``'s score is
+DuckDB-mirrored and its Gumbel selection recomputed by a pure-Python
+reference, ``diversity_sample`` is re-ranked by a NumPy reference on
+the same centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_server_spark.operators.sampling import (
+    diversity_sample,
+    importance_resample,
+    mix_corpus,
+)
+from connect_server_spark.registry import register
+from connect_server_spark.tables import load_table
+
+# Mixing temperature and corpus-fraction target for the gated query:
+# alpha=0.5 (square-root temperature — the Pile-style up-weighting of
+# small sources) aiming at ~40% of the corpus.
+MIX_ALPHA = 0.5
+MIX_FRACTION = 0.4
+
+DSIR_K = 100
+DSIR_TEMPERATURE = 1.0
+
+DIVERSITY_NLIST = 16
+DIVERSITY_QUOTA = 10
+
+
+def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixed corpus: per-source keep rates from n^alpha
+    weights, applied as the deterministic md5 gate. The corpus never
+    shuffles; the per-source rate table broadcasts back."""
+    docs = load_table(spark, "documents", sf_dir)
+    # Parquet count-star is metadata-only; the scalar parameterizes the
+    # rate table exactly like unigram_lm's corpus total.
+    target_total = int(docs.count() * MIX_FRACTION)
+    out = mix_corpus(
+        docs, "doc_id", "source", MIX_ALPHA, target_total, seed="mix"
+    )
+    return out.select(
+        "doc_id", "source", "lang", "n_chars", "mix_weight", "keep_rate"
+    )
+
+
+register("corpus_mixing", corpus_mixing, defer=True)
+
+
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling toward the English subset: unigram
+    log-likelihood-ratio scores (target = lang='en' docs, raw = whole
+    corpus) and a deterministic Gumbel-top-k draw of the winners."""
+    docs = load_table(spark, "documents", sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    return importance_resample(
+        docs,
+        "doc_id",
+        "text",
+        target,
+        k=DSIR_K,
+        temperature=DSIR_TEMPERATURE,
+        seed="dsir",
+    )
+
+
+register("dsir_resample", dsir_resample, defer=True)
+
+
+def embeddings_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced selection over the embedding table: ≤ quota
+    vectors per IVF cell, nearest-centroid first — balanced coverage of
+    embedding space no quality top-k can give."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return diversity_sample(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        nlist=DIVERSITY_NLIST,
+        quota=DIVERSITY_QUOTA,
+    )
+
+
+register("diversity_sample", embeddings_diversity_sample, defer=True)

@@ -37,6 +37,7 @@ _QUERY_MODULES = [
     "connect_server_spark.queries.streaming_queries",
     "connect_server_spark.queries.transfer_queries",
     "connect_server_spark.queries.temporal_queries",
+    "connect_server_spark.queries.sampling_queries",
 ]
 
 

@@ -45,6 +45,7 @@ ARROW_BOUNDARY_OK = {
     "tokenize_bpe",
     "training_pack_bpe",
     "extract_grouped",
+    "diversity_sample",
 }
 
 
@@ -160,6 +161,21 @@ SHUFFLE_BUDGET = {
     # one-narrow-shuffle-per-level cost is pinned by
     # tests/test_temporal.py's lossless-vs-direct and mirror gates.
     "events_rollup_cascade": 1,
+    # r6 sampling family. mixing: the per-source count agg + the
+    # one-row-per-source window total (SinglePartition over ~#sources
+    # rows) + the rate-table broadcast back — the corpus itself never
+    # shuffles (pinned: no SortMergeJoin in tests/test_sampling.py).
+    "corpus_mixing": 3,
+    # DSIR: two unigram-LM builds (each: (token,doc) partial + per-token
+    # rollup, map-side combined, narrow rows) + their two bounded-vocab
+    # broadcasts + the per-doc score agg; the Gumbel top-k itself is a
+    # TakeOrdered merge, no extra Exchange. Document bodies never
+    # shuffle.
+    "dsir_resample": 7,
+    # diversity: Arrow-batched cell assign (declared below) + the
+    # broadcast centroid join + ONE per-cell window Exchange whose
+    # partitions are ≈ corpus/nlist, balanced by construction.
+    "diversity_sample": 2,
 }
 
 

@@ -1,0 +1,346 @@
+"""Corpus-sampling family: temperature mixing, DSIR importance
+resampling, cluster-balanced diversity sampling.
+
+The three driver queries register rows-only; their oracle-grade gates
+live here — a full DuckDB SQL mirror for the mixing gate, a DuckDB score
+mirror + pure-Python Gumbel-selection reference for DSIR, and a NumPy
+re-ranking reference for the diversity sampler.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from connect_server_spark.operators.sampling import (
+    diversity_sample,
+    hash_uniform,
+    importance_resample,
+    importance_weights,
+    mix_corpus,
+    source_mixing_rates,
+)
+from connect_server_spark.queries.sampling_queries import (
+    DSIR_K,
+    MIX_ALPHA,
+    MIX_FRACTION,
+    corpus_mixing,
+    dsir_resample,
+    embeddings_diversity_sample,
+)
+from connect_server_spark.tables import load_table
+
+TOKEN_SQL = (
+    "unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))"
+)
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con
+
+
+# --------------------------------------------------------------- mixing
+
+
+def test_corpus_mixing_matches_duckdb_mirror(spark, sf_dir):
+    got = sorted(map(tuple, corpus_mixing(spark, sf_dir).collect()))
+    con = _con(sf_dir)
+    n_total = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    target = int(n_total * MIX_FRACTION)
+    want = sorted(map(tuple, con.execute(f"""
+        WITH counts AS (
+          SELECT source, count(*) AS n_rows FROM documents GROUP BY source
+        ),
+        rates AS (
+          SELECT source, n_rows,
+                 round(pow(n_rows, {MIX_ALPHA})
+                       / sum(pow(n_rows, {MIX_ALPHA})) OVER (), 9)
+                   AS mix_weight,
+                 round(least(1.0,
+                       {target} * (pow(n_rows, {MIX_ALPHA})
+                                   / sum(pow(n_rows, {MIX_ALPHA})) OVER ())
+                       / n_rows), 9) AS keep_rate
+          FROM counts
+        )
+        SELECT d.doc_id, d.source, d.lang, d.n_chars,
+               r.mix_weight, r.keep_rate
+        FROM documents d JOIN rates r USING (source)
+        WHERE r.keep_rate >= 1
+           OR substring(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+              < printf('%04x', CAST(floor(r.keep_rate * 65536) AS INT))
+    """).fetchall()))
+    assert len(got) > 0
+    assert got == want
+
+
+def _skewed(spark):
+    rows = (
+        [Row(doc_id=i, source="big") for i in range(900)]
+        + [Row(doc_id=900 + i, source="small") for i in range(100)]
+    )
+    return spark.createDataFrame(rows)
+
+
+def test_mixing_alpha_semantics(spark):
+    """alpha=1 keeps natural proportions (equal rates); alpha<1
+    up-weights the small source; alpha=0 targets equal counts."""
+    df = _skewed(spark)
+    natural = {
+        r.source: r.keep_rate
+        for r in source_mixing_rates(df, "source", 1.0, 500).collect()
+    }
+    assert natural["big"] == pytest.approx(natural["small"], abs=1e-9)
+
+    sqrt = {
+        r.source: r.keep_rate
+        for r in source_mixing_rates(df, "source", 0.5, 500).collect()
+    }
+    assert sqrt["small"] > sqrt["big"]
+
+    # alpha=0 equalizes EXPECTED COUNTS (rate_s·n_s) — pick a target
+    # small enough that the small source's rate doesn't cap at 1.
+    equal = {
+        r.source: (r.keep_rate, r.n_rows)
+        for r in source_mixing_rates(df, "source", 0.0, 150).collect()
+    }
+    assert equal["big"][0] * equal["big"][1] == pytest.approx(
+        equal["small"][0] * equal["small"][1], rel=1e-6
+    )
+    # and a rate that WOULD exceed 1 caps at 1 (a source can't produce
+    # more rows than it has)
+    capped = {
+        r.source: r.keep_rate
+        for r in source_mixing_rates(df, "source", 0.0, 500).collect()
+    }
+    assert capped["small"] == 1.0
+
+
+def test_mixing_deterministic_and_near_target(spark):
+    df = _skewed(spark)
+    a = sorted(r.doc_id for r in
+               mix_corpus(df, "doc_id", "source", 0.5, 500).collect())
+    b = sorted(r.doc_id for r in
+               mix_corpus(df, "doc_id", "source", 0.5, 500).collect())
+    assert a == b
+    # binomial(1000, ~0.5): 5 sigma ≈ 79
+    assert abs(len(a) - 500) < 80
+    # a different seed draws a different sample at the same rates
+    c = sorted(
+        r.doc_id
+        for r in mix_corpus(df, "doc_id", "source", 0.5, 500,
+                            seed="other").collect()
+    )
+    assert a != c
+
+
+def test_mixing_plan_broadcasts_rates_no_corpus_shuffle(spark, sf_dir):
+    """The corpus side must reach the gate without an Exchange: the only
+    shuffle is the per-source count; the rate table joins broadcast."""
+    docs = load_table(spark, "documents", sf_dir)
+    plan = (
+        mix_corpus(docs, "doc_id", "source", 0.5, 100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ----------------------------------------------------------------- DSIR
+
+
+def test_dsir_scores_match_duckdb_mirror(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    got = sorted(map(tuple, importance_weights(
+        docs, "doc_id", "text", target, vocab_size=20000
+    ).collect()))
+    want = sorted(map(tuple, _con(sf_dir).execute("""
+        WITH tok_all AS (
+          SELECT doc_id, {tok} AS token FROM documents
+        ),
+        tok AS (SELECT * FROM tok_all WHERE token <> ''),
+        tok_t_all AS (
+          SELECT doc_id, {tok} AS token FROM documents WHERE lang = 'en'
+        ),
+        tok_t AS (SELECT * FROM tok_t_all WHERE token <> ''),
+        raw_total AS (SELECT count(*) AS t FROM tok),
+        t_total AS (SELECT count(*) AS t FROM tok_t),
+        raw_vocab AS (
+          SELECT token, round(ln(count(*) / (SELECT t FROM raw_total)), 6)
+                   AS logp_r
+          FROM tok GROUP BY token
+          ORDER BY count(*) DESC, token ASC LIMIT 20000
+        ),
+        t_vocab AS (
+          SELECT token, round(ln(count(*) / (SELECT t FROM t_total)), 6)
+                   AS logp_t
+          FROM tok_t GROUP BY token
+          ORDER BY count(*) DESC, token ASC LIMIT 20000
+        )
+        SELECT k.doc_id,
+               round(sum(
+                 coalesce(tv.logp_t,
+                          round(ln(0.5 / (SELECT t FROM t_total)), 6))
+                 - coalesce(rv.logp_r,
+                            round(ln(0.5 / (SELECT t FROM raw_total)), 6))
+               ), 6) AS dsir_score,
+               count(*) AS n_scored_tokens
+        FROM tok k
+        LEFT JOIN t_vocab tv USING (token)
+        LEFT JOIN raw_vocab rv USING (token)
+        GROUP BY k.doc_id
+    """.format(tok=TOKEN_SQL)).fetchall()))
+    assert len(got) > 0
+    assert got == want
+
+
+def _py_gumbel_key(doc_id, score, seed="dsir", temperature=1.0):
+    h = hashlib.md5((seed + str(doc_id)).encode()).hexdigest()
+    u = (int(h[:8], 16) + 0.5) / 2**32
+    return round(score / temperature + (-math.log(-math.log(u))), 6)
+
+
+def test_dsir_gumbel_selection_matches_python_reference(spark, sf_dir):
+    """The Gumbel-top-k draw, recomputed independently from the scores
+    with hashlib: same keys, same winning set."""
+    docs = load_table(spark, "documents", sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    scores = {
+        r.doc_id: r.dsir_score
+        for r in importance_weights(
+            docs, "doc_id", "text", target, vocab_size=20000
+        ).collect()
+    }
+    k = min(DSIR_K, len(scores))
+    want = sorted(
+        scores, key=lambda d: (-_py_gumbel_key(d, scores[d]), d)
+    )[:k]
+    got = dsir_resample(spark, sf_dir).collect()
+    assert sorted(r.doc_id for r in got) == sorted(want)
+    for r in got:
+        assert r.gumbel_key == pytest.approx(
+            _py_gumbel_key(r.doc_id, r.dsir_score), abs=2e-6
+        )
+
+
+def test_dsir_favors_target_domain(spark, sf_dir):
+    """Sanity on the signal itself: English documents must outscore the
+    non-Latin-script subset under an English-target LM."""
+    docs = load_table(spark, "documents", sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    w = importance_weights(docs, "doc_id", "text", target).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    means = {
+        r.lang: r.m
+        for r in w.groupBy("lang").agg(F.avg("dsir_score").alias("m")).collect()
+    }
+    assert means["en"] > means["zh"]
+
+
+def test_hash_uniform_in_unit_interval(spark):
+    df = spark.range(1000).select(hash_uniform(F.col("id"), "s").alias("u"))
+    lo, hi, avg = df.agg(F.min("u"), F.max("u"), F.avg("u")).first()
+    assert 0.0 < lo and hi < 1.0
+    assert 0.4 < avg < 0.6
+
+
+def test_importance_resample_k_bound(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    out = importance_resample(docs, "doc_id", "text", target, k=7)
+    assert out.count() == 7
+
+
+# ------------------------------------------------------------ diversity
+
+
+def test_diversity_sample_invariants(spark, sf_dir):
+    out = embeddings_diversity_sample(spark, sf_dir).collect()
+    assert len(out) > 0
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, rows in by_cell.items():
+        assert len(rows) <= 10
+        ranks = sorted(r.cell_rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        # ranked nearest-first
+        ordered = sorted(rows, key=lambda r: r.cell_rank)
+        cosines = [r.centroid_cos for r in ordered]
+        assert cosines == sorted(cosines, reverse=True)
+    # deterministic
+    again = embeddings_diversity_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_diversity_sample_matches_numpy_reference(spark, sf_dir):
+    """Assignment + per-cell ranking recomputed in NumPy from the same
+    deterministic centroids."""
+    from connect_server_spark.operators.similarity import train_ivf_centroids
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = train_ivf_centroids(emb, 8)
+    got = sorted(
+        (r.vec_id, r.cell, r.cell_rank)
+        for r in diversity_sample(
+            emb, nlist=8, quota=5, centroids=cents
+        ).collect()
+    )
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    vecs = np.array([r.embedding for r in rows], dtype=np.float64)
+    vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    owner = np.argmax(vn @ cn.T, axis=1)
+    # centroid_cos as the operator computes it: raw vec vs raw centroid
+    cos = np.array([
+        float(np.dot(vecs[i], cents[owner[i]]))
+        / (np.linalg.norm(vecs[i]) * np.linalg.norm(cents[owner[i]]))
+        for i in range(len(ids))
+    ])
+    want = []
+    for cell in range(8):
+        members = [
+            (round(cos[i], 6), int(ids[i]))
+            for i in range(len(ids)) if owner[i] == cell
+        ]
+        members.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (c, vid) in enumerate(members[:5], start=1):
+            want.append((vid, cell, rank))
+    assert got == sorted(want)
+
+
+def test_diversity_sample_quota_caps_hot_cluster(spark):
+    """A corpus that is 90% one duplicated direction still yields at most
+    quota rows from that mode — the balanced-coverage property."""
+    rng = np.random.RandomState(3)
+    hot = [
+        Row(vec_id=i, embedding=[1.0 + rng.rand() * 1e-3, 0.0, 0.0])
+        for i in range(90)
+    ]
+    rest = [
+        Row(vec_id=100 + i,
+            embedding=[float(x) for x in rng.randn(3)])
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(hot + rest)
+    out = diversity_sample(df, nlist=4, quota=3, sample_size=100).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell, 0)
+        by_cell[r.cell] += 1
+    assert all(n <= 3 for n in by_cell.values())
+    assert len(out) <= 12
