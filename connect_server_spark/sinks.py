@@ -29,6 +29,8 @@ __all__ = [
     "read_search_index",
     "write_feedstock",
     "read_feedstock",
+    "write_training_shards",
+    "read_training_shards",
 ]
 
 
@@ -131,3 +133,142 @@ def read_feedstock(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+# --------------------------------------------------------------------------
+# Training-shard sink: the hand-off artifact between the Spark pipeline
+# (dedup → curation → sampling → pack) and a training loader. No
+# reference analog — builder's-brief LLM surface, like operators/packing.
+
+
+def write_training_shards(
+    packed: DataFrame,
+    path: str,
+    n_shards: int,
+    pack_col: str = "pack_id",
+    token_col: str = "n_tokens",
+) -> dict:
+    """Write packed sequences as ``n_shards`` loader-ready shard
+    partitions plus a driver-written manifest, manifest-last so the
+    manifest's existence IS the commit marker.
+
+    Shard assignment is ``pmod(xxhash64(pack_id), n_shards)`` — all rows
+    of a pack land in one shard (a loader must never see half a pack),
+    assignment is deterministic under retry, and shards are balanced in
+    expectation without a global sort. The data lands via ONE
+    ``repartition(n_shards, shard)`` so each shard directory is a single
+    task's output (≈ total/n_shards rows each); pick ``n_shards`` so a
+    shard is 0.5–2 GB at the target scale, exactly like sizing shuffle
+    partitions.
+
+    The manifest records per-shard pack/row/token counts and an
+    order-independent content checksum (``bit_xor`` of row hashes —
+    associative, so it can be recomputed shard-parallel by any reader).
+    Write order: data first, ``_manifest.json`` LAST via a same-directory
+    two-step rename; a crashed writer leaves data without a manifest,
+    which readers refuse — re-running the writer is then safe because
+    the data write is a full overwrite.
+
+    Returns the manifest dict.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    shard = F.pmod(F.xxhash64(F.col(pack_col)), n_shards).cast("int")
+    tagged = packed.withColumn("shard", shard)
+    (
+        tagged.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+    data_cols = [c for c in packed.columns]
+    stats = (
+        tagged.withColumn(
+            "_rh", F.xxhash64(*[F.col(c) for c in data_cols])
+        )
+        .groupBy("shard")
+        .agg(
+            F.count_distinct(F.col(pack_col)).alias("n_packs"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(token_col)).alias("n_tokens"),
+            F.expr("bit_xor(_rh)").alias("checksum"),
+        )
+        .collect()
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "pack_col": pack_col,
+        "token_col": token_col,
+        "columns": data_cols,
+        "shards": {
+            int(r.shard): {
+                "n_packs": int(r.n_packs),
+                "n_rows": int(r.n_rows),
+                "n_tokens": int(r.n_tokens or 0),
+                "checksum": int(r.checksum),
+            }
+            for r in stats
+        },
+    }
+    import json as _json
+    import os as _os
+
+    tmp = _os.path.join(path, "._manifest_tmp.json")
+    final = _os.path.join(path, "_manifest.json")
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f, sort_keys=True)
+        f.flush()
+        _os.fsync(f.fileno())
+    _os.replace(tmp, final)  # atomic on the same filesystem
+    return manifest
+
+
+def read_training_shards(
+    spark: SparkSession, path: str, verify: bool = True
+) -> DataFrame:
+    """Read a shard directory back, refusing an uncommitted (crashed)
+    write — no manifest, no data. ``verify=True`` recomputes per-shard
+    row counts + checksums against the manifest in one aggregation and
+    raises on any divergence (a truncated or double-written shard must
+    not reach a training run silently)."""
+    import json as _json
+    import os as _os
+
+    mpath = _os.path.join(path, "_manifest.json")
+    if not _os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"{path}: no _manifest.json — the shard write never committed; "
+            "re-run the writer (data-only directories are safe to discard)"
+        )
+    with open(mpath) as f:
+        manifest = _json.load(f)
+    df = spark.read.parquet(path)
+    if verify:
+        cols = manifest["columns"]
+        got = {
+            int(r.shard): (int(r.n_rows), int(r.checksum))
+            for r in df.withColumn(
+                "_rh", F.xxhash64(*[F.col(c) for c in cols])
+            )
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr("bit_xor(_rh)").alias("checksum"),
+            )
+            .collect()
+        }
+        want = {
+            int(s): (v["n_rows"], v["checksum"])
+            for s, v in manifest["shards"].items()
+        }
+        if got != want:
+            bad = sorted(
+                s for s in set(got) | set(want)
+                if got.get(s) != want.get(s)
+            )
+            raise ValueError(
+                f"{path}: shard verification failed for shards {bad} — "
+                "data does not match the committed manifest"
+            )
+    return df

@@ -3,6 +3,7 @@ replace-by-subject search ingest (S9)."""
 
 import pytest
 from pyspark.errors.exceptions.base import AnalysisException
+from pyspark.sql import functions as F
 
 from connect_server_spark.sinks import (
     idempotent_append,
@@ -122,3 +123,142 @@ def test_idempotent_append_raises_on_unreadable_existing_table(spark, tmp_path):
     )
     with pytest.raises(AnalysisException):
         idempotent_append(spark, incoming, str(d), ["source_id", "version"])
+
+
+# ----------------------------------------------------- training shards
+
+
+def _packed(spark, n_docs=200, budget=512):
+    from connect_server_spark.operators.packing import pack_sequences
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), 300) + 1).alias("n_tokens"),
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", budget)
+
+
+def test_training_shards_roundtrip_and_manifest(spark, tmp_path):
+    from connect_server_spark.sinks import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    packed = _packed(spark)
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(packed, path, n_shards=4)
+
+    df = read_training_shards(spark, path)  # verify=True recomputes
+    got = sorted(map(tuple, df.drop("shard").collect()))
+    want = sorted(map(tuple, packed.collect()))
+    assert got == want
+
+    # manifest totals equal the data totals
+    assert sum(s["n_rows"] for s in manifest["shards"].values()) == len(want)
+    assert sum(s["n_tokens"] for s in manifest["shards"].values()) == sum(
+        r[1] for r in want
+    )
+    # a pack never splits across shards
+    spread = (
+        df.groupBy("pack_id")
+        .agg(F.count_distinct("shard").alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert spread == 1
+
+
+def test_training_shards_deterministic_assignment(spark, tmp_path):
+    from connect_server_spark.sinks import write_training_shards
+
+    packed = _packed(spark)
+    m1 = write_training_shards(packed, str(tmp_path / "a"), n_shards=4)
+    m2 = write_training_shards(packed, str(tmp_path / "b"), n_shards=4)
+    assert m1["shards"] == m2["shards"]
+
+
+def test_training_shards_uncommitted_write_refused(spark, tmp_path):
+    """Data without a manifest = a crashed writer: readers must refuse."""
+    import os
+
+    from connect_server_spark.sinks import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    packed = _packed(spark)
+    path = str(tmp_path / "shards")
+    write_training_shards(packed, path, n_shards=2)
+    os.remove(os.path.join(path, "_manifest.json"))  # simulate the crash
+    with pytest.raises(FileNotFoundError, match="never committed"):
+        read_training_shards(spark, path)
+    # re-running the writer recommits cleanly (overwrite semantics)
+    write_training_shards(packed, path, n_shards=2)
+    assert read_training_shards(spark, path).count() == packed.count()
+
+
+def test_training_shards_detect_corruption(spark, tmp_path):
+    """A shard whose data diverges from the committed manifest fails
+    verification loudly."""
+    import glob
+    import os
+
+    from connect_server_spark.sinks import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    packed = _packed(spark)
+    path = str(tmp_path / "shards")
+    write_training_shards(packed, path, n_shards=2)
+    # drop one shard's parquet files out from under the manifest
+    victim = glob.glob(os.path.join(path, "shard=0", "*.parquet"))
+    assert victim
+    for f in victim:
+        os.remove(f)
+    with pytest.raises(ValueError, match="shard verification failed"):
+        read_training_shards(spark, path)
+    # verify=False still reads (for salvage tooling)
+    assert read_training_shards(spark, path, verify=False).count() > 0
+
+
+def test_training_shards_balance(spark, tmp_path):
+    """Hash assignment balances packs across shards (no shard more than
+    2x the mean at this pack count)."""
+    from connect_server_spark.sinks import write_training_shards
+
+    packed = _packed(spark, n_docs=2000)
+    m = write_training_shards(packed, str(tmp_path / "s"), n_shards=8)
+    counts = [s["n_packs"] for s in m["shards"].values()]
+    assert len(counts) == 8
+    mean = sum(counts) / len(counts)
+    assert max(counts) < 2 * mean
+
+
+def test_training_shards_compose_chunk_pack(spark, sf_dir, tmp_path):
+    """End-to-end: documents → chunk → pack → shard → read; every pack
+    within budget, token mass conserved through the whole pipeline."""
+    from connect_server_spark.operators.packing import chunk_and_pack
+    from connect_server_spark.operators.text import token_count
+    from connect_server_spark.sinks import (
+        read_training_shards,
+        write_training_shards,
+    )
+    from connect_server_spark.tables import load_table
+
+    budget = 128
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = chunk_and_pack(docs, "doc_id", "n_tokens", budget)
+    path = str(tmp_path / "shards")
+    write_training_shards(
+        packed, path, n_shards=4, pack_col="pack_id",
+        token_col="chunk_tokens",
+    )
+    df = read_training_shards(spark, path)
+    per_pack = df.groupBy("pack_id").agg(F.sum("chunk_tokens").alias("t"))
+    assert per_pack.filter(F.col("t") > budget).count() == 0
+    total_in = docs.agg(F.sum("n_tokens")).first()[0]
+    total_out = df.agg(F.sum("chunk_tokens")).first()[0]
+    assert total_in == total_out
