@@ -542,3 +542,146 @@ def test_ingest_dedup_with_curation_gate(spark, tmp_path):
     # the original corpus + the surviving novel doc)
     index_ids = {r.doc_id for r in spark.read.parquet(sh).collect()}
     assert index_ids == {1, 2, 3, 103}
+
+
+def test_streaming_rollup_refresh_matches_batch_cascade(spark, tmp_path):
+    """T6 extension: the persisted continuous aggregate. Two file
+    micro-batches stream through rollup_refresh_sink; read_rollup must
+    equal rollup_cascade over the union — including a LATE row whose
+    bucket is older than batch 1's data."""
+    import json
+
+    from connect_server_spark.operators.temporal import rollup_cascade
+    from connect_server_spark.streaming.rollup_refresh import (
+        read_rollup,
+        rollup_refresh_sink,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows1 = [
+        {"ts": f"2024-01-01 10:{m:02d}:00", "k": "a", "v": float(m)}
+        for m in range(10)
+    ]
+    # batch 2 carries late data: an hour-9 row arriving after hour-10s
+    rows2 = [
+        {"ts": "2024-01-01 09:59:00", "k": "a", "v": 100.0},
+        {"ts": "2024-01-01 10:30:00", "k": "b", "v": 7.0},
+    ]
+    (src / "b1.json").write_text("\n".join(map(json.dumps, rows1)))
+    (src / "b2.json").write_text("\n".join(map(json.dumps, rows2)))
+
+    store = str(tmp_path / "rollup")
+    schema = "ts timestamp, k string, v double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            rollup_refresh_sink(spark, store, "ts", "v", ["k"], [60, 3600])
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    all_rows = spark.read.schema(schema).json(str(src))
+    want = sorted(map(tuple, rollup_cascade(
+        all_rows, "ts", "v", ["k"], [60, 3600]
+    ).select("k", "bucket_ts", "bucket_seconds", "n", "sum_v",
+             "min_v", "max_v").collect()))
+    got = sorted(map(tuple, read_rollup(spark, store, ["k"]).select(
+        "k", "bucket_ts", "bucket_seconds", "n", "sum_v",
+        "min_v", "max_v").collect()))
+    assert got == want
+    # level pruning returns only that level
+    hourly = read_rollup(spark, store, ["k"], width_seconds=3600)
+    assert hourly.select("bucket_seconds").distinct().collect()[0][0] == 3600
+
+
+def test_streaming_rollup_replay_and_compaction(spark, tmp_path):
+    """Replayed batch ids append nothing — before AND after compaction
+    (the seen ledger carries absorbed ids) — and compaction folds the
+    log without changing the merged result."""
+    from connect_server_spark.operators.temporal import rollup_cascade
+    from connect_server_spark.streaming.rollup_refresh import (
+        compact_rollup,
+        read_rollup,
+        rollup_refresh_sink,
+    )
+
+    import datetime as dt
+
+    def batch(vals, day):
+        return spark.createDataFrame(
+            [(dt.datetime(2024, 1, day, 10, i), "k", float(v))
+             for i, v in enumerate(vals)],
+            "ts timestamp, k string, v double",
+        )
+
+    store = str(tmp_path / "rollup")
+    sink = rollup_refresh_sink(spark, store, "ts", "v", ["k"], [60, 3600])
+    b1, b2 = batch([1, 2, 3], 1), batch([10, 20], 2)
+    sink(b1, 0)
+    sink(b2, 1)
+    baseline = sorted(map(tuple, read_rollup(spark, store, ["k"]).collect()))
+
+    sink(b1, 0)  # replay before compaction: gated by the log itself
+    assert sorted(map(tuple,
+                      read_rollup(spark, store, ["k"]).collect())) == baseline
+
+    n = compact_rollup(spark, store, ["k"])
+    after = sorted(map(tuple, read_rollup(spark, store, ["k"]).collect()))
+    assert after == baseline
+    # log now holds exactly the merged rows
+    assert spark.read.parquet(f"{store}/partials").count() == n
+
+    sink(b2, 1)  # replay after compaction: gated by the seen ledger
+    assert sorted(map(tuple,
+                      read_rollup(spark, store, ["k"]).collect())) == baseline
+
+    # new batches still land post-compaction and merge with compacted rows
+    sink(batch([5], 1), 2)
+    union = b1.unionByName(b2).unionByName(batch([5], 1))
+    want = sorted(map(tuple, rollup_cascade(
+        union, "ts", "v", ["k"], [60, 3600]
+    ).select("k", "bucket_ts", "bucket_seconds", "n", "sum_v",
+             "min_v", "max_v").collect()))
+    got = sorted(map(tuple, read_rollup(spark, store, ["k"]).select(
+        "k", "bucket_ts", "bucket_seconds", "n", "sum_v",
+        "min_v", "max_v").collect()))
+    assert got == want
+
+
+def test_streaming_rollup_crash_between_ledger_and_swap(spark, tmp_path):
+    """The documented crash window: ledger updated, swap never ran.
+    Reads stay correct (raw log) and the absorbed batch stays gated."""
+    from connect_server_spark.streaming.rollup_refresh import (
+        read_rollup,
+        rollup_refresh_sink,
+    )
+
+    import datetime as dt
+
+    store = str(tmp_path / "rollup")
+    sink = rollup_refresh_sink(spark, store, "ts", "v", ["k"], [60])
+    b = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 10, 0), "k", 1.0)],
+        "ts timestamp, k string, v double",
+    )
+    sink(b, 0)
+    baseline = sorted(map(tuple, read_rollup(spark, store, ["k"]).collect()))
+
+    # simulate: compaction wrote the ledger then crashed before the swap
+    spark.createDataFrame([(0,)], "batch_id long").write.mode(
+        "append"
+    ).parquet(f"{store}/seen")
+
+    assert sorted(map(tuple,
+                      read_rollup(spark, store, ["k"]).collect())) == baseline
+    sink(b, 0)  # replay of the absorbed batch: still gated
+    assert sorted(map(tuple,
+                      read_rollup(spark, store, ["k"]).collect())) == baseline
