@@ -82,6 +82,7 @@ HEADLINE = [
     "corpus_mixing",
     "dsir_resample",
     "diversity_sample",
+    "quality_gates",
 ]
 
 

@@ -1,0 +1,189 @@
+"""Published document-quality gates: Gopher rules and C4 line cleaning.
+
+The per-signal primitives live in :mod:`connect_server_spark.operators.
+text` (mean word length, punct ratio, dup-line ratio, top-n-gram share);
+this module composes them into the two canonical published filter sets a
+pretraining pipeline actually runs:
+
+* ``gopher_flags`` / ``gopher_pass`` — the Gopher quality heuristics
+  (Rae et al. 2021, §A1.1): word-count bounds, mean-word-length bounds,
+  symbol-to-word ratio, bullet/ellipsis line shares, alphabetic-word
+  share, required-stopword evidence, plus the repetition axes.
+* ``c4_clean_lines`` / ``c4_doc_flags`` — C4's line-level cleaning
+  (Raffel et al. 2020, §2.2): keep only lines that end in terminal
+  punctuation and have ≥ ``min_words`` words, drop lines mentioning
+  javascript; flag documents containing "lorem ipsum" or curly braces
+  for removal.
+
+Everything is a pure Catalyst expression over ``split``/``filter``/
+``transform``/``aggregate`` — scan-stage, zero shuffle, zero Python —
+and every threshold is a keyword argument with the published default,
+so a pipeline can tighten or loosen gates without forking the rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from connect_server_spark.functions.expr import let_col
+from connect_server_spark.operators.text import (
+    dup_line_ratio,
+    mean_word_length,
+    tokens,
+    top_ngram_share,
+)
+
+__all__ = [
+    "gopher_flags",
+    "gopher_pass",
+    "c4_clean_lines",
+    "c4_doc_flags",
+]
+
+# Gopher's required-stopword inventory (§A1.1: "contains at least two of
+# the following English words").
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+def _lines(text: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: F.length(ln) > 0,
+    )
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.round(num.cast("double") / F.greatest(den, F.lit(1)), 6)
+
+
+def gopher_flags(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_share: float = 0.9,
+    max_ellipsis_line_share: float = 0.3,
+    min_alpha_word_share: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_line_ratio: float = 0.3,
+    max_top_2gram_share: float = 0.2,
+) -> Column:
+    """Struct of the Gopher rule verdicts plus the metrics behind them.
+
+    Each ``ok_*`` field is one published rule; ``gopher_pass`` AND-folds
+    them. Metrics are exposed alongside so a pipeline can audit WHY a
+    document fell (the difference between a filter and a black box).
+    The word-count defaults (50–100k) are the Gopher paper's; the
+    repetition thresholds (dup-line 0.30, top-2-gram 0.20) are its
+    §A1.3 duplicate-text limits.
+    """
+
+    def build(toks: Column) -> Column:
+        n_words = F.size(toks)
+        mwl = mean_word_length(text, toks=toks)
+        # symbol-to-word: '#' and '…'/'...' occurrences per word
+        n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+        n_ellipsis = F.size(
+            F.regexp_extract_all(text, F.lit(r"\.\.\.|…"), F.lit(0))
+        )
+        symbol_ratio = _ratio(n_hash + n_ellipsis, n_words)
+        lines = _lines(text)
+        n_lines = F.size(lines)
+        bullet = F.size(
+            F.filter(
+                lines,
+                lambda ln: ln.startswith("- ")
+                | ln.startswith("* ")
+                | ln.startswith("•"),
+            )
+        )
+        ellipsis_end = F.size(
+            F.filter(
+                lines,
+                lambda ln: ln.endswith("...") | ln.endswith("…"),
+            )
+        )
+        alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+        stop_hits = F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            )
+        )
+        dup_lines = dup_line_ratio(text)
+        top2 = top_ngram_share(text, n=2, toks=toks)
+        return F.struct(
+            n_words.alias("n_words"),
+            mwl.alias("mean_word_len"),
+            symbol_ratio.alias("symbol_word_ratio"),
+            _ratio(bullet, n_lines).alias("bullet_line_share"),
+            _ratio(ellipsis_end, n_lines).alias("ellipsis_line_share"),
+            _ratio(alpha_words, n_words).alias("alpha_word_share"),
+            stop_hits.alias("stopword_hits"),
+            dup_lines.alias("dup_line_ratio"),
+            top2.alias("top_2gram_share"),
+            ((n_words >= min_words) & (n_words <= max_words)).alias("ok_words"),
+            (
+                (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)
+            ).alias("ok_word_len"),
+            (symbol_ratio <= max_symbol_word_ratio).alias("ok_symbols"),
+            (
+                _ratio(bullet, n_lines) <= max_bullet_line_share
+            ).alias("ok_bullets"),
+            (
+                _ratio(ellipsis_end, n_lines) <= max_ellipsis_line_share
+            ).alias("ok_ellipsis"),
+            (
+                _ratio(alpha_words, n_words) >= min_alpha_word_share
+            ).alias("ok_alpha"),
+            (stop_hits >= min_stopword_hits).alias("ok_stopwords"),
+            (dup_lines <= max_dup_line_ratio).alias("ok_dup_lines"),
+            (top2 <= max_top_2gram_share).alias("ok_top_2gram"),
+        )
+
+    return let_col(tokens(text), build)
+
+
+def gopher_pass(flags: Column) -> Column:
+    """AND of all ``ok_*`` verdicts in a :func:`gopher_flags` struct."""
+    oks = [
+        "ok_words", "ok_word_len", "ok_symbols", "ok_bullets",
+        "ok_ellipsis", "ok_alpha", "ok_stopwords", "ok_dup_lines",
+        "ok_top_2gram",
+    ]
+    out = F.lit(True)
+    for name in oks:
+        out = out & flags[name]
+    return out
+
+
+def c4_clean_lines(text: Column, min_words: int = 5) -> Column:
+    """C4 §2.2 line cleaning, as a pure expression: keep lines that end
+    in terminal punctuation, have ≥ ``min_words`` whitespace words, and
+    don't mention javascript (case-insensitive); rejoin survivors with
+    newlines. Returns the cleaned text (possibly empty)."""
+    kept = F.filter(
+        _lines(text),
+        lambda ln: (
+            (
+                ln.endswith(".") | ln.endswith("!") | ln.endswith("?")
+                | ln.endswith('"') | ln.endswith("'")
+            )
+            & (F.size(F.split(ln, r"\s+")) >= min_words)
+            & ~F.lower(ln).contains("javascript")
+        ),
+    )
+    return F.array_join(kept, "\n")
+
+
+def c4_doc_flags(text: Column) -> Column:
+    """C4's document-level removal flags: policy-placeholder text
+    ("lorem ipsum") and source-code leakage (curly braces). True means
+    DROP the whole document."""
+    low = F.lower(text)
+    return F.struct(
+        low.contains("lorem ipsum").alias("has_lorem_ipsum"),
+        (low.contains("{") | low.contains("}")).alias("has_brace"),
+    )

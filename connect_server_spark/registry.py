@@ -38,6 +38,7 @@ _QUERY_MODULES = [
     "connect_server_spark.queries.transfer_queries",
     "connect_server_spark.queries.temporal_queries",
     "connect_server_spark.queries.sampling_queries",
+    "connect_server_spark.queries.quality_queries",
 ]
 
 

@@ -1,0 +1,229 @@
+"""Published quality gates (Gopher rules, C4 line cleaning): behavioral
+unit tests per rule plus the oracle-grade DuckDB mirror for the
+rows-only ``quality_gates`` driver query."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from connect_server_spark.operators.quality import (
+    GOPHER_STOPWORDS,
+    c4_clean_lines,
+    c4_doc_flags,
+    gopher_flags,
+    gopher_pass,
+)
+from connect_server_spark.queries.quality_queries import quality_gates
+
+
+def _flags(spark, text, **kw):
+    df = spark.createDataFrame([Row(text=text)])
+    [r] = df.select(
+        gopher_flags(F.col("text"), **kw).alias("g")
+    ).select("g.*").collect()
+    return r
+
+
+GOOD = (
+    "The quick brown fox jumps over the lazy dog and that is fine. "
+    "We have been to the park with many friends of ours today. "
+    "Everyone should be happy to read plain text that flows well. "
+    "The weather was mild and the coffee tasted of roasted hazelnut. "
+    "That walk by the river gave everyone time to think and to rest."
+)
+
+
+def test_gopher_good_document_passes(spark):
+    r = _flags(spark, GOOD)
+    assert r.ok_words and r.ok_word_len and r.ok_symbols
+    assert r.ok_bullets and r.ok_ellipsis and r.ok_alpha
+    assert r.ok_stopwords and r.ok_dup_lines and r.ok_top_2gram
+
+
+def test_gopher_word_count_bounds(spark):
+    assert not _flags(spark, "too short of a text").ok_words
+    assert _flags(spark, "ten " * 50).ok_words
+    assert not _flags(spark, "w " * 20, min_words=5, max_words=10).ok_words
+
+
+def test_gopher_symbol_ratio_rule(spark):
+    spam = " ".join(f"#tag{i}" for i in range(60))
+    r = _flags(spark, spam)
+    assert r.symbol_word_ratio >= 1.0
+    assert not r.ok_symbols
+
+
+def test_gopher_bullet_and_ellipsis_rules(spark):
+    bullets = "\n".join(f"- item {i} of the list" for i in range(20))
+    r = _flags(spark, bullets)
+    assert r.bullet_line_share == 1.0
+    assert not r.ok_bullets
+
+    trailing = "\n".join(f"line {i} keeps going..." for i in range(10))
+    r2 = _flags(spark, trailing)
+    assert r2.ellipsis_line_share == 1.0
+    assert not r2.ok_ellipsis
+
+
+def test_gopher_alpha_word_rule(spark):
+    numeric = " ".join(str(i) for i in range(100))
+    r = _flags(spark, numeric)
+    assert r.alpha_word_share == 0.0
+    assert not r.ok_alpha
+
+
+def test_gopher_stopword_rule(spark):
+    r = _flags(spark, "lorem dolor sit amet " * 20)
+    assert r.stopword_hits < 2
+    assert not r.ok_stopwords
+    assert _flags(spark, GOOD).stopword_hits >= 2
+    assert set(GOPHER_STOPWORDS) >= {"the", "and"}
+
+
+def test_gopher_repetition_rules(spark):
+    looped = "\n".join(["the same exact line again"] * 30)
+    r = _flags(spark, looped)
+    assert not r.ok_dup_lines
+    assert not r.ok_top_2gram
+
+
+def test_gopher_pass_is_and_of_rules(spark):
+    df = spark.createDataFrame([Row(text=GOOD), Row(text="x")])
+    rows = df.select(
+        gopher_flags(F.col("text")).alias("g")
+    ).select(gopher_pass(F.col("g")).alias("ok"), "g.*").collect()
+    for r in rows:
+        oks = [v for k, v in r.asDict().items() if k.startswith("ok_")]
+        assert r.ok == all(oks)
+
+
+def test_c4_clean_lines_rules(spark):
+    text = "\n".join(
+        [
+            "This line is long enough and ends with a period.",
+            "short one.",                          # < 5 words: dropped
+            "No terminal punctuation on this line",  # dropped
+            "Enable JavaScript to view the page.",   # javascript: dropped
+            'He said it was "a fine day indeed."',   # kept (quote end)
+        ]
+    )
+    [r] = (
+        spark.createDataFrame([Row(text=text)])
+        .select(c4_clean_lines(F.col("text")).alias("c"))
+        .collect()
+    )
+    kept = r.c.split("\n")
+    assert kept == [
+        "This line is long enough and ends with a period.",
+        'He said it was "a fine day indeed."',
+    ]
+
+
+def test_c4_doc_flags(spark):
+    rows = (
+        spark.createDataFrame(
+            [
+                Row(doc_id=1, text="Normal prose here."),
+                Row(doc_id=2, text="Lorem Ipsum dolor sit."),
+                Row(doc_id=3, text="code { return 1; }"),
+            ]
+        )
+        .select("doc_id", c4_doc_flags(F.col("text")).alias("f"))
+        .select("doc_id", "f.*")
+        .collect()
+    )
+    got = {r.doc_id: (r.has_lorem_ipsum, r.has_brace) for r in rows}
+    assert got == {1: (False, False), 2: (True, False), 3: (False, True)}
+
+
+def test_quality_gates_plan_is_scan_stage(spark, sf_dir):
+    plan = (
+        quality_gates(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_quality_gates_matches_duckdb_mirror(spark, sf_dir):
+    """Every metric, verdict, and the cleaned length recomputed in
+    DuckDB SQL on the same parquet — the oracle for the rows-only
+    driver query."""
+    got = sorted(map(tuple, quality_gates(spark, sf_dir).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(r"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> len(x) > 0) AS ls
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, concat_ws(' ', w[i], w[i + 1]) AS g
+      FROM toks, unnest(range(1, len(w))) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    gcnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+    gtop AS (
+      SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top2
+      FROM gcnt GROUP BY doc_id
+    ),
+    m AS (
+      SELECT t.doc_id,
+        len(w) AS n_words,
+        round(list_sum(list_transform(w, x -> CAST(len(x) AS DOUBLE)))
+              / greatest(len(w), 1), 6) AS mean_word_len,
+        round(CAST(len(text) - len(replace(text, '#', ''))
+                   + len(regexp_extract_all(text, '\.\.\.|…', 0)) AS DOUBLE)
+              / greatest(len(w), 1), 6) AS symbol_word_ratio,
+        round(CAST(len(list_filter(ls, x -> starts_with(x, '- ')
+                                        OR starts_with(x, '* ')
+                                        OR starts_with(x, '•'))) AS DOUBLE)
+              / greatest(len(ls), 1), 6) AS bullet_line_share,
+        round(CAST(len(list_filter(ls, x -> ends_with(x, '...')
+                                        OR ends_with(x, '…'))) AS DOUBLE)
+              / greatest(len(ls), 1), 6) AS ellipsis_line_share,
+        round(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+              / greatest(len(w), 1), 6) AS alpha_word_share,
+        len(list_intersect(list_distinct(w),
+            ['the','be','to','of','and','that','have','with'])) AS stopword_hits,
+        round(CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+              / greatest(len(ls), 1), 6) AS dup_line_ratio,
+        coalesce(g.top2, 0.0) AS top_2gram_share,
+        contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+        (contains(lower(text), '{') OR contains(lower(text), '}')) AS has_brace,
+        coalesce(len(array_to_string(
+          list_filter(ls, x ->
+            (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?')
+             OR ends_with(x, '"') OR ends_with(x, ''''))
+            AND len(string_split_regex(x, '\s+')) >= 5
+            AND NOT contains(lower(x), 'javascript')),
+          chr(10))), 0) AS c4_clean_len
+      FROM toks t LEFT JOIN gtop g ON t.doc_id = g.doc_id
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_share, ellipsis_line_share, alpha_word_share,
+           stopword_hits, dup_line_ratio, top_2gram_share,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND symbol_word_ratio <= 0.1
+             AND bullet_line_share <= 0.9
+             AND ellipsis_line_share <= 0.3
+             AND alpha_word_share >= 0.8
+             AND stopword_hits >= 2
+             AND dup_line_ratio <= 0.3
+             AND top_2gram_share <= 0.2 AS gopher_ok,
+           has_lorem_ipsum, has_brace, c4_clean_len
+    FROM m
+    """).fetchall()))
+    assert len(got) > 0
+    assert got == want
