@@ -90,6 +90,30 @@ def main(out_dir: str = "/tmp/scale_sf1") -> None:
         f"{out_dir}/embeddings.parquet"
     )
 
+    # events replicate with SHIFTED user ids (and strided event ids): the
+    # per-user event density — what the as-of window, interval join, and
+    # sessionization actually scale in — stays identical while users and
+    # rows grow 10×, so temporal-query ratios measure the engine, not a
+    # densified dataset artifact.
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    vparts = [
+        ev.select(
+            (F.col("event_id") + k * ID_STRIDE).alias("event_id"),
+            "ts",
+            (F.col("user_id") + k * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for k in range(REPLICAS)
+    ]
+    big_ev = vparts[0]
+    for p in vparts[1:]:
+        big_ev = big_ev.unionByName(p)
+    big_ev.coalesce(8).write.mode("overwrite").parquet(
+        f"{out_dir}/events.parquet"
+    )
+
     for t in (
         "region",
         "nation",
@@ -98,7 +122,6 @@ def main(out_dir: str = "/tmp/scale_sf1") -> None:
         "part",
         "orders",
         "lineitem",
-        "events",
     ):
         dst = f"{out_dir}/{t}.parquet"
         if not os.path.exists(dst):
