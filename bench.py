@@ -83,6 +83,8 @@ HEADLINE = [
     "dsir_resample",
     "diversity_sample",
     "quality_gates",
+    "events_funnel",
+    "events_retention",
 ]
 
 

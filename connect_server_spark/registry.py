@@ -39,6 +39,7 @@ _QUERY_MODULES = [
     "connect_server_spark.queries.temporal_queries",
     "connect_server_spark.queries.sampling_queries",
     "connect_server_spark.queries.quality_queries",
+    "connect_server_spark.queries.events_analytics_queries",
 ]
 
 

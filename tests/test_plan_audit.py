@@ -176,6 +176,16 @@ SHUFFLE_BUDGET = {
     # broadcast centroid join + ONE per-cell window Exchange whose
     # partitions are ≈ corpus/nlist, balanced by construction.
     "diversity_sample": 2,
+    # r6 events analytics. funnel: ONE hash partition by user (the
+    # collect_list groupBy); the step fold is scan-stage, no join at all
+    # (pinned join-free in tests/test_events_analytics.py).
+    "events_funnel": 1,
+    # retention: distinct (user, bucket) + per-user min-bucket + the
+    # user equi-join back + the (cohort, offset) rollup — all narrow
+    # (user, bucket) rows; the rollup is a plain count (triples are
+    # unique by construction — count_distinct's Expand would add a 5th
+    # Exchange for nothing).
+    "events_retention": 4,
 }
 
 
