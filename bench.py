@@ -85,6 +85,7 @@ HEADLINE = [
     "quality_gates",
     "events_funnel",
     "events_retention",
+    "events_rollup_anomalies",
 ]
 
 

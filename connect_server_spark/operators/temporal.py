@@ -41,6 +41,7 @@ __all__ = [
     "merge_partials",
     "finalize_partials",
     "rollup_cascade",
+    "rollup_zscores",
 ]
 
 
@@ -335,3 +336,53 @@ def rollup_cascade(
     for level in levels[1:]:
         out = out.unionByName(level)
     return out
+
+
+def rollup_zscores(
+    partials: DataFrame,
+    keys: list[str],
+    trailing: int = 24,
+    min_history: int = 6,
+) -> DataFrame:
+    """Anomaly scores over a rollup level: each bucket's mean value
+    compared against the trailing ``trailing`` buckets of ITS key — the
+    standard telemetry consumer of a continuous aggregate (a spike in
+    `error` events per hour, a collapse in ingest volume).
+
+    z = (avg_v - trailing_mean) / trailing_stddev, using the population
+    stddev of the trailing window (explicit choice so the DuckDB mirror
+    is exact), null until ``min_history`` buckets of history exist
+    (a z-score against 1-2 samples is noise) or when the trailing
+    window is constant (stddev 0 — flagging there would mark ANY change
+    anomalous, the caller owns that policy via ``z IS NULL``).
+
+    Plan: ONE hash partition by key for the ordered window (the rollup
+    level is already one row per (key, bucket), so the window input is
+    the small partial set, never raw events). Rounded to the 1e-6 grid
+    for engine-stable output.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("bucket_ts"))
+        .rowsBetween(-trailing, -1)
+    )
+    avg_v = F.col("sum_v") / F.col("n")
+    t_mean = F.avg(avg_v).over(w)
+    # population stddev over the trailing frame: sqrt(E[x^2] - E[x]^2),
+    # clamped at 0 against float cancellation
+    t_ex2 = F.avg(avg_v * avg_v).over(w)
+    t_std = F.sqrt(F.greatest(t_ex2 - t_mean * t_mean, F.lit(0.0)))
+    t_n = F.count(avg_v).over(w)
+    z = F.when(
+        (t_n >= min_history) & (t_std > 0), (avg_v - t_mean) / t_std
+    )
+    return partials.select(
+        *keys,
+        "bucket_ts",
+        "bucket_seconds",
+        F.round(avg_v, 6).alias("avg_v"),
+        t_n.alias("n_history"),
+        F.round(t_mean, 6).alias("trailing_mean"),
+        F.round(t_std, 6).alias("trailing_std"),
+        F.round(z, 6).alias("zscore"),
+    )

@@ -120,3 +120,21 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("events_rollup_cascade", events_rollup_cascade, defer=True)
+
+
+def events_rollup_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry anomaly scan over the hourly rollup level: each
+    (event_type, hour) bucket z-scored against its trailing 24 hours.
+    The window input is the rollup's partial rows (one per bucket),
+    never raw events."""
+    from connect_server_spark.operators.temporal import (
+        bucket_partials,
+        rollup_zscores,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    hourly = bucket_partials(ev, "ts", "value", ["event_type"], 3600)
+    return rollup_zscores(hourly, ["event_type"], trailing=24, min_history=6)
+
+
+register("events_rollup_anomalies", events_rollup_anomalies, defer=True)

@@ -186,6 +186,9 @@ SHUFFLE_BUDGET = {
     # unique by construction — count_distinct's Expand would add a 5th
     # Exchange for nothing).
     "events_retention": 4,
+    # hourly partial agg + the per-type ordered window over the rollup's
+    # one-row-per-bucket output — both narrow.
+    "events_rollup_anomalies": 2,
 }
 
 

@@ -383,3 +383,88 @@ def test_cascade_rejects_non_nesting_widths(spark, sf_dir):
         rollup_cascade(ev, "ts", "value", [], [60, 90])
     with pytest.raises(ValueError, match="at least one"):
         rollup_cascade(ev, "ts", "value", [], [])
+
+
+# ------------------------------------------------------------- anomalies
+
+
+def test_rollup_zscores_matches_duckdb_mirror(spark, sf_dir):
+    """The trailing-window z-score vs DuckDB's window functions on the
+    same hourly partials (population stddev, explicit in both)."""
+    from connect_server_spark.queries.temporal_queries import (
+        events_rollup_anomalies,
+    )
+
+    def norm(rows):
+        return sorted(
+            (t, b, w, a, n,
+             None if m is None else round(m, 5),
+             None if s is None else round(s, 5),
+             None if z is None else round(z, 4))
+            for (t, b, w, a, n, m, s, z) in rows
+        )
+
+    got = norm(map(tuple, events_rollup_anomalies(spark, sf_dir).collect()))
+    want = norm(map(tuple, _con(sf_dir).execute("""
+        WITH hourly AS (
+          SELECT event_type,
+                 CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600)
+                   AS TIMESTAMP) AS bucket_ts,
+                 CAST(3600 AS BIGINT) AS bucket_seconds,
+                 sum(value) / count(value) AS avg_v
+          FROM events GROUP BY 1, 2, 3
+        ),
+        win AS (
+          SELECT *,
+            avg(avg_v) OVER w AS t_mean,
+            avg(avg_v * avg_v) OVER w AS t_ex2,
+            count(avg_v) OVER w AS t_n
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, bucket_ts, bucket_seconds,
+               round(avg_v, 6) AS avg_v,
+               t_n AS n_history,
+               round(t_mean, 6) AS trailing_mean,
+               round(sqrt(greatest(t_ex2 - t_mean * t_mean, 0)), 6)
+                 AS trailing_std,
+               round(CASE WHEN t_n >= 6
+                            AND sqrt(greatest(t_ex2 - t_mean*t_mean, 0)) > 0
+                     THEN (avg_v - t_mean)
+                          / sqrt(greatest(t_ex2 - t_mean*t_mean, 0)) END, 6)
+                 AS zscore
+        FROM win
+    """).fetchall()))
+    assert len(got) > 0
+    assert got == want
+
+
+def test_rollup_zscores_flags_planted_spike(spark):
+    """A planted 100× spike after a steady baseline must z-score far
+    above the steady buckets; early buckets (< min_history) stay null."""
+    import datetime as ddt
+
+    from connect_server_spark.operators.temporal import (
+        bucket_partials,
+        rollup_zscores,
+    )
+
+    rows = []
+    for h in range(30):
+        v = 1000.0 if h == 29 else 10.0 + (h % 3)  # mild wiggle, then spike
+        rows.append((ddt.datetime(2024, 1, 1, h % 24, 30)
+                     + ddt.timedelta(days=h // 24), "k", v))
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+    hourly = bucket_partials(df, "ts", "v", ["k"], 3600)
+    out = {r.bucket_ts: r for r in
+           rollup_zscores(hourly, ["k"], trailing=24,
+                          min_history=6).collect()}
+    ordered = [out[k] for k in sorted(out)]
+    for r in ordered[:6]:       # not enough history yet
+        assert r.zscore is None
+    spike = ordered[-1]
+    steady = [r for r in ordered[6:-1] if r.zscore is not None]
+    assert spike.zscore is not None
+    assert spike.zscore > 10
+    assert all(abs(r.zscore) < 3 for r in steady)
