@@ -86,6 +86,8 @@ HEADLINE = [
     "events_funnel",
     "events_retention",
     "events_rollup_anomalies",
+    "events_overlap_join",
+    "embeddings_quantize",
 ]
 
 

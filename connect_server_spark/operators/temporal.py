@@ -42,6 +42,7 @@ __all__ = [
     "finalize_partials",
     "rollup_cascade",
     "rollup_zscores",
+    "overlap_join",
 ]
 
 
@@ -386,3 +387,72 @@ def rollup_zscores(
         F.round(t_std, 6).alias("trailing_std"),
         F.round(z, 6).alias("zscore"),
     )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str | None,
+    left_start: str = "start_ts",
+    left_end: str = "end_ts",
+    right_start: str = "start_ts",
+    right_end: str = "end_ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) pair of intervals with
+    ``max(starts) < min(ends)`` (half-open overlap), without an
+    inequality cross-join — the session-overlap / concurrent-transfer
+    query shape.
+
+    Both sides explode into the fixed-width buckets they cover, join on
+    ``(keys..., bucket)``, and keep a pair ONLY in the bucket containing
+    ``max(start_l, start_r)`` — the first bucket where both intervals
+    are live. Every overlapping pair meets in exactly that one bucket,
+    so the output is duplicate-free with no distinct (the standard
+    dedup-free bucketization trick; a distinct over the joined pairs
+    would be a second full shuffle of the output).
+
+    Same tuning rule as :func:`interval_join`: pick the bucket near the
+    typical interval length; degradation is gradual, never a cartesian
+    cliff.
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+
+    def explode_side(df: DataFrame, start: str, end: str, prefix: str):
+        lo = F.floor(F.unix_timestamp(F.col(start)) / bucket_seconds)
+        hi = F.floor(
+            (F.unix_timestamp(F.col(end)) - F.lit(1)) / bucket_seconds
+        )
+        return df.withColumn(
+            f"__{prefix}bucket",
+            F.explode(F.sequence(lo, F.greatest(lo, hi))),
+        )
+
+    l = explode_side(left, left_start, left_end, "l")
+    r = explode_side(right, right_start, right_end, "r")
+    cond = _and_all(
+        [l["__lbucket"] == r["__rbucket"]] + [l[k] == r[k] for k in keys]
+    )
+    overlap = (
+        F.greatest(l[left_start], r[right_start])
+        < F.least(l[left_end], r[right_end])
+    )
+    # the pair's ONE home bucket: where the later of the two starts lives
+    home = F.floor(
+        F.unix_timestamp(F.greatest(l[left_start], r[right_start]))
+        / bucket_seconds
+    )
+    joined = (
+        l.join(r, cond, "inner")
+        .filter(overlap)
+        .filter(l["__lbucket"] == home)
+    )
+    # right-side columns colliding with left names come back suffixed
+    # "_r" so the output schema is unambiguous regardless of the inputs.
+    sel = [l[c] for c in left.columns]
+    for c in right.columns:
+        if c in keys:
+            continue
+        out_name = f"{c}_r" if c in left.columns else c
+        sel.append(r[c].alias(out_name))
+    return joined.select(*sel)

@@ -117,3 +117,30 @@ def similarity_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("similarity_topk_ivf_indexed", similarity_topk_ivf_indexed, defer=True)
+
+
+def embeddings_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization fidelity report over the embedding table:
+    per-vector scale, the quantized payload, and the cosine between the
+    original and its dequantized reconstruction — the 4x-storage serving
+    trade, measured in-plan (scan-stage, zero shuffle)."""
+    from connect_server_spark.operators.embeddings import (
+        cosine,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    packed = quantize_int8(F.col("embedding"))
+    staged = emb.select("vec_id", "embedding", packed.alias("_p"))
+    return staged.select(
+        "vec_id",
+        F.round(F.col("_p.scale"), 6).alias("scale"),
+        F.col("_p.q").cast("array<int>").alias("q"),
+        F.round(
+            cosine(F.col("embedding"), dequantize_int8(F.col("_p"))), 4
+        ).alias("cosine_fidelity"),
+    )
+
+
+register("embeddings_quantize", embeddings_quantize, defer=True)

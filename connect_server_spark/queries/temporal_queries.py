@@ -138,3 +138,38 @@ def events_rollup_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("events_rollup_anomalies", events_rollup_anomalies, defer=True)
+
+
+def events_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session detection: per user, which of their intervals
+    (every 40th event opens one, as in events_interval_join) overlap an
+    interval opened by every 25th event — the session-overlap shape,
+    dedup-free by the home-bucket trick."""
+    from connect_server_spark.operators.temporal import overlap_join
+
+    ev = load_table(spark, "events", sf_dir)
+
+    def intervals(mod: int, hours_mod: int) -> DataFrame:
+        return ev.filter(F.col("event_id") % mod == 0).select(
+            "user_id",
+            F.col("event_id").alias("interval_id"),
+            F.col("ts").alias("start_ts"),
+            (
+                F.col("ts")
+                + F.make_interval(
+                    hours=(F.col("event_id") % hours_mod + 1).cast("int")
+                )
+            ).alias("end_ts"),
+        )
+
+    a = intervals(40, 7)
+    b = intervals(25, 5).withColumnRenamed("interval_id", "other_id")
+    out = overlap_join(a, b, on="user_id", bucket_seconds=3600)
+    return out.select(
+        "user_id", "interval_id", "start_ts", "end_ts",
+        "other_id", F.col("start_ts_r").alias("other_start_ts"),
+        F.col("end_ts_r").alias("other_end_ts"),
+    )
+
+
+register("events_overlap_join", events_overlap_join, defer=True)

@@ -494,3 +494,57 @@ def compact_partitioned(
         for leaf_str, n in pool.map(work, leaf_paths):
             results[leaf_str] = n
     return results
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join that survives a pathologically hot key on the LEFT
+    side: left rows take a deterministic salt in ``[0, salt)`` and the
+    right side replicates ``salt`` times, so the hot key's rows spread
+    over ``salt`` shuffle partitions instead of one straggler task.
+
+    The salt comes from ``xxhash64`` of the left row's NON-key columns —
+    never ``rand()``: a retried task must land every row on the same
+    salt or the join silently duplicates/drops under speculative
+    execution. Rows identical in all non-key columns share a salt,
+    which is correct (any salt works for correctness; spread only
+    matters for distinct payloads, which is exactly the skew case).
+
+    Supported ``how``: ``inner`` and ``left`` — each left row matches
+    exactly its own replica of the right side, so multiplicities equal
+    the plain join's (pytest pins equivalence). Cost: right side scans
+    ``salt``× — use when the right side is modest but over the
+    broadcast threshold and the left has known hot keys. Spark's AQE
+    skew handling covers sort-merge joins at runtime; this primitive is
+    for when AQE is unavailable (bucketed SHJ inputs, streaming
+    micro-batch plans) or the skew lives upstream of where AQE can
+    split.
+    """
+    if salt <= 0:
+        raise ValueError("salt must be positive")
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in left.columns if c not in keys]
+    if not payload:
+        raise ValueError(
+            "salted_join: left side has no non-key columns to salt on"
+        )
+    l = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in payload]), F.lit(salt)).cast(
+            "int"
+        ),
+    )
+    # generators can't nest inside expressions (no .cast around explode);
+    # sequence of int literals already yields ints
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = l.join(r, keys + ["__salt"], how)
+    return out.drop("__salt")

@@ -189,6 +189,12 @@ SHUFFLE_BUDGET = {
     # hourly partial agg + the per-type ordered window over the rollup's
     # one-row-per-bucket output — both narrow.
     "events_rollup_anomalies": 2,
+    # interval-overlap join: the same bucketized equi-join shape as
+    # events_interval_join — broadcast (1) under the threshold, a
+    # sort-merge pair (2) above it; dedup-free by the home-bucket
+    # filter, so no distinct shuffle over the output.
+    "events_overlap_join": 2,
+    # embeddings_quantize is pure scan-stage array expressions (0).
 }
 
 

@@ -354,3 +354,60 @@ def test_compact_partitioned_overlaps_leaf_jobs(spark, tmp_path):
         live += d
         peak = max(peak, live)
     assert peak <= 4, ivals
+
+
+def test_salted_join_matches_plain_join_on_skewed_data(spark):
+    """Equivalence under heavy skew: 5k rows on one hot key + a long
+    tail, inner and left, exact multiset equality with the plain join."""
+    from connect_server_spark.storage import salted_join
+
+    left = spark.range(6000).select(
+        F.when(F.col("id") < 5000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), F.col("id").cast("string")))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("hot", 2), ("k5000", 3), ("missing", 4)],
+        "k string, rv int",
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, salted_join(left, right, "k", salt=8, how=how).collect())
+        )
+        want = sorted(map(tuple, left.join(right, "k", how).collect()))
+        assert got == want, how
+
+
+def test_salted_join_spreads_hot_key_and_is_deterministic(spark):
+    from connect_server_spark.storage import salted_join
+
+    left = spark.range(5000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("payload")
+    )
+    right = spark.createDataFrame([("hot", 1)], "k string, rv int")
+    # deterministic across runs
+    a = sorted(map(tuple, salted_join(left, right, "k", salt=8).collect()))
+    b = sorted(map(tuple, salted_join(left, right, "k", salt=8).collect()))
+    assert a == b and len(a) == 5000
+    # the hot key's rows actually spread: every salt bucket is populated
+    l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64("payload"), F.lit(8)).cast("int")
+    )
+    counts = [r.n for r in l.groupBy("__salt").agg(
+        F.count(F.lit(1)).alias("n")).collect()]
+    assert len(counts) == 8
+    assert max(counts) < 2 * (5000 / 8)
+
+
+def test_salted_join_rejects_bad_args(spark):
+    from connect_server_spark.storage import salted_join
+
+    left = spark.createDataFrame([("a", 1)], "k string, v int")
+    right = spark.createDataFrame([("a", 2)], "k string, rv int")
+    with pytest.raises(ValueError, match="salt must be positive"):
+        salted_join(left, right, "k", salt=0)
+    with pytest.raises(ValueError, match="inner|left"):
+        salted_join(left, right, "k", how="right")
+    with pytest.raises(ValueError, match="no non-key columns"):
+        salted_join(left.select("k"), right, "k")

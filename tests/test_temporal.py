@@ -468,3 +468,54 @@ def test_rollup_zscores_flags_planted_spike(spark):
     assert spike.zscore is not None
     assert spike.zscore > 10
     assert all(abs(r.zscore) < 3 for r in steady)
+
+
+# -------------------------------------------------------------- overlap
+
+
+def test_events_overlap_join_matches_duckdb(spark, sf_dir):
+    from connect_server_spark.queries.temporal_queries import (
+        events_overlap_join,
+    )
+
+    got = sorted(map(tuple, events_overlap_join(spark, sf_dir).collect()))
+    want = sorted(map(tuple, _con(sf_dir).execute("""
+        WITH a AS (
+          SELECT user_id, event_id AS interval_id, ts AS start_ts,
+                 ts + to_hours(CAST(event_id % 7 + 1 AS BIGINT)) AS end_ts
+          FROM events WHERE event_id % 40 = 0
+        ), b AS (
+          SELECT user_id, event_id AS other_id, ts AS start_ts,
+                 ts + to_hours(CAST(event_id % 5 + 1 AS BIGINT)) AS end_ts
+          FROM events WHERE event_id % 25 = 0
+        )
+        SELECT a.user_id, a.interval_id, a.start_ts, a.end_ts,
+               b.other_id, b.start_ts AS other_start_ts,
+               b.end_ts AS other_end_ts
+        FROM a JOIN b ON a.user_id = b.user_id
+         AND greatest(a.start_ts, b.start_ts) < least(a.end_ts, b.end_ts)
+    """).fetchall()))
+    assert len(got) > 0
+    assert got == want
+    assert len(got) == len(set(got))  # dedup-free by the home bucket
+
+
+def test_overlap_join_long_span_counted_once(spark):
+    """A pair overlapping across MANY shared buckets still emits one row
+    (the home bucket is unique), and half-open touching intervals do not
+    overlap."""
+    from connect_server_spark.operators.temporal import overlap_join
+
+    a = spark.createDataFrame([Row(
+        aid=1, start_ts=_t("2024-01-01 00:00:00"),
+        end_ts=_t("2024-01-02 00:00:00"))])
+    b = spark.createDataFrame([
+        Row(bid=10, start_ts=_t("2024-01-01 05:00:00"),
+            end_ts=_t("2024-01-01 20:00:00")),     # 15 shared hour-buckets
+        Row(bid=11, start_ts=_t("2024-01-02 00:00:00"),
+            end_ts=_t("2024-01-02 01:00:00")),     # touches end: no overlap
+    ])
+    got = [(r.aid, r.bid) for r in overlap_join(
+        a, b, on=None, bucket_seconds=3600
+    ).collect()]
+    assert got == [(1, 10)]
