@@ -46,6 +46,8 @@ __all__ = [
     "importance_weights",
     "importance_resample",
     "diversity_sample",
+    "quantile_threshold",
+    "filter_top_quantile",
 ]
 
 
@@ -258,3 +260,36 @@ def diversity_sample(
     return ranked.filter(F.col("cell_rank") <= quota).select(
         id_col, "cell", "cell_rank", "centroid_cos"
     )
+
+
+def quantile_threshold(
+    df: DataFrame,
+    col: str,
+    keep_top_fraction: float,
+    relative_error: float = 0.001,
+) -> float:
+    """The score cutoff that keeps the top ``keep_top_fraction`` of
+    rows, from ONE Greenwald-Khanna sketch pass (``approxQuantile`` —
+    bounded memory per partition, merged on the driver; rank error ≤
+    ``relative_error``). The standard way to turn 'keep the best 30%'
+    into a scan-stage filter without a global sort."""
+    if not 0 < keep_top_fraction <= 1:
+        raise ValueError("keep_top_fraction must be in (0, 1]")
+    [thr] = df.approxQuantile(col, [1.0 - keep_top_fraction], relative_error)
+    return thr
+
+
+def filter_top_quantile(
+    df: DataFrame,
+    col: str,
+    keep_top_fraction: float,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Keep rows at-or-above the sketched top-fraction cutoff. Two
+    passes over the column (sketch, then filter), zero shuffles, no
+    sort; kept mass lands within ``relative_error`` rank error of the
+    target (plus the tie mass at the cutoff — quantile gates on
+    heavily-tied scores keep whole tie groups, by design: a
+    deterministic gate must not split equal scores)."""
+    thr = quantile_threshold(df, col, keep_top_fraction, relative_error)
+    return df.filter(F.col(col) >= thr)

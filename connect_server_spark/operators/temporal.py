@@ -83,8 +83,10 @@ def asof_join(
     the Exchange disappears entirely.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
 
     payload_cols = [c for c in right.columns if c not in keys and c != right_ts]
     rstruct = F.struct(
@@ -113,27 +115,57 @@ def asof_join(
     )
     unioned = r.unionByName(l)
 
-    order = [F.col("__ts").asc(), F.col("__side").asc()] if direction == "backward" \
-        else [F.col("__ts").desc(), F.col("__side").asc()]
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = F.last("__rpayload", ignorenulls=True).over(w)
-
-    out = (
-        unioned.withColumn("__m", matched)
-        .filter(F.col("__side") == left_side)
-    )
-    if tolerance is not None:
-        gap_ok = (
-            (F.col("__ts") - F.col(f"__m.{right_ts}") <= tolerance)
-            if direction == "backward"
-            else (F.col(f"__m.{right_ts}") - F.col("__ts") <= tolerance)
+    def running(asc: bool):
+        order = (
+            [F.col("__ts").asc(), F.col("__side").asc()]
+            if asc
+            else [F.col("__ts").desc(), F.col("__side").asc()]
         )
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("__rpayload", ignorenulls=True).over(w)
+
+    # "nearest" computes BOTH carries; the two Window operators share
+    # one hash partitioning (one Exchange, two in-partition sorts) —
+    # still no join node, ties resolve backward like pandas merge_asof.
+    out = unioned
+    if direction in ("backward", "nearest"):
+        out = out.withColumn("__mb", running(asc=True))
+    if direction in ("forward", "nearest"):
+        out = out.withColumn("__mf", running(asc=False))
+    out = out.filter(F.col("__side") == left_side)
+
+    def bounded(m: Column, back: bool) -> Column:
+        if tolerance is None:
+            return m
+        gap_ok = (
+            (F.col("__ts") - m[right_ts] <= tolerance)
+            if back
+            else (m[right_ts] - F.col("__ts") <= tolerance)
+        )
+        return F.when(m.isNotNull() & gap_ok, m)
+
+    if direction == "backward":
+        out = out.withColumn("__m", bounded(F.col("__mb"), back=True))
+    elif direction == "forward":
+        out = out.withColumn("__m", bounded(F.col("__mf"), back=False))
+    else:
+        mb = bounded(F.col("__mb"), back=True)
+        mf = bounded(F.col("__mf"), back=False)
+        back_gap = F.col("__ts") - mb[right_ts]
+        fwd_gap = mf[right_ts] - F.col("__ts")
         out = out.withColumn(
-            "__m", F.when(F.col("__m").isNotNull() & gap_ok, F.col("__m"))
+            "__m",
+            F.when(mb.isNotNull() & mf.isNull(), mb)
+            .when(mb.isNull() & mf.isNotNull(), mf)
+            .when(
+                mb.isNotNull() & mf.isNotNull(),
+                # ties go backward (pandas merge_asof semantics)
+                F.when(fwd_gap < back_gap, mf).otherwise(mb),
+            ),
         )
     return out.select(
         *keys,

@@ -344,3 +344,55 @@ def test_diversity_sample_quota_caps_hot_cluster(spark):
         by_cell[r.cell] += 1
     assert all(n <= 3 for n in by_cell.values())
     assert len(out) <= 12
+
+
+# ------------------------------------------------------------- quantile
+
+
+def test_filter_top_quantile_keeps_target_fraction(spark):
+    from connect_server_spark.operators.sampling import (
+        filter_top_quantile,
+        quantile_threshold,
+    )
+
+    df = spark.range(10000).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64("id"), 100000) / 1000.0).alias("score"),
+    )
+    kept = filter_top_quantile(df, "score", 0.3, relative_error=0.001)
+    frac = kept.count() / 10000
+    assert 0.29 <= frac <= 0.31
+    # the threshold really is ~the 70th percentile of the data
+    import numpy as np
+
+    scores = np.array([r.score for r in df.collect()])
+    thr = quantile_threshold(df, "score", 0.3, relative_error=0.001)
+    rank = (scores < thr).mean()
+    assert abs(rank - 0.7) < 0.005
+    # deterministic
+    assert kept.count() == filter_top_quantile(df, "score", 0.3).count()
+
+
+def test_filter_top_quantile_tied_scores_keep_whole_groups(spark):
+    from connect_server_spark.operators.sampling import filter_top_quantile
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 4).alias("score")  # 4 tie groups
+    )
+    # asking for the top 20% lands the cutoff INSIDE the score==3 tie
+    # group (25% of rows): the gate keeps the whole group — 250 rows,
+    # not a split 200 (a fraction on an exact group boundary is
+    # rank-ambiguous within sketch error, by design).
+    kept = filter_top_quantile(df, "score", 0.2)
+    assert kept.count() == 250
+    assert kept.agg(F.min("score")).first()[0] == 3
+
+
+def test_quantile_threshold_validates_fraction(spark):
+    from connect_server_spark.operators.sampling import quantile_threshold
+
+    df = spark.range(10).select(F.col("id").cast("double").alias("s"))
+    with pytest.raises(ValueError, match="keep_top_fraction"):
+        quantile_threshold(df, "s", 0.0)
+    with pytest.raises(ValueError, match="keep_top_fraction"):
+        quantile_threshold(df, "s", 1.5)

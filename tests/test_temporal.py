@@ -519,3 +519,52 @@ def test_overlap_join_long_span_counted_once(spark):
         a, b, on=None, bucket_seconds=3600
     ).collect()]
     assert got == [(1, 10)]
+
+
+def test_asof_nearest_direction(quotes_trades):
+    """nearest picks the closer of backward/forward, ties backward —
+    pandas merge_asof semantics; recomputed against merge_asof itself."""
+    import pandas as pd
+
+    trades, quotes = quotes_trades
+    out = {
+        (r.sym, r.ts): (r.ts_matched, r.px_matched)
+        for r in asof_join(
+            trades, quotes, on="sym", direction="nearest"
+        ).collect()
+    }
+    tp = trades.toPandas().sort_values(["ts", "sym"]).reset_index(drop=True)
+    qp = quotes.toPandas().sort_values(["ts", "sym"]).reset_index(drop=True)
+    ref = pd.merge_asof(tp, qp, on="ts", by="sym", direction="nearest",
+                        suffixes=("", "_q"))
+    for _, row in ref.iterrows():
+        got_ts, got_px = out[(row.sym, row.ts.to_pydatetime())]
+        want_px = None if pd.isna(row.px) else row.px
+        assert got_px == want_px, (row.sym, row.ts)
+    # the specific interesting case: B's only quote is 1 s in the future
+    assert out[("B", _t("2024-01-01 09:59:59"))] == (
+        _t("2024-01-01 10:00:00"), 4.0)
+
+
+def test_asof_nearest_tolerance_and_single_exchange(quotes_trades):
+    trades, quotes = quotes_trades
+    out = {
+        (r.sym, r.ts): r.px_matched
+        for r in asof_join(
+            trades, quotes, on="sym", direction="nearest",
+            tolerance=F.expr("INTERVAL 1 SECOND"),
+        ).collect()
+    }
+    # C has no quotes at all; A@10:00:03 nearest within 1 s is 10:00:02
+    # (backward) / 10:00:04 (forward) — tie, backward wins
+    assert out[("A", _t("2024-01-01 10:00:03"))] == 2.0
+    assert out[("C", _t("2024-01-01 12:00:00"))] is None
+
+    plan = (
+        asof_join(trades, quotes, on="sym", direction="nearest")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    n_ex = sum(1 for l in plan.splitlines()
+               if "Exchange" in l and "ReusedExchange" not in l)
+    assert n_ex == 1  # both carries share one hash partitioning
