@@ -112,12 +112,14 @@ def test_binary_features_batch_shape(spark):
 
 
 def test_decode_image_compressed_formats_still_raise():
-    """Compressed mimes stay an explicit NotImplementedError (no codec in
-    this environment); uncompressed formats are decoded for real below."""
+    """Codec-requiring mimes stay an explicit NotImplementedError (no
+    codec library in this environment). PNG is now REAL (stdlib zlib) —
+    a bare magic with no chunks fails as a malformed payload, not as an
+    unsupported format."""
     with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG needs libjpeg
+    with pytest.raises(ValueError, match="missing IHDR"):
         decode_image(b"\x89PNG\r\n\x1a\n")
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0JFIF")
 
 
 def test_bmp_roundtrip_including_row_padding():
@@ -421,3 +423,95 @@ def test_decode_wav_malformed_stays_in_contract():
     # payload shorter than a RIFF header
     with _pytest.raises(NotImplementedError):
         decode_audio(b"RIFF")
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    """REAL PNG decode (stdlib zlib): every scanline filter type and
+    gray/RGB/RGBA color types round-trip bit-exactly."""
+    import numpy as np
+
+    from connect_server_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(13, 7, 3), dtype=np.uint8)
+    for ft in range(5):
+        assert np.array_equal(decode_image(encode_png(img, filter_type=ft)), img), ft
+        # RGBA: alpha dropped, RGB must survive
+        assert np.array_equal(
+            decode_image(encode_png(img, filter_type=ft, alpha=True)), img
+        ), ft
+
+
+def test_png_grayscale_decodes_to_rgb():
+    import numpy as np
+    import struct
+    import zlib
+
+    from connect_server_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        _png_chunk,
+        decode_image,
+    )
+
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(3))
+    png = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_image(png)
+    assert out.shape == (3, 4, 3)
+    assert np.array_equal(out[:, :, 0], g)
+    assert np.array_equal(out[:, :, 1], g)
+
+
+def test_png_crc_corruption_detected():
+    import numpy as np
+    import pytest
+
+    from connect_server_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    b = bytearray(encode_png(img))
+    b[40] ^= 0xFF  # flip a byte inside IDAT without fixing its CRC
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_image(bytes(b))
+
+
+def test_png_unsupported_shapes_stay_honest():
+    import struct
+    import zlib
+    import pytest
+
+    from connect_server_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        _png_chunk,
+        decode_image,
+    )
+
+    # 16-bit depth
+    png16 = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_image(png16)
+    # interlaced
+    pngi = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="interlace"):
+        decode_image(pngi)
