@@ -648,3 +648,46 @@ def _decode_png(b: bytes) -> np.ndarray:
     elif nch == 4:
         out = out[:, :, :3]  # alpha dropped: the contract is (H, W, 3)
     return np.ascontiguousarray(out)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode (H, W, 3) uint8 RGB as binary PPM (P6, maxval 255)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def _synth_raster(i: int) -> np.ndarray:
+    """The shared deterministic test raster: (8 + i%9) × (6 + i%7) RGB
+    with pixel (y, x, c) = (31·i + 17·y + 7·x + 101·c) mod 256."""
+    w, h = 8 + i % 9, 6 + i % 7
+    y, x, c = np.ogrid[:h, :w, :3]
+    return ((31 * i + 17 * y + 7 * x + 101 * c) % 256).astype(np.uint8)
+
+
+def synthesize_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The format-diverse twin of :func:`synthesize_bmp_payloads`: the
+    SAME deterministic raster per id, but encoded as BMP, PNG
+    (cycling through all five scanline filters), or PPM by ``id % 3`` —
+    so the decode DISPATCH (magic sniffing + three real decoders, PNG's
+    zlib inflate included) runs inside the Arrow-batched plan, not just
+    in unit tests. Feature output is format-invariant by construction:
+    features(synthesize_image_payloads(df)) ≡
+    features(synthesize_bmp_payloads(df)) (pytest-pinned)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                pix = _synth_raster(i)
+                if i % 3 == 0:
+                    payload = encode_bmp(pix)
+                elif i % 3 == 1:
+                    payload = encode_png(pix, filter_type=i % 5)
+                else:
+                    payload = encode_ppm(pix)
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return df.select(id_col).mapInPandas(synth, f"{id_col} long, payload binary")

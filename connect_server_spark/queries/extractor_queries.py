@@ -322,19 +322,21 @@ register(
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode → featurize: deterministic BMP payloads are
-    synthesized per doc_id, struct-parsed back to pixels (no codec lib —
-    uncompressed BMP is pure numpy), and reduced to width/height/channel
-    means. Rows-only driver check; the decode math is golden-pinned in
-    ``tests/test_extractors.py``. Byte-level (decode-free) features stay
-    covered by :func:`extract_binary_features` unit tests."""
+    """REAL image decode → featurize: deterministic payloads are
+    synthesized per doc_id as BMP, PNG (stdlib-zlib inflate + scanline
+    unfiltering — real compression), or PPM by ``doc_id % 3``, decoded
+    back to pixels through the magic-sniffing dispatch, and reduced to
+    width/height/channel means. Rows-only driver check; decode math and
+    format-invariance are golden-pinned in ``tests/test_extractors.py``.
+    Byte-level (decode-free) features stay covered by
+    :func:`extract_binary_features` unit tests."""
     from connect_server_spark.operators.multimodal import (
         extract_image_features,
-        synthesize_bmp_payloads,
+        synthesize_image_payloads,
     )
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
-    return extract_image_features(synthesize_bmp_payloads(docs))
+    return extract_image_features(synthesize_image_payloads(docs))
 
 
 register("multimodal_features", multimodal_features, defer=True)

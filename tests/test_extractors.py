@@ -515,3 +515,28 @@ def test_png_unsupported_shapes_stay_honest():
     )
     with pytest.raises(NotImplementedError, match="interlace"):
         decode_image(pngi)
+
+
+def test_image_features_format_invariant_across_bmp_png_ppm(spark):
+    """The mixed-format synthesis (BMP/PNG/PPM by id % 3) must featurize
+    identically to the all-BMP path — the decode dispatch is lossless
+    for every encoder, PNG's zlib round-trip included."""
+    from connect_server_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_bmp_payloads,
+        synthesize_image_payloads,
+    )
+
+    ids = spark.range(60).withColumnRenamed("id", "doc_id")
+    mixed = sorted(map(tuple, extract_image_features(
+        synthesize_image_payloads(ids)).collect()))
+    bmp_only = sorted(map(tuple, extract_image_features(
+        synthesize_bmp_payloads(ids)).collect()))
+    assert mixed == bmp_only
+    assert len(mixed) == 60
+    # the three formats are all actually present in the mixed payloads
+    magics = {
+        bytes(r.payload)[:2]
+        for r in synthesize_image_payloads(ids).collect()
+    }
+    assert magics == {b"BM", b"\x89P", b"P6"}
