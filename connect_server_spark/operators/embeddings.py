@@ -46,18 +46,12 @@ def dequantize_int8(packed: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Scan-stage cosine over two float arrays (zip_with + aggregate);
-    null-safe denominators clamp at 1e-12."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    """Scan-stage cosine over two float arrays — delegates to the
+    similarity module's canonical fold (its order is part of the
+    cross-engine contract; a second copy risks last-ulp divergence from
+    the DuckDB mirrors), with a zero-vector-safe denominator clamp."""
+    from connect_server_spark.operators.similarity import dot_product, l2_norm
+
+    return dot_product(a, b) / F.greatest(
+        l2_norm(a) * l2_norm(b), F.lit(1e-12)
     )
-    nrm = lambda v: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(v, lambda x: (x * x).cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    return dot / F.greatest(nrm(a) * nrm(b), F.lit(1e-12))

@@ -582,12 +582,19 @@ def _decode_png(b: bytes) -> np.ndarray:
     pos, ihdr, idat = 8, None, bytearray()
     while pos + 8 <= len(b):
         (length,) = struct.unpack_from(">I", b, pos)
+        # explicit truncation check: unpack_from past the end would
+        # leak struct.error — the decode contract (like the WAV
+        # decoder's) is ValueError/NotImplementedError only
+        if pos + 12 + length > len(b):
+            raise ValueError("PNG truncated mid-chunk")
         tag = b[pos + 4 : pos + 8]
         data = b[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
         if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("PNG IHDR wrong length")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif tag == b"IDAT":
             idat.extend(data)
@@ -603,7 +610,10 @@ def _decode_png(b: bytes) -> np.ndarray:
             f"(depth={depth}, color_type={color_type}, interlace={interlace})"
         )
     nch = {0: 1, 2: 3, 6: 4}[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # corrupt stream must not leak zlib.error
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
     stride = w * nch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT length does not match dimensions")

@@ -234,20 +234,12 @@ def diversity_sample(
         cent_rows, "cell int, centroid array<double>"
     )
     joined = assigned.join(F.broadcast(cent_df), "cell")
-    dot = F.aggregate(
-        F.zip_with(
-            F.col(vec_col).cast("array<double>"),
-            F.col("centroid"),
-            lambda a, b: a * b,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cos = dot / (
-        norm(F.col(vec_col).cast("array<double>")) * norm(F.col("centroid"))
+    # the similarity module's canonical fold — its order is part of the
+    # cross-engine contract; an inline copy risks last-ulp divergence
+    from connect_server_spark.operators.similarity import dot_product, l2_norm
+
+    cos = dot_product(F.col(vec_col), F.col("centroid")) / (
+        l2_norm(F.col(vec_col)) * l2_norm(F.col("centroid"))
     )
     ranked = joined.withColumn("centroid_cos", F.round(cos, 6)).withColumn(
         "cell_rank",

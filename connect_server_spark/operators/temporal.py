@@ -46,6 +46,13 @@ __all__ = [
 ]
 
 
+def _micros(col: Column) -> Column:
+    """Microsecond epoch of a timestamp column; tolerates TIMESTAMP_NTZ
+    (parquet's default here) via a cast — uniform across both join
+    sides, so bucket boundaries stay consistent."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -87,6 +94,20 @@ def asof_join(
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
+
+    # NULL keys never match under join equality (DuckDB ASOF, SQL) —
+    # but Window.partitionBy groups NULLs into ONE partition, which
+    # would happily match NULL-keyed lefts to NULL-keyed rights. Route
+    # NULL-keyed left rows around the window (they come back with null
+    # match columns, like an unmatched ASOF LEFT JOIN row) and drop
+    # NULL-keyed right rows (they can never match anything).
+    null_key = None
+    for k in keys:
+        cond = F.col(k).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    left_nullkey = left.filter(null_key)
+    left = left.filter(~null_key)
+    right = right.filter(~null_key)
 
     payload_cols = [c for c in right.columns if c not in keys and c != right_ts]
     rstruct = F.struct(
@@ -167,13 +188,26 @@ def asof_join(
                 F.when(fwd_gap < back_gap, mf).otherwise(mb),
             ),
         )
-    return out.select(
+    matched_out = out.select(
         *keys,
         F.col("__ts").alias(left_ts),
         *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
         F.col(f"__m.{right_ts}").alias(f"{right_ts}{suffix}"),
         *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in payload_cols],
     )
+    nullkey_out = left_nullkey.select(
+        *keys,
+        F.col(left_ts),
+        *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
+        F.lit(None)
+        .cast(right.schema[right_ts].dataType)
+        .alias(f"{right_ts}{suffix}"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+            for c in payload_cols
+        ],
+    )
+    return matched_out.unionByName(nullkey_out)
 
 
 def interval_join(
@@ -206,41 +240,56 @@ def interval_join(
     point).
     """
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
-    pb = F.floor(F.unix_timestamp(F.col(point_ts)) / bucket_seconds)
-    ib_lo = F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds)
+    # Bucket arithmetic in MICROSECONDS (timestamp precision), not
+    # unix_timestamp's whole seconds: truncating an endpoint before the
+    # exclusive-end -1 trick would shift a sub-second end like
+    # 13:00:00.1 a full bucket down and silently drop its matches.
+    width_us = F.lit(int(bucket_seconds) * 1_000_000)
+    pb = F.floor(_micros(F.col(point_ts)) / width_us)
+    ib_lo = F.floor(_micros(F.col(start_col)) / width_us)
     # end is exclusive: a zero-length or bucket-aligned end never spills
     # into the next bucket.
-    ib_hi = F.floor(
-        (F.unix_timestamp(F.col(end_col)) - F.lit(1)) / bucket_seconds
-    )
+    ib_hi = F.floor((_micros(F.col(end_col)) - F.lit(1)) / width_us)
     p = points.withColumn("__bucket", pb)
     iv = intervals.withColumn(
         "__bucket", F.explode(F.sequence(ib_lo, F.greatest(ib_lo, ib_hi)))
     )
-    contains = (F.col(start_col) <= F.col(point_ts)) & (
-        F.col(point_ts) < F.col(end_col)
-    )
+    contains = (iv[start_col] <= p[point_ts]) & (p[point_ts] < iv[end_col])
     cond = _and_all(
         [p["__bucket"] == iv["__bucket"]] + [p[k] == iv[k] for k in keys]
     )
     joined = p.join(iv, cond, "inner").filter(contains)
-    sel = [p[c] for c in points.columns] + [
-        iv[c] for c in intervals.columns if c not in keys
-    ]
+    # interval columns colliding with point names come back suffixed
+    # "_r" (same convention as overlap_join) so the output is
+    # unambiguous even when both sides carry e.g. a "ts".
+    sel = [p[c] for c in points.columns]
+    out_names = []
+    for c in intervals.columns:
+        if c in keys:
+            continue
+        out_name = f"{c}_r" if c in points.columns else c
+        out_names.append((c, out_name))
+        sel.append(iv[c].alias(out_name))
     matched = joined.select(*sel)
     if how == "inner":
         return matched
     if how == "left":
+        # NULL-SAFE anti join: plain equality would never match a point
+        # row carrying a NULL column, duplicating it into `missing`.
+        mkeys = matched.select(
+            *[matched[c] for c in points.columns]
+        ).distinct()
         missing = points.join(
-            matched.select(*[matched[c] for c in points.columns]).distinct(),
-            on=points.columns,
+            mkeys,
+            on=_and_all(
+                [points[c].eqNullSafe(mkeys[c]) for c in points.columns]
+            ),
             how="left_anti",
         )
-        for c in intervals.columns:
-            if c not in keys:
-                missing = missing.withColumn(
-                    c, F.lit(None).cast(intervals.schema[c].dataType)
-                )
+        for c, out_name in out_names:
+            missing = missing.withColumn(
+                out_name, F.lit(None).cast(intervals.schema[c].dataType)
+            )
         return matched.unionByName(missing)
     raise ValueError(f"how must be inner|left, got {how!r}")
 
@@ -450,11 +499,14 @@ def overlap_join(
     """
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
 
+    # microsecond bucket arithmetic — see interval_join: second-level
+    # truncation before the -1 exclusive-end trick would both drop
+    # sub-second-end matches AND misplace the home bucket.
+    width_us = F.lit(int(bucket_seconds) * 1_000_000)
+
     def explode_side(df: DataFrame, start: str, end: str, prefix: str):
-        lo = F.floor(F.unix_timestamp(F.col(start)) / bucket_seconds)
-        hi = F.floor(
-            (F.unix_timestamp(F.col(end)) - F.lit(1)) / bucket_seconds
-        )
+        lo = F.floor(_micros(F.col(start)) / width_us)
+        hi = F.floor((_micros(F.col(end)) - F.lit(1)) / width_us)
         return df.withColumn(
             f"__{prefix}bucket",
             F.explode(F.sequence(lo, F.greatest(lo, hi))),
@@ -471,8 +523,7 @@ def overlap_join(
     )
     # the pair's ONE home bucket: where the later of the two starts lives
     home = F.floor(
-        F.unix_timestamp(F.greatest(l[left_start], r[right_start]))
-        / bucket_seconds
+        _micros(F.greatest(l[left_start], r[right_start])) / width_us
     )
     joined = (
         l.join(r, cond, "inner")

@@ -182,9 +182,15 @@ def write_training_shards(
         .parquet(path)
     )
 
+    # Manifest stats come from READING BACK the written files, never
+    # from re-executing the input's lineage: a second lineage run is
+    # only checksum-identical if every upstream transform is
+    # bit-deterministic, and a manifest that disagrees with the disk
+    # would brick every verify=True read of perfectly intact data.
     data_cols = [c for c in packed.columns]
+    written = packed.sparkSession.read.parquet(path)
     stats = (
-        tagged.withColumn(
+        written.withColumn(
             "_rh", F.xxhash64(*[F.col(c) for c in data_cols])
         )
         .groupBy("shard")

@@ -53,12 +53,39 @@ def _seen_path(store: str) -> str:
     return os.path.join(store, "seen")
 
 
+def _swap_paths(store: str) -> tuple[str, str, str]:
+    ppath = _partials_path(store)
+    parent, leaf = os.path.split(ppath.rstrip("/"))
+    return (
+        ppath,
+        os.path.join(parent, f".{leaf}._rollup_tmp"),
+        os.path.join(parent, f".{leaf}._rollup_old"),
+    )
+
+
+def _check_not_stranded(store: str) -> None:
+    """Refuse to touch a store whose compaction crashed between the two
+    renames: the log directory is gone but ``._rollup_old`` still holds
+    ALL history. Silently proceeding would fork the store — the sink
+    would open a fresh empty log and reads would drop every compacted
+    bucket. Recovery is one rename, so fail with the exact command."""
+    ppath, _tmp, old = _swap_paths(store)
+    if not os.path.exists(ppath) and os.path.exists(old):
+        raise RuntimeError(
+            f"{store}: crashed compaction detected — the partial log is "
+            f"missing but '{old}' holds the pre-swap history. Recover "
+            f"with: os.rename({old!r}, {ppath!r}), then re-run "
+            "compact_rollup."
+        )
+
+
 def _batch_already_ingested(
     spark: SparkSession, store: str, batch_id: int
 ) -> bool:
     """Point lookup: has this batch id landed in the log or been
     absorbed by a compaction? Both scans are filter-pushdown point
     probes over narrow columns."""
+    _check_not_stranded(store)
     for path, col in (
         (_partials_path(store), "batch_id"),
         (_seen_path(store), "batch_id"),
@@ -113,6 +140,7 @@ def read_rollup(
     """The current rollup state: log partials merged per (keys, bucket,
     level). ``width_seconds`` prunes to one level scan-stage (the
     filter pushes down to the parquet scan)."""
+    _check_not_stranded(store)
     log = spark.read.parquet(_partials_path(store))
     if width_seconds is not None:
         log = log.filter(F.col("bucket_seconds") == width_seconds)
@@ -126,12 +154,28 @@ def compact_rollup(
 
     Ledger-first ordering (see module docstring), then the two-step
     rename swap: merged log written to a dot-prefixed sibling, current
-    log moved aside, merged moved in, old log removed. A crash at any
-    point leaves either the raw log (reads correct, ledger already
-    safe) or the ``.rollup_old`` copy next to a committed swap —
-    recoverable, never silently wrong. Returns the compacted row count.
+    log moved aside, merged moved in, old log removed. Crash analysis,
+    window by window: before the first rename — raw log intact, ledger
+    already safe (replays gated). Between the renames — the log is
+    MISSING with all history in ``._rollup_old``; every entry point
+    (sink, read, compact) detects that state via
+    :func:`_check_not_stranded` and fails with the one-rename recovery
+    command instead of silently forking the store. After the second
+    rename but before the cleanup — a completed swap with a stale
+    ``._rollup_old``; the next compaction removes it (the swap already
+    committed, the copy is garbage) rather than failing the rename.
+    Returns the compacted row count.
     """
-    ppath = _partials_path(store)
+    import shutil
+
+    _check_not_stranded(store)
+    ppath, tmp, old = _swap_paths(store)
+    # a PREVIOUS run's completed swap may have crashed before cleanup;
+    # with ppath present the old copy is committed garbage — clear it so
+    # this run's rename cannot fail on a non-empty target.
+    for stale in (old, tmp):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     log = spark.read.parquet(ppath)
     absorbed = log.select("batch_id").distinct().filter(
         F.col("batch_id") != _COMPACTED
@@ -144,13 +188,8 @@ def compact_rollup(
     )
     n = merged.count()
     # 2. write-aside + two renames (same discipline as storage.compact).
-    parent, leaf = os.path.split(ppath.rstrip("/"))
-    tmp = os.path.join(parent, f".{leaf}._rollup_tmp")
-    old = os.path.join(parent, f".{leaf}._rollup_old")
     merged.write.mode("overwrite").parquet(tmp)
     os.rename(ppath, old)
     os.rename(tmp, ppath)
-    import shutil
-
     shutil.rmtree(old)
     return n

@@ -540,3 +540,45 @@ def test_image_features_format_invariant_across_bmp_png_ppm(spark):
         for r in synthesize_image_payloads(ids).collect()
     }
     assert magics == {b"BM", b"\x89P", b"P6"}
+
+
+def test_png_malformed_payloads_stay_in_error_contract():
+    """Truncated chunks and corrupt IDAT raise ValueError — never
+    struct.error / zlib.error (same contract as the WAV decoder)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from connect_server_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        _png_chunk,
+        encode_png,
+    )
+
+    # chunk header claims 13 data bytes but the payload ends early
+    truncated = _PNG_MAGIC + struct.pack(">I", 13) + b"IHDR" + b"\x00" * 5
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(truncated)
+
+    # valid chunk framing, garbage zlib stream (CRC recomputed so the
+    # corruption reaches the inflate stage)
+    bad_idat = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", b"\x01\x02\x03\x04")
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflate failed"):
+        decode_image(bad_idat)
+
+    # IDAT inflates but is the wrong length for the declared dimensions
+    short = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="does not match"):
+        decode_image(short)

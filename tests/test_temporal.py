@@ -568,3 +568,93 @@ def test_asof_nearest_tolerance_and_single_exchange(quotes_trades):
     n_ex = sum(1 for l in plan.splitlines()
                if "Exchange" in l and "ReusedExchange" not in l)
     assert n_ex == 1  # both carries share one hash partitioning
+
+
+# ------------------------------------------------- review regressions
+
+
+def test_interval_join_left_null_point_column_not_duplicated(spark):
+    """A matched point carrying a NULL column must not ALSO appear as an
+    unmatched row (the anti-join is null-safe)."""
+    points = spark.createDataFrame(
+        [Row(ts=_t("2024-01-01 10:30:00"), pid=1, note=None),
+         Row(ts=_t("2024-01-05 00:00:00"), pid=2, note=None)],
+        "ts timestamp, pid int, note string",
+    )
+    intervals = spark.createDataFrame(
+        [Row(iid=10,
+             start_ts=_t("2024-01-01 10:00:00"),
+             end_ts=_t("2024-01-01 11:00:00"))]
+    )
+    rows = interval_join(points, intervals, on=None, how="left").collect()
+    assert len(rows) == 2
+    got = {r.pid: r.iid for r in rows}
+    assert got == {1: 10, 2: None}
+
+
+def test_interval_join_subsecond_endpoints(spark):
+    """Sub-second interval ends must not truncate a bucket down: the
+    interval [12:59:59.8, 13:00:00.1) covers bucket 13, so a point at
+    13:00:00.05 matches."""
+    points = spark.createDataFrame(
+        [Row(ts=_t("2024-01-01 13:00:00.050000"), pid=1)]
+    )
+    intervals = spark.createDataFrame(
+        [Row(iid=1,
+             start_ts=_t("2024-01-01 12:59:59.800000"),
+             end_ts=_t("2024-01-01 13:00:00.100000"))]
+    )
+    got = [r.pid for r in interval_join(
+        points, intervals, on=None, bucket_seconds=3600
+    ).collect()]
+    assert got == [1]
+
+
+def test_interval_join_colliding_column_names_suffixed(spark):
+    points = spark.createDataFrame(
+        [Row(ts=_t("2024-01-01 10:30:00"), pid=1)]
+    )
+    intervals = spark.createDataFrame(
+        [Row(ts=_t("2024-01-01 00:00:00"),  # collides with point_ts
+             start_ts=_t("2024-01-01 10:00:00"),
+             end_ts=_t("2024-01-01 11:00:00"))]
+    )
+    out = interval_join(points, intervals, on=None)
+    assert set(out.columns) == {"ts", "pid", "ts_r", "start_ts", "end_ts"}
+    assert out.count() == 1
+
+
+def test_overlap_join_subsecond_endpoints(spark):
+    """Sub-second precision in overlap_join's home-bucket math: a pair
+    whose later start sits in a bucket the truncated ranges would miss
+    is still emitted exactly once."""
+    from connect_server_spark.operators.temporal import overlap_join
+
+    a = spark.createDataFrame([Row(
+        aid=1, start_ts=_t("2024-01-01 12:59:59.900000"),
+        end_ts=_t("2024-01-01 13:00:00.200000"))])
+    b = spark.createDataFrame([Row(
+        bid=2, start_ts=_t("2024-01-01 13:00:00.050000"),
+        end_ts=_t("2024-01-01 13:00:00.150000"))])
+    got = [(r.aid, r.bid) for r in overlap_join(
+        a, b, on=None, bucket_seconds=3600).collect()]
+    assert got == [(1, 2)]
+
+
+def test_asof_null_keys_never_match(spark):
+    """NULL-keyed left rows come back unmatched (SQL/DuckDB ASOF
+    equality semantics) — never matched to NULL-keyed right rows."""
+    left = spark.createDataFrame(
+        [Row(k=None, ts=_t("2024-01-01 10:00:05"), q=1),
+         Row(k="a", ts=_t("2024-01-01 10:00:05"), q=2)],
+        "k string, ts timestamp, q int",
+    )
+    right = spark.createDataFrame(
+        [Row(k=None, ts=_t("2024-01-01 10:00:00"), px=9.0),
+         Row(k="a", ts=_t("2024-01-01 10:00:00"), px=1.0)],
+        "k string, ts timestamp, px double",
+    )
+    out = {r.q: (r.k, r.px_matched) for r in
+           asof_join(left, right, on="k").collect()}
+    assert out[1] == (None, None)   # null key: kept, unmatched
+    assert out[2] == ("a", 1.0)
