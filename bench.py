@@ -88,6 +88,7 @@ HEADLINE = [
     "events_rollup_anomalies",
     "events_overlap_join",
     "embeddings_quantize",
+    "corpus_bm25",
 ]
 
 

@@ -1,0 +1,120 @@
+"""Lexical retrieval over the corpus: BM25 scoring.
+
+A curation pipeline needs keyword retrieval constantly — "find the
+documents mentioning this benchmark prompt", "pull the pages about X
+for a targeted audit" — and BM25 (Robertson/Sparck Jones; the Okapi
+formulation Lucene/Elasticsearch default to) is the canonical lexical
+scorer. Spark-first shape:
+
+* corpus statistics (document frequencies, document lengths, the
+  average length) are ONE pass of narrow aggregations — the same
+  two-stage no-Expand shape as ``text.token_frequencies``;
+* the query is a handful of terms: its per-term idf table BROADCASTS,
+  so scoring is a broadcast equi-join against per-document term counts
+  + one map-side-combined per-document sum — document bodies never
+  shuffle, and the top-k is a TakeOrdered merge, never a full sort.
+
+Every intermediate is integer counts or 1e-6-rounded doubles, so the
+DuckDB mirror in ``tests/test_retrieval.py`` reproduces scores exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from connect_server_spark.operators.text import tokens
+
+__all__ = ["corpus_term_stats", "bm25_topk"]
+
+# Okapi defaults (Lucene's values).
+K1 = 1.2
+B = 0.75
+
+
+def corpus_term_stats(df: DataFrame, id_col: str, text_col: str):
+    """(per-doc term counts, per-doc lengths, N, avg_len) — the reusable
+    index statistics. Two narrow aggregations; one driver scalar pair
+    (N, avgdl), same precedent as ``unigram_lm``'s corpus total."""
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    # lazily checkpointed: three consumers (document frequencies, the
+    # scoring join, document lengths) would otherwise each re-run the
+    # explode+count from the raw scan — same pattern as rollup_cascade.
+    term_counts = exploded.groupBy("_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
+    doc_lens = term_counts.groupBy("_id").agg(F.sum("tf").alias("dl"))
+    n_docs, avg_dl = df.count(), None
+    row = doc_lens.agg(F.avg("dl")).first()
+    avg_dl = float(row[0] or 1.0)
+    return term_counts, doc_lens, int(n_docs), avg_dl
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-``k`` documents for ``query`` under Okapi BM25.
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)) — the Lucene variant,
+    always positive. Score(d) = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl)) over the DISTINCT query terms.
+    Scores round to the 1e-6 grid (hash-stable), ties break by id
+    ascending so the cut is deterministic.
+    """
+    q_terms = sorted(
+        {t for t in query.lower().split() if t}
+    )
+    if not q_terms:
+        raise ValueError("empty query")
+    spark = df.sparkSession
+    term_counts, doc_lens, n_docs, avg_dl = corpus_term_stats(
+        df, id_col, text_col
+    )
+    dfreq = (
+        term_counts.filter(F.col("term").isin(q_terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = dfreq.select(
+        "term",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+            6,
+        ).alias("idf"),
+    )
+    scored = (
+        term_counts.filter(F.col("term").isin(q_terms))
+        .join(F.broadcast(idf), "term")
+        .join(doc_lens, "_id")
+        .select(
+            "_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.lit(avg_dl))
+                )
+            ).alias("_s"),
+        )
+        .groupBy("_id")
+        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+    )
+    return (
+        scored.select(F.col("_id").alias(id_col), "bm25")
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

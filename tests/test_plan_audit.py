@@ -195,6 +195,12 @@ SHUFFLE_BUDGET = {
     # filter, so no distinct shuffle over the output.
     "events_overlap_join": 2,
     # embeddings_quantize is pure scan-stage array expressions (0).
+    # BM25: the (doc, term) count feeding three consumers is lazily
+    # checkpointed (its explode+count runs once, off-plan); the visible
+    # shuffles are df/dl aggregations, the scoring sort-merge pair on
+    # _id, and the per-doc score rollup — all narrow (id, term, count)
+    # rows; the query-term idf table broadcasts; top-k is a TakeOrdered.
+    "corpus_bm25": 5,
 }
 
 

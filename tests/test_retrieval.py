@@ -1,0 +1,111 @@
+"""BM25 lexical retrieval: exact DuckDB score mirror plus behavioral
+pins (idf rarity, length normalization, determinism)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+
+from connect_server_spark.operators.retrieval import bm25_topk
+from connect_server_spark.queries.retrieval_queries import (
+    BM25_K,
+    BM25_QUERY,
+    corpus_bm25,
+)
+
+
+def test_corpus_bm25_matches_duckdb_mirror(spark, sf_dir):
+    """Score-for-score BM25 recomputation in SQL, same two-stage 1e-6
+    rounding (idf first, then the summed score)."""
+    got = [(r.doc_id, r.bm25) for r in corpus_bm25(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    terms = sorted({t for t in BM25_QUERY.lower().split() if t})
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    want = con.execute(f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+          FROM documents
+        ),
+        tc AS (
+          SELECT doc_id, term, count(*) AS tf FROM tok
+          WHERE term <> '' GROUP BY 1, 2
+        ),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tc GROUP BY doc_id),
+        stats AS (
+          SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl
+        ),
+        idf AS (
+          SELECT term,
+                 round(ln(1.0 + ((SELECT n FROM stats) - count(*) + 0.5)
+                          / (count(*) + 0.5)), 6) AS idf
+          FROM tc WHERE term IN ({terms_sql}) GROUP BY term
+        )
+        SELECT tc.doc_id,
+               round(sum(idf.idf * (tc.tf * 2.2)
+                   / (tc.tf + 1.2 * (1 - 0.75
+                       + 0.75 * dl.dl / (SELECT avgdl FROM stats)))), 6)
+                 AS bm25
+        FROM tc
+        JOIN idf USING (term)
+        JOIN dl USING (doc_id)
+        WHERE tc.term IN ({terms_sql})
+        GROUP BY tc.doc_id
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT {BM25_K}
+    """).fetchall()
+    assert len(got) > 0
+    assert got == [(d, s) for (d, s) in want]
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """A document matching the RARE query term must outscore one
+    matching only the ubiquitous term (idf does its job)."""
+    docs = [Row(doc_id=0, text="zebra apple pie")]
+    docs += [Row(doc_id=i, text="apple sauce and apple pie") for i in range(1, 20)]
+    df = spark.createDataFrame(docs)
+    out = bm25_topk(df, "doc_id", "text", "zebra apple", k=3).collect()
+    assert out[0].doc_id == 0
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf, shorter document wins (the b·dl/avgdl term)."""
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="cat dog"),
+        Row(doc_id=2, text="cat dog " + "filler " * 30),
+    ])
+    out = bm25_topk(df, "doc_id", "text", "cat", k=2).collect()
+    assert [r.doc_id for r in out] == [1, 2]
+    assert out[0].bm25 > out[1].bm25
+
+
+def test_bm25_tf_saturation(spark):
+    """Doubling tf helps, but sub-linearly (k1 saturation)."""
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="cat " * 1 + "x " * 9),
+        Row(doc_id=2, text="cat " * 2 + "x " * 8),
+        Row(doc_id=3, text="cat " * 8 + "x " * 2),
+    ])
+    out = {r.doc_id: r.bm25 for r in
+           bm25_topk(df, "doc_id", "text", "cat", k=3).collect()}
+    gain_1_2 = out[2] - out[1]
+    gain_2_8 = out[3] - out[2]
+    assert out[3] > out[2] > out[1]
+    assert gain_2_8 < 6 * gain_1_2  # 4x the tf gain buys far less than 4x
+
+
+def test_bm25_deterministic_and_empty_query_rejected(spark, sf_dir):
+    a = [(r.doc_id, r.bm25) for r in corpus_bm25(spark, sf_dir).collect()]
+    b = [(r.doc_id, r.bm25) for r in corpus_bm25(spark, sf_dir).collect()]
+    assert a == b
+    from connect_server_spark.tables import load_table
+
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_topk(load_table(spark, "documents", sf_dir),
+                  "doc_id", "text", "   ")
