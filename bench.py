@@ -89,6 +89,7 @@ HEADLINE = [
     "events_overlap_join",
     "embeddings_quantize",
     "corpus_bm25",
+    "corpus_hybrid_retrieval",
 ]
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from connect_server_spark.operators.text import tokens
 
-__all__ = ["corpus_term_stats", "bm25_topk"]
+__all__ = ["corpus_term_stats", "bm25_topk", "rrf_fuse"]
 
 # Okapi defaults (Lucene's values).
 K1 = 1.2
@@ -116,5 +116,41 @@ def bm25_topk(
     return (
         scored.select(F.col("_id").alias(id_col), "bm25")
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked
+    lists: fused(d) = Σ_lists 1/(c + rank_d), documents absent from a
+    list contribute nothing. The standard score-free way to combine
+    lexical (BM25) and semantic (embedding) retrieval — robust to the
+    two scorers' incomparable scales.
+
+    Each input needs (id_col, rank). All-narrow plan: the lists are
+    top-k-sized already, so the outer joins and the final TakeOrdered
+    are negligible next to the retrieval passes that produced them.
+    Fused scores round to 1e-6 (deterministic ties by id)."""
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    fused = None
+    for i, r in enumerate(rankings):
+        part = r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col("rank"))).alias(f"_s{i}"),
+        )
+        fused = part if fused is None else fused.join(part, id_col, "outer")
+    score = None
+    for i in range(len(rankings)):
+        term = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        score = term if score is None else score + term
+    return (
+        fused.select(id_col, F.round(score, 6).alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -22,3 +22,42 @@ def corpus_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("corpus_bm25", corpus_bm25, defer=True)
+
+
+HYBRID_K = 20
+HYBRID_PROBE_VEC_ID = 7
+
+
+def corpus_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 lexical list fused with an embedding
+    cosine list (probe = vector #7, the 'more like this document'
+    shape) by reciprocal-rank fusion. doc_id and vec_id share the id
+    space in the synthetic tables, standing in for a corpus whose rows
+    carry both text and an embedding."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from connect_server_spark.operators.retrieval import rrf_fuse
+    from connect_server_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    lex = bm25_topk(docs, "doc_id", "text", BM25_QUERY, k=50)
+    lex_ranked = lex.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        ),
+    ).select("doc_id", "rank")
+
+    probe = emb.filter(F.col("vec_id") == HYBRID_PROBE_VEC_ID).select(
+        F.lit(0).alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    sem = cosine_topk(probe, emb, k=50).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex_ranked, sem], "doc_id", k=HYBRID_K)
+
+
+register("corpus_hybrid_retrieval", corpus_hybrid_retrieval, defer=True)

@@ -25,6 +25,10 @@ _QUERIES = entry_mod.queries()
 ALLPAIRS_BASELINES = {
     "dedup_neardup_embedding",
     "similarity_topk_exact",
+    # hybrid retrieval's semantic leg scores ONE broadcast probe against
+    # the corpus — a bounded 1×N pass by construction, same shape as the
+    # exact baseline; the scale path swaps in ivf_topk_indexed.
+    "corpus_hybrid_retrieval",
 }
 
 # Queries whose operators legitimately cross the Python boundary — all
@@ -201,6 +205,10 @@ SHUFFLE_BUDGET = {
     # _id, and the per-doc score rollup — all narrow (id, term, count)
     # rows; the query-term idf table broadcasts; top-k is a TakeOrdered.
     "corpus_bm25": 5,
+    # hybrid = the BM25 plan (5) + the lexical-rank single-partition
+    # window over 50 rows + the RRF outer join on top-k-sized lists —
+    # every added Exchange carries ≤ 50 (id, rank) rows.
+    "corpus_hybrid_retrieval": 8,
 }
 
 

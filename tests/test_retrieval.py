@@ -109,3 +109,57 @@ def test_bm25_deterministic_and_empty_query_rejected(spark, sf_dir):
     with pytest.raises(ValueError, match="empty query"):
         bm25_topk(load_table(spark, "documents", sf_dir),
                   "doc_id", "text", "   ")
+
+
+# ----------------------------------------------------------------- RRF
+
+
+def test_rrf_fuse_matches_python_reference(spark, sf_dir):
+    """Fusion recomputed in pure python from the two collected lists."""
+    from connect_server_spark.queries.retrieval_queries import (
+        HYBRID_K,
+        HYBRID_PROBE_VEC_ID,
+        corpus_hybrid_retrieval,
+    )
+    from connect_server_spark.operators.similarity import cosine_topk
+    from connect_server_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    lex = sorted(
+        ((r.doc_id, r.bm25) for r in
+         bm25_topk(docs, "doc_id", "text", BM25_QUERY, k=50).collect()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    probe = emb.filter(F.col("vec_id") == HYBRID_PROBE_VEC_ID).select(
+        F.lit(0).alias("probe_id"), F.col("embedding").alias("probe_vec"))
+    sem = {r.vec_id: r.rank for r in cosine_topk(probe, emb, k=50).collect()}
+
+    scores = {}
+    for i, (d, _) in enumerate(lex, start=1):
+        scores[d] = scores.get(d, 0.0) + 1.0 / (60 + i)
+    for d, rank in sem.items():
+        scores[d] = scores.get(d, 0.0) + 1.0 / (60 + rank)
+    want = sorted(
+        ((d, round(s, 6)) for d, s in scores.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:HYBRID_K]
+
+    got = [(r.doc_id, r.rrf_score)
+           for r in corpus_hybrid_retrieval(spark, sf_dir).collect()]
+    assert got == want
+
+
+def test_rrf_fuse_semantics(spark):
+    """A doc ranked #1 in both lists beats #1-in-one/absent-in-other;
+    absence contributes zero, not a penalty below other entries."""
+    from connect_server_spark.operators.retrieval import rrf_fuse
+    from pyspark.sql import Row
+
+    a = spark.createDataFrame([Row(doc_id=1, rank=1), Row(doc_id=2, rank=2)])
+    b = spark.createDataFrame([Row(doc_id=1, rank=1), Row(doc_id=3, rank=2)])
+    out = {r.doc_id: r.rrf_score for r in rrf_fuse([a, b], "doc_id", k=3).collect()}
+    assert out[1] == round(2 / 61, 6)
+    assert out[2] == out[3] == round(1 / 62, 6)
+    assert max(out, key=out.get) == 1
