@@ -90,6 +90,9 @@ HEADLINE = [
     "embeddings_quantize",
     "corpus_bm25",
     "corpus_hybrid_retrieval",
+    "corpus_doc_keywords",
+    "mining_hard_negatives",
+    "corpus_line_dedup",
 ]
 
 

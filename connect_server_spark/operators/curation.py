@@ -36,6 +36,8 @@ __all__ = [
     "make_curation_gate",
     "deterministic_keep",
     "stratified_sample",
+    "boilerplate_line_keys",
+    "remove_boilerplate_lines",
 ]
 
 
@@ -299,3 +301,104 @@ def stratified_sample(
     per-row expression (a `when` chain over strata, a rate-table join),
     evaluated scan-stage. No shuffle, no rand()."""
     return df.filter(deterministic_keep(F.col(key_col), fraction, seed))
+
+
+def boilerplate_line_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 3,
+    delim: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """The hash keys of corpus-level boilerplate lines: any (trimmed)
+    line occurring in at least ``min_docs`` DISTINCT documents. The
+    CCNet / RefinedWeb observation: navigation bars, cookie banners and
+    footers repeat across a site's pages, so cross-document line
+    frequency separates boilerplate from content far better than any
+    within-document signal.
+
+    All-narrow plan: documents explode into (line-hash, id) pairs, a
+    distinct + count on the 8-byte hash yields per-line document
+    frequencies — line TEXT never enters the aggregation, only
+    ``xxhash64`` keys. Returns one column ``line_key``.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), F.lit(delim))).alias("_line"),
+    ).select("_id", F.trim(F.col("_line")).alias("_line"))
+    return (
+        lines.filter(F.length("_line") >= min_chars)
+        .select(F.xxhash64(F.col("_line")).alias("line_key"), "_id")
+        .distinct()
+        .groupBy("line_key")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+        .filter(F.col("_ndocs") >= min_docs)
+        .select("line_key")
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 3,
+    delim: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Line-level corpus dedup (CCNet §3.1 / RefinedWeb "line-wise
+    corrections"): delete every line that occurs in ≥ ``min_docs``
+    distinct documents, preserving the relative order of survivors.
+
+    Scale shape: the removal join is a LEFT ANTI equi-join on the
+    8-byte line hash — the boilerplate key set is vastly smaller than
+    the corpus (bounded by lines repeating ``min_docs``× — AQE
+    broadcasts it when it fits), and document text shuffles exactly
+    once, in the per-document rebuild aggregation. Documents whose
+    every line is boilerplate survive with empty text (the caller's
+    quality gates drop empty docs; silently losing rows would corrupt
+    downstream anti-joins on id).
+
+    Returns (id_col, text_col, n_lines, n_removed) with the cleaned
+    text under the original column name.
+    """
+    boiler = boilerplate_line_keys(
+        df, id_col, text_col, min_docs, delim, min_chars
+    )
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(delim))).alias(
+            "_pos", "_line"
+        ),
+    ).withColumn(
+        "line_key",
+        F.when(
+            F.length(F.trim(F.col("_line"))) >= min_chars,
+            F.xxhash64(F.trim(F.col("_line"))),
+        ),
+    )
+    kept = lines.join(boiler, "line_key", "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_line")))
+                ),
+                lambda s: s["_line"],
+            ),
+            delim,
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("_nkept"),
+    )
+    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("_clean"), F.lit("")).alias(text_col),
+            "n_lines",
+            (
+                F.col("n_lines") - F.coalesce(F.col("_nkept"), F.lit(0))
+            ).alias("n_removed"),
+        )
+    )

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from connect_server_spark.operators.text import tokens
 
-__all__ = ["corpus_term_stats", "bm25_topk", "rrf_fuse"]
+__all__ = ["corpus_term_stats", "bm25_topk", "rrf_fuse", "doc_keywords"]
 
 # Okapi defaults (Lucene's values).
 K1 = 1.2
@@ -153,4 +153,61 @@ def rrf_fuse(
         fused.select(id_col, F.round(score, 6).alias("rrf_score"))
         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def doc_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    m: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-``m`` TF-IDF keywords per document — the standard corpus-
+    exploration primitive (label a cluster, eyeball a source, build a
+    tag facet), under the classic raw-idf weighting:
+
+        tfidf(t, d) = tf(t, d) · ln(N / df(t))
+
+    so terms appearing in every document score exactly 0 and never
+    surface as keywords.
+
+    Rides :func:`corpus_term_stats`: document frequencies aggregate from
+    per-doc term counts (narrow (term, df) rows — one extra shuffle on
+    the vocab-sized table, never on text), the scoring join is on
+    ``term`` (AQE broadcasts the df table when the vocabulary is small
+    enough), and the per-doc top-``m`` is a window over each document's
+    own distinct terms. Scores round to 1e-6 so the cut is
+    deterministic; ties break lexicographically on the term.
+
+    Returns (id_col, term, tfidf, kw_rank), kw_rank 1..≤m.
+    """
+    from pyspark.sql import Window
+
+    term_counts, _doc_lens, n_docs, _avg = corpus_term_stats(
+        df, id_col, text_col
+    )
+    dfreq = term_counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    idf = dfreq.select(
+        "term",
+        F.log(F.lit(float(n_docs)) / F.col("df")).alias("_idf"),
+    )
+    scored = (
+        term_counts.join(idf, "term")
+        .select(
+            F.col("_id"),
+            "term",
+            F.round(F.col("tf") * F.col("_idf"), 6).alias("tfidf"),
+        )
+        .filter(F.col("tfidf") > 0)
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= m)
+        .select(F.col("_id").alias(id_col), "term", "tfidf", "kw_rank")
     )

@@ -39,6 +39,7 @@ __all__ = [
     "write_ivf_index",
     "read_ivf_centroids",
     "ivf_topk_indexed",
+    "hard_negatives",
 ]
 
 _ROUND = 6
@@ -435,4 +436,69 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def hard_negatives(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    candidate_k: int = 50,
+    max_sim: float = 0.95,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    probe_label: str = "probe_label",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    corpus_label: str = "label",
+    searcher=None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR / SBERT
+    recipe): for each probe, the ``k`` highest-cosine corpus items that
+    do NOT share the probe's label — the negatives a trained retriever
+    finds genuinely confusing — minus anything scoring above ``max_sim``
+    (near-duplicates of the positive are the classic false-negative trap;
+    treating a paraphrase of the answer as a negative poisons the loss).
+
+    Scale shape: candidate generation is delegated to ``searcher``
+    (default :func:`cosine_topk`, the exact baseline; pass a lambda over
+    :func:`ivf_topk_indexed` for the 100 TB path — any (probes, corpus,
+    k) -> (probe_id, vec_id, cosine, rank) function works). Everything
+    after is candidate-sized: one broadcast join to attach probe labels,
+    one equi-join to attach corpus labels (narrow (id, label) rows — the
+    vectors never move again), one window re-rank over ≤ candidate_k
+    rows per probe.
+
+    Returns (probe_id, vec_id, cosine, neg_rank), neg_rank 1..≤k, ties
+    broken by vec_id ascending. No reference analog — builder's-brief
+    LLM surface (training-data prep for embedding models).
+    """
+    if searcher is None:
+        searcher = lambda p, c, kk: cosine_topk(
+            p, c, kk,
+            probe_id=probe_id, probe_vec=probe_vec,
+            corpus_id=corpus_id, corpus_vec=corpus_vec,
+        )
+    cands = searcher(
+        probes.select(probe_id, probe_vec), corpus, candidate_k
+    ).select(probe_id, corpus_id, "cosine")
+    p_labels = probes.select(probe_id, F.col(probe_label).alias("_plabel"))
+    c_labels = corpus.select(corpus_id, F.col(corpus_label).alias("_clabel"))
+    negs = (
+        cands.join(broadcast(p_labels), probe_id)
+        .join(c_labels, corpus_id)
+        .filter(
+            F.col("_clabel").isNull()
+            | F.col("_plabel").isNull()
+            | (F.col("_clabel") != F.col("_plabel"))
+        )
+        .filter(F.col("cosine") <= F.lit(max_sim))
+    )
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(probe_id, corpus_id, "cosine", "neg_rank")
     )

@@ -61,3 +61,23 @@ def corpus_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("corpus_hybrid_retrieval", corpus_hybrid_retrieval, defer=True)
+
+
+KEYWORDS_M = 5
+
+
+def corpus_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords for a deterministic slice of the corpus
+    (doc_id % 20 == 0 keeps the result gate-sized while the corpus
+    statistics still aggregate over EVERY document — idf must come from
+    the full collection or the scores are meaningless)."""
+    from pyspark.sql import functions as F
+
+    from connect_server_spark.operators.retrieval import doc_keywords
+
+    docs = load_table(spark, "documents", sf_dir)
+    kw = doc_keywords(docs, "doc_id", "text", m=KEYWORDS_M)
+    return kw.filter(F.col("doc_id") % 20 == 0)
+
+
+register("corpus_doc_keywords", corpus_doc_keywords, defer=True)

@@ -144,3 +144,24 @@ def embeddings_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("embeddings_quantize", embeddings_quantize, defer=True)
+
+
+def mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe
+    vector, the 8 most-similar corpus vectors with a DIFFERENT label
+    (near-duplicates above cosine 0.95 excluded as false-negative
+    risks). Candidates come from the exact searcher here (gate-sized
+    corpus); the 100 TB path passes ``searcher=ivf_topk_indexed`` —
+    everything downstream of candidate generation is candidate-sized."""
+    from connect_server_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        F.col("label").alias("probe_label"),
+    )
+    return hard_negatives(probes, emb, k=8, candidate_k=40, max_sim=0.95)
+
+
+register("mining_hard_negatives", mining_hard_negatives, defer=True)

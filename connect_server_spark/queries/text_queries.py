@@ -448,3 +448,47 @@ def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("lm_quality", lm_quality, defer=True)
+
+
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-line removal (CCNet line dedup): delete
+    every line occurring in ≥3 distinct documents. The synthetic corpus
+    is single-line, so the query first re-lines each document
+    deterministically — '\\n' every 8 words — giving the operator real
+    cross-document repeated lines (near-duplicate documents share
+    8-word chunks) and a real multi-line rebuild. Rows-only (the
+    python-reference equivalence gate runs in ``tests/test_text.py``)."""
+    from connect_server_spark.operators.curation import (
+        remove_boilerplate_lines,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.split(F.col("text"), " ")
+    relined = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size(words) - 1) / F.lit(8)).cast("int"),
+                ),
+                lambda i: F.array_join(
+                    F.slice(words, i * 8 + 1, 8), " "
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    cleaned = remove_boilerplate_lines(
+        relined, "doc_id", "text", min_docs=3
+    )
+    return cleaned.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("clean_digest"),
+        F.length("text").alias("clean_chars"),
+        "n_lines",
+        "n_removed",
+    )
+
+
+register("corpus_line_dedup", corpus_line_dedup, defer=True)

@@ -29,6 +29,10 @@ ALLPAIRS_BASELINES = {
     # the corpus — a bounded 1×N pass by construction, same shape as the
     # exact baseline; the scale path swaps in ivf_topk_indexed.
     "corpus_hybrid_retrieval",
+    # hard-negative mining's default searcher is the exact baseline
+    # (broadcast probes × corpus); the 100 TB path passes an
+    # IVF-indexed searcher and goes equi-join end to end.
+    "mining_hard_negatives",
 }
 
 # Queries whose operators legitimately cross the Python boundary — all
@@ -209,6 +213,20 @@ SHUFFLE_BUDGET = {
     # window over 50 rows + the RRF outer join on top-k-sized lists —
     # every added Exchange carries ≤ 50 (id, rank) rows.
     "corpus_hybrid_retrieval": 8,
+    # TF-IDF keywords: term-count agg, the vocab-sized df table agg, the
+    # scoring join on term, and the per-doc window — all narrow
+    # (id, term, count) rows; text tokenizes once behind the shared
+    # lazily-checkpointed term_counts.
+    "corpus_doc_keywords": 3,
+    # hard-negative mining: the exact-searcher rank window (vectors
+    # never shuffle — broadcast probes), the corpus (id, label) join,
+    # and the candidate-sized re-rank window.
+    "mining_hard_negatives": 4,
+    # CCNet line dedup: distinct (line_key, id) + docfreq agg (8-byte
+    # hashes only), the anti-join on line_key (AQE broadcasts the
+    # boilerplate set), the per-doc rebuild agg — the single time line
+    # TEXT moves — and the totals agg + final id join.
+    "corpus_line_dedup": 6,
 }
 
 

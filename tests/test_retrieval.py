@@ -163,3 +163,78 @@ def test_rrf_fuse_semantics(spark):
     assert out[1] == round(2 / 61, 6)
     assert out[2] == out[3] == round(1 / 62, 6)
     assert max(out, key=out.get) == 1
+
+
+def test_doc_keywords_matches_duckdb_mirror(spark, sf_dir):
+    """Score-for-score TF-IDF recomputation in SQL: raw idf ln(N/df),
+    1e-6 rounding, per-doc top-5 with (score desc, term asc) ties."""
+    from connect_server_spark.queries.retrieval_queries import (
+        KEYWORDS_M,
+        corpus_doc_keywords,
+    )
+
+    got = sorted(
+        (r.doc_id, r.kw_rank, r.term, r.tfidf)
+        for r in corpus_doc_keywords(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+          FROM documents
+        ),
+        tc AS (
+          SELECT doc_id, term, count(*) AS tf FROM tok
+          WHERE term <> '' GROUP BY 1, 2
+        ),
+        idf AS (
+          SELECT term,
+                 ln((SELECT count(*) FROM documents) * 1.0 / count(*)) AS idf
+          FROM tc GROUP BY term
+        ),
+        ranked AS (
+          SELECT tc.doc_id, tc.term,
+                 round(tc.tf * idf.idf, 6) AS tfidf,
+                 row_number() OVER (
+                   PARTITION BY tc.doc_id
+                   ORDER BY round(tc.tf * idf.idf, 6) DESC, tc.term ASC
+                 ) AS kw_rank
+          FROM tc JOIN idf USING (term)
+          WHERE round(tc.tf * idf.idf, 6) > 0
+        )
+        SELECT doc_id, kw_rank, term, tfidf FROM ranked
+        WHERE kw_rank <= {KEYWORDS_M} AND doc_id % 20 = 0
+        ORDER BY doc_id, kw_rank
+    """).fetchall()
+    assert len(got) > 0
+    assert got == sorted(tuple(w) for w in want)
+
+
+def test_doc_keywords_semantics(spark):
+    """A term present in every document has idf ln(N/N)=0 and never
+    surfaces; ranks are contiguous from 1; ties break on the term."""
+    from connect_server_spark.operators.retrieval import doc_keywords
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common alpha alpha beta"),
+            Row(doc_id=2, text="common beta"),
+            Row(doc_id=3, text="common gamma gamma gamma"),
+        ]
+    )
+    rows = doc_keywords(df, "doc_id", "text", m=10).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in by_doc.items():
+        ranks = sorted(x.kw_rank for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert all(x.term != "common" for x in rs), "zero-idf term surfaced"
+    # doc 1: alpha (tf 2, df 2) beats beta (tf 1, df 2): same idf, higher tf.
+    d1 = sorted(by_doc[1], key=lambda x: x.kw_rank)
+    assert [x.term for x in d1] == ["alpha", "beta"]

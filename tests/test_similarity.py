@@ -261,3 +261,78 @@ def test_ivf_indexed_tolerates_duplicate_store_rows(spark, tmp_path):
     ids = [r.vec_id for r in out]
     assert len(ids) == len(set(ids)), ids  # no vec_id occupies two ranks
     assert sorted(r.rank for r in out) == [1, 2, 3, 4, 5]
+
+
+def test_hard_negatives_matches_numpy_reference(spark, sf_dir):
+    """Brute-force numpy mining on the same parquet must agree rank-for-
+    rank: top-40 candidates by rounded cosine, drop same-label and
+    > max_sim, re-rank, cut at 8."""
+    import numpy as np
+    import pandas as pd
+
+    from connect_server_spark.queries.similarity_queries import (
+        mining_hard_negatives,
+    )
+
+    got = sorted(
+        (r.probe_id, r.neg_rank, r.vec_id, r.cosine)
+        for r in mining_hard_negatives(spark, sf_dir).collect()
+    )
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    want = []
+    for p_idx in np.where(ids % 50 == 0)[0]:
+        sims = np.round(
+            (vecs @ vecs[p_idx]) / (norms * norms[p_idx]), 6
+        )
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+        cands = order[:40]
+        negs = [
+            i
+            for i in cands
+            if labels[i] != labels[p_idx] and sims[i] <= 0.95
+        ]
+        for rank, i in enumerate(negs[:8], start=1):
+            want.append((int(ids[p_idx]), rank, int(ids[i]), float(sims[i])))
+    assert len(got) > 0
+    assert got == sorted(want)
+
+
+def test_hard_negatives_semantics(spark):
+    """Same-label items and near-duplicates (cosine > max_sim) never
+    appear; ranks are contiguous; a custom searcher is honored."""
+    from connect_server_spark.operators.similarity import hard_negatives
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 7),       # same label as probe: excluded
+            (2, [0.99, 0.141], 8),    # near-dup of probe (cos>0.95): excluded
+            (3, [0.6, 0.8], 8),       # true hard negative
+            (4, [0.0, 1.0], 9),       # easy negative
+            (5, [-1.0, 0.0], 8),      # opposite
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    probes = spark.createDataFrame(
+        [(100, [1.0, 0.0], 7)], ["probe_id", "probe_vec", "probe_label"]
+    )
+    rows = sorted(
+        hard_negatives(probes, corpus, k=3, candidate_k=5).collect(),
+        key=lambda r: r.neg_rank,
+    )
+    assert [r.vec_id for r in rows] == [3, 4, 5]
+    assert [r.neg_rank for r in rows] == [1, 2, 3]
+
+    # Custom searcher (the IVF/ANN hook): restrict candidates to id<=3 —
+    # only the one eligible negative inside that candidate set survives.
+    def tiny_searcher(p, c, kk):
+        return cosine_topk(p, c.filter(F.col("vec_id") <= 3), kk)
+
+    rows2 = hard_negatives(
+        probes, corpus, k=3, candidate_k=5, searcher=tiny_searcher
+    ).collect()
+    assert [r.vec_id for r in rows2] == [3]

@@ -480,3 +480,73 @@ def test_lm_quality_plan_broadcasts_vocab(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_corpus_line_dedup_matches_python_reference(spark, sf_dir):
+    """End-to-end CCNet line dedup on the re-lined corpus vs a pure
+    python reference: identical cleaned digests and removal counts."""
+    import hashlib
+
+    import pandas as pd
+
+    from connect_server_spark.queries.text_queries import corpus_line_dedup
+
+    got = {
+        r.doc_id: (r.clean_digest, r.clean_chars, r.n_lines, r.n_removed)
+        for r in corpus_line_dedup(spark, sf_dir).collect()
+    }
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    relined = {}
+    for _, row in docs.iterrows():
+        words = row["text"].split(" ")
+        chunks = [
+            " ".join(words[i : i + 8]) for i in range(0, len(words), 8)
+        ]
+        relined[row["doc_id"]] = "\n".join(chunks)
+    from collections import Counter
+
+    docfreq = Counter()
+    for text in relined.values():
+        seen = {ln.strip() for ln in text.split("\n") if ln.strip()}
+        docfreq.update(seen)
+    boiler = {ln for ln, n in docfreq.items() if n >= 3}
+    want = {}
+    for doc_id, text in relined.items():
+        lines = text.split("\n")
+        kept = [ln for ln in lines if ln.strip() not in boiler]
+        clean = "\n".join(kept)
+        want[doc_id] = (
+            hashlib.md5(clean.encode()).hexdigest(),
+            len(clean),
+            len(lines),
+            len(lines) - len(kept),
+        )
+    assert got == want
+    assert sum(w[3] for w in want.values()) > 0, "fixture has no boilerplate"
+
+
+def test_remove_boilerplate_lines_semantics(spark):
+    """Order survives, all-boilerplate docs persist with empty text, and
+    sub-min_chars lines are exempt (never counted, never removed)."""
+    from connect_server_spark.operators.curation import (
+        remove_boilerplate_lines,
+    )
+
+    rows = [
+        (1, "cookie banner\nunique alpha\nx\ncookie banner"),
+        (2, "cookie banner\nunique beta"),
+        (3, "cookie banner"),
+        (4, "unique gamma\nx"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.text, r.n_lines, r.n_removed)
+        for r in remove_boilerplate_lines(
+            df, "doc_id", "text", min_docs=3, min_chars=2
+        ).collect()
+    }
+    assert out[1] == ("unique alpha\nx", 4, 2)   # order kept; 'x' exempt
+    assert out[2] == ("unique beta", 2, 1)
+    assert out[3] == ("", 1, 1)                   # row survives empty
+    assert out[4] == ("unique gamma\nx", 2, 0)
