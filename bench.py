@@ -93,6 +93,8 @@ HEADLINE = [
     "corpus_doc_keywords",
     "mining_hard_negatives",
     "corpus_line_dedup",
+    "corpus_domains",
+    "corpus_release_diff",
 ]
 
 

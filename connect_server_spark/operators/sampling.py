@@ -48,11 +48,16 @@ __all__ = [
     "diversity_sample",
     "quantile_threshold",
     "filter_top_quantile",
+    "discover_domains",
 ]
 
 
 def source_mixing_rates(
-    df: DataFrame, source_col: str, alpha: float, target_total: int
+    df: DataFrame,
+    source_col: str,
+    alpha: float,
+    target_total: int,
+    extra_aggs: dict | None = None,
 ) -> DataFrame:
     """Per-source keep rates for temperature mixing: source s with n_s
     rows gets weight ``n_s**alpha / Σ n**alpha`` and keep rate
@@ -65,7 +70,11 @@ def source_mixing_rates(
     formula; an unrounded double's last bit could straddle the
     ``floor(rate * 65536)`` boundary).
     """
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    extra = extra_aggs or {}
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[expr.alias(name) for name, expr in extra.items()],
+    )
     w = Window.partitionBy()  # one-row-per-source frame: total is cheap
     weight = F.pow(F.col("n_rows").cast("double"), F.lit(float(alpha)))
     total_weight = F.sum(weight).over(w)
@@ -76,6 +85,7 @@ def source_mixing_rates(
     return counts.select(
         source_col,
         "n_rows",
+        *extra.keys(),
         F.round(weight / total_weight, 9).alias("mix_weight"),
         F.round(rate, 9).alias("keep_rate"),
     )
@@ -285,3 +295,59 @@ def filter_top_quantile(
     deterministic gate must not split equal scores)."""
     thr = quantile_threshold(df, col, keep_top_fraction, relative_error)
     return df.filter(F.col(col) >= thr)
+
+
+def discover_domains(
+    docs: DataFrame,
+    emb: DataFrame,
+    nlist: int = 8,
+    alpha: float = 0.5,
+    target_total: int = 10_000,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 17,
+) -> DataFrame:
+    """Unsupervised domain discovery feeding the mixing recipe: cluster
+    the embedding space (spherical k-means, trained on a bounded
+    deterministic sample — the same quantizer IVF uses), label every
+    document with its cluster, and emit per-domain telemetry plus the
+    n^alpha temperature-mixing rates AS IF each discovered cluster were
+    a source. This is the "what's in my crawl, and how should I weight
+    it" loop a pretraining pipeline runs when source labels are missing
+    or too coarse (one 'web' label hiding code, news, and boilerplate).
+
+    Scale shape: training never touches the full corpus (sample-bounded,
+    driver-side Lloyd's); assignment is one Arrow-batched matmul with
+    the (nlist, dim) centroid matrix closure-captured; the doc↔vector
+    join is an equi-join on the id; per-domain stats are one narrow
+    aggregation (nlist rows out). Returns one row per discovered domain:
+    (domain, n_rows, n_tokens, avg_chars, mix_weight, keep_rate).
+    """
+    from connect_server_spark.operators.similarity import (
+        ivf_assign_udf,
+        train_ivf_centroids,
+    )
+    from connect_server_spark.operators.text import token_count
+
+    cents = train_ivf_centroids(
+        emb, nlist, corpus_id=vec_id, corpus_vec=vec_col, seed=seed
+    )
+    assigned = emb.select(
+        F.col(vec_id).alias("_vid"),
+        F.explode(ivf_assign_udf(cents, 1)(F.col(vec_col))).alias("domain"),
+    )
+    labeled = docs.join(
+        assigned, docs[doc_id] == assigned["_vid"]
+    ).select("domain", F.col(text_col).alias("_text"))
+    return source_mixing_rates(
+        labeled,
+        "domain",
+        alpha,
+        target_total,
+        extra_aggs={
+            "n_tokens": F.sum(token_count(F.col("_text"))),
+            "avg_chars": F.round(F.avg(F.length("_text")), 6),
+        },
+    )

@@ -90,3 +90,22 @@ def embeddings_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("diversity_sample", embeddings_diversity_sample, defer=True)
+
+
+def corpus_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised domain discovery + mixing recipe: spherical-k-means
+    clusters over the embedding table label the documents table
+    (doc_id/vec_id share the id space), and each discovered domain gets
+    telemetry + n^alpha temperature-mixing rates. Rows-only
+    (corpus-trained quantizer state); numpy-reference equivalence and
+    invariant gates run in ``tests/test_sampling.py``."""
+    from connect_server_spark.operators.sampling import discover_domains
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    return discover_domains(
+        docs, emb, nlist=8, alpha=0.5, target_total=300
+    )
+
+
+register("corpus_domains", corpus_domains, defer=True)

@@ -492,3 +492,26 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("corpus_line_dedup", corpus_line_dedup, defer=True)
+
+
+def corpus_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-to-release corpus diff: 'v1' drops every 11th doc, 'v2'
+    drops every 7th and edits every 13th — so all four statuses (added /
+    removed / changed / unchanged) appear, derived deterministically
+    from the one documents table. The diff itself moves only (id,
+    digest) pairs. Rows-only (the full DuckDB mirror runs in
+    ``tests/test_text.py``)."""
+    from connect_server_spark.storage import snapshot_diff
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.filter(F.col("doc_id") % 11 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, "doc_id", ["text", "lang", "source"])
+
+
+register("corpus_release_diff", corpus_release_diff, defer=True)

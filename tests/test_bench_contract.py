@@ -46,6 +46,7 @@ def test_headline_covers_every_operator_family():
         "text": ["text_analysis", "corpus_curation", "lm_quality"],
         "retrieval": ["corpus_bm25", "corpus_hybrid_retrieval"],
         "mining": ["mining_hard_negatives", "corpus_doc_keywords", "corpus_line_dedup"],
+        "lifecycle": ["corpus_domains", "corpus_release_diff"],
         "pipeline": ["submit_pipeline", "flow_execute"],
         "transfer": ["transfer_manifest"],
         "extract": ["extract_crystal", "extract_doc_props"],

@@ -54,6 +54,7 @@ ARROW_BOUNDARY_OK = {
     "training_pack_bpe",
     "extract_grouped",
     "diversity_sample",
+    "corpus_domains",
 }
 
 
@@ -227,6 +228,13 @@ SHUFFLE_BUDGET = {
     # boilerplate set), the per-doc rebuild agg — the single time line
     # TEXT moves — and the totals agg + final id join.
     "corpus_line_dedup": 6,
+    # domain discovery: the doc↔vector id equi-join (sort-merge pair)
+    # + the nlist-row per-domain aggregation; training cost is bounded
+    # sample-side and off-plan.
+    "corpus_domains": 3,
+    # release diff: each side reduces to (id, digest) at the scan; the
+    # full-outer equi-join pays one Exchange per side.
+    "corpus_release_diff": 2,
 }
 
 

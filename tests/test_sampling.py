@@ -396,3 +396,72 @@ def test_quantile_threshold_validates_fraction(spark):
         quantile_threshold(df, "s", 0.0)
     with pytest.raises(ValueError, match="keep_top_fraction"):
         quantile_threshold(df, "s", 1.5)
+
+
+def test_discover_domains_matches_numpy_reference(spark, sf_dir):
+    """Cluster assignment + per-domain stats + mixing rates recomputed in
+    numpy/python over the same parquet and the same trained centroids."""
+    import pandas as pd
+
+    from connect_server_spark.operators.sampling import discover_domains
+    from connect_server_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    docs_df = load_table(spark, "documents", sf_dir)
+    emb_df = load_table(spark, "embeddings", sf_dir)
+    got = {
+        r.domain: (r.n_rows, r.n_tokens, r.avg_chars, r.mix_weight, r.keep_rate)
+        for r in discover_domains(
+            docs_df, emb_df, nlist=8, alpha=0.5, target_total=300
+        ).collect()
+    }
+
+    cents = np.asarray(
+        train_ivf_centroids(emb_df, 8, seed=17), dtype=np.float64
+    )
+    cents = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    vecs = vecs / np.maximum(
+        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+    )
+    domain_of = dict(
+        zip(emb["vec_id"].tolist(), np.argmax(vecs @ cents.T, axis=1).tolist())
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    stats = {}
+    for _, row in docs.iterrows():
+        d = domain_of.get(row["doc_id"])
+        if d is None:
+            continue
+        n, toks, chars = stats.get(d, (0, 0, 0))
+        stats[d] = (n + 1, toks + len(row["text"].split()), chars + len(row["text"]))
+    total_w = sum(n ** 0.5 for n, _, _ in stats.values())
+    want = {}
+    for d, (n, toks, chars) in stats.items():
+        w = n ** 0.5 / total_w
+        want[d] = (
+            n,
+            toks,
+            round(chars / n, 6),
+            round(w, 9),
+            round(min(1.0, 300 * w / n), 9),
+        )
+    assert got == want
+
+
+def test_discover_domains_invariants(spark, sf_dir):
+    from connect_server_spark.operators.sampling import discover_domains
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = discover_domains(
+        docs, emb, nlist=4, alpha=0.5, target_total=100
+    ).collect()
+    assert {r.domain for r in rows} <= set(range(4))
+    assert sum(r.n_rows for r in rows) == docs.count()
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-6
+    assert all(0.0 < r.keep_rate <= 1.0 for r in rows)

@@ -411,3 +411,55 @@ def test_salted_join_rejects_bad_args(spark):
         salted_join(left, right, "k", how="right")
     with pytest.raises(ValueError, match="no non-key columns"):
         salted_join(left.select("k"), right, "k")
+
+
+def test_snapshot_diff_semantics(spark):
+    """All four statuses; null payloads diff correctly — (\"a\", NULL)
+    vs (\"a\", \"\") must read as changed, never unchanged."""
+    from connect_server_spark.storage import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", "x"),
+            (2, "b", None),
+            (3, "c", "y"),
+            (5, "a", None),
+        ],
+        ["id", "t", "u"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", "x"),
+            (2, "b", "edited"),
+            (4, "d", "z"),
+            (5, "a", ""),
+        ],
+        ["id", "t", "u"],
+    )
+    out = {
+        r.id: r.status
+        for r in snapshot_diff(old, new, "id", ["t", "u"]).collect()
+    }
+    assert out == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "added",
+        5: "changed",
+    }
+
+
+def test_snapshot_diff_moves_digests_not_payloads(spark):
+    """The join input carries (id, 32-char digest) only: no payload
+    column survives past the scan-side projection."""
+    from connect_server_spark.storage import snapshot_diff
+
+    old = spark.createDataFrame([(1, "blob")], ["id", "payload"])
+    new = spark.createDataFrame([(1, "blob")], ["id", "payload"])
+    df = snapshot_diff(old, new, "id", ["payload"])
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "payload" not in df.columns
+    # the only join is the full-outer id equi-join
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in ex
+    assert "BroadcastNestedLoopJoin" not in ex

@@ -550,3 +550,54 @@ def test_remove_boilerplate_lines_semantics(spark):
     assert out[2] == ("unique beta", 2, 1)
     assert out[3] == ("", 1, 1)                   # row survives empty
     assert out[4] == ("unique gamma\nx", 2, 0)
+
+
+def test_corpus_release_diff_matches_duckdb_mirror(spark, sf_dir):
+    """Full DuckDB recomputation of the release diff — same null-tagged
+    unit-separated md5 payload digests, same status classification."""
+    import duckdb
+
+    from connect_server_spark.queries.text_queries import corpus_release_diff
+
+    got = sorted(
+        (r.doc_id, r.status, r.old_digest, r.new_digest)
+        for r in corpus_release_diff(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    dig = (
+        "md5(coalesce(text, chr(0)||'NULL') || chr(31) || "
+        "coalesce(lang, chr(0)||'NULL') || chr(31) || "
+        "coalesce(source, chr(0)||'NULL'))"
+    )
+    want = con.execute(f"""
+        WITH oldd AS (
+          SELECT doc_id, {dig} AS old_digest
+          FROM documents WHERE doc_id % 11 <> 0
+        ),
+        newd AS (
+          SELECT doc_id, {dig} AS new_digest
+          FROM (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                        ELSE text END AS text,
+                   lang, source
+            FROM documents WHERE doc_id % 7 <> 0
+          )
+        )
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.old_digest = n.new_digest THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               o.old_digest, n.new_digest
+        FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
+        ORDER BY 1
+    """).fetchall()
+    assert len(got) > 0
+    assert got == sorted(tuple(w) for w in want)
+    statuses = {s for _, s, _, _ in got}
+    assert statuses == {"added", "removed", "changed", "unchanged"}
