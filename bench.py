@@ -95,6 +95,7 @@ HEADLINE = [
     "corpus_line_dedup",
     "corpus_domains",
     "corpus_release_diff",
+    "corpus_bm25_indexed",
 ]
 
 

@@ -25,7 +25,14 @@ from pyspark.sql import functions as F
 
 from connect_server_spark.operators.text import tokens
 
-__all__ = ["corpus_term_stats", "bm25_topk", "rrf_fuse", "doc_keywords"]
+__all__ = [
+    "corpus_term_stats",
+    "bm25_topk",
+    "rrf_fuse",
+    "doc_keywords",
+    "write_bm25_index",
+    "bm25_topk_indexed",
+]
 
 # Okapi defaults (Lucene's values).
 K1 = 1.2
@@ -210,4 +217,120 @@ def doc_keywords(
         scored.withColumn("kw_rank", F.row_number().over(w))
         .filter(F.col("kw_rank") <= m)
         .select(F.col("_id").alias(id_col), "term", "tfidf", "kw_rank")
+    )
+
+
+def write_bm25_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    mode: str = "overwrite",
+    buckets: int = 32,
+) -> None:
+    """Persist the BM25 corpus statistics as a path-addressed index so
+    serving never re-tokenizes the corpus (the Lucene inverted-index
+    analog, Spark-first):
+
+    * ``terms/``   — per-document term counts, BUCKETED BY ``term``: a
+      query's term probe is an equi-join that is Exchange-free on the
+      store side, and the ``term IN (...)`` predicate both pushes to the
+      parquet scan and prunes buckets — a 3-term query reads ~3/32 of
+      the store.
+    * ``doclens/`` — per-document lengths, BUCKETED BY the id: the
+      scoring join shuffles only candidate rows to the store's layout.
+    * ``meta/``    — (n_docs, avg_dl) scalars.
+
+    ``mode="append"`` is the daily-ingest leg: new documents append
+    their term/length rows bucket-correctly (never retokenizing the
+    corpus), and meta is refreshed with n_docs += batch count and
+    avg_dl re-aggregated from the doclens STORE (one narrow agg —
+    lengths only, never text). Scores after append are identical to a
+    full rebuild because every statistic is associative.
+    """
+    from connect_server_spark.storage import read_bucketed, write_bucketed_path
+
+    spark = df.sparkSession
+    term_counts, doc_lens, n_docs, _avg = corpus_term_stats(
+        df, id_col, text_col
+    )
+    write_bucketed_path(
+        term_counts, f"{index_path}/terms", key="term",
+        buckets=buckets, mode=mode,
+    )
+    write_bucketed_path(
+        doc_lens, f"{index_path}/doclens", key="_id",
+        buckets=buckets, mode=mode,
+    )
+    if mode == "append":
+        prev = spark.read.parquet(f"{index_path}/meta").first()
+        n_docs = int(prev["n_docs"]) + n_docs
+    store = read_bucketed(spark, f"{index_path}/doclens", key="_id")
+    avg_dl = float(store.agg(F.avg("dl")).first()[0] or 1.0)
+    spark.createDataFrame(
+        [(n_docs, avg_dl)], "n_docs long, avg_dl double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def bm25_topk_indexed(
+    spark,
+    index_path: str,
+    query: str,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    buckets: int = 32,
+) -> DataFrame:
+    """Top-``k`` under Okapi BM25 against a :func:`write_bm25_index`
+    store — score-identical to :func:`bm25_topk` (same formula, same
+    two-stage 1e-6 rounding, same id tiebreak) but the plan touches ONLY
+    the query terms' index rows: the corpus is never re-tokenized, the
+    terms scan prunes by predicate + bucket, and both store-side joins
+    are Exchange-free by layout."""
+    from connect_server_spark.storage import read_bucketed
+
+    q_terms = sorted({t for t in query.lower().split() if t})
+    if not q_terms:
+        raise ValueError("empty query")
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    n_docs, avg_dl = int(meta["n_docs"]), float(meta["avg_dl"])
+    terms = read_bucketed(
+        spark, f"{index_path}/terms", key="term", buckets=buckets
+    ).filter(F.col("term").isin(q_terms))
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.select(
+        "term",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+            6,
+        ).alias("idf"),
+    )
+    doclens = read_bucketed(
+        spark, f"{index_path}/doclens", key="_id", buckets=buckets
+    )
+    scored = (
+        terms.join(F.broadcast(idf), "term")
+        .join(doclens, "_id")
+        .select(
+            "_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.lit(avg_dl))
+                )
+            ).alias("_s"),
+        )
+        .groupBy("_id")
+        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+    )
+    return (
+        scored.select(F.col("_id").alias("doc_id"), "bm25")
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k)
     )

@@ -44,7 +44,7 @@ def test_headline_covers_every_operator_family():
         "tokenizer": ["tokenize_bpe", "training_pack_bpe"],
         "telemetry": ["corpus_stats", "vocab_top_tokens"],
         "text": ["text_analysis", "corpus_curation", "lm_quality"],
-        "retrieval": ["corpus_bm25", "corpus_hybrid_retrieval"],
+        "retrieval": ["corpus_bm25", "corpus_hybrid_retrieval", "corpus_bm25_indexed"],
         "mining": ["mining_hard_negatives", "corpus_doc_keywords", "corpus_line_dedup"],
         "lifecycle": ["corpus_domains", "corpus_release_diff"],
         "pipeline": ["submit_pipeline", "flow_execute"],

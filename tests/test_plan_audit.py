@@ -235,6 +235,12 @@ SHUFFLE_BUDGET = {
     # release diff: each side reduces to (id, digest) at the scan; the
     # full-outer equi-join pays one Exchange per side.
     "corpus_release_diff": 2,
+    # BM25 serving path: the terms store is bucketed by term (df agg
+    # Exchange-free, bucket-pruned scan); the budget covers the idf
+    # broadcast, the doclens-store join (broadcast at this sf; one
+    # candidate-side hash Exchange at scale — the store side never
+    # moves), and the per-doc score rollup.
+    "corpus_bm25_indexed": 4,
 }
 
 

@@ -238,3 +238,74 @@ def test_doc_keywords_semantics(spark):
     # doc 1: alpha (tf 2, df 2) beats beta (tf 1, df 2): same idf, higher tf.
     d1 = sorted(by_doc[1], key=lambda x: x.kw_rank)
     assert [x.term for x in d1] == ["alpha", "beta"]
+
+
+def test_bm25_indexed_matches_in_memory_and_appends(spark, sf_dir, tmp_path):
+    """The persisted-index path is score-identical to the in-memory
+    path, and the append leg equals a full rebuild of the union."""
+    from pyspark.sql import functions as F
+
+    from connect_server_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = "spark merge window"
+
+    idx = str(tmp_path / "bm25_full")
+    write_bm25_index(docs, "doc_id", "text", idx)
+    got = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, idx, q, k=25).collect()
+    ]
+    want = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk(docs, "doc_id", "text", q, k=25).collect()
+    ]
+    assert got == want
+
+    # Daily-ingest leg: base + appended batch == rebuild of the union.
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    idx2 = str(tmp_path / "bm25_incr")
+    write_bm25_index(base, "doc_id", "text", idx2)
+    write_bm25_index(batch, "doc_id", "text", idx2, mode="append")
+    got2 = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, idx2, q, k=25).collect()
+    ]
+    assert got2 == want
+
+
+def test_bm25_indexed_plan_prunes_and_never_retokenizes(spark, sf_dir, tmp_path):
+    """The serving plan reads ONLY the index stores (never the corpus
+    parquet), pushes the term predicate into the scan, prunes buckets,
+    and is Exchange-free on the doclens store side (1 Exchange for the
+    candidate re-bucket + 1 for the score rollup)."""
+    from connect_server_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "bm25_plan")
+    write_bm25_index(docs, "doc_id", "text", idx)
+    df = bm25_topk_indexed(spark, idx, "spark merge window", k=10)
+    files = df.inputFiles()
+    assert files and all("bm25_plan" in f for f in files), (
+        "serving plan read outside the index store"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert " IN (merge,spark,window)" in plan, (
+        "term predicate not pushed into the index scan"
+    )
+    assert "SelectedBucketsCount" in plan, "no bucket pruning on terms store"
+    shuffles = (
+        plan.count("Exchange")
+        - plan.count("BroadcastExchange")
+        - plan.count("ReusedExchange")
+    )
+    # candidate re-bucket for the doclens join (absorbed by a broadcast
+    # at small store sizes) + the per-doc score rollup.
+    assert shuffles <= 2, f"expected <=2 shuffle exchanges, saw {shuffles}"
