@@ -227,6 +227,7 @@ def write_bm25_index(
     index_path: str,
     mode: str = "overwrite",
     buckets: int = 32,
+    batch_id: int | None = None,
 ) -> None:
     """Persist the BM25 corpus statistics as a path-addressed index so
     serving never re-tokenizes the corpus (the Lucene inverted-index
@@ -239,17 +240,34 @@ def write_bm25_index(
       the store.
     * ``doclens/`` — per-document lengths, BUCKETED BY the id: the
       scoring join shuffles only candidate rows to the store's layout.
-    * ``meta/``    — (n_docs, avg_dl) scalars.
+    * ``meta/``    — a per-batch ledger of (n_docs, dl_sum, dl_cnt)
+      partials under ``batch=<id>/`` directories; serving sums the
+      ledger (a few tiny rows), so N and avgdl are exact for any set of
+      committed batches.
 
     ``mode="append"`` is the daily-ingest leg: new documents append
     their term/length rows bucket-correctly (never retokenizing the
-    corpus), and meta is refreshed with n_docs += batch count and
-    avg_dl re-aggregated from the doclens STORE (one narrow agg —
-    lengths only, never text). Scores after append are identical to a
-    full rebuild because every statistic is associative.
-    """
-    from connect_server_spark.storage import read_bucketed, write_bucketed_path
+    corpus) under a caller-chosen ``batch_id``. Scores after append are
+    identical to a full rebuild because every statistic is associative.
 
+    Replay discipline (the streaming ``foreachBatch`` contract): the
+    term/doclens appends are at-least-once — a replayed batch re-appends
+    IDENTICAL (_id, term, tf) / (_id, dl) rows, which serving drops with
+    a layout-free ``dropDuplicates`` (same pattern the IVF reader pins
+    in ``test_ivf_indexed_tolerates_duplicate_store_rows``) — and the
+    meta partial is idempotent by construction: it overwrites its own
+    ``batch=<id>`` directory, so a replay rewrites the same partial
+    instead of double-counting.
+    """
+    from connect_server_spark.storage import write_bucketed_path
+
+    if mode == "overwrite":
+        batch_id = 0 if batch_id is None else batch_id
+    elif batch_id is None:
+        raise ValueError(
+            "append needs a unique batch_id (a reused id is a REPLAY of "
+            "that batch — its meta partial overwrites, never adds)"
+        )
     spark = df.sparkSession
     term_counts, doc_lens, n_docs, _avg = corpus_term_stats(
         df, id_col, text_col
@@ -262,14 +280,20 @@ def write_bm25_index(
         doc_lens, f"{index_path}/doclens", key="_id",
         buckets=buckets, mode=mode,
     )
-    if mode == "append":
-        prev = spark.read.parquet(f"{index_path}/meta").first()
-        n_docs = int(prev["n_docs"]) + n_docs
-    store = read_bucketed(spark, f"{index_path}/doclens", key="_id")
-    avg_dl = float(store.agg(F.avg("dl")).first()[0] or 1.0)
+    if mode == "overwrite":
+        hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
+        jpath = hadoop_path(f"{index_path}/meta")
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    agg = doc_lens.agg(
+        F.sum("dl").alias("dl_sum"), F.count(F.lit(1)).alias("dl_cnt")
+    ).first()
     spark.createDataFrame(
-        [(n_docs, avg_dl)], "n_docs long, avg_dl double"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+        [(n_docs, int(agg["dl_sum"] or 0), int(agg["dl_cnt"]))],
+        "n_docs long, dl_sum long, dl_cnt long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/meta/batch={int(batch_id)}"
+    )
 
 
 def bm25_topk_indexed(
@@ -292,11 +316,22 @@ def bm25_topk_indexed(
     q_terms = sorted({t for t in query.lower().split() if t})
     if not q_terms:
         raise ValueError("empty query")
-    meta = spark.read.parquet(f"{index_path}/meta").first()
-    n_docs, avg_dl = int(meta["n_docs"]), float(meta["avg_dl"])
-    terms = read_bucketed(
-        spark, f"{index_path}/terms", key="term", buckets=buckets
-    ).filter(F.col("term").isin(q_terms))
+    meta = (
+        spark.read.parquet(f"{index_path}/meta")
+        .agg(F.sum("n_docs"), F.sum("dl_sum"), F.sum("dl_cnt"))
+        .first()
+    )
+    n_docs = int(meta[0])
+    avg_dl = (float(meta[1]) / float(meta[2])) if meta[2] else 1.0
+    terms = (
+        read_bucketed(
+            spark, f"{index_path}/terms", key="term", buckets=buckets
+        )
+        .filter(F.col("term").isin(q_terms))
+        # replayed ingest batches re-append identical rows; the dedup
+        # runs on the query terms' rows only (candidate-sized).
+        .dropDuplicates(["_id", "term"])
+    )
     dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = dfreq.select(
         "term",
@@ -311,7 +346,7 @@ def bm25_topk_indexed(
     )
     doclens = read_bucketed(
         spark, f"{index_path}/doclens", key="_id", buckets=buckets
-    )
+    ).dropDuplicates(["_id"])  # Exchange-free: the scan is id-bucketed
     scored = (
         terms.join(F.broadcast(idf), "term")
         .join(doclens, "_id")

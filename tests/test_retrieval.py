@@ -270,12 +270,25 @@ def test_bm25_indexed_matches_in_memory_and_appends(spark, sf_dir, tmp_path):
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     idx2 = str(tmp_path / "bm25_incr")
     write_bm25_index(base, "doc_id", "text", idx2)
-    write_bm25_index(batch, "doc_id", "text", idx2, mode="append")
+    write_bm25_index(batch, "doc_id", "text", idx2, mode="append", batch_id=1)
     got2 = [
         (r.doc_id, r.bm25)
         for r in bm25_topk_indexed(spark, idx2, q, k=25).collect()
     ]
     assert got2 == want
+
+    # REPLAY of batch 1 (crash-recovery re-delivery): identical rows
+    # re-append, the meta partial overwrites itself — scores unchanged.
+    write_bm25_index(batch, "doc_id", "text", idx2, mode="append", batch_id=1)
+    got3 = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, idx2, q, k=25).collect()
+    ]
+    assert got3 == want
+
+    # append without a batch id is a refused footgun
+    with pytest.raises(ValueError, match="unique batch_id"):
+        write_bm25_index(batch, "doc_id", "text", idx2, mode="append")
 
 
 def test_bm25_indexed_plan_prunes_and_never_retokenizes(spark, sf_dir, tmp_path):

@@ -758,3 +758,95 @@ def test_streaming_rollup_stale_old_dir_cleared_by_next_compaction(
     assert not os.path.exists(stale)
     assert sorted(map(tuple,
                       read_rollup(spark, store, ["k"]).collect())) == baseline
+
+
+def test_streaming_search_ingest_equals_rebuild_and_replays_safely(
+    spark, tmp_path
+):
+    """The BM25 streaming ingest loop: base build + two sink batches
+    score exactly like a one-shot rebuild of the union; replaying a
+    batch (crash re-delivery) changes nothing; a re-delivered batch
+    after success writes nothing (its meta partial is never zeroed)."""
+    from pyspark.sql import functions as F
+
+    from connect_server_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+    from connect_server_spark.streaming.search_ingest import (
+        search_ingest_sink,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    day1 = docs.filter(F.col("doc_id") % 3 == 1)
+    day2 = docs.filter(F.col("doc_id") % 3 == 2)
+    q = "spark merge window"
+
+    idx = str(tmp_path / "bm25_stream")
+    surv = str(tmp_path / "survivors")
+    write_bm25_index(base, "doc_id", "text", idx)
+    # the base corpus counts as already-ingested for the S8 guard
+    base.write.parquet(surv)
+
+    sink = search_ingest_sink(spark, idx, surv, "doc_id", "text")
+    sink(day1, 0)
+    sink(day2, 1)
+
+    want = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk(docs, "doc_id", "text", q, k=25).collect()
+    ]
+    got = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, idx, q, k=25).collect()
+    ]
+    assert got == want
+
+    # crash re-delivery: day2 replays under its original epoch id
+    sink(day2, 1)
+    got2 = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, idx, q, k=25).collect()
+    ]
+    assert got2 == want
+    # nothing fresh was appended to the survivors table either
+    n_surv = spark.read.parquet(surv).count()
+    assert n_surv == docs.count()
+
+
+def test_streaming_search_ingest_gate_keeps_rows_out_of_index(spark, tmp_path):
+    """Gated-out rows never reach the index or the survivors table."""
+    from pyspark.sql import functions as F
+
+    from connect_server_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+    from connect_server_spark.streaming.search_ingest import (
+        search_ingest_sink,
+    )
+
+    idx = str(tmp_path / "bm25_gated")
+    surv = str(tmp_path / "surv_gated")
+    seed = spark.createDataFrame(
+        [(1, "alpha beta gamma")], ["doc_id", "text"]
+    )
+    write_bm25_index(seed, "doc_id", "text", idx)
+    seed.write.parquet(surv)
+
+    batch = spark.createDataFrame(
+        [(2, "alpha spam spam"), (3, "alpha beta delta")],
+        ["doc_id", "text"],
+    )
+    sink = search_ingest_sink(
+        spark, idx, surv, "doc_id", "text",
+        gate=lambda df: df.filter(~F.col("text").contains("spam")),
+    )
+    sink(batch, 0)
+    hits = {
+        r.doc_id for r in bm25_topk_indexed(spark, idx, "alpha", k=10).collect()
+    }
+    assert hits == {1, 3}
+    assert {r.doc_id for r in spark.read.parquet(surv).collect()} == {1, 3}
