@@ -350,6 +350,10 @@ def remove_boilerplate_lines(
     corrections"): delete every line that occurs in ≥ ``min_docs``
     distinct documents, preserving the relative order of survivors.
 
+    ``delim`` is a Java regex (Spark ``split`` semantics) — the default
+    ``"\\n"`` is the CCNet line convention; regex metacharacters must be
+    escaped by the caller.
+
     Scale shape: the removal join is a LEFT ANTI equi-join on the
     8-byte line hash — the boilerplate key set is vastly smaller than
     the corpus (bounded by lines repeating ``min_docs``× — AQE
