@@ -41,23 +41,44 @@ B = 0.75
 
 def corpus_term_stats(df: DataFrame, id_col: str, text_col: str):
     """(per-doc term counts, per-doc lengths, N, avg_len) — the reusable
-    index statistics. Two narrow aggregations; one driver scalar pair
-    (N, avgdl), same precedent as ``unigram_lm``'s corpus total."""
+    index statistics.
+
+    N and avgdl come from the SAME frame: ``doc_lens`` has one row per
+    input document, zero-token documents included with ``dl = 0``
+    (computed scan-stage from the token array — no extra shuffle), so
+    ``N == count(doc_lens)`` and ``avgdl = Σdl / N`` stay consistent
+    even when the corpus contains empty documents.
+
+    Contract: ``id_col`` must be unique across the input (and, for the
+    persisted index, across all ingested batches — the streaming sink
+    guarantees it). A doc id re-ingested with DIFFERENT text would leave
+    two conflicting ``dl`` rows in the store and serving's
+    duplicate-tolerance ``dropDuplicates`` would pick one arbitrarily;
+    only exact replays (identical rows) are tolerated."""
     exploded = df.select(
         F.col(id_col).alias("_id"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     ).filter(F.col("term") != "")
-    # lazily checkpointed: three consumers (document frequencies, the
-    # scoring join, document lengths) would otherwise each re-run the
-    # explode+count from the raw scan — same pattern as rollup_cascade.
+    # lazily checkpointed: two consumers (document frequencies, the
+    # scoring join) would otherwise each re-run the explode+count from
+    # the raw scan — same pattern as rollup_cascade.
     term_counts = exploded.groupBy("_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     ).localCheckpoint(eager=False)
-    doc_lens = term_counts.groupBy("_id").agg(F.sum("tf").alias("dl"))
-    n_docs, avg_dl = df.count(), None
-    row = doc_lens.agg(F.avg("dl")).first()
-    avg_dl = float(row[0] or 1.0)
-    return term_counts, doc_lens, int(n_docs), avg_dl
+    doc_lens = df.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(
+            F.size(F.array_remove(tokens(F.col(text_col)), "")), F.lit(0)
+        )
+        .cast("long")
+        .alias("dl"),
+    )
+    row = doc_lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    n_docs = int(row["n"])
+    avg_dl = float(row["avgdl"] or 1.0)
+    return term_counts, doc_lens, n_docs, avg_dl
 
 
 def bm25_topk(

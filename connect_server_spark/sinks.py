@@ -20,6 +20,7 @@ from pyspark.errors.exceptions.base import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from connect_server_spark.fsutil import fs_exists, read_text, write_text_atomic
 from connect_server_spark.operators.org import anti_join_insert
 
 __all__ = [
@@ -86,7 +87,27 @@ def search_ingest(
     are carried over, so the operation is a true replace-by-subject. The
     I/O cost is proportional to touched buckets, not the index size."""
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        _search_ingest_inner(spark, df, path, subject_col, n_buckets)
+    finally:
+        # the session is shared: leaking "dynamic" would silently change
+        # the semantics of any later overwrite+partitionBy write
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
+
+
+def _search_ingest_inner(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    subject_col: str,
+    n_buckets: int,
+) -> None:
     batch = df.withColumn(
         "subject_bucket", F.pmod(F.xxhash64(F.col(subject_col)), n_buckets)
     )
@@ -173,6 +194,12 @@ def write_training_shards(
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
+    if "shard" in packed.columns:
+        raise ValueError(
+            "input already has a 'shard' column — it would be silently "
+            "overwritten and corrupt the manifest checksum contract; "
+            "rename or drop it before writing"
+        )
     shard = F.pmod(F.xxhash64(F.col(pack_col)), n_shards).cast("int")
     tagged = packed.withColumn("shard", shard)
     (
@@ -218,15 +245,16 @@ def write_training_shards(
         },
     }
     import json as _json
-    import os as _os
+    import posixpath as _pp
 
-    tmp = _os.path.join(path, "._manifest_tmp.json")
-    final = _os.path.join(path, "_manifest.json")
-    with open(tmp, "w") as f:
-        _json.dump(manifest, f, sort_keys=True)
-        f.flush()
-        _os.fsync(f.fileno())
-    _os.replace(tmp, final)  # atomic on the same filesystem
+    # Hadoop FS, not local open(): the shard store lives wherever the
+    # data plane lives (HDFS/S3), and write_text_atomic gives the same
+    # tmp-then-rename commit semantics on every scheme.
+    write_text_atomic(
+        packed.sparkSession,
+        _pp.join(path, "_manifest.json"),
+        _json.dumps(manifest, sort_keys=True),
+    )
     return manifest
 
 
@@ -239,16 +267,15 @@ def read_training_shards(
     raises on any divergence (a truncated or double-written shard must
     not reach a training run silently)."""
     import json as _json
-    import os as _os
+    import posixpath as _pp
 
-    mpath = _os.path.join(path, "_manifest.json")
-    if not _os.path.exists(mpath):
+    mpath = _pp.join(path, "_manifest.json")
+    if not fs_exists(spark, mpath):
         raise FileNotFoundError(
             f"{path}: no _manifest.json — the shard write never committed; "
             "re-run the writer (data-only directories are safe to discard)"
         )
-    with open(mpath) as f:
-        manifest = _json.load(f)
+    manifest = _json.loads(read_text(spark, mpath))
     df = spark.read.parquet(path)
     if verify:
         cols = manifest["columns"]

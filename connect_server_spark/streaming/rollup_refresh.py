@@ -29,12 +29,13 @@ changelog+compaction pair use):
 
 from __future__ import annotations
 
-import os
+import posixpath
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from connect_server_spark.fsutil import fs_delete, fs_exists, fs_rename
 from connect_server_spark.operators.temporal import (
     merge_partials,
     rollup_cascade,
@@ -46,36 +47,36 @@ _COMPACTED = -1  # batch_id sentinel on compacted rows
 
 
 def _partials_path(store: str) -> str:
-    return os.path.join(store, "partials")
+    return posixpath.join(store, "partials")
 
 
 def _seen_path(store: str) -> str:
-    return os.path.join(store, "seen")
+    return posixpath.join(store, "seen")
 
 
 def _swap_paths(store: str) -> tuple[str, str, str]:
     ppath = _partials_path(store)
-    parent, leaf = os.path.split(ppath.rstrip("/"))
+    parent, leaf = posixpath.split(ppath.rstrip("/"))
     return (
         ppath,
-        os.path.join(parent, f".{leaf}._rollup_tmp"),
-        os.path.join(parent, f".{leaf}._rollup_old"),
+        posixpath.join(parent, f".{leaf}._rollup_tmp"),
+        posixpath.join(parent, f".{leaf}._rollup_old"),
     )
 
 
-def _check_not_stranded(store: str) -> None:
+def _check_not_stranded(spark: SparkSession, store: str) -> None:
     """Refuse to touch a store whose compaction crashed between the two
     renames: the log directory is gone but ``._rollup_old`` still holds
     ALL history. Silently proceeding would fork the store — the sink
     would open a fresh empty log and reads would drop every compacted
     bucket. Recovery is one rename, so fail with the exact command."""
     ppath, _tmp, old = _swap_paths(store)
-    if not os.path.exists(ppath) and os.path.exists(old):
+    if not fs_exists(spark, ppath) and fs_exists(spark, old):
         raise RuntimeError(
             f"{store}: crashed compaction detected — the partial log is "
             f"missing but '{old}' holds the pre-swap history. Recover "
-            f"with: os.rename({old!r}, {ppath!r}), then re-run "
-            "compact_rollup."
+            f"with: fsutil.fs_rename(spark, {old!r}, {ppath!r}), then "
+            "re-run compact_rollup."
         )
 
 
@@ -85,7 +86,7 @@ def _batch_already_ingested(
     """Point lookup: has this batch id landed in the log or been
     absorbed by a compaction? Both scans are filter-pushdown point
     probes over narrow columns."""
-    _check_not_stranded(store)
+    _check_not_stranded(spark, store)
     for path, col in (
         (_partials_path(store), "batch_id"),
         (_seen_path(store), "batch_id"),
@@ -140,7 +141,7 @@ def read_rollup(
     """The current rollup state: log partials merged per (keys, bucket,
     level). ``width_seconds`` prunes to one level scan-stage (the
     filter pushes down to the parquet scan)."""
-    _check_not_stranded(store)
+    _check_not_stranded(spark, store)
     log = spark.read.parquet(_partials_path(store))
     if width_seconds is not None:
         log = log.filter(F.col("bucket_seconds") == width_seconds)
@@ -166,16 +167,14 @@ def compact_rollup(
     committed, the copy is garbage) rather than failing the rename.
     Returns the compacted row count.
     """
-    import shutil
-
-    _check_not_stranded(store)
+    _check_not_stranded(spark, store)
     ppath, tmp, old = _swap_paths(store)
     # a PREVIOUS run's completed swap may have crashed before cleanup;
     # with ppath present the old copy is committed garbage — clear it so
     # this run's rename cannot fail on a non-empty target.
     for stale in (old, tmp):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+        if fs_exists(spark, stale):
+            fs_delete(spark, stale)
     log = spark.read.parquet(ppath)
     absorbed = log.select("batch_id").distinct().filter(
         F.col("batch_id") != _COMPACTED
@@ -189,7 +188,7 @@ def compact_rollup(
     n = merged.count()
     # 2. write-aside + two renames (same discipline as storage.compact).
     merged.write.mode("overwrite").parquet(tmp)
-    os.rename(ppath, old)
-    os.rename(tmp, ppath)
-    shutil.rmtree(old)
+    fs_rename(spark, ppath, old)
+    fs_rename(spark, tmp, ppath)
+    fs_delete(spark, old)
     return n

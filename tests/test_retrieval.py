@@ -36,9 +36,17 @@ def test_corpus_bm25_matches_duckdb_mirror(spark, sf_dir):
           SELECT doc_id, term, count(*) AS tf FROM tok
           WHERE term <> '' GROUP BY 1, 2
         ),
-        dl AS (SELECT doc_id, sum(tf) AS dl FROM tc GROUP BY doc_id),
+        dl AS (
+          -- one row per document, zero-token docs included with dl=0,
+          -- so N and avgdl come from the same frame (matches
+          -- corpus_term_stats' contract)
+          SELECT d.doc_id, coalesce(t.dl, 0) AS dl
+          FROM documents d
+          LEFT JOIN (SELECT doc_id, sum(tf) AS dl FROM tc GROUP BY doc_id) t
+            USING (doc_id)
+        ),
         stats AS (
-          SELECT (SELECT count(*) FROM documents) AS n,
+          SELECT (SELECT count(*) FROM dl) AS n,
                  (SELECT avg(dl) FROM dl) AS avgdl
         ),
         idf AS (
