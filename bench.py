@@ -92,6 +92,7 @@ HEADLINE = [
     "corpus_hybrid_retrieval",
     "corpus_doc_keywords",
     "mining_hard_negatives",
+    "mining_hard_negatives_indexed",
     "corpus_line_dedup",
     "corpus_domains",
     "corpus_release_diff",
@@ -196,7 +197,18 @@ def main() -> None:
         out["partial"] = True
         out["partial_total"] = round(sum(timings.values()), 4)
         out["query_errors"] = errors
-    print(json.dumps(out))
+    payload = json.dumps(out)
+    # Side artifact: the driver captures stdout through a tail buffer that
+    # has truncated the JSON head before (BENCH_r06's `parsed` was null) —
+    # an atomic side file keeps every round's numbers machine-readable.
+    try:
+        tmp = os.path.join(REPO_ROOT, ".bench_result.json.tmp")
+        with open(tmp, "w") as f:
+            f.write(payload + "\n")
+        os.replace(tmp, os.path.join(REPO_ROOT, "bench_result.json"))
+    except OSError:
+        pass  # a read-only checkout must not kill the stdout contract
+    print(payload)
 
 
 if __name__ == "__main__":

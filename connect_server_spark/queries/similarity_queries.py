@@ -88,6 +88,24 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("similarity_topk_ivf", similarity_topk_ivf, defer=True)
 
+def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once path of the persisted IVF index for this dataset
+    (content-keyed cache: path+mtime+size — see the dedup_queries twin).
+    Shared by the serving query and the indexed mining query so bench's
+    warm-up pays the corpus assignment pass exactly once."""
+    import os
+
+    from connect_server_spark.operators.similarity import write_ivf_index
+    from connect_server_spark.tables import dataset_cache_key
+
+    key = dataset_cache_key(sf_dir, "embeddings")
+    index_path = f"/tmp/connect_server_spark_ivf_index_v1/{key}"
+    if not os.path.exists(f"{index_path}/cells/_SUCCESS"):
+        emb = load_table(spark, "embeddings", sf_dir)
+        write_ivf_index(emb, index_path, nlist=16)
+    return index_path
+
+
 def similarity_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN SERVING fast path: same probes as ``similarity_topk_ivf``
     but against a pre-built persisted IVF index (trained + assigned once,
@@ -96,21 +114,10 @@ def similarity_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     store prunes to the probed cells. Rows-only; identity to the
     in-memory path with the same centroids is pinned in
     ``tests/test_similarity.py``."""
-    import os
+    from connect_server_spark.operators.similarity import ivf_topk_indexed
 
-    from connect_server_spark.operators.similarity import (
-        ivf_topk_indexed,
-        write_ivf_index,
-    )
-
-    from connect_server_spark.tables import dataset_cache_key
-
-    # content-keyed cache (path+mtime+size) — see dedup_queries twin
-    key = dataset_cache_key(sf_dir, "embeddings")
-    index_path = f"/tmp/connect_server_spark_ivf_index_v1/{key}"
+    index_path = _ivf_index_for(spark, sf_dir)
     emb = load_table(spark, "embeddings", sf_dir)
-    if not os.path.exists(f"{index_path}/cells/_SUCCESS"):
-        write_ivf_index(emb, index_path, nlist=16)
     return ivf_topk_indexed(
         _probes(emb), spark, index_path, _K, nprobe=4
     ).select("probe_id", "vec_id", "cosine", "rank")
@@ -146,22 +153,58 @@ def embeddings_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("embeddings_quantize", embeddings_quantize, defer=True)
 
 
-def mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-negative mining for contrastive training: for each probe
-    vector, the 8 most-similar corpus vectors with a DIFFERENT label
-    (near-duplicates above cosine 0.95 excluded as false-negative
-    risks). Candidates come from the exact searcher here (gate-sized
-    corpus); the 100 TB path passes ``searcher=ivf_topk_indexed`` —
-    everything downstream of candidate generation is candidate-sized."""
-    from connect_server_spark.operators.similarity import hard_negatives
-
-    emb = load_table(spark, "embeddings", sf_dir)
-    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+def _mining_probes(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("probe_vec"),
         F.col("label").alias("probe_label"),
     )
-    return hard_negatives(probes, emb, k=8, candidate_k=40, max_sim=0.95)
+
+
+def mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining, EXACT-searcher baseline: for each probe
+    vector, the 8 most-similar corpus vectors with a DIFFERENT label
+    (near-duplicates above cosine 0.95 excluded as false-negative
+    risks). The exact searcher is quadratic (probes × corpus) — this
+    query exists as the correctness oracle for the indexed form below
+    (same pattern as ``similarity_topk_exact``); a 100 TB run uses
+    ``mining_hard_negatives_indexed``."""
+    from connect_server_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return hard_negatives(
+        _mining_probes(emb), emb, k=8, candidate_k=40, max_sim=0.95
+    )
 
 
 register("mining_hard_negatives", mining_hard_negatives, defer=True)
+
+
+def mining_hard_negatives_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining, the REGISTERED scale form: candidates come
+    from the persisted IVF index (:func:`ivf_topk_indexed` — probe-side
+    assignment only, cell-pruned store scan), so mining cost tracks
+    probes × nprobe/nlist instead of probes × corpus. Everything after
+    candidate generation is candidate-sized, identical to the exact
+    twin. Rows-only (ANN recall is probabilistic); pinned in
+    ``tests/test_similarity.py``: output ≡ the exact searcher at
+    ``nprobe = nlist`` on the fixture, and SCALE.md carries the
+    flat 3-decade sweep."""
+    from connect_server_spark.operators.similarity import (
+        hard_negatives,
+        ivf_topk_indexed,
+    )
+
+    index_path = _ivf_index_for(spark, sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    def searcher(p: DataFrame, _corpus: DataFrame, kk: int) -> DataFrame:
+        return ivf_topk_indexed(p, spark, index_path, kk, nprobe=4)
+
+    return hard_negatives(
+        _mining_probes(emb), emb, k=8, candidate_k=40, max_sim=0.95,
+        searcher=searcher,
+    )
+
+
+register("mining_hard_negatives_indexed", mining_hard_negatives_indexed, defer=True)

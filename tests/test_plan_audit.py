@@ -29,9 +29,11 @@ ALLPAIRS_BASELINES = {
     # the corpus — a bounded 1×N pass by construction, same shape as the
     # exact baseline; the scale path swaps in ivf_topk_indexed.
     "corpus_hybrid_retrieval",
-    # hard-negative mining's default searcher is the exact baseline
-    # (broadcast probes × corpus); the 100 TB path passes an
-    # IVF-indexed searcher and goes equi-join end to end.
+    # hard-negative mining's EXACT searcher (broadcast probes × corpus):
+    # baseline-only since r7 — the registered scale form is
+    # mining_hard_negatives_indexed (IVF-indexed searcher, equi-join end
+    # to end), pinned output-identical at nprobe=nlist in
+    # tests/test_similarity.py.
     "mining_hard_negatives",
 }
 
@@ -55,6 +57,9 @@ ARROW_BOUNDARY_OK = {
     "extract_grouped",
     "diversity_sample",
     "corpus_domains",
+    # IVF probe assignment (Arrow-batched matmul) inside the indexed
+    # mining searcher
+    "mining_hard_negatives_indexed",
 }
 
 
@@ -223,6 +228,11 @@ SHUFFLE_BUDGET = {
     # never shuffle — broadcast probes), the corpus (id, label) join,
     # and the candidate-sized re-rank window.
     "mining_hard_negatives": 4,
+    # the registered scale form: the IVF serving path's budget (rank
+    # shuffle + candidate distinct + duplicate-tolerance distinct, all
+    # candidate-sized — the cell store never moves) + the corpus
+    # (id, label) join + the re-rank window.
+    "mining_hard_negatives_indexed": 6,
     # CCNet line dedup: distinct (line_key, id) + docfreq agg (8-byte
     # hashes only), the anti-join on line_key (AQE broadcasts the
     # boilerplate set), the per-doc rebuild agg — the single time line

@@ -302,6 +302,70 @@ def test_hard_negatives_matches_numpy_reference(spark, sf_dir):
     assert got == sorted(want)
 
 
+def test_hard_negatives_indexed_equals_exact_at_full_nprobe(spark, tmp_path):
+    """The REGISTERED mining form (IVF-indexed searcher) must reproduce
+    the exact quadratic searcher bit-for-bit when nprobe = nlist (every
+    cell probed ⇒ the candidate set is the global top-k). This is the
+    demotion pin: the exact form stays as the oracle baseline only."""
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        hard_negatives,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(33)
+    rows = [
+        (i, rng.randn(8).tolist(), int(rng.randint(0, 5))) for i in range(80)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    probes = spark.createDataFrame(
+        [(100 + i, rows[i * 11][1], rows[i * 11][2]) for i in range(4)],
+        ["probe_id", "probe_vec", "probe_label"],
+    )
+    ix = str(tmp_path / "ivf_mining")
+    nlist = 4
+    write_ivf_index(corpus, ix, nlist=nlist)
+
+    def indexed_searcher(p, _c, kk):
+        return ivf_topk_indexed(p, spark, ix, kk, nprobe=nlist)
+
+    got = sorted(
+        (r.probe_id, r.neg_rank, r.vec_id, r.cosine)
+        for r in hard_negatives(
+            probes, corpus, k=5, candidate_k=20, searcher=indexed_searcher
+        ).collect()
+    )
+    want = sorted(
+        (r.probe_id, r.neg_rank, r.vec_id, r.cosine)
+        for r in hard_negatives(
+            probes, corpus, k=5, candidate_k=20
+        ).collect()
+    )
+    assert len(want) > 0
+    assert got == want
+
+
+def test_mining_hard_negatives_indexed_query_schema(spark, sf_dir):
+    """Registered-query smoke: the indexed mining query returns the same
+    schema as the exact twin and a non-empty, rank-contiguous result."""
+    from connect_server_spark.queries.similarity_queries import (
+        mining_hard_negatives,
+        mining_hard_negatives_indexed,
+    )
+
+    out = mining_hard_negatives_indexed(spark, sf_dir)
+    assert out.columns == mining_hard_negatives(spark, sf_dir).columns
+    rows = out.collect()
+    assert len(rows) > 0
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append(r.neg_rank)
+    for ranks in by_probe.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_hard_negatives_semantics(spark):
     """Same-label items and near-duplicates (cosine > max_sim) never
     appear; ranks are contiguous; a custom searcher is honored."""
