@@ -169,6 +169,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     retries). Gates are scan-stage expressions; the dedup shuffle carries
     (16-byte digest, doc_id); the benchmark gram set broadcasts; the
     sample decision is a pure projection."""
+    from connect_server_spark.functions.expr import let_col
     from connect_server_spark.operators.curation import (
         decontaminate,
         stratified_sample,
@@ -180,20 +181,32 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     t = F.col("text")
     toks = F.col("_toks")
-    scored = docs.select(
-        "doc_id", "source", "text", tokens(t).alias("_toks")
-    ).select(
-        "doc_id",
-        "source",
-        "text",
-        language_id(t, toks=toks).alias("lang_pred"),
-        quality_score(t, toks=toks).alias("quality_e7"),
-        alnum_token_count(t).alias("n_tok"),
-    )
-    kept = scored.filter(
-        (F.col("quality_e7") >= _QMIN)
-        & F.col("n_tok").between(_TOK_LO, _TOK_HI)
-        & (F.col("lang_pred") != "und")
+
+    # Gate FIRST, with the token split let-bound ONCE inside the filter
+    # condition: a filter over alias-projected metrics gets pushed below
+    # the projection by substituting each metric's full expression into
+    # the condition — the split would be re-inlined at every reference
+    # (~8× per row; measured +0.5 s at sf0.1, the r6 regression). Here
+    # the split runs once per row in the gate and once per SURVIVOR in
+    # the metric projection. Values are bit-identical (same oracle).
+    def _gate(tk):
+        return (
+            (quality_score(t, toks=tk) >= _QMIN)
+            & alnum_token_count(t).between(_TOK_LO, _TOK_HI)
+            & (language_id(t, toks=tk) != "und")
+        )
+
+    kept = (
+        docs.filter(let_col(tokens(t), _gate))
+        .select("doc_id", "source", "text", tokens(t).alias("_toks"))
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            language_id(t, toks=toks).alias("lang_pred"),
+            quality_score(t, toks=toks).alias("quality_e7"),
+            alnum_token_count(t).alias("n_tok"),
+        )
     )
     # canonical-per-digest via a window on the digest: one shuffle
     # (bounded groups — copies of one text), not agg + join-back
