@@ -57,6 +57,7 @@ HEADLINE = [
     "similarity_topk_ivf_indexed",
     "text_analysis",
     "corpus_curation",
+    "curation_full",
     "lm_quality",
     "training_pack",
     "training_pack_chunked",

@@ -239,32 +239,101 @@ def make_curation_gate(
     bloom: tuple | None = None,
     ngram_n: int = 8,
     bloom_k: int = 6,
+    gopher: bool = False,
+    c4_doc: bool = False,
+    lm: tuple | None = None,
+    materialize: bool = False,
 ):
     """A reusable batch→batch curation gate for ingest pipelines (the
-    ``gate=`` hook of the streaming dedup sinks): quality floor, token
-    bounds, language requirement, and bloom decontamination — all
-    scan-stage except the decon anti-join (broadcast + id distinct).
+    ``gate=`` hook of the streaming dedup sinks, and the gate stage of
+    the batch ``curation_full`` composite): quality floor, token bounds,
+    language requirement, the published Gopher/C4 document gates, unigram
+    LM routing, and bloom decontamination — all scan-stage except the
+    LM score join (broadcast vocab + one per-doc agg + an id semi-join)
+    and the decon anti-join (broadcast + id distinct).
+
     ``bloom`` is ``(bloom_words_df, n_words)`` from
-    :func:`benchmark_bloom`. Rows a gate drops never reach the dedup
-    probe, the pairs log, the survivor table, or the index — ingest-time
-    curation, not post-hoc cleanup."""
+    :func:`benchmark_bloom`. ``gopher=True`` applies all nine Gopher
+    rule verdicts (Rae et al. 2021 §A1.1, published defaults);
+    ``c4_doc=True`` drops C4's document-level removal flags (lorem
+    ipsum / curly braces). ``lm`` is ``(vocab_df, oov_logp,
+    min_avg_logprob)`` from :func:`~connect_server_spark.operators.text.
+    unigram_lm` — the CCNet head/middle routing cut: keep documents
+    whose mean token log-probability clears the floor. Rows a gate
+    drops never reach the dedup probe, the pairs log, the survivor
+    table, or the index — ingest-time curation, not post-hoc cleanup.
+
+    ``materialize=True`` lazily checkpoints the survivor set before the
+    LM and bloom legs: each of those consumes its input TWICE (score +
+    join-back, probe + anti-join), and Spark plans duplicate — not
+    share — a common subtree, so without the checkpoint the scan-stage
+    gates re-run per consumer. Leave False for single-leg gates or
+    batch-sized streaming inputs where recompute is cheaper than
+    caching."""
+    from connect_server_spark.operators.quality import (
+        c4_doc_flags,
+        gopher_flags,
+        gopher_pass,
+    )
     from connect_server_spark.operators.text import (
         alnum_token_count,
         language_id,
+        lm_quality_scores,
         quality_score,
     )
+
+    from connect_server_spark.functions.expr import let_col
+    from connect_server_spark.operators.text import tokens
 
     def gate(df: DataFrame) -> DataFrame:
         t = F.col(text_col)
         out = df
-        if min_quality is not None:
-            out = out.filter(quality_score(t) >= min_quality)
-        if tok_bounds is not None:
-            lo, hi = tok_bounds
-            out = out.filter(alnum_token_count(t).between(lo, hi))
-        if require_lang:
-            out = out.filter(language_id(t) != "und")
+        # All token-based verdicts under ONE let-bound split: separate
+        # filters would each re-bind (and re-run) the split per row —
+        # see the corpus_curation gate-inlining fix for the measurement.
+        needs_toks = (
+            min_quality is not None
+            or tok_bounds is not None
+            or require_lang
+            or gopher
+        )
+        if needs_toks or c4_doc:
+
+            def scan_pred(tk):
+                cond = F.lit(True)
+                if min_quality is not None:
+                    cond = cond & (quality_score(t, toks=tk) >= min_quality)
+                if tok_bounds is not None:
+                    lo, hi = tok_bounds
+                    cond = cond & alnum_token_count(t).between(lo, hi)
+                if require_lang:
+                    cond = cond & (language_id(t, toks=tk) != "und")
+                if gopher:
+                    cond = cond & gopher_pass(gopher_flags(t, toks=tk))
+                if c4_doc:
+                    flags = c4_doc_flags(t)
+                    cond = cond & (
+                        ~flags["has_lorem_ipsum"] & ~flags["has_brace"]
+                    )
+                return cond
+
+            if needs_toks:
+                out = out.filter(let_col(tokens(t), scan_pred))
+            else:  # c4 flags alone never touch the token array
+                out = out.filter(scan_pred(None))
+        if lm is not None:
+            if materialize:
+                out = out.localCheckpoint(eager=False)
+            vocab, oov_logp, min_lp = lm
+            keep = (
+                lm_quality_scores(out, vocab, oov_logp, id_col, text_col)
+                .filter(F.col("avg_logprob") >= min_lp)
+                .select(id_col)
+            )
+            out = out.join(keep, id_col, "left_semi")
         if bloom is not None:
+            if materialize:
+                out = out.localCheckpoint(eager=False)
             words, n_words = bloom
             hits = contaminated_ids_bloom(
                 out, words, n_words, id_col, text_col, ngram_n, bloom_k
@@ -345,6 +414,7 @@ def remove_boilerplate_lines(
     min_docs: int = 3,
     delim: str = "\n",
     min_chars: int = 1,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Line-level corpus dedup (CCNet §3.1 / RefinedWeb "line-wise
     corrections"): delete every line that occurs in ≥ ``min_docs``
@@ -364,13 +434,16 @@ def remove_boilerplate_lines(
     downstream anti-joins on id).
 
     Returns (id_col, text_col, n_lines, n_removed) with the cleaned
-    text under the original column name.
+    text under the original column name; ``carry_cols`` names extra
+    per-document columns to pass through unchanged (rides the totals
+    aggregation — no extra join).
     """
     boiler = boilerplate_line_keys(
         df, id_col, text_col, min_docs, delim, min_chars
     )
     lines = df.select(
         F.col(id_col).alias("_id"),
+        *[F.col(c) for c in carry_cols],
         F.posexplode(F.split(F.col(text_col), F.lit(delim))).alias(
             "_pos", "_line"
         ),
@@ -394,12 +467,18 @@ def remove_boilerplate_lines(
         ).alias("_clean"),
         F.count(F.lit(1)).alias("_nkept"),
     )
-    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    totals = lines.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        # per-document constants (exploded alongside the lines) — first()
+        # is exact here, no extra join needed to re-attach them
+        *[F.first(F.col(c)).alias(c) for c in carry_cols],
+    )
     return (
         totals.join(rebuilt, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
             F.coalesce(F.col("_clean"), F.lit("")).alias(text_col),
+            *carry_cols,
             "n_lines",
             (
                 F.col("n_lines") - F.coalesce(F.col("_nkept"), F.lit(0))

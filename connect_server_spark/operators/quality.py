@@ -69,6 +69,7 @@ def gopher_flags(
     min_stopword_hits: int = 2,
     max_dup_line_ratio: float = 0.3,
     max_top_2gram_share: float = 0.2,
+    toks: Column | None = None,
 ) -> Column:
     """Struct of the Gopher rule verdicts plus the metrics behind them.
 
@@ -77,7 +78,9 @@ def gopher_flags(
     document fell (the difference between a filter and a black box).
     The word-count defaults (50–100k) are the Gopher paper's; the
     repetition thresholds (dup-line 0.30, top-2-gram 0.20) are its
-    §A1.3 duplicate-text limits.
+    §A1.3 duplicate-text limits. Pass ``toks`` (a caller-materialized
+    or caller-let-bound token array) to share one split with sibling
+    metrics; otherwise the split is let-bound here.
     """
 
     def build(toks: Column) -> Column:
@@ -143,7 +146,7 @@ def gopher_flags(
             (top2 <= max_top_2gram_share).alias("ok_top_2gram"),
         )
 
-    return let_col(tokens(text), build)
+    return build(toks) if toks is not None else let_col(tokens(text), build)
 
 
 def gopher_pass(flags: Column) -> Column:

@@ -1,0 +1,181 @@
+"""The end-to-end batch curation composite: ONE pretraining-prep plan.
+
+``curation_full`` is what a real corpus-prep run executes as a single
+job — the r6 verdict's "missing #1": the individually-shipped stages
+(boilerplate line removal, Gopher/C4 gates, unigram-LM routing, bloom
+decontamination, exact dedup, temperature mixing) composed over ONE
+corpus scan instead of a query per stage.
+
+Single-scan discipline: the re-lined corpus is lazily
+``localCheckpoint``-ed; every stage that needs a corpus pass (line
+document-frequencies, the LM model build, the benchmark gram set, the
+gates themselves) reads the checkpointed base, so the parquet scan of
+``documents`` happens exactly once — pinned in
+``tests/test_curation_full.py`` (the executed plan contains no
+FileScan at all; every leaf is the one checkpointed RDD).
+
+Registered rows-only: xxhash64 (line keys, bloom probes) has no DuckDB
+twin, so the oracles are pytest-side — a stage-by-stage materialized
+recomputation (composition ≡ sequential execution) and a hand-derived
+fixture pin per stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from connect_server_spark.registry import register
+from connect_server_spark.tables import load_table
+
+# Fixture-adapted gate thresholds, documented: the synthetic corpus
+# contains no English function words (Gopher's required-stopword rule
+# would drop 100% of documents — measured) and averages ~54 words per
+# document, so the published 50-word floor and 2-stopword requirement
+# are relaxed to 30/0 HERE, in the query; the operator keeps the
+# published defaults.
+_GOPHER_KW = {"min_words": 30, "min_stopword_hits": 0}
+# Unigram-LM routing floor: fixture avg_logprob clusters at -3.40
+# (min -3.70); -3.5 drops the gibberish tail, keeps the head+middle —
+# the CCNet routing shape.
+_LM_FLOOR = -3.5
+_MIX_ALPHA = 0.5
+_MIX_TARGET = 150  # < survivor count at sf>=0.01, so rates bite
+
+
+def _relined(docs: DataFrame) -> DataFrame:
+    """'\\n' every 8 words — the corpus_line_dedup convention: the
+    synthetic corpus is single-line, and the line-level stages need
+    real cross-document repeated lines."""
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size(words) - 1) / F.lit(8)).cast("int"),
+                ),
+                lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+
+
+def curation_full(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """The composed pipeline, stage order as a production prep run:
+
+    1. boilerplate line removal (CCNet line dedup, ≥3-doc lines);
+    2. Gopher + C4 document gates, fixture-adapted thresholds, all
+       verdicts under ONE let-bound token split;
+    3. unigram-LM routing (model trained on the same checkpointed base,
+       bounded vocab broadcast; keep ``avg_logprob ≥ -3.5``);
+    4. blocked-bloom decontamination against the held-out set (every
+       41st document), 6-grams;
+    5. exact dedup — canonical doc per md5(normalized text) window;
+    6. temperature mixing (α=0.5) to ≈150 documents via the
+       deterministic md5 Bernoulli gate.
+
+    The corpus scans ONCE (lazy localCheckpoint); stages 2-4 reuse
+    :func:`~connect_server_spark.operators.curation.make_curation_gate`.
+    ``checkpoint=False`` exists for the composition-equivalence test
+    (checkpointed RDD lineage is opaque to plan comparison).
+    """
+    from connect_server_spark.operators.curation import (
+        benchmark_bloom,
+        make_curation_gate,
+        remove_boilerplate_lines,
+    )
+    from connect_server_spark.operators.dedup import normalize_text
+    from connect_server_spark.operators.text import unigram_lm
+
+    docs = load_table(spark, "documents", sf_dir)
+    # Stage-boundary materialization: Spark duplicates (never shares) a
+    # common subtree across consumers, so every multi-consumer boundary
+    # is lazily checkpointed — each stage computes ONCE, the corpus
+    # scans once, and the visible plan stays stage-sized (75 duplicated
+    # Exchanges without this, measured at sf0.01).
+    ckpt = (
+        (lambda df: df.localCheckpoint(eager=False))
+        if checkpoint
+        else (lambda df: df)
+    )
+    base = ckpt(_relined(docs))
+
+    cleaned = remove_boilerplate_lines(
+        base, "doc_id", "text", min_docs=3, carry_cols=("source",)
+    )
+    vocab, oov_logp = unigram_lm(base, "doc_id", "text")
+    bench = base.filter(F.col("doc_id") % 41 == 0).select("text")
+    # 32 bits/item, k=8 → ~1.5e-5 false-positive rate per gram (vs
+    # ~3e-3 at the 16/6 default): a training-prep run should not shed
+    # ~10% of clean documents to filter noise; 4 B/gram is still half
+    # the exact hash set.
+    bloom = benchmark_bloom(bench, "text", n=6, bits_per_item=32, k=8)
+    # gopher=False here: the published defaults would drop the whole
+    # stopword-free synthetic corpus, so the adapted gopher verdict is
+    # applied by _gate_with_fixture_gopher in its own scan-stage pass
+    gate = make_curation_gate(
+        "doc_id",
+        "text",
+        c4_doc=True,
+        lm=(vocab, oov_logp, _LM_FLOOR),
+        bloom=bloom,
+        ngram_n=6,
+        bloom_k=8,
+        materialize=checkpoint,
+    )
+    gated = _gate_with_fixture_gopher(gate, ckpt(cleaned))
+
+    w = Window.partitionBy(F.md5(normalize_text(F.col("text"))))
+    deduped = (
+        gated.withColumn("_m", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_m"))
+        .drop("_m")
+    )
+    from connect_server_spark.operators.sampling import mix_corpus
+
+    # mix_corpus consumes its input twice (rate aggregation + the
+    # broadcast join back) — same boundary rule as above
+    mixed = mix_corpus(
+        ckpt(deduped), "doc_id", "source", _MIX_ALPHA, _MIX_TARGET,
+        seed="cf:",
+    )
+    return mixed.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("clean_digest"),
+        "n_lines",
+        "n_removed",
+        "mix_weight",
+        "keep_rate",
+    )
+
+
+def _gate_with_fixture_gopher(gate, cleaned: DataFrame) -> DataFrame:
+    """Apply the gate with the two Gopher thresholds overridden for the
+    stopword-free synthetic corpus (see ``_GOPHER_KW``): the shared
+    make_curation_gate runs with ``gopher=False`` and the adapted
+    gopher verdict is AND-ed in the same scan-stage filter pass."""
+    from connect_server_spark.functions.expr import let_col
+    from connect_server_spark.operators.quality import (
+        gopher_flags,
+        gopher_pass,
+    )
+    from connect_server_spark.operators.text import tokens
+
+    t = F.col("text")
+    adapted = cleaned.filter(
+        let_col(
+            tokens(t),
+            lambda tk: gopher_pass(gopher_flags(t, toks=tk, **_GOPHER_KW)),
+        )
+    )
+    return gate(adapted)
+
+
+register("curation_full", curation_full, defer=True)

@@ -245,6 +245,13 @@ SHUFFLE_BUDGET = {
     # release diff: each side reduces to (id, digest) at the scan; the
     # full-outer equi-join pays one Exchange per side.
     "corpus_release_diff": 2,
+    # the end-to-end curation composite: stage boundaries are lazily
+    # checkpointed (each multi-consumer stage computes once), so the
+    # visible plan carries only the post-dedup stages — the mixing-rate
+    # aggregation, its broadcast join back, and the final projection;
+    # the per-stage shuffles are pinned by the stage operators' own
+    # suites (same precedent as events_rollup_cascade).
+    "curation_full": 3,
     # BM25 serving path: the terms store is bucketed by term (df agg
     # Exchange-free, bucket-pruned scan); the budget covers the idf
     # broadcast, the doclens-store join (broadcast at this sf; one
