@@ -500,8 +500,17 @@ def minhash_neardup_against_index(
         .distinct()
     )
     a = nd.select(F.col(id_col).alias("new_id"), F.col("_sh").alias("_sh_a"))
-    b = read_bucketed(spark, shingle_path, id_col, store_buckets).select(
-        F.col(id_col).alias("corpus_id"), F.col("shingles").alias("_sh_b")
+    b = (
+        read_bucketed(spark, shingle_path, id_col, store_buckets)
+        .select(
+            F.col(id_col).alias("corpus_id"), F.col("shingles").alias("_sh_b")
+        )
+        # a replayed mode="append" ingest re-writes IDENTICAL shingle
+        # rows (at-least-once); without this the verify join would emit
+        # one pair per duplicate store row. Exchange-free by layout —
+        # the store is bucketed on the id (same pattern as BM25's
+        # doclens and the IVF cell store).
+        .dropDuplicates(["corpus_id"])
     )
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size("_sh_a") + F.size("_sh_b") - inter

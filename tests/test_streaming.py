@@ -850,3 +850,195 @@ def test_streaming_search_ingest_gate_keeps_rows_out_of_index(spark, tmp_path):
     }
     assert hits == {1, 3}
     assert {r.doc_id for r in spark.read.parquet(surv).collect()} == {1, 3}
+
+
+# ---------------------------------------------------------------------------
+# The COMPOSED daily-ingest job: every store maintained in one foreachBatch.
+
+
+def _composed_fixture_rows():
+    """Base corpus + two ingest batches exercising every leg: a text
+    near-dup, an embedding near-dup, novels, and a batch-2 doc that
+    near-dups a batch-1 SURVIVOR (so index growth is observable)."""
+    import numpy as np
+
+    rng = np.random.RandomState(77)
+
+    def words(tag, n=21):
+        return " ".join(f"{tag}w{j}" for j in range(n))
+
+    def near(text):
+        return " ".join(text.split()[:-2])
+
+    def vec(seed):
+        v = np.random.RandomState(seed).randn(8)
+        return (v / np.linalg.norm(v)).tolist()
+
+    def nearvec(seed, eps=0.05):
+        base = np.array(vec(seed))
+        v = base + eps * np.random.RandomState(seed + 500).randn(8)
+        return (v / np.linalg.norm(v)).tolist()
+
+    corpus = [
+        (i, words(f"c{i}"), vec(i), f"2024-01-01 10:{i:02d}:00", float(i))
+        for i in range(1, 9)
+    ]
+    b1 = [
+        # near-dup of corpus doc 1's TEXT (vector novel)
+        (101, near(words("c1")), vec(101), "2024-01-02 09:00:00", 1.0),
+        # near-dup of corpus doc 2's VECTOR (text novel)
+        (102, words("n102"), nearvec(2), "2024-01-02 09:10:00", 2.0),
+        # fully novel -> survives
+        (103, words("n103"), vec(103), "2024-01-02 09:20:00", 3.0),
+    ]
+    b2 = [
+        # near-dup of batch-1 survivor 103's text -> caught only if the
+        # minhash index grew
+        (201, near(words("n103")), vec(201), "2024-01-03 08:00:00", 4.0),
+        # fully novel -> survives
+        (202, words("n202"), vec(202), "2024-01-03 08:30:00", 5.0),
+    ]
+    return corpus, b1, b2
+
+
+def _composed_build_base(spark, root, corpus_rows):
+    from connect_server_spark.operators.dedup import write_minhash_index
+    from connect_server_spark.operators.retrieval import write_bm25_index
+    from connect_server_spark.operators.similarity import write_ivf_index
+    from connect_server_spark.streaming.daily_ingest import ingest_store_paths
+
+    paths = ingest_store_paths(root)
+    schema = "doc_id long, text string, embedding array<double>, ts string, v double"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    write_minhash_index(
+        corpus, "doc_id", "text", paths["minhash_index"], paths["shingles"]
+    )
+    write_ivf_index(
+        corpus, paths["ivf_index"], nlist=4,
+        corpus_id="doc_id", corpus_vec="embedding",
+    )
+    write_bm25_index(corpus, "doc_id", "text", paths["bm25_index"])
+    return paths
+
+
+def _composed_batch(spark, rows):
+    from pyspark.sql import functions as F
+
+    schema = "doc_id long, text string, embedding array<double>, ts string, v double"
+    return spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def _composed_state(spark, paths):
+    """Full observable state of every store, via each store's SERVING
+    path (what a consumer would actually see)."""
+    from connect_server_spark.operators.dedup import (
+        embedding_neardup_against_index,
+        minhash_neardup_against_index,
+    )
+    from connect_server_spark.operators.retrieval import bm25_topk_indexed
+    from connect_server_spark.streaming.rollup_refresh import read_rollup
+
+    surv = sorted(
+        (r.doc_id, r.text) for r in
+        spark.read.parquet(paths["survivors"]).select("doc_id", "text").collect()
+    )
+    # the pairs logs are at-least-once by contract: consumers key by
+    # (new_id, corpus_id), so the observable state is the SET
+    pairs_t = sorted({
+        (r.new_id, r.corpus_id) for r in
+        spark.read.parquet(paths["pairs_text"]).collect()
+    })
+    pairs_v = sorted({
+        (r.new_id, r.corpus_id) for r in
+        spark.read.parquet(paths["pairs_vec"]).collect()
+    })
+    bm25 = sorted(map(tuple, bm25_topk_indexed(
+        spark, paths["bm25_index"], "n202w1 c1w2 n103w3", k=10
+    ).collect()))
+    rollup = sorted(map(tuple, read_rollup(spark, paths["rollup"], []).collect()))
+    # probe both dedup indexes with a fresh never-ingested batch
+    probe = _composed_batch(spark, [
+        (901, " ".join(f"n202w{j}" for j in range(19)),
+         [0.1] * 8, "2024-01-04 00:00:00", 0.0),
+    ])
+    mh = sorted(
+        (r.new_id, r.corpus_id) for r in minhash_neardup_against_index(
+            probe.select("doc_id", "text"), spark,
+            paths["minhash_index"], paths["shingles"], "doc_id", "text",
+        ).collect()
+    )
+    ev = sorted(
+        (r.new_id, r.corpus_id) for r in embedding_neardup_against_index(
+            probe.select("doc_id", "embedding"), spark, paths["ivf_index"],
+            id_col="doc_id", vec_col="embedding",
+        ).collect()
+    )
+    return {
+        "survivors": surv, "pairs_t": pairs_t, "pairs_v": pairs_v,
+        "bm25": bm25, "rollup": rollup, "mh_probe": mh, "ev_probe": ev,
+    }
+
+
+@pytest.fixture(scope="module")
+def composed_control(spark, tmp_path_factory):
+    """The never-crashed reference run: base build + b1 + b2."""
+    from connect_server_spark.streaming.daily_ingest import composed_ingest_sink
+
+    root = str(tmp_path_factory.mktemp("composed_control"))
+    corpus, b1, b2 = _composed_fixture_rows()
+    paths = _composed_build_base(spark, root, corpus)
+    sink = composed_ingest_sink(
+        spark, root, "doc_id", "text", "embedding", "ts", "v"
+    )
+    sink(_composed_batch(spark, b1), 0)
+    sink(_composed_batch(spark, b2), 1)
+    return _composed_state(spark, paths)
+
+
+def test_composed_ingest_end_to_end_semantics(spark, composed_control):
+    """The clean run itself: text/vector near-dups dropped (including a
+    batch-2 doc near-dupping a batch-1 survivor), novels survive, both
+    pairs logs attribute correctly, search serves the new docs."""
+    st = composed_control
+    assert [d for d, _ in st["survivors"]] == [103, 202]
+    assert (101, 1) in st["pairs_t"]      # text near-dup of corpus
+    assert (201, 103) in st["pairs_t"]    # caught because the index GREW
+    assert (102, 2) in st["pairs_v"]      # embedding near-dup of corpus
+    assert len(st["bm25"]) > 0
+    assert len(st["rollup"]) > 0
+
+
+@pytest.mark.parametrize(
+    "failpoint",
+    ["rollup", "pairs", "minhash_index", "ivf_index", "bm25_index"],
+)
+def test_composed_ingest_crash_replay_converges(
+    spark, tmp_path, composed_control, failpoint
+):
+    """THE exactly-once pin for the composed job: kill batch 2 right
+    after each append step, replay it cleanly, and require the full
+    observable state of EVERY store (survivors, both pairs logs, BM25
+    serving, both dedup-index probes, the rollup) to equal the
+    never-crashed control run."""
+    from connect_server_spark.streaming.daily_ingest import (
+        composed_ingest_sink,
+        ingest_store_paths,
+    )
+
+    root = str(tmp_path / "root")
+    corpus, b1, b2 = _composed_fixture_rows()
+    paths = _composed_build_base(spark, root, corpus)
+    clean = composed_ingest_sink(
+        spark, root, "doc_id", "text", "embedding", "ts", "v"
+    )
+    crashy = composed_ingest_sink(
+        spark, root, "doc_id", "text", "embedding", "ts", "v",
+        _failpoint=failpoint,
+    )
+    clean(_composed_batch(spark, b1), 0)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        crashy(_composed_batch(spark, b2), 1)
+    clean(_composed_batch(spark, b2), 1)  # the replay
+    assert _composed_state(spark, paths) == composed_control
