@@ -32,6 +32,7 @@ __all__ = [
     "doc_keywords",
     "write_bm25_index",
     "bm25_topk_indexed",
+    "query_term_stats",
 ]
 
 # Okapi defaults (Lucene's values).
@@ -265,6 +266,13 @@ def write_bm25_index(
       partials under ``batch=<id>/`` directories; serving sums the
       ledger (a few tiny rows), so N and avgdl are exact for any set of
       committed batches.
+    * ``termstats/`` — a per-batch ledger of (term, df) partials under
+      ``batch=<id>/``: vocabulary-sized, so tiny next to ``terms/``.
+      Serving reads the query terms' exact document frequencies from it
+      BEFORE touching a posting list — this is what lets the hot-term
+      idf floor drop a stop word without ever scanning its
+      corpus-sized posting list. df partials sum exactly because doc
+      ids are unique across batches (the contract above).
 
     ``mode="append"`` is the daily-ingest leg: new documents append
     their term/length rows bucket-correctly (never retokenizing the
@@ -303,9 +311,19 @@ def write_bm25_index(
     )
     if mode == "overwrite":
         hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
-        jpath = hadoop_path(f"{index_path}/meta")
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(jpath, True)
+        fs = hadoop_path(index_path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        for ledger in ("meta", "termstats"):
+            fs.delete(hadoop_path(f"{index_path}/{ledger}"), True)
+    # the df ledger partial: batch-dir overwrite makes replays idempotent
+    # (same discipline as meta); term_counts is already one row per
+    # (_id, term), so count == this batch's document frequency.
+    term_counts.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/termstats/batch={int(batch_id)}"
+    )
     agg = doc_lens.agg(
         F.sum("dl").alias("dl_sum"), F.count(F.lit(1)).alias("dl_cnt")
     ).first()
@@ -317,6 +335,51 @@ def write_bm25_index(
     )
 
 
+def query_term_stats(
+    spark, index_path: str, q_terms: list[str], idf_floor: float
+) -> tuple[list[tuple[str, float]], list[tuple[str, float]]]:
+    """(kept, pruned) — the query terms' exact (term, idf) pairs from
+    the ``termstats/`` ledger, split by the hot-term idf floor. Reads
+    only vocabulary-ledger rows, never a posting list, so the pruning
+    decision itself is O(query terms). idf uses the same rounded
+    expression as :func:`bm25_topk`, evaluated JVM-side on the
+    vocabulary-sized frame, so kept-term scores stay bit-identical to
+    the in-memory path. If EVERY matched term is below the floor (an
+    all-stop-word query), the single highest-idf term is kept so the
+    query still answers — one bounded posting list, never zero."""
+    meta = (
+        spark.read.parquet(f"{index_path}/meta")
+        .agg(F.sum("n_docs"))
+        .first()
+    )
+    n_docs = int(meta[0])
+    rows = (
+        spark.read.parquet(f"{index_path}/termstats")
+        .filter(F.col("term").isin(q_terms))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                ),
+                6,
+            ).alias("idf"),
+        )
+        .collect()
+    )
+    rows = sorted(rows, key=lambda r: r.term)
+    kept = [(r.term, r.idf) for r in rows if r.idf >= idf_floor]
+    pruned = [(r.term, r.idf) for r in rows if r.idf < idf_floor]
+    if not kept and pruned:
+        best = max(pruned, key=lambda t: (t[1], t[0]))
+        kept, pruned = [best], [t for t in pruned if t != best]
+    return kept, pruned
+
+
 def bm25_topk_indexed(
     spark,
     index_path: str,
@@ -325,13 +388,29 @@ def bm25_topk_indexed(
     k1: float = K1,
     b: float = B,
     buckets: int = 32,
+    idf_floor: float = 0.1,
 ) -> DataFrame:
     """Top-``k`` under Okapi BM25 against a :func:`write_bm25_index`
     store — score-identical to :func:`bm25_topk` (same formula, same
-    two-stage 1e-6 rounding, same id tiebreak) but the plan touches ONLY
-    the query terms' index rows: the corpus is never re-tokenized, the
-    terms scan prunes by predicate + bucket, and both store-side joins
-    are Exchange-free by layout."""
+    two-stage 1e-6 rounding, same id tiebreak) for every term above the
+    idf floor, but the plan touches ONLY the query terms' index rows:
+    the corpus is never re-tokenized, the terms scan prunes by
+    predicate + bucket, and both store-side joins are Exchange-free by
+    layout.
+
+    **Hot-term bound (WAND-adjacent static pruning)**: a stop word's
+    posting list is corpus-sized, so at 100× one careless query term
+    would read the whole ``terms/`` store. :func:`query_term_stats`
+    resolves each query term's exact df from the tiny ``termstats/``
+    ledger first and drops terms with ``idf < idf_floor`` BEFORE the
+    posting scan — the hot term never appears in the scan's
+    ``term IN (...)`` predicate, so its posting list is neither read
+    nor shuffled. The default floor 0.1 only prunes terms in ≳90% of
+    documents, whose per-hit score contribution is ≤
+    ``idf_floor·(k1+1)`` ≈ 0.22 — the standard lossy stop-word trade;
+    pass ``idf_floor=0.0`` for exact parity on any query. The ledger
+    also supplies idf for the kept terms, which removes the old
+    posting-side df aggregation from the serving plan entirely."""
     from connect_server_spark.storage import read_bucketed
 
     q_terms = sorted({t for t in query.lower().split() if t})
@@ -342,28 +421,25 @@ def bm25_topk_indexed(
         .agg(F.sum("n_docs"), F.sum("dl_sum"), F.sum("dl_cnt"))
         .first()
     )
-    n_docs = int(meta[0])
     avg_dl = (float(meta[1]) / float(meta[2])) if meta[2] else 1.0
-    terms = (
-        read_bucketed(
-            spark, f"{index_path}/terms", key="term", buckets=buckets
+    kept, _pruned = query_term_stats(spark, index_path, q_terms, idf_floor)
+    term_scan = read_bucketed(
+        spark, f"{index_path}/terms", key="term", buckets=buckets
+    )
+    if kept:
+        term_scan = term_scan.filter(
+            F.col("term").isin([t for t, _ in kept])
         )
-        .filter(F.col("term").isin(q_terms))
+    else:  # no query term exists in the corpus at all
+        term_scan = term_scan.filter(F.lit(False))
+    terms = (
+        term_scan
         # replayed ingest batches re-append identical rows; the dedup
         # runs on the query terms' rows only (candidate-sized).
         .dropDuplicates(["_id", "term"])
     )
-    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = dfreq.select(
-        "term",
-        F.round(
-            F.log(
-                F.lit(1.0)
-                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5)
-            ),
-            6,
-        ).alias("idf"),
+    idf = spark.createDataFrame(
+        kept or [("", 0.0)], "term string, idf double"
     )
     doclens = read_bucketed(
         spark, f"{index_path}/doclens", key="_id", buckets=buckets

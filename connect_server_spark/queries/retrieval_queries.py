@@ -99,7 +99,7 @@ def corpus_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connect_server_spark.tables import dataset_cache_key
 
     key = dataset_cache_key(sf_dir, "documents")
-    index_path = f"/tmp/connect_server_spark_bm25_index_v2/{key}"
+    index_path = f"/tmp/connect_server_spark_bm25_index_v3/{key}"
     if not os.path.exists(f"{index_path}/meta/batch=0/_SUCCESS"):
         docs = load_table(spark, "documents", sf_dir)
         write_bm25_index(docs, "doc_id", "text", index_path)

@@ -330,3 +330,63 @@ def test_bm25_indexed_plan_prunes_and_never_retokenizes(spark, sf_dir, tmp_path)
     # candidate re-bucket for the doclens join (absorbed by a broadcast
     # at small store sizes) + the per-doc score rollup.
     assert shuffles <= 2, f"expected <=2 shuffle exchanges, saw {shuffles}"
+
+
+def test_bm25_indexed_hot_term_idf_floor(spark, tmp_path):
+    """The hot-term bound: a corpus-universal query term is resolved
+    against the tiny termstats ledger and dropped BEFORE the posting
+    scan — its corpus-sized posting list is never read (absent from the
+    scan's pushed IN-predicate), the result equals dropping the term
+    from the query, and normal queries are bit-identical to the
+    unfloored path."""
+    from connect_server_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        query_term_stats,
+        write_bm25_index,
+    )
+
+    # 40 docs; "the" appears in EVERY doc (idf ~ log(1+0.5/40.5) ~ 0.012),
+    # topic words appear in 4 docs each (idf ~ 2.2).
+    rows = [
+        (i, "the " + " ".join(f"t{i % 10}w{j}" for j in range(6)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "bm25_hot")
+    write_bm25_index(docs, "doc_id", "text", idx)
+
+    kept, pruned = query_term_stats(spark, idx, ["the", "t3w1"], 0.1)
+    assert [t for t, _ in kept] == ["t3w1"]
+    assert [t for t, _ in pruned] == ["the"]
+
+    hot = bm25_topk_indexed(spark, idx, "the t3w1", k=5)
+    plan = hot._jdf.queryExecution().executedPlan().toString()
+    # the kept term is pushed into the posting scan as an equality
+    # (Catalyst folds a 1-element IN); the hot term appears in NO
+    # predicate literal — its posting list is never read.
+    assert "= t3w1)" in plan, "pruned predicate not pushed"
+    for lit in ("= the)", "(the,", ", the)", "(the)"):
+        assert lit not in plan, "hot term reached the posting scan"
+    got = [(r.doc_id, r.bm25) for r in hot.collect()]
+    want = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, idx, "t3w1", k=5).collect()
+    ]
+    assert got == want  # pruning == dropping the stop word
+
+    # normal query: floored path bit-identical to idf_floor=0.0
+    a = [(r.doc_id, r.bm25) for r in
+         bm25_topk_indexed(spark, idx, "t3w1 t7w2", k=10).collect()]
+    b = [(r.doc_id, r.bm25) for r in
+         bm25_topk_indexed(spark, idx, "t3w1 t7w2", k=10,
+                           idf_floor=0.0).collect()]
+    assert a == b
+
+    # all-stop-word query: the single least-hot term is kept — one
+    # bounded posting list, non-empty answer
+    kept2, _ = query_term_stats(spark, idx, ["the"], 0.1)
+    assert [t for t, _ in kept2] == ["the"]
+    assert bm25_topk_indexed(spark, idx, "the", k=3).count() == 3
+
+    # absent-term-only query: empty result, no posting scan
+    assert bm25_topk_indexed(spark, idx, "zzz_absent", k=3).count() == 0
