@@ -98,7 +98,20 @@ def train_bpe(
     lexicographically-least) adjacent symbol pair and touches only the
     pieces that contain it. Truncating to ``max_pieces`` is the standard
     frequency-threshold training cut — dropped singleton pieces cannot
-    influence high-frequency merges."""
+    influence high-frequency merges.
+
+    **Driver-memory bound**: the collected training set is
+    ``max_pieces`` (piece, count) rows — at the 1e6 cap below, tens of
+    MB — and the merge loop's pair indexes are proportional to total
+    collected piece length, independent of corpus size (the corpus-side
+    work is one distributed piece-frequency aggregation regardless of
+    scale; measured walls in SCALE.md §tokenizer). ``max_pieces`` above
+    1e6 is refused rather than silently risking the driver."""
+    if max_pieces > 1_000_000:
+        raise ValueError(
+            "max_pieces > 1_000_000 would collect an unbounded training "
+            "set onto the driver; raise the frequency cut instead"
+        )
     top = (
         piece_frequencies(df, text_col)
         .orderBy(F.col("n").desc(), F.col("piece").asc())

@@ -241,3 +241,11 @@ def test_tokenize_plan_is_single_arrow_boundary(spark, trained):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_train_bpe_refuses_unbounded_driver_collect(spark):
+    from connect_server_spark.operators.tokenizer import train_bpe
+
+    df = spark.createDataFrame([("a b",)], "text string")
+    with pytest.raises(ValueError, match="max_pieces"):
+        train_bpe(df, "text", max_pieces=1_000_001)
