@@ -606,11 +606,14 @@ def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connect_server_spark.tables import dataset_cache_key
 
     key = dataset_cache_key(sf_dir, "embeddings")
-    index_path = f"/tmp/connect_server_spark_emb_ivf_index_v1/{key}"
+    index_path = f"/tmp/connect_server_spark_emb_ivf_index_v2/{key}"
     corpus = _emb_neardup_corpus(spark, sf_dir)
     base = corpus.filter(F.col("vec_id") < 1000000)
     if not os.path.exists(f"{index_path}/cells/_SUCCESS"):
-        write_ivf_index(base, index_path, nlist=16)
+        # fixed target cell size (~256), floor 16: keeps probe work
+        # O(nprobe * cell_size) as the store grows (similarity_queries
+        # twin has the full sizing argument)
+        write_ivf_index(base, index_path, nlist=max(16, base.count() // 256))
     batch = corpus.filter(F.col("vec_id") >= 1000000)
     return embedding_neardup_against_index(
         batch, spark, index_path, threshold=0.9, nprobe=4

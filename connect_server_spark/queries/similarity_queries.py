@@ -92,17 +92,26 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
     """Build-once path of the persisted IVF index for this dataset
     (content-keyed cache: path+mtime+size — see the dedup_queries twin).
     Shared by the serving query and the indexed mining query so bench's
-    warm-up pays the corpus assignment pass exactly once."""
+    warm-up pays the corpus assignment pass exactly once.
+
+    ``nlist`` is sized for a FIXED TARGET CELL SIZE (~256 vectors, floor
+    16 cells), the standard IVF sizing rule: with fixed nprobe a probe
+    reads O(nprobe · cell_size) candidates regardless of corpus size, so
+    batch mining whose probe count grows with the corpus stays LINEAR in
+    total work — a fixed nlist would let cells grow with N and send
+    probes × cell_size quadratic (measured: the fixed-nlist form was
+    3.3× wall at 10× data; resized, the SCALE.md sweep is flat)."""
     import os
 
     from connect_server_spark.operators.similarity import write_ivf_index
     from connect_server_spark.tables import dataset_cache_key
 
     key = dataset_cache_key(sf_dir, "embeddings")
-    index_path = f"/tmp/connect_server_spark_ivf_index_v1/{key}"
+    index_path = f"/tmp/connect_server_spark_ivf_index_v2/{key}"
     if not os.path.exists(f"{index_path}/cells/_SUCCESS"):
         emb = load_table(spark, "embeddings", sf_dir)
-        write_ivf_index(emb, index_path, nlist=16)
+        nlist = max(16, emb.count() // 256)
+        write_ivf_index(emb, index_path, nlist=nlist)
     return index_path
 
 
