@@ -109,3 +109,62 @@ register(
     GROUP BY user_id, session_no
     """,
 )
+
+
+def daily_ingest_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production ingest job
+    (:mod:`connect_server_spark.streaming.daily_ingest`) run end-to-end
+    as a batch-driven drill: build the base minhash/IVF/BM25 stores
+    from a third of the corpus, then push the other two thirds through
+    the one-``foreachBatch`` sink as two daily batches — gate, rollup
+    partial, both dedup probes, all index appends, survivors commit.
+    Returns the survivor ledger (deterministic: the probes, splits, and
+    thresholds are all hash-derived). Rows-only by design — the
+    exactly-once/crash-replay semantics are the pytest-pinned part
+    (``tests/test_streaming.py`` composed-ingest suite)."""
+    import tempfile
+
+    from connect_server_spark.operators.dedup import write_minhash_index
+    from connect_server_spark.operators.retrieval import write_bm25_index
+    from connect_server_spark.operators.similarity import write_ivf_index
+    from connect_server_spark.streaming.daily_ingest import (
+        composed_ingest_sink,
+        ingest_store_paths,
+    )
+    from connect_server_spark.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    corpus = (
+        docs.join(emb, "doc_id")
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(1704067200) + F.col("doc_id") % 86400
+            ),
+        )
+        .withColumn("value", (F.col("doc_id") % 100).cast("double"))
+    )
+    root = tempfile.mkdtemp(prefix="daily_ingest_composed_")
+    paths = ingest_store_paths(root)
+    base = corpus.filter(F.col("doc_id") % 3 == 0)
+    write_minhash_index(
+        base, "doc_id", "text", paths["minhash_index"], paths["shingles"]
+    )
+    write_ivf_index(
+        base, paths["ivf_index"], nlist=8,
+        corpus_id="doc_id", corpus_vec="embedding",
+    )
+    write_bm25_index(base, "doc_id", "text", paths["bm25_index"])
+    sink = composed_ingest_sink(
+        spark, root, "doc_id", "text", "embedding", "ts", "value"
+    )
+    sink(corpus.filter(F.col("doc_id") % 3 == 1), 0)
+    sink(corpus.filter(F.col("doc_id") % 3 == 2), 1)
+    return spark.read.parquet(paths["survivors"]).select("doc_id")
+
+
+register("daily_ingest_composed", daily_ingest_composed, defer=True)

@@ -261,12 +261,21 @@ SHUFFLE_BUDGET = {
 }
 
 
+# Composed end-to-end DRILLS whose query function executes a whole
+# multi-store job as a side effect and returns only a ledger read-back —
+# building their "plan" here would re-run the job. Every member plan
+# (gate, probes, index appends, rollup) is audited via its own
+# registered query above; the composition's semantics are pinned in
+# tests/test_streaming.py (end-to-end + crash-replay convergence).
+COMPOSED_DRILLS = {"daily_ingest_composed"}
+
+
 def _plan(spark, sf_dir, name: str) -> str:
     df = _QUERIES[name](spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-@pytest.mark.parametrize("name", sorted(_QUERIES))
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - COMPOSED_DRILLS))
 def test_plan_scale_invariants(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     if name not in ALLPAIRS_BASELINES:
