@@ -55,6 +55,7 @@ HEADLINE = [
     "similarity_topk_ann",
     "similarity_topk_ivf",
     "similarity_topk_ivf_indexed",
+    "similarity_topk_ivf_sq8",
     "text_analysis",
     "corpus_curation",
     "curation_full",

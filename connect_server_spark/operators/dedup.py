@@ -1090,13 +1090,14 @@ def embedding_neardup_against_index(
         cosine_similarity,
         ivf_assign_udf,
         read_ivf_centroids,
+        read_ivf_cells,
     )
 
     cents = read_ivf_centroids(spark, index_path)
-    corpus_cells = spark.read.parquet(f"{index_path}/cells").select(
+    corpus_cells = read_ivf_cells(spark, index_path, id_col, vec_col).select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("_vb"),
-        F.col("cell").cast("int").alias("_cell"),
+        F.col("cell").alias("_cell"),
     )
     batch_cells = new.select(
         F.col(id_col).alias("new_id"),

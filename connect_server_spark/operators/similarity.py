@@ -38,6 +38,7 @@ __all__ = [
     "ivf_topk",
     "write_ivf_index",
     "read_ivf_centroids",
+    "read_ivf_cells",
     "ivf_topk_indexed",
     "hard_negatives",
 ]
@@ -268,6 +269,7 @@ def write_ivf_index(
     centroids=None,
     train_iters: int = 10,
     mode: str = "overwrite",
+    quantize: bool = False,
 ) -> None:
     """Persist the IVF index so ANN serving never re-trains or re-assigns
     the corpus: the quantizer trains ONCE (bounded sample) and the
@@ -284,11 +286,21 @@ def write_ivf_index(
     ``mode="append"`` is the ingest path: new vectors are assigned with
     the STORED centroids (never retrained — cell ids must stay stable)
     and appended, growing the index by O(batch). Consumed by
-    :func:`ivf_topk_indexed`."""
+    :func:`ivf_topk_indexed`.
+
+    ``quantize=True`` stores each cell vector as symmetric per-vector
+    int8 (``scale`` + ``array<tinyint>`` — the FAISS-SQ8 trade): ~4×
+    less index storage and scan I/O, ~1e-3 cosine error, with
+    dequantization happening scan-stage at serving time
+    (:func:`read_ivf_cells`). Appends follow the EXISTING store's
+    format regardless of the argument — a cell store must stay
+    homogeneous."""
     spark = corpus.sparkSession
     cent_path, cells_path = f"{index_path}/centroids", f"{index_path}/cells"
     if mode == "append":
         cents = read_ivf_centroids(spark, index_path)
+        stored = spark.read.parquet(cells_path).columns
+        quantize = "q" in stored and corpus_vec not in stored
     else:
         cents = (
             np.asarray(centroids, dtype=np.float64)
@@ -301,11 +313,23 @@ def write_ivf_index(
             [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
             "cell int, weights array<double>",
         ).coalesce(1).write.mode(mode).parquet(cent_path)
-    assigned = corpus.select(
-        F.col(corpus_id),
-        F.col(corpus_vec),
-        F.explode(ivf_assign_udf(cents, 1)(F.col(corpus_vec))).alias("cell"),
-    )
+    cell = F.explode(ivf_assign_udf(cents, 1)(F.col(corpus_vec))).alias("cell")
+    assigned = corpus.select(F.col(corpus_id), F.col(corpus_vec), cell)
+    if quantize:
+        from connect_server_spark.operators.embeddings import quantize_int8
+
+        # separate projection: mixing getField on a freshly-built named
+        # struct with the Arrow assignment UDF in ONE select trips
+        # Spark's UDF-extraction rewrite (the struct loses its field
+        # names); quantizing after the explode is equivalent (one cell
+        # per vector at build time)
+        packed = quantize_int8(F.col(corpus_vec))
+        assigned = assigned.select(
+            F.col(corpus_id),
+            packed.getField("scale").alias("scale"),
+            packed.getField("q").alias("q"),
+            "cell",
+        )
     assigned.write.mode("append" if mode == "append" else mode).partitionBy(
         "cell"
     ).parquet(cells_path)
@@ -321,6 +345,38 @@ def read_ivf_centroids(spark, index_path: str):
         .collect()
     )
     return np.array([r.weights for r in rows], dtype=np.float64)
+
+
+def read_ivf_cells(
+    spark,
+    index_path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """The cell store as ``(corpus_id, corpus_vec, cell)`` regardless of
+    stored representation: float vectors pass through; SQ8 stores
+    (``write_ivf_index(quantize=True)``) are dequantized SCAN-STAGE
+    (pure Catalyst array expressions — no Python boundary, and the 4×
+    I/O saving has already happened at the parquet scan)."""
+    cells = spark.read.parquet(f"{index_path}/cells")
+    if corpus_vec in cells.columns:
+        vec = F.col(corpus_vec)
+    elif {"scale", "q"} <= set(cells.columns):
+        from connect_server_spark.operators.embeddings import dequantize_int8
+
+        vec = dequantize_int8(
+            F.struct(F.col("scale").alias("scale"), F.col("q").alias("q"))
+        )
+    else:
+        raise ValueError(
+            f"unrecognized IVF cell-store schema at {index_path}/cells: "
+            f"{cells.columns}"
+        )
+    return cells.select(
+        F.col(corpus_id),
+        vec.alias(corpus_vec),
+        F.col("cell").cast("int").alias("cell"),
+    )
 
 
 def ivf_topk_indexed(
@@ -350,11 +406,9 @@ def ivf_topk_indexed(
     budget; serve larger probe sets in slices — per-slice results are
     independent, so slicing changes nothing but peak memory."""
     cents = read_ivf_centroids(spark, index_path)
-    c_cells = spark.read.parquet(f"{index_path}/cells").select(
-        F.col(corpus_id),
-        F.col(corpus_vec),
-        F.col("cell").cast("int").alias("_cell"),
-    )
+    c_cells = read_ivf_cells(
+        spark, index_path, corpus_id, corpus_vec
+    ).withColumnRenamed("cell", "_cell")
     p_cells = probes.select(
         F.col(probe_id),
         F.col(probe_vec),

@@ -88,7 +88,9 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("similarity_topk_ivf", similarity_topk_ivf, defer=True)
 
-def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
+def _ivf_index_for(
+    spark: SparkSession, sf_dir: str, quantize: bool = False
+) -> str:
     """Build-once path of the persisted IVF index for this dataset
     (content-keyed cache: path+mtime+size — see the dedup_queries twin).
     Shared by the serving query and the indexed mining query so bench's
@@ -107,11 +109,12 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
     from connect_server_spark.tables import dataset_cache_key
 
     key = dataset_cache_key(sf_dir, "embeddings")
-    index_path = f"/tmp/connect_server_spark_ivf_index_v2/{key}"
+    variant = "sq8_" if quantize else ""
+    index_path = f"/tmp/connect_server_spark_ivf_index_{variant}v2/{key}"
     if not os.path.exists(f"{index_path}/cells/_SUCCESS"):
         emb = load_table(spark, "embeddings", sf_dir)
         nlist = max(16, emb.count() // 256)
-        write_ivf_index(emb, index_path, nlist=nlist)
+        write_ivf_index(emb, index_path, nlist=nlist, quantize=quantize)
     return index_path
 
 
@@ -133,6 +136,27 @@ def similarity_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("similarity_topk_ivf_indexed", similarity_topk_ivf_indexed, defer=True)
+
+
+def similarity_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUANTIZED serving path: same probes against an SQ8 cell store
+    (``write_ivf_index(quantize=True)`` — per-vector int8, ~4× less
+    index storage and scan I/O; the dominant cost at 100 TB is reading
+    the probed cells, so SQ8 cuts serving I/O 4× for ~1e-3 cosine
+    error). Dequantization is scan-stage Catalyst; the plan is otherwise
+    identical to ``similarity_topk_ivf_indexed``. Rows-only; recall and
+    cosine-error bounds vs the float index are pinned in
+    ``tests/test_similarity.py``."""
+    from connect_server_spark.operators.similarity import ivf_topk_indexed
+
+    index_path = _ivf_index_for(spark, sf_dir, quantize=True)
+    emb = load_table(spark, "embeddings", sf_dir)
+    return ivf_topk_indexed(
+        _probes(emb), spark, index_path, _K, nprobe=4
+    ).select("probe_id", "vec_id", "cosine", "rank")
+
+
+register("similarity_topk_ivf_sq8", similarity_topk_ivf_sq8, defer=True)
 
 
 def embeddings_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -43,6 +43,9 @@ ARROW_BOUNDARY_OK = {
     "similarity_topk_ann",
     "similarity_topk_ivf",
     "similarity_topk_ivf_indexed",
+    # SQ8 store: dequantize is scan-stage Catalyst; the one Arrow node
+    # is still just the probe assignment
+    "similarity_topk_ivf_sq8",
     "dedup_neardup_embedding_lsh",
     "dedup_semantic",
     "dedup_incremental_embedding",
@@ -158,6 +161,7 @@ SHUFFLE_BUDGET = {
     # narrow rows; the third Exchange buys correctness under an
     # at-least-once retried index append
     "similarity_topk_ivf_indexed": 3,
+    "similarity_topk_ivf_sq8": 3,
     # batch-vs-index candidate distinct + the threshold-filtered scoring
     # join back — same shape as the indexed IVF top-k minus the rank
     "dedup_incremental_embedding": 2,

@@ -400,3 +400,113 @@ def test_hard_negatives_semantics(spark):
         probes, corpus, k=3, candidate_k=5, searcher=tiny_searcher
     ).collect()
     assert [r.vec_id for r in rows2] == [3]
+
+
+def test_ivf_sq8_store_serves_with_full_recall_and_smaller_files(
+    spark, tmp_path
+):
+    """The SQ8 cell store: (a) serving through the quantized index
+    reproduces the float index's top-k SET at full probe coverage with
+    per-pair cosine error within the int8 bound; (b) the quantized
+    cells directory is materially smaller on disk (the 100 TB point of
+    the feature); (c) dequantization stays scan-stage — the only Python
+    boundary in the plan is the probe assignment."""
+    import os
+
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        ivf_topk_indexed,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 64)
+    rows = [
+        (i, (centers[i % 4] + 0.1 * rng.randn(64)).tolist())
+        for i in range(1200)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = spark.createDataFrame(
+        [(j, rows[j * 70][1]) for j in range(4)], ["probe_id", "probe_vec"]
+    )
+    fp = str(tmp_path / "fp")
+    sq = str(tmp_path / "sq")
+    write_ivf_index(corpus, fp, nlist=8)
+    cents = read_ivf_centroids(spark, fp)
+    write_ivf_index(corpus, sq, nlist=8, centroids=cents, quantize=True)
+
+    out_fp = ivf_topk_indexed(probes, spark, fp, 5, nprobe=8).collect()
+    out_sq = ivf_topk_indexed(probes, spark, sq, 5, nprobe=8).collect()
+    ids_fp = {(r.probe_id, r.vec_id) for r in out_fp}
+    ids_sq = {(r.probe_id, r.vec_id) for r in out_sq}
+    # int8 error is ~1e-3 cosine — only genuine near-ties at the k-th
+    # rank may flip, so recall@5 ≥ 0.9 and every probe keeps its exact
+    # self-match at rank 1
+    assert len(ids_fp) == 20
+    assert len(ids_sq & ids_fp) >= 18, ids_sq ^ ids_fp
+    rank1_sq = {r.probe_id: r.vec_id for r in out_sq if r.rank == 1}
+    rank1_fp = {r.probe_id: r.vec_id for r in out_fp if r.rank == 1}
+    assert rank1_sq == rank1_fp
+    cos_fp = {(r.probe_id, r.vec_id): r.cosine for r in out_fp}
+    for r in out_sq:
+        if (r.probe_id, r.vec_id) in cos_fp:
+            assert abs(r.cosine - cos_fp[(r.probe_id, r.vec_id)]) < 5e-3
+
+    def _dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    fp_bytes = _dir_bytes(f"{fp}/cells")
+    sq_bytes = _dir_bytes(f"{sq}/cells")
+    # random doubles are incompressible; int8 + one float scale lands
+    # well under half even with parquet overheads
+    assert sq_bytes < 0.5 * fp_bytes, (sq_bytes, fp_bytes)
+
+    plan = (
+        ivf_topk_indexed(probes, spark, sq, 5, nprobe=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_ivf_sq8_append_follows_store_format(spark, tmp_path):
+    """mode='append' into an SQ8 store quantizes the batch regardless of
+    the argument (a cell store must stay homogeneous), and the appended
+    vector is immediately searchable through the quantized read path."""
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(16).tolist()) for i in range(60)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    ix = str(tmp_path / "sq8_append")
+    write_ivf_index(corpus, ix, nlist=4, quantize=True)
+
+    twin = (np.array(rows[3][1]) + 0.01).tolist()
+    batch = spark.createDataFrame([(1000, twin)], ["vec_id", "embedding"])
+    # note: quantize left at its default (False) — the store wins
+    write_ivf_index(batch, ix, mode="append")
+
+    cells = spark.read.parquet(f"{ix}/cells")
+    assert "q" in cells.columns and "embedding" not in cells.columns
+    assert cells.filter("vec_id = 1000").count() == 1
+
+    probes = spark.createDataFrame([(0, rows[3][1])], ["probe_id", "probe_vec"])
+    got = {
+        r.vec_id
+        for r in ivf_topk_indexed(probes, spark, ix, 2, nprobe=4).collect()
+    }
+    assert got == {3, 1000}
