@@ -88,6 +88,7 @@ HEADLINE = [
     "events_funnel",
     "events_retention",
     "events_rollup_anomalies",
+    "events_heavy_hitters",
     "events_overlap_join",
     "embeddings_quantize",
     "corpus_bm25",

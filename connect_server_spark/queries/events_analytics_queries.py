@@ -44,3 +44,18 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("events_retention", events_retention, defer=True)
+
+
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-join skew report over the events table: top-20 users by
+    event count with their exact share — the diagnostic that decides
+    whether a user-keyed join needs ``storage.salted_join`` / a raised
+    AQE skew threshold before it runs at 100 TB. Narrow (key, count)
+    aggregation + TakeOrdered; no global sort, no data rows shuffled."""
+    from connect_server_spark.storage import heavy_hitters
+
+    ev = load_table(spark, "events", sf_dir)
+    return heavy_hitters(ev, "user_id", k=20)
+
+
+register("events_heavy_hitters", events_heavy_hitters, defer=True)

@@ -608,3 +608,45 @@ def snapshot_diff(
     return joined.select(
         id_col, status.alias("status"), "old_digest", "new_digest"
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    k: int = 20,
+) -> DataFrame:
+    """The skew report that decides whether :func:`salted_join` (or a
+    higher AQE skew threshold) is needed BEFORE a 100 TB join runs: the
+    ``k`` most frequent join-key values with their row counts and share
+    of the table.
+
+    Scale shape: one narrow (key, count) hash aggregation — partial
+    map-side combine makes the shuffle carry one row per distinct key
+    per task, never data rows — then a TakeOrdered top-k (per-partition
+    heap + driver merge of ``k × partitions`` rows; NO global sort).
+    The total for ``share`` is the sum over the aggregated counts
+    (computed from the same frame, so share is exact), carried as a
+    one-row broadcast. Ties break on the key ascending so the report is
+    deterministic across runs and engines.
+
+    Returns ``(*key_cols, n, share)`` ordered by n desc, length ≤ k.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    # the one-row total attaches as a broadcast nested-loop with a
+    # single-row build side — a bounded 1×N scalar attach (Catalyst
+    # constant-folds any literal equi-key back to this shape anyway);
+    # declared in the plan audit's bounded-broadcast allowlist
+    total = counts.agg(F.sum("n").alias("_tot"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            *keys,
+            F.col("n"),
+            F.round(F.col("n") / F.col("_tot"), 6).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), *[F.col(c).asc() for c in keys])
+        .limit(k)
+    )

@@ -216,3 +216,30 @@ def test_events_retention_matches_duckdb_mirror(spark, sf_dir):
     """).fetchall()))
     assert len(got) > 0
     assert got == want
+
+
+def test_events_heavy_hitters_matches_duckdb_mirror(spark, sf_dir):
+    """Exact count/share top-k with deterministic tie-break — full SQL
+    oracle."""
+    from connect_server_spark.queries.events_analytics_queries import (
+        events_heavy_hitters,
+    )
+
+    got = [tuple(r) for r in events_heavy_hitters(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute("""
+        WITH c AS (
+          SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+        )
+        SELECT user_id, n,
+               round(n / (SELECT sum(n) FROM c), 6) AS share
+        FROM c ORDER BY n DESC, user_id ASC LIMIT 20
+        """).fetchall()
+    ]
+    assert got == want and 0 < len(got) <= 20

@@ -35,6 +35,11 @@ ALLPAIRS_BASELINES = {
     # to end), pinned output-identical at nprobe=nlist in
     # tests/test_similarity.py.
     "mining_hard_negatives",
+    # heavy_hitters attaches the ONE-ROW grand total to the (key, count)
+    # aggregate via a single-row broadcast build side — a bounded 1×N
+    # scalar attach, not an all-pairs risk (Catalyst folds any literal
+    # equi-key join back to this node shape).
+    "events_heavy_hitters",
 }
 
 # Queries whose operators legitimately cross the Python boundary — all
@@ -262,6 +267,10 @@ SHUFFLE_BUDGET = {
     # candidate-side hash Exchange at scale — the store side never
     # moves), and the per-doc score rollup.
     "corpus_bm25_indexed": 4,
+    # skew report: the (key, count) agg pair + the one-row total agg
+    # pair; top-k is TakeOrdered (no sort Exchange), data rows never
+    # shuffle
+    "events_heavy_hitters": 4,
 }
 
 

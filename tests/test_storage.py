@@ -463,3 +463,41 @@ def test_snapshot_diff_moves_digests_not_payloads(spark):
     ex = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in ex
     assert "BroadcastNestedLoopJoin" not in ex
+
+
+def test_heavy_hitters_semantics_and_plan(spark):
+    """The skew report: exact counts, shares over the whole table, hot
+    key first with deterministic ties, k bound respected; plan uses
+    TakeOrdered (no global-sort Exchange) and the aggregation is the
+    only place rows meet a shuffle."""
+    from connect_server_spark.storage import heavy_hitters
+
+    rows = (
+        [("hot", i) for i in range(60)]
+        + [("warm", i) for i in range(30)]
+        + [(f"u{i}", i) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, ["user_id", "x"])
+    out = heavy_hitters(df, "user_id", k=5).collect()
+    assert [(r.user_id, r.n) for r in out][:2] == [("hot", 60), ("warm", 30)]
+    assert len(out) == 5
+    # singleton ties resolve by key ascending
+    assert [r.user_id for r in out[2:]] == ["u0", "u1", "u2"]
+    assert abs(out[0].share - 60 / 100) < 1e-9
+    total_share = sum(
+        r.share for r in heavy_hitters(df, "user_id", k=1000).collect()
+    )
+    assert abs(total_share - 1.0) < 1e-4
+
+    plan = (
+        heavy_hitters(df, "user_id", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be positive"):
+        heavy_hitters(df, "user_id", k=0)
