@@ -64,6 +64,7 @@ HEADLINE = [
     "training_pack_chunked",
     "tokenize_bpe",
     "training_pack_bpe",
+    "training_release",
     "corpus_stats",
     "vocab_top_tokens",
     "submit_pipeline",

@@ -1,0 +1,90 @@
+"""The end-to-end TRAINING RELEASE drill: raw corpus → curated
+survivors → real-BPE token counts → chunk→pack at the context budget →
+manifest-committed training shards → verified read-back.
+
+``training_release`` is the "one command from crawl to loader-ready
+shards" composite a pretraining-prep user actually runs — every stage
+is an already-shipped, individually-pinned operator; this query is the
+composition and its commit discipline:
+
+1. **curate** — :func:`~connect_server_spark.queries.curation_queries.
+   curation_full` (boilerplate lines → Gopher/C4 gates → LM routing →
+   bloom decontamination → exact dedup → temperature mixing) yields the
+   survivor id set over ONE corpus scan.
+2. **fetch survivors** — one narrow id semi-join pulls surviving
+   payloads (the release's second and last scan of ``documents``; the
+   id set is mixing-bounded, broadcastable at any corpus size).
+3. **tokenize** — the dataset-cached trained BPE model (Arrow-batched
+   segmentation) produces exact ``n_tokens`` per survivor.
+4. **chunk→pack** — over-budget docs split into ≤256-token ranges,
+   greedy partition-local packing; zero added shuffle; every pack fits.
+5. **ship** — ``write_training_shards`` (pack-atomic shard assignment,
+   manifest-LAST commit) then ``read_training_shards(verify=True)``
+   re-verifies counts+checksums shard-parallel before anything is
+   declared released.
+
+Returns the per-shard release summary (shard, n_packs, n_rows,
+n_tokens) ordered by shard — the manifest's ledger as a DataFrame.
+Registered rows-only (side-effecting composed drill, like
+``daily_ingest_composed``); the release invariants are pinned in
+``tests/test_release.py``: token coverage across shards is LOSSLESS vs
+the survivors' clamped token counts, the summary is deterministic
+across reruns, and a manifest-less directory refuses to load.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_server_spark.registry import register
+from connect_server_spark.tables import load_table
+
+_BUDGET = 256
+_N_SHARDS = 4
+
+
+def training_release(
+    spark: SparkSession, sf_dir: str, out_path: str | None = None
+) -> DataFrame:
+    from connect_server_spark.operators.packing import chunk_and_pack
+    from connect_server_spark.operators.tokenizer import tokenize_bpe as tok
+    from connect_server_spark.queries.curation_queries import curation_full
+    from connect_server_spark.queries.text_queries import _bpe_model_for
+    from connect_server_spark.sinks import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    survivors = curation_full(spark, sf_dir).select("doc_id")
+    docs = load_table(spark, "documents", sf_dir)
+    kept = docs.join(F.broadcast(survivors), "doc_id").select(
+        "doc_id", "text"
+    )
+
+    model = _bpe_model_for(spark, sf_dir)
+    counts = tok(
+        kept, "doc_id", "text", model["merges"], model["alphabet"]
+    ).select("doc_id", "n_tokens")
+    packed = chunk_and_pack(counts, "doc_id", "n_tokens", budget=_BUDGET)
+
+    path = out_path or tempfile.mkdtemp(prefix="training_release_")
+    write_training_shards(
+        packed, path, n_shards=_N_SHARDS, pack_col="pack_id",
+        token_col="chunk_tokens",
+    )
+    verified = read_training_shards(spark, path, verify=True)
+    return (
+        verified.groupBy("shard")
+        .agg(
+            F.count_distinct("pack_id").alias("n_packs"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("chunk_tokens").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+register("training_release", training_release, defer=True)

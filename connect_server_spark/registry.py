@@ -42,6 +42,7 @@ _QUERY_MODULES = [
     "connect_server_spark.queries.events_analytics_queries",
     "connect_server_spark.queries.retrieval_queries",
     "connect_server_spark.queries.curation_queries",
+    "connect_server_spark.queries.release_queries",
 ]
 
 
