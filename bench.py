@@ -86,6 +86,7 @@ HEADLINE = [
     "dsir_resample",
     "diversity_sample",
     "quality_gates",
+    "corpus_drift",
     "events_funnel",
     "events_retention",
     "events_rollup_anomalies",

@@ -39,6 +39,7 @@ __all__ = [
     "gopher_pass",
     "c4_clean_lines",
     "c4_doc_flags",
+    "metric_drift",
 ]
 
 # Gopher's required-stopword inventory (§A1.1: "contains at least two of
@@ -190,3 +191,89 @@ def c4_doc_flags(text: Column) -> Column:
         low.contains("lorem ipsum").alias("has_lorem_ipsum"),
         (low.contains("{") | low.contains("}")).alias("has_brace"),
     )
+
+
+def metric_drift(
+    old: "DataFrame",
+    new: "DataFrame",
+    metric_col: str,
+    n_buckets: int = 10,
+    rel_err: float = 1e-4,
+    eps: float = 1e-6,
+) -> "DataFrame":
+    """Release-to-release distribution drift of one numeric corpus
+    metric (doc length, quality score, token count …) as a Population
+    Stability Index breakdown — the "did the new crawl shift the
+    corpus" monitor that runs BEFORE a new release feeds training.
+
+    Bucket edges are the OLD release's ``n_buckets``-quantiles from one
+    GK-sketch pass (``approxQuantile`` — bounded driver state, no sort);
+    both releases are bucketed with the same edges by a scan-stage CASE
+    chain, reduced to per-bucket shares (narrow (bucket, count) aggs),
+    and full-outer-merged on the bucket id (≤ ``n_buckets`` rows — the
+    only join is bucket-count-sized). ``psi_term`` uses ``eps``-floored
+    shares so emptied/new buckets contribute large-but-finite terms.
+
+    Returns ``(bucket, lo, hi, share_old, share_new, psi_term)`` ordered
+    by bucket; total PSI = ``sum(psi_term)`` (rule of thumb: < 0.1
+    stable, 0.1–0.25 moderate shift, > 0.25 investigate).
+    """
+    from functools import reduce
+
+    from pyspark.sql import DataFrame  # noqa: F401  (type only)
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = old.approxQuantile(metric_col, qs, rel_err)
+    # collapse duplicate edges (heavily-tied metrics) — buckets stay
+    # well-defined, just fewer of them
+    uniq: list[float] = []
+    for e in edges:
+        if not uniq or e > uniq[-1]:
+            uniq.append(e)
+
+    m = F.col(metric_col).cast("double")
+    bucket = reduce(
+        lambda acc, ie: F.when(m <= F.lit(ie[1]), F.lit(ie[0])).otherwise(
+            acc
+        ),
+        reversed(list(enumerate(uniq))),
+        F.lit(len(uniq)),
+    )
+    bounds = [(float("-inf"), *uniq), (*uniq, float("inf"))]
+
+    def shares(df, name):
+        from pyspark.sql import Window
+
+        c = df.select(bucket.alias("bucket")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        # global window over the BUCKET-COUNT frame (≤ n_buckets rows):
+        # one tiny single-partition pass beats a total-aggregate join,
+        # which would re-run the corpus-side aggregation per consumer
+        return c.select(
+            "bucket",
+            (F.col("n") / F.sum("n").over(Window.partitionBy())).alias(name),
+        )
+
+    spark = old.sparkSession
+    merged = (
+        spark.createDataFrame(
+            [(i, bounds[0][i], bounds[1][i]) for i in range(len(uniq) + 1)],
+            "bucket int, lo double, hi double",
+        )
+        .join(F.broadcast(shares(old, "share_old")), "bucket", "left")
+        .join(F.broadcast(shares(new, "share_new")), "bucket", "left")
+        .na.fill({"share_old": 0.0, "share_new": 0.0})
+    )
+    p = F.greatest(F.col("share_new"), F.lit(eps))
+    q = F.greatest(F.col("share_old"), F.lit(eps))
+    return merged.select(
+        "bucket",
+        "lo",
+        "hi",
+        F.round("share_old", 6).alias("share_old"),
+        F.round("share_new", 6).alias("share_new"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    ).orderBy("bucket")

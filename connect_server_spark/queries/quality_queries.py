@@ -52,3 +52,23 @@ def quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("quality_gates", quality_gates, defer=True)
+
+
+def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-to-release drift report over the documents table: PSI of
+    the ``n_chars`` distribution between the even-id half ("previous
+    release") and the odd-id half ("candidate release"), decile buckets
+    from the previous release. A healthy split reports total PSI ≈ 0 —
+    the monitoring baseline; the planted-shift oracle lives in
+    ``tests/test_quality.py``. One GK-sketch pass for edges + two
+    narrow (bucket, count) aggregations; the only join is
+    bucket-count-sized."""
+    from connect_server_spark.operators.quality import metric_drift
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return metric_drift(old, new, "n_chars", n_buckets=10)
+
+
+register("corpus_drift", corpus_drift, defer=True)

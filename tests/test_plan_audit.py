@@ -271,6 +271,11 @@ SHUFFLE_BUDGET = {
     # pair; top-k is TakeOrdered (no sort Exchange), data rows never
     # shuffle
     "events_heavy_hitters": 4,
+    # drift report: per release side, one (bucket, count) agg Exchange +
+    # the single-partition window over the bucket-sized count frame +
+    # its broadcast into the bounds join; final bucket ordering. The
+    # corpus sides scan once each.
+    "corpus_drift": 7,
 }
 
 

@@ -227,3 +227,62 @@ def test_quality_gates_matches_duckdb_mirror(spark, sf_dir):
     """).fetchall()))
     assert len(got) > 0
     assert got == want
+
+
+def test_metric_drift_planted_shift_and_stability(spark):
+    """PSI oracle: shares and psi terms recomputed in python from the
+    operator's own bucket bounds; a planted +50 shift must read as
+    drift (>0.25), an identical split as stable (<0.01), and the old
+    side's deciles must be ~equal-share by construction."""
+    import math
+
+    from connect_server_spark.operators.quality import metric_drift
+
+    old_vals = [float(i % 100) for i in range(1000)]
+    new_vals = [v + 50.0 for v in old_vals]
+    old = spark.createDataFrame([(v,) for v in old_vals], "m double")
+    new = spark.createDataFrame([(v,) for v in new_vals], "m double")
+
+    out = metric_drift(old, new, "m", n_buckets=10, rel_err=1e-6).collect()
+    assert [r.bucket for r in out] == list(range(len(out)))
+    assert out[0].lo == float("-inf") and out[-1].hi == float("inf")
+
+    # independent recomputation from the reported bounds
+    eps = 1e-6
+    for r in out:
+        p_old = sum(1 for v in old_vals if r.lo < v <= r.hi or
+                    (r.lo == float("-inf") and v <= r.hi)) / len(old_vals)
+        p_new = sum(1 for v in new_vals if r.lo < v <= r.hi or
+                    (r.lo == float("-inf") and v <= r.hi)) / len(new_vals)
+        assert abs(r.share_old - p_old) < 1e-4
+        assert abs(r.share_new - p_new) < 1e-4
+        want = (max(p_new, eps) - max(p_old, eps)) * math.log(
+            max(p_new, eps) / max(p_old, eps)
+        )
+        assert abs(r.psi_term - want) < 1e-4
+    assert sum(r.psi_term for r in out) > 0.25  # drift detected
+    # old deciles ~equal share
+    for r in out:
+        assert 0.05 <= r.share_old <= 0.15
+
+    stable = metric_drift(old, old, "m", n_buckets=10, rel_err=1e-6).collect()
+    assert sum(r.psi_term for r in stable) < 0.01
+
+
+def test_metric_drift_collapses_tied_edges(spark):
+    from connect_server_spark.operators.quality import metric_drift
+
+    const = spark.createDataFrame([(1.0,)] * 50, "m double")
+    out = metric_drift(const, const, "m", n_buckets=10).collect()
+    assert len(out) <= 2 and abs(sum(r.psi_term for r in out)) < 1e-9
+
+
+def test_corpus_drift_query_reports_stable_halves(spark, sf_dir):
+    from connect_server_spark.queries.quality_queries import corpus_drift
+
+    out = corpus_drift(spark, sf_dir).collect()
+    assert len(out) >= 2
+    assert abs(sum(r.share_old for r in out) - 1.0) < 1e-4
+    assert abs(sum(r.share_new for r in out) - 1.0) < 1e-4
+    # random halves of one corpus: no drift signal
+    assert sum(r.psi_term for r in out) < 0.25
