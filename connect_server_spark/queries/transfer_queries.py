@@ -77,9 +77,9 @@ def transfer_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `single_endpoint_check` (operators/transfer.py) stays as the
     # relational form for standalone use.
     w = Window.partitionBy("dataset_id")
-    n_endpoints = F.size(
-        F.array_distinct(F.collect_list("origin_id").over(w))
-    ).cast("long")
+    # collect_set dedupes inside the aggregation buffer (2 distinct ids
+    # max) instead of materializing the per-row list first
+    n_endpoints = F.size(F.collect_set("origin_id").over(w)).cast("long")
     return items.select(
         "dataset_id",
         "l_linenumber",
