@@ -35,10 +35,16 @@ from connect_server_spark.tables import load_table
 # are relaxed to 30/0 HERE, in the query; the operator keeps the
 # published defaults.
 _GOPHER_KW = {"min_words": 30, "min_stopword_hits": 0}
-# Unigram-LM routing floor: fixture avg_logprob clusters at -3.40
-# (min -3.70); -3.5 drops the gibberish tail, keeps the head+middle —
-# the CCNet routing shape.
-_LM_FLOOR = -3.5
+# Unigram-LM routing margin: keep documents whose avg token
+# log-probability is within 1 nat of the CORPUS MEDIAN (≈ e× the median
+# perplexity). Relative routing is the CCNet shape (perplexity
+# percentiles, not absolute scores) and is the scale-correct choice: a
+# uniform vocabulary-frequency shift (10× corpus, new domain mix) moves
+# every score identically and the gate's behavior is unchanged, where an
+# absolute floor silently drops 0% or 100% (measured: the replica-tagged
+# sf1 sweep corpus shifts every score by exactly ln 10 ≈ 2.3, putting
+# the whole corpus under the old -3.5 constant).
+_LM_MARGIN = 1.0
 _MIX_ALPHA = 0.5
 _MIX_TARGET = 150  # < survivor count at sf>=0.01, so rates bite
 
@@ -73,7 +79,8 @@ def curation_full(
     2. Gopher + C4 document gates, fixture-adapted thresholds, all
        verdicts under ONE let-bound token split;
     3. unigram-LM routing (model trained on the same checkpointed base,
-       bounded vocab broadcast; keep ``avg_logprob ≥ -3.5``);
+       bounded vocab broadcast; keep ``avg_logprob`` within
+       ``_LM_MARGIN`` of the corpus median — relative routing);
     4. blocked-bloom decontamination against the held-out set (every
        41st document), 6-grams;
     5. exact dedup — canonical doc per md5(normalized text) window;
@@ -110,6 +117,18 @@ def curation_full(
         base, "doc_id", "text", min_docs=3, carry_cols=("source",)
     )
     vocab, oov_logp = unigram_lm(base, "doc_id", "text")
+    # relative routing floor (see _LM_MARGIN): one GK-sketch pass over
+    # the cleaned corpus's scores anchors the gate to THIS corpus's
+    # median fluency; the scoring join is vocab-broadcast + narrow
+    # (id, logp) agg, and `cleaned` is checkpoint-backed so the corpus
+    # still scans once
+    from connect_server_spark.operators.text import lm_quality_scores
+
+    ckpt_cleaned = ckpt(cleaned)
+    median_lp = lm_quality_scores(
+        ckpt_cleaned, vocab, oov_logp, "doc_id", "text"
+    ).approxQuantile("avg_logprob", [0.5], 1e-3)[0]
+    lm_floor = median_lp - _LM_MARGIN
     bench = base.filter(F.col("doc_id") % 41 == 0).select("text")
     # 32 bits/item, k=8 → ~1.5e-5 false-positive rate per gram (vs
     # ~3e-3 at the 16/6 default): a training-prep run should not shed
@@ -123,13 +142,13 @@ def curation_full(
         "doc_id",
         "text",
         c4_doc=True,
-        lm=(vocab, oov_logp, _LM_FLOOR),
+        lm=(vocab, oov_logp, lm_floor),
         bloom=bloom,
         ngram_n=6,
         bloom_k=8,
         materialize=checkpoint,
     )
-    gated = _gate_with_fixture_gopher(gate, ckpt(cleaned))
+    gated = _gate_with_fixture_gopher(gate, ckpt_cleaned)
 
     w = Window.partitionBy(F.md5(normalize_text(F.col("text"))))
     deduped = (

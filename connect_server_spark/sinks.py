@@ -202,6 +202,14 @@ def write_training_shards(
         )
     shard = F.pmod(F.xxhash64(F.col(pack_col)), n_shards).cast("int")
     tagged = packed.withColumn("shard", shard)
+    if tagged.isEmpty():
+        # writing zero rows would leave a data-less directory whose
+        # read-back dies on schema inference — an empty release is an
+        # upstream bug (over-aggressive curation), name it
+        raise ValueError(
+            "write_training_shards: input has no rows — refusing to "
+            "commit an empty release"
+        )
     (
         tagged.repartition(n_shards, "shard")
         .write.mode("overwrite")

@@ -22,8 +22,9 @@ import pytest
 from connect_server_spark.queries.curation_queries import curation_full
 
 # A 15-word shared pool keeps every normal document's unigram
-# log-probability far above the -3.5 routing floor while staying varied
-# enough to clear the adapted Gopher repetition rules.
+# log-probability tightly clustered near the corpus median (well inside
+# the median-minus-1-nat routing floor) while staying varied enough to
+# clear the adapted Gopher repetition rules.
 _POOL = [
     "alpha", "breeze", "copper", "delta", "ember",
     "falcon", "garden", "harbor", "indigo", "jasper",
@@ -63,7 +64,8 @@ def _fixture_rows():
         if i == 4:
             text += " config{x} brace carrier words filler padding here more"
         if i == 5:
-            # 40 unique tokens: avg unigram logp ~ log(1/total) << -3.5
+            # 40 unique tokens: avg unigram logp ~ log(1/total), many
+            # nats below the corpus median — under any relative floor
             text = " ".join(f"zq{j}xv{j}k" for j in range(40))
         rows.append((i, f"src{i % 4}", text, "en"))
     return rows

@@ -262,3 +262,13 @@ def test_training_shards_compose_chunk_pack(spark, sf_dir, tmp_path):
     total_in = docs.agg(F.sum("n_tokens")).first()[0]
     total_out = df.agg(F.sum("chunk_tokens")).first()[0]
     assert total_in == total_out
+
+
+def test_write_training_shards_refuses_empty_release(spark, tmp_path):
+    from connect_server_spark.sinks import write_training_shards
+
+    empty = spark.createDataFrame(
+        [], "pack_id long, n_tokens long, id long"
+    )
+    with pytest.raises(ValueError, match="empty release"):
+        write_training_shards(empty, str(tmp_path / "s"), n_shards=2)

@@ -1042,3 +1042,73 @@ def test_composed_ingest_crash_replay_converges(
         crashy(_composed_batch(spark, b2), 1)
     clean(_composed_batch(spark, b2), 1)  # the replay
     assert _composed_state(spark, paths) == composed_control
+
+
+# ---------------------------------------------------------------------------
+# streaming quality-drift monitor
+
+
+def test_quality_monitor_matches_batch_metric_drift(spark, tmp_path):
+    """The streaming PSI verdict must equal the batch operator's total
+    PSI on the same data: reference profile frozen from a uniform
+    release, then one faithful batch (psi ~ 0, no alert) and one
+    planted-shift batch (psi > 0.25, alert), each cross-checked against
+    metric_drift run batch-side."""
+    from connect_server_spark.operators.quality import metric_drift
+    from connect_server_spark.streaming.quality_monitor import (
+        quality_monitor_sink,
+        read_monitor_log,
+        write_reference_profile,
+    )
+
+    ref_vals = [float(i % 100) for i in range(1000)]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "m double")
+    prof = str(tmp_path / "profile")
+    log = str(tmp_path / "log")
+    write_reference_profile(ref, "m", prof, n_buckets=10, rel_err=1e-6)
+
+    sink = quality_monitor_sink(spark, prof, log, "m")
+    same = spark.createDataFrame([(v,) for v in ref_vals], "m double")
+    shifted = spark.createDataFrame(
+        [(v + 50.0,) for v in ref_vals], "m double"
+    )
+    sink(same, 0)
+    sink(shifted, 1)
+
+    rows = {r.batch_id: r for r in read_monitor_log(spark, log).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0].n_docs == rows[1].n_docs == 1000
+    assert rows[0].psi < 0.01 and not rows[0].alert
+    assert rows[1].psi > 0.25 and rows[1].alert
+
+    for bid, batch in ((0, same), (1, shifted)):
+        want = sum(
+            r.psi_term
+            for r in metric_drift(
+                ref, batch, "m", n_buckets=10, rel_err=1e-6
+            ).collect()
+        )
+        assert abs(rows[bid].psi - want) < 1e-4
+
+
+def test_quality_monitor_replay_is_idempotent(spark, tmp_path):
+    from connect_server_spark.streaming.quality_monitor import (
+        quality_monitor_sink,
+        read_monitor_log,
+        write_reference_profile,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i),) for i in range(200)], "m double"
+    )
+    prof = str(tmp_path / "profile")
+    log = str(tmp_path / "log")
+    write_reference_profile(ref, "m", prof, n_buckets=5)
+    sink = quality_monitor_sink(spark, prof, log, "m")
+
+    batch = spark.createDataFrame([(float(i),) for i in range(50)], "m double")
+    sink(batch, 7)
+    first = [tuple(r) for r in read_monitor_log(spark, log).collect()]
+    sink(batch, 7)  # checkpoint-restart replay
+    second = [tuple(r) for r in read_monitor_log(spark, log).collect()]
+    assert first == second and len(first) == 1
