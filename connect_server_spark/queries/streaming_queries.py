@@ -168,3 +168,41 @@ def daily_ingest_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("daily_ingest_composed", daily_ingest_composed, defer=True)
+
+
+def corpus_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming drift alarm run as a batch-driven drill: freeze a
+    reference profile (``n_chars`` deciles) from the even-id half of
+    the corpus, then push two "daily" batches through the
+    ``foreachBatch`` monitor — one faithful (odd ids, same
+    distribution: psi ≈ 0) and one deliberately degenerate (the same
+    docs with the metric halved: drift). Returns the telemetry log.
+    Rows-only by design; PSI-identity to the batch ``metric_drift``
+    operator and replay idempotence are pinned in
+    ``tests/test_streaming.py``."""
+    import tempfile
+
+    from connect_server_spark.streaming.quality_monitor import (
+        quality_monitor_sink,
+        read_monitor_log,
+        write_reference_profile,
+    )
+    from connect_server_spark.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.col("n_chars").cast("double").alias("n_chars")
+    )
+    root = tempfile.mkdtemp(prefix="quality_monitor_")
+    write_reference_profile(
+        docs.filter(F.col("doc_id") % 2 == 0), "n_chars", f"{root}/profile"
+    )
+    sink = quality_monitor_sink(
+        spark, f"{root}/profile", f"{root}/log", "n_chars"
+    )
+    faithful = docs.filter(F.col("doc_id") % 2 == 1)
+    sink(faithful, 0)
+    sink(faithful.withColumn("n_chars", F.col("n_chars") / 2), 1)
+    return read_monitor_log(spark, f"{root}/log")
+
+
+register("corpus_quality_monitor", corpus_quality_monitor, defer=True)

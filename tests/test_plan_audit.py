@@ -285,7 +285,11 @@ SHUFFLE_BUDGET = {
 # (gate, probes, index appends, rollup) is audited via its own
 # registered query above; the composition's semantics are pinned in
 # tests/test_streaming.py (end-to-end + crash-replay convergence).
-COMPOSED_DRILLS = {"daily_ingest_composed", "training_release"}
+COMPOSED_DRILLS = {
+    "daily_ingest_composed",
+    "training_release",
+    "corpus_quality_monitor",
+}
 
 
 def _plan(spark, sf_dir, name: str) -> str:
