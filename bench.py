@@ -87,6 +87,9 @@ HEADLINE = [
     "diversity_sample",
     "quality_gates",
     "corpus_drift",
+    "corpus_eval_split",
+    "corpus_split_leakage",
+    "similarity_index_stats",
     "events_funnel",
     "events_retention",
     "events_rollup_anomalies",

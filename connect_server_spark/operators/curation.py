@@ -242,6 +242,7 @@ def make_curation_gate(
     gopher: bool = False,
     c4_doc: bool = False,
     lm: tuple | None = None,
+    lm_scored: tuple | None = None,
     materialize: bool = False,
 ):
     """A reusable batch→batch curation gate for ingest pipelines (the
@@ -321,15 +322,27 @@ def make_curation_gate(
                 out = out.filter(let_col(tokens(t), scan_pred))
             else:  # c4 flags alone never touch the token array
                 out = out.filter(scan_pred(None))
-        if lm is not None:
+        if lm is not None or lm_scored is not None:
             if materialize:
                 out = out.localCheckpoint(eager=False)
-            vocab, oov_logp, min_lp = lm
-            keep = (
-                lm_quality_scores(out, vocab, oov_logp, id_col, text_col)
-                .filter(F.col("avg_logprob") >= min_lp)
-                .select(id_col)
-            )
+            if lm_scored is not None:
+                # pre-scored reuse: the caller already ran
+                # lm_quality_scores over (a superset of) this frame —
+                # e.g. to derive a corpus-relative floor — so scoring
+                # again would double the gate's only corpus-text pass.
+                # The semi-join intersects, so scoring a superset is
+                # harmless.
+                scores_df, min_lp = lm_scored
+                keep = scores_df.filter(
+                    F.col("avg_logprob") >= min_lp
+                ).select(id_col)
+            else:
+                vocab, oov_logp, min_lp = lm
+                keep = (
+                    lm_quality_scores(out, vocab, oov_logp, id_col, text_col)
+                    .filter(F.col("avg_logprob") >= min_lp)
+                    .select(id_col)
+                )
             out = out.join(keep, id_col, "left_semi")
         if bloom is not None:
             if materialize:
@@ -484,4 +497,87 @@ def remove_boilerplate_lines(
                 F.col("n_lines") - F.coalesce(F.col("_nkept"), F.lit(0))
             ).alias("n_removed"),
         )
+    )
+
+
+def eval_split(
+    df: DataFrame,
+    text_col: str,
+    val_frac: float = 0.01,
+    test_frac: float = 0.01,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test assignment keyed on CONTENT, not id:
+    the split bucket is a hash of the normalized text, so byte-identical
+    duplicates (re-crawls, mirrors, different doc ids) always land in
+    the SAME split — the first line of defense against eval
+    contamination. Near-duplicates can still straddle splits; that
+    residual is what :func:`split_leakage_pairs` audits.
+
+    Pure scan-stage expression (md5 → 16^4 grid, the
+    :func:`deterministic_keep` discipline): no shuffle, no rand(),
+    retry-stable. Returns the input plus a ``split`` column
+    (test | val | train, carved in that order off the low buckets)."""
+    from connect_server_spark.operators.dedup import normalize_text
+
+    if val_frac < 0 or test_frac < 0 or val_frac + test_frac >= 1:
+        raise ValueError("need 0 <= val_frac + test_frac < 1")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), normalize_text(F.col(text_col)))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(65536.0)
+    )
+    split = (
+        F.when(u < F.lit(test_frac), F.lit("test"))
+        .when(u < F.lit(test_frac + val_frac), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+def split_leakage_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str = "split",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The residual-leakage audit for :func:`eval_split`: near-duplicate
+    pairs (MinHash-LSH banded candidates + exact-Jaccard verify) whose
+    members landed in DIFFERENT splits — each row is an eval document
+    whose near-twin is trainable, i.e. a measured contamination path the
+    content-hash split could not remove. Returns ``(id_a, split_a,
+    id_b, split_b, jaccard)``; the fix is to move flagged eval docs (or
+    their whole near-dup cluster) into train or drop them.
+
+    Cost shape is the dedup family's: banded equi-join candidates only,
+    never all-pairs; the split columns ride the verify join's id
+    lookups (two broadcast-sized joins against the candidate set)."""
+    from connect_server_spark.operators.dedup import minhash_neardup_pairs
+
+    pairs = minhash_neardup_pairs(
+        df, id_col, text_col, threshold, num_hashes, bands, shingle_n
+    )
+    splits = df.select(F.col(id_col), F.col(split_col))
+    a = splits.select(
+        F.col(id_col).alias("id_a"), F.col(split_col).alias("split_a")
+    )
+    b = splits.select(
+        F.col(id_col).alias("id_b"), F.col(split_col).alias("split_b")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "split_a", "id_b", "split_b", "jaccard")
     )

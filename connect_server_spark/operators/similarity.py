@@ -40,6 +40,7 @@ __all__ = [
     "read_ivf_centroids",
     "read_ivf_cells",
     "ivf_topk_indexed",
+    "ivf_cell_stats",
     "hard_negatives",
 ]
 
@@ -556,3 +557,41 @@ def hard_negatives(
         .filter(F.col("neg_rank") <= k)
         .select(probe_id, corpus_id, "cosine", "neg_rank")
     )
+
+
+def ivf_cell_stats(spark, index_path: str) -> DataFrame:
+    """Maintenance diagnostic for a persisted IVF index: per-cell vector
+    counts plus balance telemetry — the signal that decides when an
+    index needs re-training (``write_ivf_index`` overwrite with fresh
+    centroids) because appended data has drifted away from the frozen
+    quantizer and piled into a few hot cells (probe cost is
+    O(nprobe · cell_size), so the hottest cell IS the serving tail
+    latency).
+
+    One narrow (cell, count) aggregation over the cell store — vectors
+    never leave the scan. Returns ``(cell, n, share, skew)`` ordered by
+    n desc, where ``skew`` = n / mean_cell_size; a healthy index holds
+    skew ≈ 1 everywhere, and the standard re-train trigger is
+    ``max(skew) > 4`` or empty-cell share > 25%.
+    """
+    from pyspark.sql import Window
+
+    cells = spark.read.parquet(f"{index_path}/cells")
+    n_cells = spark.read.parquet(f"{index_path}/centroids").count()
+    counts = cells.groupBy(F.col("cell").cast("int").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # empty cells still report (left join against the full cell id set)
+    all_cells = spark.range(n_cells).select(F.col("id").cast("int").alias("cell"))
+    counts = all_cells.join(F.broadcast(counts), "cell", "left").na.fill(
+        {"n": 0}
+    )
+    w = Window.partitionBy()  # cell-count-sized frame, one tiny pass
+    total = F.sum("n").over(w)
+    mean = total / F.lit(n_cells)
+    return counts.select(
+        "cell",
+        "n",
+        F.round(F.col("n") / total, 6).alias("share"),
+        F.round(F.col("n") / mean, 4).alias("skew"),
+    ).orderBy(F.col("n").desc(), F.col("cell").asc())

@@ -125,9 +125,10 @@ def curation_full(
     from connect_server_spark.operators.text import lm_quality_scores
 
     ckpt_cleaned = ckpt(cleaned)
-    median_lp = lm_quality_scores(
-        ckpt_cleaned, vocab, oov_logp, "doc_id", "text"
-    ).approxQuantile("avg_logprob", [0.5], 1e-3)[0]
+    scores = ckpt(
+        lm_quality_scores(ckpt_cleaned, vocab, oov_logp, "doc_id", "text")
+    )
+    median_lp = scores.approxQuantile("avg_logprob", [0.5], 1e-3)[0]
     lm_floor = median_lp - _LM_MARGIN
     bench = base.filter(F.col("doc_id") % 41 == 0).select("text")
     # 32 bits/item, k=8 → ~1.5e-5 false-positive rate per gram (vs
@@ -142,7 +143,7 @@ def curation_full(
         "doc_id",
         "text",
         c4_doc=True,
-        lm=(vocab, oov_logp, lm_floor),
+        lm_scored=(scores, lm_floor),
         bloom=bloom,
         ngram_n=6,
         bloom_k=8,
@@ -198,3 +199,55 @@ def _gate_with_fixture_gopher(gate, cleaned: DataFrame) -> DataFrame:
 
 
 register("curation_full", curation_full, defer=True)
+
+
+def corpus_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash train/val/test assignment over the documents table
+    (5% val, 5% test so the eval splits are non-trivial at every test
+    sf): per-split document and distinct-text counts. Byte-identical
+    texts co-split by construction (the split key is a hash of the
+    normalized text) — pinned with the md5 python mirror in
+    ``tests/test_eval_split.py``. Rows-only (hex-grid hashing has no
+    DuckDB twin)."""
+    from connect_server_spark.operators.curation import eval_split
+    from connect_server_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    tagged = eval_split(docs, "text", val_frac=0.05, test_frac=0.05,
+                        seed="es:")
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.md5(normalize_text(F.col("text")))).alias(
+                "n_texts"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+register("corpus_eval_split", corpus_eval_split, defer=True)
+
+
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual-leakage audit over the same split: near-dup pairs
+    (MinHash-LSH + exact Jaccard, the dedup family's machinery) whose
+    members straddle splits — each row is a measured eval-contamination
+    path the content-hash split could not remove. Rows-only; planted
+    cross-split near-dup detection and the co-split guarantee for exact
+    duplicates are pinned in ``tests/test_eval_split.py``."""
+    from connect_server_spark.operators.curation import (
+        eval_split,
+        split_leakage_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    tagged = eval_split(docs, "text", val_frac=0.05, test_frac=0.05,
+                        seed="es:")
+    return split_leakage_pairs(
+        tagged, "doc_id", "text", threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+register("corpus_split_leakage", corpus_split_leakage, defer=True)

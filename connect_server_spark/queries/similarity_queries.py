@@ -241,3 +241,18 @@ def mining_hard_negatives_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 register("mining_hard_negatives_indexed", mining_hard_negatives_indexed, defer=True)
+
+
+def similarity_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance telemetry for the persisted IVF index: per-cell
+    counts + skew vs the mean cell size — the signal that schedules a
+    quantizer re-train when appended data drifts into hot cells (probe
+    latency is O(nprobe · cell_size)). One narrow (cell, count) agg;
+    vectors never leave the scan. Rows-only; count/skew semantics and
+    the empty-cell report are pinned in ``tests/test_similarity.py``."""
+    from connect_server_spark.operators.similarity import ivf_cell_stats
+
+    return ivf_cell_stats(spark, _ivf_index_for(spark, sf_dir))
+
+
+register("similarity_index_stats", similarity_index_stats, defer=True)

@@ -1,0 +1,101 @@
+"""Oracles for the content-hash eval split + near-dup leakage audit."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from connect_server_spark.operators.curation import (
+    eval_split,
+    split_leakage_pairs,
+)
+
+
+def _py_split(text, val_frac, test_frac, seed=""):
+    # mirror of the operator: normalize = lower + collapse whitespace
+    import re
+
+    norm = re.sub(r"\s+", " ", text.strip().lower())
+    u = int(hashlib.md5((seed + norm).encode()).hexdigest()[:4], 16) / 65536.0
+    if u < test_frac:
+        return "test"
+    if u < test_frac + val_frac:
+        return "val"
+    return "train"
+
+
+def test_eval_split_matches_python_mirror_and_cosplits_duplicates(spark):
+    rows = [(i, f"document number {i} alpha beta gamma delta") for i in range(400)]
+    rows += [(1000 + i, rows[i][1]) for i in range(50)]  # exact duplicates
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = eval_split(df, "text", val_frac=0.1, test_frac=0.1, seed="t:")
+    got = {r.doc_id: r.split for r in out.collect()}
+    # python mirror agrees row for row
+    for i, text in rows:
+        assert got[i] == _py_split(text, 0.1, 0.1, "t:"), i
+    # exact duplicates always co-split
+    for i in range(50):
+        assert got[i] == got[1000 + i]
+    # fractions in a loose band (hash uniformity on 450 docs)
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert 0.03 < c["val"] / len(got) < 0.2
+    assert 0.03 < c["test"] / len(got) < 0.2
+
+
+def test_eval_split_normalization_invariance(spark):
+    """Case/whitespace variants of the same text must co-split (the key
+    is the NORMALIZED text)."""
+    df = spark.createDataFrame(
+        [(1, "Alpha  Beta Gamma"), (2, "alpha beta   gamma"),
+         (3, "ALPHA BETA GAMMA ")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.split for r in
+           eval_split(df, "text", 0.3, 0.3, seed="n:").collect()}
+    assert len(set(out.values())) == 1
+
+
+def test_eval_split_rejects_bad_fractions(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="val_frac"):
+        eval_split(df, "text", val_frac=0.6, test_frac=0.5)
+
+
+def test_split_leakage_finds_planted_cross_split_neardup(spark):
+    """Two near-duplicate documents forced into different splits must
+    surface as a leakage pair; co-split near-dups must not."""
+    base = ("quick brown fox jumps over the lazy dog again and again "
+            "while the river runs past the old stone mill every morning")
+    near = base.replace("morning", "evening")
+    far = "completely different content about spark physical plans here"
+    df = spark.createDataFrame(
+        [(1, base, "train"), (2, near, "test"), (3, far, "train"),
+         (4, base, "train")],
+        ["doc_id", "text", "split"],
+    )
+    out = split_leakage_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    pairs = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in out}
+    assert (1, 2) in pairs          # cross-split near-dup flagged
+    assert (1, 4) not in pairs      # exact dup, but co-split: not a leak
+    for r in out:
+        assert r.split_a != r.split_b
+        assert r.jaccard >= 0.5
+
+
+def test_corpus_split_queries_run_and_are_deterministic(spark, sf_dir):
+    from connect_server_spark.queries.curation_queries import (
+        corpus_eval_split,
+        corpus_split_leakage,
+    )
+
+    a = [tuple(r) for r in corpus_eval_split(spark, sf_dir).collect()]
+    b = [tuple(r) for r in corpus_eval_split(spark, sf_dir).collect()]
+    assert a == b and len(a) >= 2
+    total = sum(r[1] for r in a)
+    assert total > 0
+    leaks = [tuple(r) for r in corpus_split_leakage(spark, sf_dir).collect()]
+    assert leaks == sorted(leaks)

@@ -276,6 +276,16 @@ SHUFFLE_BUDGET = {
     # its broadcast into the bounds join; final bucket ordering. The
     # corpus sides scan once each.
     "corpus_drift": 7,
+    # content-hash split summary: the per-split count_distinct pair +
+    # the 3-row ordering; the split itself is scan-stage.
+    "corpus_eval_split": 3,
+    # leakage audit = the minhash pair pipeline (banded candidates +
+    # verify, all narrow) + two id-equi-joins that attach split labels
+    # to the candidate-sized pair set + final ordering.
+    "corpus_split_leakage": 7,
+    # IVF maintenance stats: (cell, count) agg + the broadcast into the
+    # full-cell-set left join + the cell-count-sized ordering.
+    "similarity_index_stats": 3,
 }
 
 

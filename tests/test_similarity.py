@@ -510,3 +510,41 @@ def test_ivf_sq8_append_follows_store_format(spark, tmp_path):
         for r in ivf_topk_indexed(probes, spark, ix, 2, nprobe=4).collect()
     }
     assert got == {3, 1000}
+
+
+def test_ivf_cell_stats_counts_skew_and_empty_cells(spark, tmp_path):
+    """Planted imbalance: cells carrying 0, and hot, vectors must be
+    reported with exact counts, share summing to 1, and skew = n/mean
+    (recomputed independently)."""
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        ivf_cell_stats,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(3)
+    # centroids at +e0, -e0: all vectors near +e0 -> cell imbalance
+    rows = [(i, (np.abs(rng.randn(8)) + [5, 0, 0, 0, 0, 0, 0, 0]).tolist())
+            for i in range(40)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = np.zeros((4, 8))
+    cents[0, 0] = 1.0
+    cents[1, 0] = -1.0
+    cents[2, 1] = 1.0
+    cents[3, 1] = -1.0
+    ix = str(tmp_path / "stats_ix")
+    write_ivf_index(corpus, ix, nlist=4, centroids=cents)
+
+    out = ivf_cell_stats(spark, ix).collect()
+    assert len(out) == 4  # every cell reported, including empty ones
+    total = sum(r.n for r in out)
+    assert total == 40
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-4
+    mean = total / 4
+    for r in out:
+        assert abs(r.skew - r.n / mean) < 1e-3
+    # ordered hot-first, and the planted imbalance is visible
+    assert out[0].n == max(r.n for r in out)
+    assert out[0].skew > 1.5
+    assert any(r.n == 0 for r in out)
