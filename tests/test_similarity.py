@@ -548,3 +548,50 @@ def test_ivf_cell_stats_counts_skew_and_empty_cells(spark, tmp_path):
     assert out[0].n == max(r.n for r in out)
     assert out[0].skew > 1.5
     assert any(r.n == 0 for r in out)
+
+
+def test_ivf_store_compacts_after_appends_with_serving_unchanged(
+    spark, tmp_path
+):
+    """Lifecycle: daily appends leave one small file per cell per batch;
+    storage.compact_partitioned folds each cell directory to single
+    files WITHOUT moving rows across cells, and serving output is
+    byte-identical before/after."""
+    import glob
+
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+    from connect_server_spark.storage import compact_partitioned
+
+    rng = np.random.RandomState(9)
+    rows = [(i, rng.randn(8).tolist()) for i in range(60)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"]).coalesce(2)
+    ix = str(tmp_path / "ivf_compact")
+    write_ivf_index(corpus, ix, nlist=4)
+    for day in range(3):
+        batch = spark.createDataFrame(
+            [(1000 + day * 10 + j, rng.randn(8).tolist()) for j in range(5)],
+            ["vec_id", "embedding"],
+        ).coalesce(2)
+        write_ivf_index(batch, ix, mode="append")
+
+    probes = spark.createDataFrame(
+        [(0, rows[3][1]), (1, rows[40][1])], ["probe_id", "probe_vec"]
+    )
+    before = sorted(
+        map(tuple, ivf_topk_indexed(probes, spark, ix, 3, nprobe=4).collect())
+    )
+    files_before = len(glob.glob(f"{ix}/cells/cell=*/*.parquet"))
+
+    compact_partitioned(spark, f"{ix}/cells")
+
+    files_after = len(glob.glob(f"{ix}/cells/cell=*/*.parquet"))
+    assert files_after < files_before
+    after = sorted(
+        map(tuple, ivf_topk_indexed(probes, spark, ix, 3, nprobe=4).collect())
+    )
+    assert after == before and len(after) == 6
