@@ -39,6 +39,7 @@ __all__ = [
     "gopher_pass",
     "c4_clean_lines",
     "c4_doc_flags",
+    "bucket_case",
     "metric_drift",
 ]
 
@@ -193,6 +194,25 @@ def c4_doc_flags(text: Column) -> Column:
     )
 
 
+def bucket_case(metric: Column, upper_edges: list[float]) -> Column:
+    """Scan-stage quantile-bucket assignment shared by the batch drift
+    report and the streaming quality monitor: half-open buckets
+    ``(-inf, e0], (e0, e1], …, (e_last, +inf)`` built as one CASE chain
+    over the (collapsed, ascending) upper edges. Keeping ONE builder is
+    what guarantees the streaming monitor buckets a batch exactly the
+    way :func:`metric_drift` bucketed the reference release."""
+    from functools import reduce
+
+    m = metric.cast("double")
+    return reduce(
+        lambda acc, ie: F.when(m <= F.lit(ie[1]), F.lit(ie[0])).otherwise(
+            acc
+        ),
+        reversed(list(enumerate(upper_edges))),
+        F.lit(len(upper_edges)),
+    )
+
+
 def metric_drift(
     old: "DataFrame",
     new: "DataFrame",
@@ -214,12 +234,16 @@ def metric_drift(
     only join is bucket-count-sized). ``psi_term`` uses ``eps``-floored
     shares so emptied/new buckets contribute large-but-finite terms.
 
+    NULL metric values are EXCLUDED from both sides' shares (they carry
+    no position in the distribution; bucketing them anywhere would
+    silently inflate that bucket's share — a loader regression nulling
+    15% of the metric must show up as the null-rate alarm it is, not as
+    fake tail drift). Monitor null rates separately.
+
     Returns ``(bucket, lo, hi, share_old, share_new, psi_term)`` ordered
     by bucket; total PSI = ``sum(psi_term)`` (rule of thumb: < 0.1
     stable, 0.1–0.25 moderate shift, > 0.25 investigate).
     """
-    from functools import reduce
-
     from pyspark.sql import DataFrame  # noqa: F401  (type only)
 
     if n_buckets < 2:
@@ -233,21 +257,17 @@ def metric_drift(
         if not uniq or e > uniq[-1]:
             uniq.append(e)
 
-    m = F.col(metric_col).cast("double")
-    bucket = reduce(
-        lambda acc, ie: F.when(m <= F.lit(ie[1]), F.lit(ie[0])).otherwise(
-            acc
-        ),
-        reversed(list(enumerate(uniq))),
-        F.lit(len(uniq)),
-    )
+    bucket = bucket_case(F.col(metric_col), uniq)
     bounds = [(float("-inf"), *uniq), (*uniq, float("inf"))]
 
     def shares(df, name):
         from pyspark.sql import Window
 
-        c = df.select(bucket.alias("bucket")).groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("n")
+        c = (
+            df.filter(F.col(metric_col).isNotNull())
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
         )
         # global window over the BUCKET-COUNT frame (≤ n_buckets rows):
         # one tiny single-partition pass beats a total-aggregate join,

@@ -66,6 +66,10 @@ def corpus_term_stats(df: DataFrame, id_col: str, text_col: str):
     term_counts = exploded.groupBy("_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     ).localCheckpoint(eager=False)
+    # lazily checkpointed like term_counts: doc_lens also has several
+    # consumers (the N/avgdl agg below, the index's doclens write, the
+    # meta dl aggregation) and each would otherwise re-tokenize the
+    # whole corpus from the raw scan.
     doc_lens = df.select(
         F.col(id_col).alias("_id"),
         F.coalesce(
@@ -73,7 +77,7 @@ def corpus_term_stats(df: DataFrame, id_col: str, text_col: str):
         )
         .cast("long")
         .alias("dl"),
-    )
+    ).localCheckpoint(eager=False)
     row = doc_lens.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).first()
@@ -310,12 +314,10 @@ def write_bm25_index(
         buckets=buckets, mode=mode,
     )
     if mode == "overwrite":
-        hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
-        fs = hadoop_path(index_path).getFileSystem(
-            spark._jsc.hadoopConfiguration()
-        )
+        from connect_server_spark.fsutil import fs_delete
+
         for ledger in ("meta", "termstats"):
-            fs.delete(hadoop_path(f"{index_path}/{ledger}"), True)
+            fs_delete(spark, f"{index_path}/{ledger}")
     # the df ledger partial: batch-dir overwrite makes replays idempotent
     # (same discipline as meta); term_counts is already one row per
     # (_id, term), so count == this batch's document frequency.
@@ -347,15 +349,26 @@ def query_term_stats(
     the in-memory path. If EVERY matched term is below the floor (an
     all-stop-word query), the single highest-idf term is kept so the
     query still answers — one bounded posting list, never zero."""
-    meta = (
-        spark.read.parquet(f"{index_path}/meta")
-        .agg(F.sum("n_docs"))
-        .first()
-    )
-    n_docs = int(meta[0])
+    meta_df = spark.read.parquet(f"{index_path}/meta")
+    ts_df = spark.read.parquet(f"{index_path}/termstats")
+    # coverage guard: both ledgers are per-batch partials, and pruning
+    # by a termstats ledger that covers FEWER batches than meta would
+    # silently undercount df (inflated idf) and make terms that only
+    # occur in uncovered batches unfindable — the upgrade trap for an
+    # index written before the termstats ledger existed and then
+    # appended to. Both sets are batch-count-sized.
+    meta_batches = {int(r.batch) for r in meta_df.select("batch").distinct().collect()}
+    ts_batches = {int(r.batch) for r in ts_df.select("batch").distinct().collect()}
+    if meta_batches != ts_batches:
+        raise ValueError(
+            f"{index_path}: termstats ledger covers batches "
+            f"{sorted(ts_batches)} but meta covers {sorted(meta_batches)} — "
+            "the index predates the termstats ledger (or a partial write); "
+            "rebuild it with write_bm25_index(mode='overwrite')"
+        )
+    n_docs = int(meta_df.agg(F.sum("n_docs")).first()[0])
     rows = (
-        spark.read.parquet(f"{index_path}/termstats")
-        .filter(F.col("term").isin(q_terms))
+        ts_df.filter(F.col("term").isin(q_terms))
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
         .select(

@@ -128,8 +128,14 @@ def curation_full(
     scores = ckpt(
         lm_quality_scores(ckpt_cleaned, vocab, oov_logp, "doc_id", "text")
     )
-    median_lp = scores.approxQuantile("avg_logprob", [0.5], 1e-3)[0]
-    lm_floor = median_lp - _LM_MARGIN
+    med = scores.approxQuantile("avg_logprob", [0.5], 1e-3)
+    if not med:
+        raise ValueError(
+            "curation_full: no scoreable documents survived boilerplate "
+            "removal — cannot derive the corpus-relative LM floor (the "
+            "corpus is empty or entirely boilerplate)"
+        )
+    lm_floor = med[0] - _LM_MARGIN
     bench = base.filter(F.col("doc_id") % 41 == 0).select("text")
     # 32 bits/item, k=8 → ~1.5e-5 false-positive rate per gram (vs
     # ~3e-3 at the 16/6 default): a training-prep run should not shed

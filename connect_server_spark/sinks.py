@@ -202,14 +202,6 @@ def write_training_shards(
         )
     shard = F.pmod(F.xxhash64(F.col(pack_col)), n_shards).cast("int")
     tagged = packed.withColumn("shard", shard)
-    if tagged.isEmpty():
-        # writing zero rows would leave a data-less directory whose
-        # read-back dies on schema inference — an empty release is an
-        # upstream bug (over-aggressive curation), name it
-        raise ValueError(
-            "write_training_shards: input has no rows — refusing to "
-            "commit an empty release"
-        )
     (
         tagged.repartition(n_shards, "shard")
         .write.mode("overwrite")
@@ -223,7 +215,19 @@ def write_training_shards(
     # bit-deterministic, and a manifest that disagrees with the disk
     # would brick every verify=True read of perfectly intact data.
     data_cols = [c for c in packed.columns]
-    written = packed.sparkSession.read.parquet(path)
+    # explicit schema: an empty write leaves no files to infer from, and
+    # the guard below must see zero rows, not a schema-inference error
+    written = packed.sparkSession.read.schema(tagged.schema).parquet(path)
+    if written.isEmpty():
+        # an empty release is an upstream bug (over-aggressive
+        # curation) — refuse by name BEFORE the manifest commit, so the
+        # data-less directory stays uncommitted and readers keep
+        # refusing it. (Checked on the read-back, which is cheap — the
+        # input pipeline is never executed an extra time.)
+        raise ValueError(
+            "write_training_shards: input has no rows — refusing to "
+            "commit an empty release"
+        )
     stats = (
         written.withColumn(
             "_rh", F.xxhash64(*[F.col(c) for c in data_cols])

@@ -66,16 +66,13 @@ def write_reference_profile(
 
 
 def _bucket_expr(metric_col: str, rows) -> Column:
-    from functools import reduce
+    from connect_server_spark.operators.quality import bucket_case
 
-    m = F.col(metric_col).cast("double")
-    finite = [(r.bucket, r.hi) for r in rows if not math.isinf(r.hi)]
-    last = max(r.bucket for r in rows)
-    return reduce(
-        lambda acc, bh: F.when(m <= F.lit(bh[1]), F.lit(bh[0])).otherwise(acc),
-        reversed(finite),
-        F.lit(last),
-    )
+    # the stored profile's finite upper edges, ascending — handed to the
+    # SAME case builder metric_drift used to bucket the reference
+    # release, so streaming and batch can never bucket differently
+    edges = [r.hi for r in rows if not math.isinf(r.hi)]
+    return bucket_case(F.col(metric_col), edges)
 
 
 def quality_monitor_sink(
@@ -100,29 +97,37 @@ def quality_monitor_sink(
             bucket = _bucket_expr(metric_col, rows)
         counts = {
             r.bucket: r.n
-            for r in batch_df.select(bucket.alias("bucket"))
+            for r in batch_df.filter(F.col(metric_col).isNotNull())
+            .select(bucket.alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
         n_docs = sum(counts.values())
-        psi = 0.0
-        worst_bucket, worst_term = -1, -1.0
-        for b, share_ref in ref.items():
-            share_new = (counts.get(b, 0) / n_docs) if n_docs else 0.0
-            p = max(share_new, _EPS)
-            q = max(share_ref, _EPS)
-            term = (p - q) * math.log(p / q)
-            psi += term
-            if term > worst_term:
-                worst_bucket, worst_term = b, term
-        row = [(
-            int(batch_id),
-            int(n_docs),
-            round(psi, 6),
-            int(worst_bucket),
-            bool(psi > psi_alert),
-        )]
+        if n_docs == 0:
+            # an empty (or all-null) batch has NO distribution to
+            # compare — recording psi from all-zero shares would report
+            # maximum drift and fire a guaranteed false alarm on every
+            # idle trigger. Record the heartbeat row, never alert.
+            row = [(int(batch_id), 0, None, -1, False)]
+        else:
+            psi = 0.0
+            worst_bucket, worst_term = -1, -1.0
+            for b, share_ref in ref.items():
+                share_new = counts.get(b, 0) / n_docs
+                p = max(share_new, _EPS)
+                q = max(share_ref, _EPS)
+                term = (p - q) * math.log(p / q)
+                psi += term
+                if term > worst_term:
+                    worst_bucket, worst_term = b, term
+            row = [(
+                int(batch_id),
+                int(n_docs),
+                round(psi, 6),
+                int(worst_bucket),
+                bool(psi > psi_alert),
+            )]
         (
             spark.createDataFrame(
                 row,

@@ -133,3 +133,20 @@ def test_single_corpus_scan_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FileScan" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_curation_full_names_the_all_boilerplate_corpus(
+    spark, tmp_path_factory
+):
+    """A corpus whose every line is cross-document boilerplate leaves
+    nothing scoreable — the composite must refuse with a named error,
+    not crash on an empty quantile or silently emit zero rows."""
+    d = tmp_path_factory.mktemp("cf_empty")
+    line = "nav footer cookie banner terms privacy contact about"
+    pdf = pd.DataFrame(
+        [(i, f"src{i % 2}", line, "en") for i in range(6)],
+        columns=["doc_id", "source", "text", "lang"],
+    )
+    pdf.to_parquet(d / "documents.parquet", index=False)
+    with pytest.raises(ValueError, match="boilerplate"):
+        curation_full(spark, str(d)).collect()

@@ -286,3 +286,23 @@ def test_corpus_drift_query_reports_stable_halves(spark, sf_dir):
     assert abs(sum(r.share_new for r in out) - 1.0) < 1e-4
     # random halves of one corpus: no drift signal
     assert sum(r.psi_term for r in out) < 0.25
+
+
+def test_metric_drift_excludes_null_metric_rows(spark):
+    """Nulls are excluded from both sides' shares: padding the new
+    release with null rows must not change a single bucket share or
+    psi term."""
+    from connect_server_spark.operators.quality import metric_drift
+
+    vals = [float(i % 100) for i in range(1000)]
+    old = spark.createDataFrame([(v,) for v in vals], "m double")
+    new = spark.createDataFrame([(v,) for v in vals], "m double")
+    new_padded = spark.createDataFrame(
+        [(v,) for v in vals] + [(None,)] * 300, "m double"
+    )
+    a = [tuple(r) for r in
+         metric_drift(old, new, "m", n_buckets=10, rel_err=1e-6).collect()]
+    b = [tuple(r) for r in
+         metric_drift(old, new_padded, "m", n_buckets=10,
+                      rel_err=1e-6).collect()]
+    assert a == b

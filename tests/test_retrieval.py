@@ -390,3 +390,30 @@ def test_bm25_indexed_hot_term_idf_floor(spark, tmp_path):
 
     # absent-term-only query: empty result, no posting scan
     assert bm25_topk_indexed(spark, idx, "zzz_absent", k=3).count() == 0
+
+
+def test_bm25_serving_refuses_partial_termstats_coverage(spark, tmp_path):
+    """Upgrade trap: an index whose termstats ledger covers fewer
+    batches than meta (e.g. written before the ledger existed, then
+    appended to) must refuse to serve instead of silently undercounting
+    df and losing pre-upgrade-only terms."""
+    import shutil
+
+    from connect_server_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta epsilon")],
+        ["doc_id", "text"],
+    )
+    ix = str(tmp_path / "bm25_partial")
+    write_bm25_index(docs, "doc_id", "text", ix)
+    # simulate the pre-ledger index: drop batch 0's termstats partial
+    shutil.rmtree(f"{ix}/termstats")
+    batch = spark.createDataFrame([(3, "zeta eta theta")], ["doc_id", "text"])
+    write_bm25_index(batch, "doc_id", "text", ix, mode="append", batch_id=1)
+
+    with pytest.raises(ValueError, match="termstats ledger covers"):
+        bm25_topk_indexed(spark, ix, "alpha beta", k=5).collect()

@@ -1112,3 +1112,60 @@ def test_quality_monitor_replay_is_idempotent(spark, tmp_path):
     sink(batch, 7)  # checkpoint-restart replay
     second = [tuple(r) for r in read_monitor_log(spark, log).collect()]
     assert first == second and len(first) == 1
+
+
+def test_quality_monitor_empty_batch_is_heartbeat_not_alarm(spark, tmp_path):
+    """An empty (or all-null-metric) micro-batch has no distribution to
+    compare: the monitor records a heartbeat row (n_docs=0, psi null)
+    and must NEVER alert — idle triggers are routine, not drift."""
+    from connect_server_spark.streaming.quality_monitor import (
+        quality_monitor_sink,
+        read_monitor_log,
+        write_reference_profile,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "m double"
+    )
+    prof = str(tmp_path / "profile")
+    log = str(tmp_path / "log")
+    write_reference_profile(ref, "m", prof, n_buckets=5)
+    sink = quality_monitor_sink(spark, prof, log, "m")
+
+    empty = spark.createDataFrame([], "m double")
+    all_null = spark.createDataFrame([(None,), (None,)], "m double")
+    sink(empty, 0)
+    sink(all_null, 1)
+    rows = {r.batch_id: r for r in read_monitor_log(spark, log).collect()}
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        assert r.n_docs == 0 and r.psi is None and not r.alert
+
+
+def test_quality_monitor_excludes_null_metric_rows(spark, tmp_path):
+    """Null metric values carry no distribution position: a batch that
+    is half nulls must score identically to the same batch without
+    them (and count only the non-null rows)."""
+    from connect_server_spark.streaming.quality_monitor import (
+        quality_monitor_sink,
+        read_monitor_log,
+        write_reference_profile,
+    )
+
+    vals = [float(i % 50) for i in range(500)]
+    ref = spark.createDataFrame([(v,) for v in vals], "m double")
+    prof = str(tmp_path / "profile")
+    write_reference_profile(ref, "m", prof, n_buckets=5, rel_err=1e-6)
+
+    log_a = str(tmp_path / "log_a")
+    log_b = str(tmp_path / "log_b")
+    clean = spark.createDataFrame([(v,) for v in vals], "m double")
+    noisy = spark.createDataFrame(
+        [(v,) for v in vals] + [(None,)] * 500, "m double"
+    )
+    quality_monitor_sink(spark, prof, log_a, "m")(clean, 0)
+    quality_monitor_sink(spark, prof, log_b, "m")(noisy, 0)
+    a = read_monitor_log(spark, log_a).collect()[0]
+    b = read_monitor_log(spark, log_b).collect()[0]
+    assert a.n_docs == b.n_docs == 500
+    assert a.psi == b.psi and a.alert == b.alert
