@@ -88,6 +88,7 @@ HEADLINE = [
     "quality_gates",
     "corpus_drift",
     "corpus_eval_split",
+    "corpus_decon_fraction",
     "corpus_split_leakage",
     "similarity_index_stats",
     "events_funnel",

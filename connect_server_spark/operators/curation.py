@@ -30,6 +30,10 @@ __all__ = [
     "benchmark_ngrams",
     "contaminated_ids",
     "decontaminate",
+    "contamination_fraction",
+    "decontaminate_fraction",
+    "eval_split",
+    "split_leakage_pairs",
     "benchmark_bloom",
     "contaminated_ids_bloom",
     "decontaminate_bloom",
@@ -581,3 +585,70 @@ def split_leakage_pairs(
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "split_a", "id_b", "split_b", "jaccard")
     )
+
+
+def contamination_fraction(
+    docs: DataFrame,
+    bench_grams: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document contamination FRACTION: the share of a document's
+    distinct n-grams that appear in the benchmark set — the graded
+    signal behind threshold decontamination (the lm-eval-harness /
+    Brown et al. GPT-3 appendix practice): a 13-gram quote in a long
+    document is citation, a 40% overlap is a leaked test item. The
+    any-hit :func:`contaminated_ids` is this with threshold > 0.
+
+    Plan: one explode to (id, gram-hash), a broadcast LEFT join against
+    the benchmark gram set, one narrow per-doc aggregation — corpus
+    text never shuffles, and the gram rows carry 8-byte hashes only.
+    Documents with no grams (shorter than ``n`` words) report fraction
+    0.0. Returns ``(id_col, n_grams, n_hits, frac)``.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(
+                    word_shingles(F.col(text_col), n),
+                    lambda s: F.xxhash64(s),
+                )
+            )
+        ).alias("_gram"),
+    )
+    marked = grams.join(
+        F.broadcast(bench_grams.withColumn("_hit", F.lit(1))),
+        "_gram",
+        "left",
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.col("_gram")).alias("n_grams"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.sum("_hit"), F.lit(0))
+            / F.greatest(F.count(F.col("_gram")), F.lit(1)),
+            6,
+        ).alias("frac"),
+    )
+
+
+def decontaminate_fraction(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str,
+    max_fraction: float,
+    n: int = 8,
+) -> DataFrame:
+    """Threshold decontamination: drop documents whose contamination
+    fraction EXCEEDS ``max_fraction`` (0 reproduces the any-hit
+    :func:`decontaminate` for gram-bearing documents). Anti-join on
+    ids; document bodies cross no shuffle."""
+    frac = contamination_fraction(
+        docs, benchmark_ngrams(bench, bench_text_col, n), id_col, text_col, n
+    )
+    hits = frac.filter(F.col("frac") > max_fraction).select(id_col)
+    return docs.join(hits, id_col, "left_anti")

@@ -257,3 +257,27 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("corpus_split_leakage", corpus_split_leakage, defer=True)
+
+
+def corpus_decon_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination report: each document's share of distinct
+    8-grams that appear in the held-out set (every 41st document) —
+    the threshold form of the any-hit sweep (a 40% overlap is a leaked
+    test item; one quoted gram is citation). Only contaminated rows
+    are returned (the clean corpus would be all zeros). Rows-only
+    (xxhash64 gram keys); the python gram mirror and the
+    any-hit-consistency pin live in ``tests/test_eval_split.py``."""
+    from connect_server_spark.operators.curation import (
+        benchmark_ngrams,
+        contamination_fraction,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    frac = contamination_fraction(
+        docs, benchmark_ngrams(bench, "text", n=8), "doc_id", "text", n=8
+    )
+    return frac.filter(F.col("frac") > 0).orderBy("doc_id")
+
+
+register("corpus_decon_fraction", corpus_decon_fraction, defer=True)

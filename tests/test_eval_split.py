@@ -99,3 +99,80 @@ def test_corpus_split_queries_run_and_are_deterministic(spark, sf_dir):
     assert total > 0
     leaks = [tuple(r) for r in corpus_split_leakage(spark, sf_dir).collect()]
     assert leaks == sorted(leaks)
+
+
+def test_contamination_fraction_matches_python_mirror(spark):
+    """Exact per-document fraction against an independent python
+    recomputation (distinct word 8-grams, normalized text), including
+    the no-gram (short doc) and fully-contaminated cases; threshold
+    semantics consistent with the any-hit sweep."""
+    from connect_server_spark.operators.curation import (
+        benchmark_ngrams,
+        contaminated_ids,
+        contamination_fraction,
+        decontaminate_fraction,
+    )
+
+    bench_text = ("held out question about the quick brown fox jumping "
+                  "over lazy dogs near the river mill")
+    half = ("completely fresh opening words here then question about the "
+            "quick brown fox jumping over lazy dogs in a new context "
+            "with extra trailing content to dilute the overlap further")
+    rows = [
+        (1, bench_text),                        # full leak: frac 1.0
+        (2, half),                              # partial overlap
+        (3, "too short"),                       # no 8-grams: frac 0
+        (4, "totally unrelated corpus text about spark physical plans "
+            "and shuffle exchanges in adaptive execution mode today"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame([(bench_text,)], ["text"])
+    grams_df = benchmark_ngrams(bench, "text", n=8)
+    out = {
+        r.doc_id: r
+        for r in contamination_fraction(
+            docs, grams_df, "doc_id", "text", n=8
+        ).collect()
+    }
+
+    import re
+
+    def py_grams(text, n=8):
+        toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+        if len(toks) >= n:
+            return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        # word_shingles contract: a short doc is one whole-text shingle
+        return {" ".join(toks)}
+
+    bg = py_grams(bench_text)
+    for i, text in rows:
+        g = py_grams(text)
+        want_n, want_hits = len(g), len(g & bg)
+        assert out[i].n_grams == want_n, i
+        assert out[i].n_hits == want_hits, i
+        want_frac = round(want_hits / max(want_n, 1), 6)
+        assert abs(out[i].frac - want_frac) < 1e-6, i
+    assert out[1].frac == 1.0 and out[3].frac == 0.0
+    assert 0.0 < out[2].frac < 1.0
+
+    # threshold semantics: max_fraction=0 reproduces the any-hit sweep
+    # for gram-bearing documents
+    any_hit = {
+        r.doc_id
+        for r in contaminated_ids(docs, grams_df, "doc_id", "text", 8).collect()
+    }
+    kept0 = {
+        r.doc_id
+        for r in decontaminate_fraction(
+            docs, bench, "doc_id", "text", "text", max_fraction=0.0
+        ).collect()
+    }
+    assert kept0 == {i for i, _ in rows} - any_hit
+    # a lenient threshold keeps the partial-overlap doc, drops the leak
+    kept_half = {
+        r.doc_id
+        for r in decontaminate_fraction(
+            docs, bench, "doc_id", "text", "text", max_fraction=0.6
+        ).collect()
+    }
+    assert 1 not in kept_half and 2 in kept_half

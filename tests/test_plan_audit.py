@@ -286,6 +286,10 @@ SHUFFLE_BUDGET = {
     # IVF maintenance stats: (cell, count) agg + the broadcast into the
     # full-cell-set left join + the cell-count-sized ordering.
     "similarity_index_stats": 3,
+    # graded decontamination: bench gram-set distinct + its broadcast,
+    # the per-doc (id, hits) agg, final id ordering — gram rows carry
+    # 8-byte hashes, corpus text never shuffles.
+    "corpus_decon_fraction": 4,
 }
 
 
