@@ -89,6 +89,9 @@ HEADLINE = [
     "corpus_drift",
     "corpus_eval_split",
     "corpus_decon_fraction",
+    "corpus_ingest_compressed",
+    "corpus_domain_keywords",
+    "corpus_token_budget",
     "corpus_split_leakage",
     "similarity_index_stats",
     "events_funnel",

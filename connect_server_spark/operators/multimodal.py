@@ -4,10 +4,11 @@ decoded / feature-extracted through Arrow-batched ``mapInPandas``.
 Images/audio/video are carried as ``binary`` columns plus a metadata
 struct (mime, byte length, digest). The *decode* step is REAL for
 uncompressed formats — BMP (24/32 bpp), binary PPM, and PCM16 WAV are
-pure struct parsing over numpy, no codec library needed — and raises a
-clearly-marked ``NotImplementedError`` for compressed mimes
-(JPEG/PNG/MP3/…, whose codecs are not in this environment; a deployment
-wires Pillow/libvips/ffmpeg behind the same contract). Everything around
+pure struct parsing over numpy — AND for the compressed formats whose
+codecs are pure algorithms the stdlib covers: PNG (zlib) and GIF (LZW).
+Mimes needing a codec library this environment lacks (JPEG/MP3/…)
+raise a clearly-marked ``NotImplementedError``; a deployment
+wires Pillow/libvips/ffmpeg behind the same contract. Everything around
 the decode — the schema contract, partition-preserving mapInPandas, Arrow
 batch shape, deterministic features — is real and tested either way.
 """
@@ -38,6 +39,8 @@ __all__ = [
     "decode_audio",
     "synthesize_wav_payloads",
     "extract_audio_features",
+    "encode_gif",
+    "decode_gif_frames",
 ]
 
 FEATURE_SCHEMA = (
@@ -134,10 +137,11 @@ def _decode_ppm(b: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an (H, W, 3) uint8 RGB array.
 
-    REAL for BMP (24/32 bpp, 'BM' magic), binary PPM ('P6'), and —
-    since PNG's compression is stdlib zlib — 8-bit non-interlaced PNG
-    (gray/RGB/RGBA, all five scanline filters, CRC-verified). Formats
-    whose codecs this environment lacks (JPEG/WebP/…) raise
+    REAL for BMP (24/32 bpp, 'BM' magic), binary PPM ('P6'), 8-bit
+    non-interlaced PNG (gray/RGB/RGBA, all five scanline filters,
+    CRC-verified — its compression is stdlib zlib), and GIF (pure LZW,
+    interlace handled; first frame — see :func:`decode_gif_frames`).
+    Formats whose codecs this environment lacks (JPEG/WebP/…) raise
     ``NotImplementedError``; a deployment wires Pillow/libvips behind
     the same bytes-in / array-out contract."""
     b = bytes(payload)
@@ -147,10 +151,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_ppm(b)
     if b[:8] == _PNG_MAGIC:
         return _decode_png(b)
+    if b[:6] in _GIF_MAGICS:
+        return _decode_gif(b)
     raise NotImplementedError(
-        "BMP/PPM/PNG decode only without a codec library (PNG is REAL — "
-        "stdlib zlib + chunk walk + unfiltering; JPEG et al. need a codec "
-        f"this environment lacks); got magic {b[:4]!r}"
+        "BMP/PPM/PNG/GIF decode only without a codec library (PNG is REAL "
+        "— stdlib zlib + chunk walk + unfiltering — and so is GIF: pure "
+        "LZW; JPEG et al. need a codec this environment lacks); "
+        f"got magic {b[:4]!r}"
     )
 
 
@@ -667,6 +674,311 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
 
 
+# ------------------------------------------------------------------ GIF
+# GIF's compression is LZW — a pure table-driven algorithm, no codec
+# library involved — so like PNG it is REAL here: header + logical-
+# screen walk, global/local color tables, sub-block reassembly,
+# variable-width LZW (spec-correct width growth at 2^width, 12-bit cap
+# with clear-code reset), and the four-pass interlace reorder. The
+# honest NotImplementedError boundary is ANIMATION COMPOSITING:
+# transparency and partial-rect frames blend against prior frames, and
+# there is no correct (H, W, 3) answer for a frame in isolation — so
+# every frame must be a full-screen opaque replacement. decode_image
+# returns the first frame; decode_gif_frames returns all of them (the
+# multi-frame carrier sample_frames strides over).
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+_LZW_MAX_CODE = 1 << 12  # the spec's 12-bit ceiling
+
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF-flavoured LZW with LSB-first bit packing: real dictionary
+    growth (the decoder's width-growth and table-overflow paths are
+    exercised by round-trip, not just root codes), clear-code reset when
+    the table hits 4096."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return (
+            {bytes([i]): i for i in range(1 << mcs)},
+            end + 1,
+            mcs + 1,
+        )
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    prefix = b""
+    for byte in indices:
+        cand = prefix + bytes([byte])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width)
+        # the decoder mirrors this counter per code READ (giflib's
+        # RunningCode), so the two sides grow the code width at the
+        # same stream position by construction
+        table[cand] = next_code
+        next_code += 1
+        if next_code == _LZW_MAX_CODE:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        elif next_code > (1 << width):
+            width += 1
+        prefix = bytes([byte])
+    if prefix:
+        emit(table[prefix], width)
+    emit(end, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int, n_expected: int) -> bytes:
+    """Decode a GIF LZW stream to exactly ``n_expected`` palette indices.
+    Spec-correct variable width: the decoder's table entry count drives
+    width growth at 2^width (capped at 12 bits; past 4096 the table
+    freezes until a clear code — the "deferred clear" encoders emit)."""
+    if not 2 <= mcs <= 8:
+        raise ValueError(f"GIF LZW minimum code size {mcs} out of range")
+    clear, end = 1 << mcs, (1 << mcs) + 1
+
+    def fresh() -> list[bytes]:
+        return [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+
+    table = fresh()
+    width = mcs + 1
+    # counts code SLOTS (giflib's RunningCode): one per data code read,
+    # in lockstep with the encoder's per-emit assignment counter — the
+    # actual table lags one entry behind (the KwKwK case), so width
+    # growth keys off this counter, not len(table)
+    next_code = end + 1
+    out = bytearray()
+    bitbuf = nbits = pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated before end code")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            table = fresh()
+            width = mcs + 1
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW first code is not a root code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < _LZW_MAX_CODE:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < _LZW_MAX_CODE:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond table")
+        out.extend(entry)
+        if len(out) > n_expected:
+            raise ValueError("GIF LZW produced more pixels than the frame")
+        if next_code < _LZW_MAX_CODE:
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) != n_expected:
+        raise ValueError(
+            f"GIF LZW produced {len(out)} of {n_expected} expected pixels"
+        )
+    return bytes(out)
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(h: int) -> list[int]:
+    return [y for start, step in _INTERLACE_PASSES for y in range(start, h, step)]
+
+
+def encode_gif(
+    frames: np.ndarray | list[np.ndarray], interlace: bool = False
+) -> bytes:
+    """Encode one (H, W, 3) uint8 RGB array — or a list of same-shape
+    arrays, written as successive full-screen image descriptors — as a
+    GIF89a with a shared global color table. Pure palette format: every
+    distinct color across the frames must fit in 256 entries
+    (ValueError otherwise); the encoder exists for round-trip tests, so
+    ``interlace=True`` deliberately exercises the four-pass reorder."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, _ = arrs[0].shape
+    if any(a.shape != (h, w, 3) for a in arrs):
+        raise ValueError("all GIF frames must share one (H, W, 3) shape")
+    flat = np.concatenate([a.reshape(-1, 3) for a in arrs])
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    inverse = inverse.reshape(-1)  # numpy 2.0 shapes axis-inverse (N, 1)
+    if len(palette) > 256:
+        raise ValueError(
+            f"GIF is a palette format: {len(palette)} distinct colors > 256"
+        )
+    gct_bits = max(1, int(len(palette) - 1).bit_length())
+    gct = np.zeros((1 << gct_bits, 3), np.uint8)
+    gct[: len(palette)] = palette
+    mcs = max(2, gct_bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), 0, 0)
+    out += gct.tobytes()
+    per_frame = h * w
+    for i, _arr in enumerate(arrs):
+        idx = inverse[i * per_frame : (i + 1) * per_frame].astype(np.uint8)
+        if interlace:
+            idx = idx.reshape(h, w)[_interlace_order(h)].reshape(-1)
+        out += struct.pack(
+            "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+        )
+        out.append(mcs)
+        lzw = _lzw_encode(idx.tobytes(), mcs)
+        for off in range(0, len(lzw), 255):
+            block = lzw[off : off + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """Decode every frame of a GIF payload to (H, W, 3) uint8 RGB.
+
+    REAL decode (pure LZW + palette mapping, interlace handled). The
+    contract rejects what cannot be answered as standalone RGB frames:
+    transparency and partial-rect frames composite against prior frames,
+    so both stay honest ``NotImplementedError`` (a deployment wires a
+    compositing decoder behind the same bytes-in / frames-out shape).
+    Malformed payloads raise ValueError — never struct.error."""
+    b = bytes(payload)
+    if b[:6] not in _GIF_MAGICS:
+        raise ValueError(f"not a GIF payload (magic {b[:6]!r})")
+    if len(b) < 13:
+        raise ValueError("GIF truncated in logical screen descriptor")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(b):
+            raise ValueError("GIF truncated in global color table")
+        gct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(b):
+                raise ValueError("GIF truncated in sub-blocks")
+            size = b[p]
+            p += 1 + size
+            if size == 0:
+                return p
+
+    frames: list[np.ndarray] = []
+    while True:
+        if pos >= len(b):
+            raise ValueError("GIF truncated before trailer")
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(b):
+                raise ValueError("GIF truncated in extension label")
+            label = b[pos]
+            pos += 1
+            if label == 0xF9 and pos + 2 <= len(b) and b[pos] >= 4:
+                if b[pos + 1] & 0x01:
+                    raise NotImplementedError(
+                        "GIF transparency composites against prior frames; "
+                        "standalone RGB decode is only defined for opaque "
+                        "full-screen frames"
+                    )
+            pos = skip_subblocks(pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF unknown block introducer 0x{block:02x}")
+        if pos + 9 > len(b):
+            raise ValueError("GIF truncated in image descriptor")
+        left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        if (left, top, fw, fh) != (0, 0, sw, sh):
+            raise NotImplementedError(
+                "GIF partial-rect frames composite against prior frames; "
+                f"got frame {fw}x{fh} at ({left},{top}) on a {sw}x{sh} screen"
+            )
+        pal = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            if pos + 3 * n > len(b):
+                raise ValueError("GIF truncated in local color table")
+            pal = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has neither local nor global palette")
+        if pos >= len(b):
+            raise ValueError("GIF truncated before LZW minimum code size")
+        mcs = b[pos]
+        pos += 1
+        chunks = bytearray()
+        while True:
+            if pos >= len(b):
+                raise ValueError("GIF truncated in image data sub-blocks")
+            size = b[pos]
+            pos += 1
+            if size == 0:
+                break
+            if pos + size > len(b):
+                raise ValueError("GIF truncated mid image data sub-block")
+            chunks += b[pos : pos + size]
+            pos += size
+        idx = np.frombuffer(
+            _lzw_decode(bytes(chunks), mcs, fh * fw), np.uint8
+        )
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("GIF pixel index beyond palette")
+        rgb = pal[idx].reshape(fh, fw, 3)
+        if fpacked & 0x40:  # interlaced: rows arrive in four passes
+            order = np.asarray(_interlace_order(fh))
+            deinterlaced = np.empty_like(rgb)
+            deinterlaced[order] = rgb
+            rgb = deinterlaced
+        frames.append(np.ascontiguousarray(rgb))
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
+def _decode_gif(b: bytes) -> np.ndarray:
+    return decode_gif_frames(b)[0]
+
+
 def _synth_raster(i: int) -> np.ndarray:
     """The shared deterministic test raster: (8 + i%9) × (6 + i%7) RGB
     with pixel (y, x, c) = (31·i + 17·y + 7·x + 101·c) mod 256."""
@@ -677,11 +989,13 @@ def _synth_raster(i: int) -> np.ndarray:
 
 def synthesize_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """The format-diverse twin of :func:`synthesize_bmp_payloads`: the
-    SAME deterministic raster per id, but encoded as BMP, PNG
-    (cycling through all five scanline filters), or PPM by ``id % 3`` —
-    so the decode DISPATCH (magic sniffing + three real decoders, PNG's
-    zlib inflate included) runs inside the Arrow-batched plan, not just
-    in unit tests. Feature output is format-invariant by construction:
+    SAME deterministic raster per id, but encoded as BMP, PNG (cycling
+    through all five scanline filters), PPM, or GIF (interlaced for odd
+    ids — a raster never exceeds 192 pixels, so its palette always
+    fits) by ``id % 4`` — so the decode DISPATCH (magic sniffing + four
+    real decoders, PNG's zlib inflate and GIF's LZW included) runs
+    inside the Arrow-batched plan, not just in unit tests. Feature
+    output is format-invariant by construction:
     features(synthesize_image_payloads(df)) ≡
     features(synthesize_bmp_payloads(df)) (pytest-pinned)."""
 
@@ -691,12 +1005,14 @@ def synthesize_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFram
             for doc_id in pdf[id_col]:
                 i = int(doc_id)
                 pix = _synth_raster(i)
-                if i % 3 == 0:
+                if i % 4 == 0:
                     payload = encode_bmp(pix)
-                elif i % 3 == 1:
+                elif i % 4 == 1:
                     payload = encode_png(pix, filter_type=i % 5)
-                else:
+                elif i % 4 == 2:
                     payload = encode_ppm(pix)
+                else:
+                    payload = encode_gif(pix, interlace=bool(i % 2))
                 rows.append((i, payload))
             yield pd.DataFrame(rows, columns=[id_col, "payload"])
 

@@ -48,7 +48,10 @@ __all__ = [
     "diversity_sample",
     "quantile_threshold",
     "filter_top_quantile",
+    "assign_domains",
     "discover_domains",
+    "domain_keywords",
+    "token_budget_sample",
 ]
 
 
@@ -297,6 +300,37 @@ def filter_top_quantile(
     return df.filter(F.col(col) >= thr)
 
 
+def assign_domains(
+    docs: DataFrame,
+    emb: DataFrame,
+    nlist: int = 8,
+    doc_id: str = "doc_id",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 17,
+) -> DataFrame:
+    """Label every document with its discovered domain: train the same
+    bounded spherical-k-means coarse quantizer IVF uses (sample-bounded,
+    driver-side Lloyd's — the corpus never feeds training), assign each
+    embedding to its nearest centroid in one Arrow-batched matmul, and
+    join the label back on the id. Returns ``docs``'s columns plus
+    ``domain`` — the shared front half of :func:`discover_domains` and
+    :func:`domain_keywords`."""
+    from connect_server_spark.operators.similarity import (
+        ivf_assign_udf,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(
+        emb, nlist, corpus_id=vec_id, corpus_vec=vec_col, seed=seed
+    )
+    assigned = emb.select(
+        F.col(vec_id).alias("_vid"),
+        F.explode(ivf_assign_udf(cents, 1)(F.col(vec_col))).alias("domain"),
+    )
+    return docs.join(assigned, docs[doc_id] == assigned["_vid"]).drop("_vid")
+
+
 def discover_domains(
     docs: DataFrame,
     emb: DataFrame,
@@ -325,21 +359,11 @@ def discover_domains(
     aggregation (nlist rows out). Returns one row per discovered domain:
     (domain, n_rows, n_tokens, avg_chars, mix_weight, keep_rate).
     """
-    from connect_server_spark.operators.similarity import (
-        ivf_assign_udf,
-        train_ivf_centroids,
-    )
     from connect_server_spark.operators.text import token_count
 
-    cents = train_ivf_centroids(
-        emb, nlist, corpus_id=vec_id, corpus_vec=vec_col, seed=seed
-    )
-    assigned = emb.select(
-        F.col(vec_id).alias("_vid"),
-        F.explode(ivf_assign_udf(cents, 1)(F.col(vec_col))).alias("domain"),
-    )
-    labeled = docs.join(
-        assigned, docs[doc_id] == assigned["_vid"]
+    labeled = assign_domains(
+        docs, emb, nlist, doc_id=doc_id, vec_id=vec_id, vec_col=vec_col,
+        seed=seed,
     ).select("domain", F.col(text_col).alias("_text"))
     return source_mixing_rates(
         labeled,
@@ -351,3 +375,153 @@ def discover_domains(
             "avg_chars": F.round(F.avg(F.length("_text")), 6),
         },
     )
+
+
+def domain_keywords(
+    docs: DataFrame,
+    emb: DataFrame,
+    nlist: int = 8,
+    m: int = 5,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 17,
+) -> DataFrame:
+    """Label discovered domains with their top-``m`` characteristic
+    terms — class-based TF-IDF (the BERTopic labeling scheme,
+    Grootendorst 2022): each domain is one pseudo-document, a term's tf
+    is its count across the whole domain, and the idf is the SMOOTHED
+    corpus-frequency form
+
+        ctfidf(t, d) = tf(t, d) · ln(1 + A / f_t)
+
+    with ``f_t`` the term's total corpus count and ``A`` the average
+    token count per domain — so corpus-ubiquitous terms sink (large
+    ``f_t``) without the hard zero the domain-count idf produces on a
+    fully-shared vocabulary (a real failure mode: a narrow-vocab corpus
+    would label every domain with NOTHING under ln(n/df)). This is the
+    "what IS cluster 3" answer the mixing recipe needs before anyone
+    trusts discovered-domain weights.
+
+    Scale shape: assignment rides :func:`assign_domains` (bounded
+    training, Arrow matmul, id equi-join); the only shuffles after it
+    carry (domain, term) rows — term-vocabulary-sized, never document
+    bodies; the corpus-frequency table is one row per term and joins
+    back broadcast-style under AQE; the final top-``m`` window
+    partitions by domain over vocab-sized input. Scores round to 1e-6,
+    ties break lexicographically. Returns
+    (domain, term, ctfidf, kw_rank), kw_rank 1..≤m.
+    """
+    labeled = assign_domains(
+        docs, emb, nlist, doc_id=doc_id, vec_id=vec_id, vec_col=vec_col,
+        seed=seed,
+    )
+    terms = labeled.select(
+        "domain", F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("domain", "term").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    # per-term corpus frequency and per-domain token mass: both narrow
+    # vocab-/nlist-sized aggregates over the (domain, term, tf) frame
+    freq = tf.groupBy("term").agg(F.sum("_tf").alias("_f"))
+    # A = average tokens per domain — a bounded two-row read of the
+    # nlist-sized frame, the same class as corpus_term_stats' N
+    dom_mass = tf.groupBy("domain").agg(F.sum("_tf").alias("_mass"))
+    [row] = dom_mass.agg(F.avg("_mass").alias("a")).collect()
+    a = float(row["a"] or 0.0)
+    scored = tf.join(freq, "term").select(
+        "domain",
+        "term",
+        F.round(
+            F.col("_tf") * F.log(F.lit(1.0) + F.lit(a) / F.col("_f")), 6
+        ).alias("ctfidf"),
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.col("ctfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= m)
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    source_col: str | None = None,
+    n_buckets: int = 4096,
+    seed: str = "budget",
+) -> DataFrame:
+    """Cut the corpus to an exact token budget: keep the maximal prefix
+    of documents, in deterministic hash order, whose running token sum
+    stays ≤ ``budget`` — per source when ``source_col`` is given (cap
+    any one source's contribution), else globally. The "give me exactly
+    N tokens of X" operation every pretraining data recipe ends with,
+    as a reproducible filter: hash order is retry-stable and
+    independent of ingestion order, so the same corpus always yields
+    the same cut.
+
+    Scale shape — the naive form is a per-source global sort + running
+    window (one task per source: skew-fatal at 100 TB). Instead, the
+    two-pass bucket design quantile_threshold uses: docs land in
+    ``n_buckets`` hash buckets; one narrow (source, bucket, Σtokens)
+    aggregation + a prefix sum over that TINY frame classifies every
+    bucket as kept / dropped / boundary; whole buckets resolve with
+    zero per-doc work, and only the boundary bucket — 1/n_buckets of
+    each source — pays the exact within-bucket running-sum window.
+    Token counts must be ≥ 0 (the running sum's monotonicity is what
+    makes the kept set a prefix). Returns ``df``'s columns, filtered.
+    """
+    src = (F.col(source_col) if source_col else F.lit("_all")).alias("_src")
+    h = hash_uniform(F.col(id_col), seed)
+    bucket = F.least(
+        F.floor(h * n_buckets).cast("int"), F.lit(n_buckets - 1)
+    )
+    tagged = df.select(
+        "*", src, h.alias("_h"), bucket.alias("_bkt")
+    )
+    per_bucket = tagged.groupBy("_src", "_bkt").agg(
+        F.sum(token_col).alias("_bt")
+    )
+    wcum = (
+        Window.partitionBy("_src")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    classified = per_bucket.select(
+        "_src",
+        "_bkt",
+        F.coalesce(F.sum("_bt").over(wcum), F.lit(0)).alias("_start"),
+        "_bt",
+    ).select(
+        "_src",
+        "_bkt",
+        "_start",
+        F.when(F.col("_start") + F.col("_bt") <= budget, F.lit("all"))
+        .when(F.col("_start") >= budget, F.lit("none"))
+        .otherwise(F.lit("boundary"))
+        .alias("_cls"),
+    )
+    joined = tagged.join(F.broadcast(classified), ["_src", "_bkt"])
+    keep_whole = joined.filter(F.col("_cls") == "all")
+    wrun = (
+        Window.partitionBy("_src", "_bkt")
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keep_boundary = (
+        joined.filter(F.col("_cls") == "boundary")
+        .withColumn(
+            "_run", F.coalesce(F.sum(token_col).over(wrun), F.lit(0))
+        )
+        .filter(
+            F.col("_start") + F.col("_run") + F.col(token_col) <= budget
+        )
+        .drop("_run")
+    )
+    helper = ["_src", "_h", "_bkt", "_start", "_cls"]
+    return keep_whole.unionByName(keep_boundary).drop(*helper)

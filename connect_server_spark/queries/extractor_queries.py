@@ -324,7 +324,8 @@ register(
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode → featurize: deterministic payloads are
     synthesized per doc_id as BMP, PNG (stdlib-zlib inflate + scanline
-    unfiltering — real compression), or PPM by ``doc_id % 3``, decoded
+    unfiltering — real compression), PPM, or GIF (pure-LZW decompress +
+    palette mapping, interlaced for odd ids) by ``doc_id % 4``, decoded
     back to pixels through the magic-sniffing dispatch, and reduced to
     width/height/channel means. Rows-only driver check; decode math and
     format-invariance are golden-pinned in ``tests/test_extractors.py``.
@@ -446,3 +447,33 @@ register(
     FROM documents GROUP BY source
     """,
 )
+
+
+def corpus_ingest_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14/ingest: the crawl-dump path — documents are round-tripped
+    through REAL stdlib compression (gzip / bzip2 / xz cycling by
+    ``doc_id % 3``), decoded back by the magic-sniffing
+    ``decompress_text`` (one partition-preserving Arrow stage; payloads
+    never shuffle), and reduced to per-codec ingest telemetry. Rows-only
+    driver check; byte-exact round-trip, corrupt-member reject rows,
+    and the unsupported-codec contract are pinned in
+    ``tests/test_sources.py``."""
+    from connect_server_spark.sources.compressed import (
+        compress_text,
+        decompress_text,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    decoded = decompress_text(compress_text(docs, "doc_id", "text"), "doc_id")
+    return (
+        decoded.groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.count(F.col("error")).alias("n_errors"),
+        )
+        .orderBy("codec")
+    )
+
+
+register("corpus_ingest_compressed", corpus_ingest_compressed, defer=True)

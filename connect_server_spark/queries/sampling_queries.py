@@ -109,3 +109,62 @@ def corpus_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("corpus_domains", corpus_domains, defer=True)
+
+
+def corpus_domain_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF labels for the discovered domains: each cluster's top-3
+    characteristic terms under the smoothed class-based scheme
+    (tf·ln(1 + A/f_t) — corpus-ubiquitous terms sink, and a fully
+    shared vocabulary still yields labels). Rows-only (corpus-trained
+    quantizer state); exact python c-TF-IDF recompute from the same
+    assignment + planted-vocabulary gates run in
+    ``tests/test_sampling.py``."""
+    from connect_server_spark.operators.sampling import domain_keywords
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    return domain_keywords(docs, emb, nlist=4, m=3).orderBy(
+        "domain", "kw_rank"
+    )
+
+
+register("corpus_domain_keywords", corpus_domain_keywords, defer=True)
+
+
+TOKEN_BUDGET_PER_SOURCE = 800
+TOKEN_BUDGET_BUCKETS = 16
+
+
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source token caps: every source is cut to the maximal
+    hash-ordered prefix of documents whose token sum stays ≤ 800 —
+    the "N tokens of each source" recipe step, as a deterministic
+    filter. Returns per-source kept telemetry. Rows-only (md5 hash
+    order); the exact python prefix mirror, per-source cap + maximality
+    invariants, and the bucket-classification plan shape are pinned in
+    ``tests/test_sampling.py``."""
+    from connect_server_spark.operators.sampling import token_budget_sample
+    from connect_server_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    kept = token_budget_sample(
+        docs,
+        "doc_id",
+        "n_tokens",
+        budget=TOKEN_BUDGET_PER_SOURCE,
+        source_col="source",
+        n_buckets=TOKEN_BUDGET_BUCKETS,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("n_tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+register("corpus_token_budget", corpus_token_budget, defer=True)

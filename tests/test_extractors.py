@@ -518,9 +518,10 @@ def test_png_unsupported_shapes_stay_honest():
 
 
 def test_image_features_format_invariant_across_bmp_png_ppm(spark):
-    """The mixed-format synthesis (BMP/PNG/PPM by id % 3) must featurize
-    identically to the all-BMP path — the decode dispatch is lossless
-    for every encoder, PNG's zlib round-trip included."""
+    """The mixed-format synthesis (BMP/PNG/PPM/GIF by id % 4) must
+    featurize identically to the all-BMP path — the decode dispatch is
+    lossless for every encoder: PNG's zlib round-trip and GIF's LZW +
+    palette (+ interlace for odd ids) included."""
     from connect_server_spark.operators.multimodal import (
         extract_image_features,
         synthesize_bmp_payloads,
@@ -534,12 +535,12 @@ def test_image_features_format_invariant_across_bmp_png_ppm(spark):
         synthesize_bmp_payloads(ids)).collect()))
     assert mixed == bmp_only
     assert len(mixed) == 60
-    # the three formats are all actually present in the mixed payloads
+    # the four formats are all actually present in the mixed payloads
     magics = {
         bytes(r.payload)[:2]
         for r in synthesize_image_payloads(ids).collect()
     }
-    assert magics == {b"BM", b"\x89P", b"P6"}
+    assert magics == {b"BM", b"\x89P", b"P6", b"GI"}
 
 
 def test_png_malformed_payloads_stay_in_error_contract():
@@ -582,3 +583,111 @@ def test_png_malformed_payloads_stay_in_error_contract():
     )
     with pytest.raises(ValueError, match="does not match"):
         decode_image(short)
+
+
+def test_gif_roundtrip_palette_interlace_and_lzw_growth():
+    """REAL GIF decode (pure stdlib LZW): plain and interlaced
+    round-trips on the shared rasters; a 200-color noise image large
+    enough to push the LZW dictionary through every code width up to
+    the 12-bit cap and over the 4096-entry table overflow (clear-code
+    reset); a repetitive image exercising long runs and the KwKwK
+    special case; and a single-color image at the minimum-code-size
+    floor (mcs = 2 even for a 1-entry palette)."""
+    import numpy as np
+
+    from connect_server_spark.operators.multimodal import (
+        _synth_raster,
+        decode_gif_frames,
+        decode_image,
+        encode_gif,
+    )
+
+    for i in range(12):
+        img = _synth_raster(i)
+        assert np.array_equal(decode_image(encode_gif(img)), img), i
+        assert np.array_equal(
+            decode_gif_frames(encode_gif(img, interlace=True))[0], img
+        ), ("interlace", i)
+
+    rng = np.random.RandomState(7)
+    pal = rng.randint(0, 256, size=(200, 3)).astype(np.uint8)
+    noise = pal[rng.randint(0, 200, size=(120, 130))]
+    assert np.array_equal(decode_image(encode_gif(noise)), noise)
+    assert np.array_equal(
+        decode_gif_frames(encode_gif(noise, interlace=True))[0], noise
+    )
+
+    rep = np.zeros((100, 100, 3), np.uint8)
+    rep[::3] = (10, 20, 30)
+    rep[1::7] = (200, 0, 5)
+    assert np.array_equal(decode_image(encode_gif(rep)), rep)
+
+    mono = np.full((5, 9, 3), 77, np.uint8)
+    assert np.array_equal(decode_image(encode_gif(mono)), mono)
+
+
+def test_gif_multiframe_and_palette_limit():
+    """Multi-frame GIFs decode to the full frame list (the carrier
+    sample_frames strides over); >256 distinct colors is a refused
+    encode — GIF is a palette format, quantization is a modeling
+    decision the codec must not make silently."""
+    import numpy as np
+
+    from connect_server_spark.operators.multimodal import (
+        _synth_raster,
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    base = _synth_raster(3)
+    frames = [base, base[::-1].copy(), base // 2]
+    out = decode_gif_frames(encode_gif(frames))
+    assert len(out) == 3
+    for got, want in zip(out, frames):
+        assert np.array_equal(got, want)
+
+    rng = np.random.RandomState(11)
+    toomany = rng.randint(0, 256, size=(40, 40, 3)).astype(np.uint8)
+    with pytest.raises(ValueError, match="palette"):
+        encode_gif(toomany)
+
+
+def test_gif_malformed_and_compositing_stay_in_contract():
+    """Malformed GIFs raise ValueError (never struct.error); the
+    compositing features a standalone-RGB decode cannot honestly answer
+    — transparency and partial-rect animation frames — raise
+    NotImplementedError, matching the documented contract."""
+    import numpy as np
+
+    from connect_server_spark.operators.multimodal import (
+        _synth_raster,
+        decode_gif_frames,
+        decode_image,
+        encode_gif,
+    )
+
+    b = encode_gif(_synth_raster(5))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif_frames(b[: len(b) // 2])
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif_frames(b"NOTGIF" + b[6:])
+    # a GIF that ends after the header: no image data at all
+    hdr_end = 13 + 3 * (2 << (b[10] & 0x07))
+    with pytest.raises(ValueError, match="truncated|no image"):
+        decode_gif_frames(b[:hdr_end] + b"\x3b")
+
+    # graphic-control extension with the transparency flag set
+    gce = bytes([0x21, 0xF9, 4, 0x01, 0, 0, 0, 0])
+    with pytest.raises(NotImplementedError, match="transparency"):
+        decode_gif_frames(b[:hdr_end] + gce + b[hdr_end:])
+
+    # partial-rect frame: patch the image descriptor's left offset
+    patched = bytearray(b)
+    assert patched[hdr_end] == 0x2C
+    patched[hdr_end + 1] = 1  # left = 1
+    with pytest.raises(NotImplementedError, match="partial-rect"):
+        decode_gif_frames(bytes(patched))
+
+    # JPEG magic still refuses through the dispatch
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0JFIF")

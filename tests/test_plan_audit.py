@@ -68,6 +68,13 @@ ARROW_BOUNDARY_OK = {
     # IVF probe assignment (Arrow-batched matmul) inside the indexed
     # mining searcher
     "mining_hard_negatives_indexed",
+    # compressed-text ingest: the codec round-trip is two
+    # partition-preserving Arrow stages (encode fixture + REAL stdlib
+    # decode); payloads never shuffle
+    "corpus_ingest_compressed",
+    # c-TF-IDF domain labels ride the IVF probe assignment (Arrow
+    # matmul) inside assign_domains
+    "corpus_domain_keywords",
 }
 
 
@@ -290,6 +297,22 @@ SHUFFLE_BUDGET = {
     # the per-doc (id, hits) agg, final id ordering — gram rows carry
     # 8-byte hashes, corpus text never shuffles.
     "corpus_decon_fraction": 4,
+    # compressed ingest telemetry: the (codec, count) agg + the 3-row
+    # codec ordering; decode itself is partition-preserving, payloads
+    # never shuffle.
+    "corpus_ingest_compressed": 2,
+    # c-TF-IDF labels: the docs⋈assignment id-join pair + the
+    # (domain, term) tf agg, vocab-sized df agg + its join back, and
+    # the per-domain top-m window + ordering — every post-assignment
+    # Exchange carries (domain, term) rows, never document bodies.
+    "corpus_domain_keywords": 8,
+    # token-budget cut: the (src, bucket) agg is map-side-combined to a
+    # bucket-table-sized Exchange; the classification window/broadcast
+    # move ≤ sources×n_buckets rows; the boundary window shuffles only
+    # the boundary buckets (1/n_buckets of the corpus); + the kept-side
+    # telemetry agg pair and final ordering. Whole-kept buckets pay
+    # zero per-doc work.
+    "corpus_token_budget": 9,
 }
 
 

@@ -465,3 +465,155 @@ def test_discover_domains_invariants(spark, sf_dir):
     assert sum(r.n_rows for r in rows) == docs.count()
     assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-6
     assert all(0.0 < r.keep_rate <= 1.0 for r in rows)
+
+
+def _py_hash_uniform(key, seed=""):
+    bits = int(hashlib.md5((seed + str(key)).encode()).hexdigest()[:8], 16)
+    return (bits + 0.5) / 4294967296.0
+
+
+def test_token_budget_sample_matches_python_prefix_mirror(spark, sf_dir):
+    """token_budget_sample ≡ the python reference: per source, sort docs
+    by (hash_uniform, id) and keep the maximal prefix whose token sum
+    stays ≤ budget — the bucket classification is an optimization, never
+    a semantics change (n_buckets small enough here that every class —
+    whole-kept, boundary, whole-dropped — actually occurs)."""
+    from connect_server_spark.operators.sampling import token_budget_sample
+    from connect_server_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    budget = 800
+    kept = token_budget_sample(
+        docs, "doc_id", "n_tokens", budget, source_col="source", n_buckets=16
+    ).collect()
+    got = {r.doc_id for r in kept}
+    assert sorted(kept[0].asDict()) == ["doc_id", "n_tokens", "source"]
+
+    rows = docs.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    want = set()
+    for src, members in by_src.items():
+        members.sort(key=lambda r: (_py_hash_uniform(r.doc_id, "budget"), r.doc_id))
+        run = 0
+        for r in members:
+            if run + r.n_tokens > budget:
+                break
+            run += r.n_tokens
+            want.add(r.doc_id)
+    assert got == want
+
+    # per-source cap + maximality: adding the next hash-ordered doc
+    # would exceed the budget for every source that was actually cut
+    kept_by_src = {}
+    for r in kept:
+        kept_by_src[r.source] = kept_by_src.get(r.source, 0) + r.n_tokens
+    assert all(v <= budget for v in kept_by_src.values())
+    n_cut = 0
+    for src, members in by_src.items():
+        kept_toks = kept_by_src.get(src, 0)
+        nxt = next((r for r in members if r.doc_id not in want), None)
+        if nxt is not None:
+            n_cut += 1
+            assert kept_toks + nxt.n_tokens > budget, src
+    assert n_cut > 0  # the budget actually cuts at this sf
+
+
+def test_token_budget_sample_global_and_degenerate(spark):
+    """source_col=None caps the whole frame; a budget below the smallest
+    document keeps nothing; a budget above the total keeps everything;
+    zero-token docs never break the prefix (monotone running sum)."""
+    from connect_server_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, 10 * (1 + i % 3)) for i in range(30)] + [(100, 0)],
+        ["doc_id", "n_tokens"],
+    )
+    total = sum(r.n_tokens for r in df.collect())
+    assert token_budget_sample(df, "doc_id", "n_tokens", total).count() == 31
+    assert token_budget_sample(df, "doc_id", "n_tokens", 5).count() <= 1
+    some = token_budget_sample(df, "doc_id", "n_tokens", 100, n_buckets=4)
+    got = some.collect()
+    assert 0 < len(got) < 31
+    assert sum(r.n_tokens for r in got) <= 100
+
+
+def test_domain_keywords_planted_vocabulary_and_ctfidf_mirror(spark):
+    """Three planted clusters with disjoint characteristic vocabularies:
+    each discovered domain's top keyword must be its own planted word —
+    strictly outranking the equally-per-doc-frequent but ubiquitous
+    'common' (large corpus frequency sinks it under the smoothed idf) —
+    and every score must equal the python c-TF-IDF recompute from the
+    same assignment."""
+    import math
+
+    from connect_server_spark.operators.sampling import (
+        assign_domains,
+        domain_keywords,
+    )
+
+    words = ["alpha", "bravo", "charlie"]
+    rows, vecs = [], []
+    for i in range(30):
+        c = i % 3
+        rows.append(
+            (i, f"common {words[c]} {words[c]} filler{i % 5} common")
+        )
+        base = [0.0, 0.0, 0.0, 1.0]
+        base[c] = 10.0
+        vecs.append((i, [v + 0.01 * (i % 7) for v in base]))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+
+    kws = domain_keywords(docs, emb, nlist=3, m=4).collect()
+    by_domain = {}
+    for r in kws:
+        by_domain.setdefault(r.domain, []).append(r)
+    assert len(by_domain) == 3
+    terms_seen = set()
+    for d, krows in by_domain.items():
+        krows.sort(key=lambda r: r.kw_rank)
+        assert krows[0].term in words, (d, krows)
+        terms_seen.add(krows[0].term)
+        planted = next(r.ctfidf for r in krows if r.term in words)
+        common = next((r.ctfidf for r in krows if r.term == "common"), None)
+        if common is not None:
+            assert planted > common, (d, krows)
+    assert terms_seen == set(words)  # one planted word per domain
+
+    # exact c-TF-IDF recompute from the same assignment:
+    # tf(t, d) * ln(1 + A / f_t), A = avg tokens per domain
+    labeled = assign_domains(docs, emb, nlist=3).collect()
+    tf = {}
+    for r in labeled:
+        for t in r.text.split():
+            tf[(r.domain, t)] = tf.get((r.domain, t), 0) + 1
+    freq, mass = {}, {}
+    for (d, t), n in tf.items():
+        freq[t] = freq.get(t, 0) + n
+        mass[d] = mass.get(d, 0) + n
+    a = sum(mass.values()) / len(mass)
+    for r in kws:
+        want = round(
+            tf[(r.domain, r.term)] * math.log(1.0 + a / freq[r.term]), 6
+        )
+        assert abs(r.ctfidf - want) < 1e-9, (r.domain, r.term)
+
+
+def test_corpus_budget_and_keyword_queries_run(spark, sf_dir):
+    from connect_server_spark.queries.sampling_queries import (
+        TOKEN_BUDGET_PER_SOURCE,
+        corpus_domain_keywords,
+        corpus_token_budget,
+    )
+
+    kb = corpus_token_budget(spark, sf_dir).collect()
+    assert 0 < len(kb) <= 20
+    assert all(r.n_tokens_kept <= TOKEN_BUDGET_PER_SOURCE for r in kb)
+    kw = corpus_domain_keywords(spark, sf_dir).collect()
+    assert {r.domain for r in kw} <= set(range(4))
+    assert all(1 <= r.kw_rank <= 3 for r in kw)
+    assert all(r.ctfidf > 0 for r in kw)
