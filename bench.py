@@ -92,6 +92,7 @@ HEADLINE = [
     "corpus_ingest_compressed",
     "corpus_domain_keywords",
     "corpus_token_budget",
+    "corpus_datacard",
     "corpus_split_leakage",
     "similarity_index_stats",
     "events_funnel",

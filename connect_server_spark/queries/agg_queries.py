@@ -121,3 +121,62 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("corpus_stats", corpus_stats, defer=True)
+
+
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source release DATA CARD: the one-page telemetry a corpus
+    release ships with — volume (docs, tokens), composition (English
+    share by the n-gram language guesser), quality (mean heuristic
+    score, Gopher pass rate), and redundancy (exact-duplicate rate from
+    text digests) — composed in ONE scan of the documents table: every
+    per-document metric is a scan-stage expression sharing one token
+    split, folded by a single per-source aggregation (the digests the
+    distinct-count shuffles are 16-byte keys, never text). Rows-only
+    (md5/xxhash machinery); the full per-source DuckDB mirror runs in
+    ``tests/test_aggs.py``."""
+    from connect_server_spark.operators.quality import (
+        gopher_flags,
+        gopher_pass,
+    )
+    from connect_server_spark.operators.text import (
+        language_id,
+        quality_score,
+        token_count,
+        tokens,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    toks = F.col("_toks")
+    per_doc = docs.select(
+        "source", t.alias("text"), tokens(t).alias("_toks")
+    ).select(
+        "source",
+        token_count(t, toks=toks).alias("_nt"),
+        language_id(t, toks=toks).alias("_lang"),
+        quality_score(t, toks=toks).alias("_q"),
+        gopher_pass(gopher_flags(t, toks=toks)).alias("_gok"),
+        F.md5(t).alias("_digest"),
+    )
+    agged = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.round(F.avg("_nt"), 6).alias("avg_tokens"),
+        F.round(
+            F.avg((F.col("_lang") == "en").cast("double")), 6
+        ).alias("en_share"),
+        F.round(F.avg(F.col("_q").cast("double")), 6).alias("avg_quality_e7"),
+        F.round(
+            F.avg(F.col("_gok").cast("double")), 6
+        ).alias("gopher_pass_rate"),
+        F.count_distinct(F.col("_digest")).alias("n_distinct_texts"),
+    )
+    return agged.select(
+        "*",
+        F.round(
+            1.0 - F.col("n_distinct_texts") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+    ).orderBy("source")
+
+
+register("corpus_datacard", corpus_datacard, defer=True)

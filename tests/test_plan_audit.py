@@ -306,6 +306,10 @@ SHUFFLE_BUDGET = {
     # the per-domain top-m window + ordering — every post-assignment
     # Exchange carries (domain, term) rows, never document bodies.
     "corpus_domain_keywords": 8,
+    # data card: the per-source agg pair around the count-distinct
+    # rewrite (digest keys are 16 bytes, text never shuffles) + the
+    # source ordering; every per-doc metric is scan-stage off ONE split.
+    "corpus_datacard": 3,
     # token-budget cut: the (src, bucket) agg is map-side-combined to a
     # bucket-table-sized Exchange; the classification window/broadcast
     # move ≤ sources×n_buckets rows; the boundary window shuffles only
