@@ -93,6 +93,7 @@ HEADLINE = [
     "corpus_domain_keywords",
     "corpus_token_budget",
     "corpus_datacard",
+    "multimodal_gif_frames",
     "corpus_split_leakage",
     "similarity_index_stats",
     "events_funnel",

@@ -41,6 +41,8 @@ __all__ = [
     "extract_audio_features",
     "encode_gif",
     "decode_gif_frames",
+    "synthesize_gif_payloads",
+    "extract_gif_frame_features",
 ]
 
 FEATURE_SCHEMA = (
@@ -977,6 +979,83 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
 
 def _decode_gif(b: bytes) -> np.ndarray:
     return decode_gif_frames(b)[0]
+
+
+def _synth_frame(i: int, k: int) -> np.ndarray:
+    """Frame ``k`` of id ``i``'s synthetic clip: the shared raster shape
+    with a per-frame phase shift. Every pixel's RGB triple is a pure
+    function of one mod-256 base value, so a whole clip never exceeds
+    256 distinct colors — multi-frame GIF encoding always fits."""
+    w, h = 8 + i % 9, 6 + i % 7
+    y, x, c = np.ogrid[:h, :w, :3]
+    return ((31 * i + 13 * k + 17 * y + 7 * x + 101 * c) % 256).astype(
+        np.uint8
+    )
+
+
+def synthesize_gif_payloads(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 6
+) -> DataFrame:
+    """Deterministic synthetic CLIPS as real animated GIFs: per id,
+    ``n_frames`` phase-shifted rasters encoded through
+    :func:`encode_gif` (interlaced for odd ids) — the multi-frame
+    carrier for the real-decode frame-sampling leg."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                frames = [_synth_frame(i, k) for k in range(n_frames)]
+                rows.append(
+                    (i, encode_gif(frames, interlace=bool(i % 2)))
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return df.select(id_col).mapInPandas(synth, f"{id_col} long, payload binary")
+
+
+GIF_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, "
+    "mean_r_milli int, mean_g_milli int, mean_b_milli int"
+)
+
+
+def extract_gif_frame_features(
+    df: DataFrame, id_col: str = "doc_id", every: int = 2
+) -> DataFrame:
+    """REAL frame sampling: decode every frame of an animated GIF
+    payload (pure-LZW :func:`decode_gif_frames`), emit every
+    ``every``-th frame's dimensions + per-channel means as its own row
+    (1 input row → N output rows — the UDTF shape the byte-slicing
+    `sample_frames` fakes, now over actually-decoded pixels).
+    Partition-preserving Arrow-batched ``mapInPandas``; payloads never
+    shuffle."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                frames = decode_gif_frames(bytes(payload))
+                for k in range(0, len(frames), every):
+                    arr = frames[k]
+                    h, w, _ = arr.shape
+                    means = arr.reshape(-1, 3).sum(
+                        axis=0, dtype=np.int64
+                    ) * 1000
+                    means = np.rint(means / (h * w)).astype(int)
+                    rows.append(
+                        (doc_id, k, w, h, means[0], means[1], means[2])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "frame_idx", "width", "height",
+                    "mean_r_milli", "mean_g_milli", "mean_b_milli",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(feats, GIF_FRAME_SCHEMA)
 
 
 def _synth_raster(i: int) -> np.ndarray:

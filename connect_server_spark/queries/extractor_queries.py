@@ -477,3 +477,23 @@ def corpus_ingest_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("corpus_ingest_compressed", corpus_ingest_compressed, defer=True)
+
+
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-frame decode: per doc_id, a 6-frame animated GIF is
+    synthesized (phase-shifted rasters, interlaced for odd ids), decoded
+    frame-by-frame through the pure-LZW decoder, and every 2nd frame's
+    dimensions + channel means emitted as a row — the frame-sampling
+    leg over actually-decoded pixels (the byte-slicing
+    ``multimodal_frame_sample`` stays the oracle-gated contract twin).
+    Rows-only; numpy golden equivalence in ``tests/test_extractors.py``."""
+    from connect_server_spark.operators.multimodal import (
+        extract_gif_frame_features,
+        synthesize_gif_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return extract_gif_frame_features(synthesize_gif_payloads(docs))
+
+
+register("multimodal_gif_frames", multimodal_gif_frames, defer=True)

@@ -691,3 +691,40 @@ def test_gif_malformed_and_compositing_stay_in_contract():
     # JPEG magic still refuses through the dispatch
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0JFIF")
+
+
+def test_gif_frame_features_match_numpy_goldens(spark):
+    """The real frame-sampling leg end-to-end in the Arrow plan:
+    synthesize 6-frame animated GIFs, decode every frame with the LZW
+    decoder, stride-sample every 2nd — dimensions and channel means
+    must equal the numpy recompute of the synthesis formula (decode is
+    palette-exact, so equality is exact, interlaced ids included)."""
+    import numpy as np
+
+    from connect_server_spark.operators.multimodal import (
+        _synth_frame,
+        extract_gif_frame_features,
+        synthesize_gif_payloads,
+    )
+
+    ids = spark.createDataFrame([(3,), (4,), (10,)], ["doc_id"])
+    got = sorted(
+        map(
+            tuple,
+            extract_gif_frame_features(
+                synthesize_gif_payloads(ids)
+            ).collect(),
+        )
+    )
+    want = []
+    for i in (3, 4, 10):
+        for k in range(0, 6, 2):
+            pix = _synth_frame(i, k)
+            h, w, _ = pix.shape
+            means = np.rint(
+                pix.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                * 1000 / (h * w)
+            ).astype(int)
+            want.append((i, k, w, h, means[0], means[1], means[2]))
+    assert got == sorted(want)
+    assert len(got) == 9  # 3 ids × frames {0, 2, 4}

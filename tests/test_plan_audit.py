@@ -57,6 +57,7 @@ ARROW_BOUNDARY_OK = {
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "multimodal_gif_frames",
     "multimodal_audio_features",
     "training_pack",
     "training_pack_chunked",
