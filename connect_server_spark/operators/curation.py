@@ -604,8 +604,11 @@ def contamination_fraction(
     Plan: one explode to (id, gram-hash), a broadcast LEFT join against
     the benchmark gram set, one narrow per-doc aggregation — corpus
     text never shuffles, and the gram rows carry 8-byte hashes only.
-    Documents with no grams (shorter than ``n`` words) report fraction
-    0.0. Returns ``(id_col, n_grams, n_hits, frac)``.
+    Documents shorter than ``n`` words contribute their whole
+    normalized text as ONE gram (``word_shingles`` semantics), so a
+    short document that exactly equals a benchmark item reports
+    n_grams=1, frac=1.0 — an exact test-item leak is contamination
+    regardless of length. Returns ``(id_col, n_grams, n_hits, frac)``.
     """
     grams = docs.select(
         F.col(id_col),

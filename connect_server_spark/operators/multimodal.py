@@ -740,6 +740,13 @@ def _lzw_encode(indices: bytes, mcs: int) -> bytes:
         prefix = bytes([byte])
     if prefix:
         emit(table[prefix], width)
+        # the decoder advances its slot counter for this final data code
+        # too — mirror it, or the end code gets written one bit narrower
+        # than the decoder reads it when the counter crosses 2^width here
+        if next_code < _LZW_MAX_CODE:
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
     emit(end, width)
     if nbits:
         out.append(bitbuf & 0xFF)

@@ -429,14 +429,25 @@ def domain_keywords(
     # A = average tokens per domain — a bounded two-row read of the
     # nlist-sized frame, the same class as corpus_term_stats' N
     dom_mass = tf.groupBy("domain").agg(F.sum("_tf").alias("_mass"))
-    [row] = dom_mass.agg(F.avg("_mass").alias("a")).collect()
-    a = float(row["a"] or 0.0)
-    scored = tf.join(freq, "term").select(
-        "domain",
-        "term",
-        F.round(
-            F.col("_tf") * F.log(F.lit(1.0) + F.lit(a) / F.col("_f")), 6
-        ).alias("ctfidf"),
+    # keep A in-plan as a broadcast 1-row frame: a driver collect here
+    # would run the whole assignment+explode lineage as an eager job at
+    # build time and then recompute it uncached when the result executes
+    avg_mass = dom_mass.agg(F.avg("_mass").alias("_a"))
+    scored = (
+        tf.join(freq, "term")
+        .crossJoin(F.broadcast(avg_mass))
+        .select(
+            "domain",
+            "term",
+            F.round(
+                F.col("_tf")
+                * F.log(
+                    F.lit(1.0)
+                    + F.coalesce(F.col("_a"), F.lit(0.0)) / F.col("_f")
+                ),
+                6,
+            ).alias("ctfidf"),
+        )
     )
     w = Window.partitionBy("domain").orderBy(
         F.col("ctfidf").desc(), F.col("term").asc()

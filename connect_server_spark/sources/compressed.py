@@ -62,28 +62,69 @@ def sniff_codec(payload: Column) -> Column:
     return out
 
 
+def _bounded_decompress(new_decompressor, data: bytes, max_bytes: int, zlib_tail: bool) -> bytes:
+    """Streamed decode with the output bound enforced DURING
+    decompression: a bomb must abort at ``max_bytes``, never after the
+    one-shot helper has already materialized the full expansion in the
+    Python worker. Handles concatenated members like the stdlib
+    one-shots do. ``zlib_tail`` selects zlib's re-feed-the-tail protocol
+    (bz2/lzma buffer unconsumed input internally and take ``b""``)."""
+    out = bytearray()
+    while True:
+        d = new_decompressor()
+        tail = data
+        while not d.eof:
+            budget = max_bytes + 1 - len(out)
+            if budget <= 0:
+                raise ValueError(
+                    f"decoded member exceeds max_bytes={max_bytes}"
+                )
+            chunk = d.decompress(tail, budget)
+            out += chunk
+            if zlib_tail:
+                tail = d.unconsumed_tail
+                pending = bool(tail)
+            else:
+                tail = b""
+                pending = not d.needs_input
+            if not chunk and not pending and not d.eof:
+                raise ValueError("stream truncated before end-of-stream marker")
+        data = d.unused_data
+        if not data:
+            break
+    if len(out) > max_bytes:
+        raise ValueError(
+            f"decoded member is {len(out)} bytes > max_bytes={max_bytes}"
+        )
+    return bytes(out)
+
+
 def _decompress_one(b: bytes, codec: str, max_bytes: int) -> str:
     import bz2
-    import gzip
     import lzma
+    import zlib
 
     if codec == "gzip":
-        raw = gzip.decompress(b)
+        # wbits=31: zlib with gzip header/trailer — same format
+        # gzip.decompress reads, but incrementally boundable
+        raw = _bounded_decompress(
+            lambda: zlib.decompressobj(31), b, max_bytes, zlib_tail=True
+        )
     elif codec == "bzip2":
-        raw = bz2.decompress(b)
+        raw = _bounded_decompress(bz2.BZ2Decompressor, b, max_bytes, zlib_tail=False)
     elif codec == "xz":
-        raw = lzma.decompress(b)
+        raw = _bounded_decompress(lzma.LZMADecompressor, b, max_bytes, zlib_tail=False)
     elif codec == "raw":
         raw = b
+        if len(raw) > max_bytes:
+            raise ValueError(
+                f"decoded member is {len(raw)} bytes > max_bytes={max_bytes}"
+            )
     else:
         raise NotImplementedError(
             f"codec {codec!r} needs a library this environment lacks "
             "(zstd/lz4/brotli); a deployment wires it behind the same "
             "bytes-in / text-out contract"
-        )
-    if len(raw) > max_bytes:
-        raise ValueError(
-            f"decoded member is {len(raw)} bytes > max_bytes={max_bytes}"
         )
     return raw.decode("utf-8", errors="replace")
 
@@ -145,6 +186,9 @@ def decompress_text(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    rows.append((doc_id, None, None, "null payload"))
+                    continue
                 b = bytes(payload)
                 codec = "raw"
                 for name, magic in _MAGICS:

@@ -626,6 +626,40 @@ def test_gif_roundtrip_palette_interlace_and_lzw_growth():
     assert np.array_equal(decode_image(encode_gif(mono)), mono)
 
 
+def test_gif_lzw_end_code_width_boundary():
+    """Regression: the encoder's final flush emit must advance the LZW
+    slot counter exactly as the decoder does per code read, or the end
+    code is written one bit narrower than the decoder reads it whenever
+    the counter crosses 2^width on the last data code. A 1x127 image of
+    127 distinct colors hits that boundary (formerly raised 'GIF LZW
+    stream truncated before end code'); the seeded sweep fuzzes other
+    alignments of the same crossing."""
+    import numpy as np
+
+    from connect_server_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    idx = np.arange(127, dtype=np.uint8).reshape(1, 127)
+    rgb = np.stack([idx, idx, idx], axis=-1)
+    frames = decode_gif_frames(encode_gif(rgb))
+    assert len(frames) == 1 and np.array_equal(frames[0], rgb)
+
+    rng = np.random.default_rng(7)
+    for _ in range(300):
+        h = int(rng.integers(1, 8))
+        w = int(rng.integers(1, 160))
+        ncol = int(rng.integers(1, 256))
+        ix = rng.integers(0, ncol, size=(h, w)).astype(np.uint8)
+        img = np.stack(
+            [ix, (ix * 3 % 256).astype(np.uint8), (ix * 7 % 256).astype(np.uint8)],
+            axis=-1,
+        )
+        out = decode_gif_frames(encode_gif(img))
+        assert np.array_equal(out[0], img)
+
+
 def test_gif_multiframe_and_palette_limit():
     """Multi-frame GIFs decode to the full frame list (the carrier
     sample_frames strides over); >256 distinct colors is a refused

@@ -118,6 +118,46 @@ def test_compressed_reject_path_and_contracts(spark):
     assert out[5].codec == "gzip" and "max_bytes" in out[5].error
 
 
+def test_compressed_null_payload_and_streamed_bomb_bound():
+    """Regression pins for the two reject-path hazards: a NULL payload
+    (failed fetch in a crawl shard) becomes an error row, not a
+    TypeError task failure; and the max_bytes bound is enforced DURING
+    decompression — a member expanding to 100 MB with a 1 KB bound must
+    abort at the bound, never materialize the expansion first (the
+    one-shot helpers OOM the worker before an after-the-fact check)."""
+    import gzip
+    import tracemalloc
+
+    from connect_server_spark.sources.compressed import _decompress_one
+
+    bomb = gzip.compress(b"\x00" * (100 * 1024 * 1024))
+    tracemalloc.start()
+    try:
+        try:
+            _decompress_one(bomb, "gzip", 1024)
+            raise AssertionError("bomb not caught")
+        except ValueError as exc:
+            assert "max_bytes" in str(exc)
+        peak = tracemalloc.get_traced_memory()[1]
+    finally:
+        tracemalloc.stop()
+    assert peak < 8 * 1024 * 1024, f"guard materialized the bomb: peak={peak}"
+
+
+def test_compressed_null_payload_error_row(spark):
+    import gzip
+
+    from connect_server_spark.sources.compressed import decompress_text
+
+    df = spark.createDataFrame(
+        [(1, bytearray(gzip.compress(b"ok", mtime=0))), (2, None)],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in decompress_text(df, "doc_id").collect()}
+    assert (out[1].text, out[1].error) == ("ok", None)
+    assert out[2].text is None and out[2].error == "null payload"
+
+
 def test_corpus_ingest_compressed_query_runs(spark, sf_dir):
     """The registered drill: per-codec telemetry over the round-tripped
     documents table — every codec decodes every member (n_errors 0) and
