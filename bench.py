@@ -51,6 +51,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_substring_spans",
     "dedup_semantic",
+    "dedup_winnow",
     "similarity_topk_exact",
     "similarity_topk_ann",
     "similarity_topk_ivf",

@@ -50,6 +50,8 @@ __all__ = [
     "cut_duplicate_spans",
     "write_window_index",
     "duplicated_spans_against_index",
+    "winnow_fingerprints",
+    "winnow_neardup_pairs",
 ]
 
 
@@ -1345,4 +1347,157 @@ def duplicated_spans_against_index(
             F.count(F.lit(1)).alias("n_windows"),
         )
         .select("id", "span_start", "span_end", "n_windows")
+    )
+
+
+# ---- Winnowing document fingerprints (Schleimer et al., SIGMOD 2003) ----
+#
+# The MOSS fingerprinting scheme: hash every POSITIONAL token k-gram,
+# slide a window of `window` consecutive hashes over the document, and
+# keep the minimum of each window. The selection is position-robust —
+# inserting or deleting text far from a passage never changes which of
+# the passage's hashes are picked — and carries the winnowing GUARANTEE:
+# any shared token run of at least ``window + k - 1`` tokens contributes
+# at least one common fingerprint, so sufficiently long verbatim overlap
+# can never be missed (unlike MinHash, which is probabilistic). Density
+# is ~2/(window+1) of all k-grams, so the fingerprint set is a bounded
+# fraction of the document regardless of its length.
+#
+# Scale shape: fingerprint computation is pure scan-stage Catalyst
+# (split → transform → md5 → sliding array_min), ZERO Exchange; the
+# pair stage is a posting-list self-join on 16-byte fingerprint keys —
+# the same bounded equi-join shape as the LSH band join — with a
+# document-frequency cap on fingerprints so a boilerplate k-gram shared
+# by a million documents can never trigger a quadratic bucket.
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """(id, fps): the distinct winnowing fingerprint set per document.
+
+    Hashes are md5 hex of the normalized positional token k-grams (the
+    32-char string IS the key: lexicographic min == min over a uniform
+    hash, and the same value is recomputable from hashlib in the pytest
+    mirror). Documents shorter than ``k`` tokens fingerprint their whole
+    text; documents with fewer than ``window`` k-grams yield the single
+    min over what exists — every non-empty document gets >= 1
+    fingerprint. Pure expressions; evaluated in the scan stage."""
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be positive")
+
+    def build(toks: Column) -> Column:
+        g_idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+        # try_element_at: documents shorter than k tokens have one gram
+        # made of every token they do have (concat_ws skips the nulls) —
+        # ANSI element_at would fail the task instead.
+        grams = F.transform(
+            g_idx,
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.try_element_at(toks, (i + j + 1).cast("int"))
+                    for j in range(k)
+                ],
+            ),
+        )
+
+        def select_mins(hashes: Column) -> Column:
+            w_idx = F.sequence(
+                F.lit(0), F.greatest(F.size(hashes) - window, F.lit(0))
+            )
+            return F.array_distinct(
+                F.transform(
+                    w_idx,
+                    lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+                )
+            )
+
+        return let_col(F.transform(grams, F.md5), select_mins)
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        let_col(F.split(normalize_text(F.col(text_col)), " "), build).alias(
+            "fps"
+        ),
+    ).filter(F.size("fps") > 0)
+
+
+def winnow_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    window: int = 4,
+    threshold: float = 0.5,
+    max_df: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by winnowing-fingerprint Jaccard.
+
+    Candidates come from the fingerprint posting lists (an equi-join on
+    the 16-byte fingerprint key — never all-pairs); the score is the
+    EXACT Jaccard over the two documents' full fingerprint sets, so a
+    hot fingerprint can inflate candidates but never the score.
+
+    ``max_df`` drops fingerprints appearing in more than that many
+    documents from the POSTING side only (scores still count them): a
+    boilerplate k-gram shared by the whole corpus would otherwise build
+    a quadratic candidate bucket — the same bound as the BM25 index's
+    posting-length cap, and standard practice for MOSS-style matching
+    at scale. A pair is missed only if EVERY shared fingerprint is
+    corpus-hot, which at the default (64 docs) means the overlap is
+    boilerplate, not duplication.
+
+    Returns (id_a, id_b, shared, n_a, n_b, jaccard) at
+    ``jaccard >= threshold``, id_a < id_b.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+    # one fingerprint job feeds sizes + postings: checkpoint the
+    # (id, fps) frame so the text split/hash pass runs once, not three
+    # times (same stage-boundary rule as the curation composites)
+    fps = fps.localCheckpoint(eager=False)
+    sizes = fps.select("id", F.size("fps").alias("n_fps"))
+    posts = fps.select("id", F.explode("fps").alias("fp"))
+    rare = (
+        posts.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    posts = posts.join(rare, "fp", "leftsemi")
+    a = posts.select(F.col("id").alias("id_a"), "fp")
+    b = posts.select(F.col("id").alias("id_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_rare"))
+    )
+    # exact score over the FULL sets: intersect the two fps arrays (the
+    # pair count above only covers rare fingerprints, so it is a
+    # candidate signal, not the score)
+    pairs = (
+        shared.join(
+            fps.select(F.col("id").alias("id_a"), F.col("fps").alias("_fa")),
+            "id_a",
+        )
+        .join(
+            fps.select(F.col("id").alias("id_b"), F.col("fps").alias("_fb")),
+            "id_b",
+        )
+        .withColumn(
+            "shared", F.size(F.array_intersect("_fa", "_fb")).cast("long")
+        )
+        .withColumn("n_a", F.size("_fa").cast("long"))
+        .withColumn("n_b", F.size("_fb").cast("long"))
+    )
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
     )

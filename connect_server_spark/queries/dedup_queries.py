@@ -691,3 +691,26 @@ def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("dedup_incremental_spans", dedup_incremental_spans, defer=True)
+
+
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (Schleimer et al. 2003, the
+    MOSS scheme) over the planted corpus: positional token 4-gram md5
+    hashes, min per 4-hash sliding window, exact fingerprint-set Jaccard
+    at 0.5. Deterministic by construction (no probabilistic signature —
+    the winnowing guarantee makes any >= 7-token shared run visible), so
+    it complements MinHash (probabilistic, sized for corpus scale) and
+    exact n-gram Jaccard (full shingle sets): same candidates-by-
+    equi-join shape, bounded fingerprint density ~2/(window+1).
+    Rows-only: the sliding-window min selection has no DuckDB twin; the
+    hashlib.md5 python mirror and the guarantee pin run in
+    ``tests/test_dedup.py``."""
+    from connect_server_spark.operators.dedup import winnow_neardup_pairs
+
+    return winnow_neardup_pairs(
+        _corpus_neardup(spark, sf_dir), "doc_id", "text",
+        k=4, window=4, threshold=0.5,
+    ).orderBy("id_a", "id_b")
+
+
+register("dedup_winnow", dedup_winnow, defer=True)

@@ -1209,3 +1209,146 @@ def test_window_index_incremental_spans_match_union_reference(spark, tmp_path):
         later, spark, ix, "doc_id", "text", k=4
     ).collect()
     assert {(r.id, r.span_start) for r in hits} == {(201, 0)}
+
+
+# ------------------------------------------------- winnowing (r7)
+
+
+def _py_winnow(text: str, k: int = 4, window: int = 4) -> set[str]:
+    """hashlib mirror of winnow_fingerprints: normalized positional token
+    k-gram md5 hexes, min per sliding window, distinct."""
+    import hashlib
+    import re
+
+    toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    n_grams = max(len(toks) - k, 0) + 1
+    hashes = [
+        hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+        for i in range(n_grams)
+    ]
+    n_win = max(len(hashes) - window, 0) + 1
+    return {min(hashes[i : i + window]) for i in range(n_win)}
+
+
+def test_winnow_fingerprints_match_hashlib_mirror(spark, sf_dir):
+    from connect_server_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    got = {
+        r.id: set(r.fps)
+        for r in winnow_fingerprints(docs, "doc_id", "text").collect()
+    }
+    want = {r.doc_id: _py_winnow(r.text) for r in docs.collect()}
+    want = {i: f for i, f in want.items() if f}
+    assert got == want
+
+
+def test_winnow_pairs_match_python_mirror(spark):
+    """Full-pipeline mirror on a small planted corpus, max_df wide open
+    so the candidate cap can't hide pairs from the comparison."""
+    from connect_server_spark.operators.dedup import winnow_neardup_pairs
+
+    rows = [
+        (1, DOC),
+        (2, NEAR),
+        (3, OTHER),
+        (4, DOC.upper() + "  "),
+        (5, "tiny doc"),
+        (6, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): (r.shared, r.n_a, r.n_b, round(r.jaccard, 9))
+        for r in winnow_neardup_pairs(
+            df, "doc_id", "text", threshold=0.3, max_df=100
+        ).collect()
+    }
+    fps = {i: _py_winnow(t) for i, t in rows}
+    want = {}
+    for ia in sorted(fps):
+        for ib in sorted(fps):
+            if ia >= ib:
+                continue
+            inter = len(fps[ia] & fps[ib])
+            if not inter:
+                continue
+            jac = inter / len(fps[ia] | fps[ib])
+            if jac >= 0.3:
+                want[(ia, ib)] = (
+                    inter, len(fps[ia]), len(fps[ib]), round(jac, 9)
+                )
+    assert got == want
+    assert (1, 4) in got and got[(1, 4)][3] == 1.0  # exact dup after norm
+    assert (5, 6) in got  # sub-window docs still fingerprint
+
+
+def test_winnow_guarantee_shared_run_always_detected(spark):
+    """The winnowing theorem (Schleimer et al. §3): any shared token run
+    of length >= window + k - 1 yields >= 1 common fingerprint — checked
+    over seeded random docs with a planted common passage at the minimum
+    guaranteed length, embedded at different positions."""
+    import random
+
+    from connect_server_spark.operators.dedup import winnow_fingerprints
+
+    k, window = 4, 4
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for case in range(40):
+        passage = [rng.choice(vocab) for _ in range(window + k - 1)]
+        a = [rng.choice(vocab) for _ in range(rng.randint(0, 60))]
+        b = [rng.choice(vocab) for _ in range(rng.randint(0, 60))]
+        rows.append((2 * case, " ".join(a + passage)))
+        rows.append((2 * case + 1, " ".join(passage + b)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {
+        r.id: set(r.fps)
+        for r in winnow_fingerprints(
+            df, "doc_id", "text", k=k, window=window
+        ).collect()
+    }
+    for case in range(40):
+        assert fps[2 * case] & fps[2 * case + 1], f"case {case}: no common fp"
+
+
+def test_winnow_hot_fingerprint_cap_bounds_postings(spark):
+    """A k-gram shared by every document (boilerplate) must not build a
+    quadratic candidate bucket: with max_df below the corpus size the
+    boilerplate-only pair disappears, while a pair that also shares RARE
+    fingerprints keeps its exact (uncapped) score."""
+    from connect_server_spark.operators.dedup import winnow_neardup_pairs
+
+    boiler = "subscribe to our newsletter for updates today"
+    rows = [(i, f"unique{i}a unique{i}b unique{i}c {boiler}") for i in range(30)]
+    rows.append((100, f"shared passage alpha beta gamma delta {boiler}"))
+    rows.append((101, f"shared passage alpha beta gamma delta {boiler} extra"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = winnow_neardup_pairs(
+        df, "doc_id", "text", threshold=0.15, max_df=5
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    # boilerplate-only overlaps (every i<j pair among 0..29) are gone
+    assert all(a == 100 and b == 101 for a, b in got)
+    # the rare-fingerprint pair survives with its exact full-set score
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in winnow_neardup_pairs(
+            df, "doc_id", "text", threshold=0.15, max_df=10_000
+        ).collect()
+        if (r.id_a, r.id_b) == (100, 101)
+    }
+    assert got == uncapped
+
+
+def test_winnow_fingerprints_are_scan_stage(spark, sf_dir):
+    """Zero Exchange for the fingerprint computation — the selection is
+    pure expressions, so at 100 TB it rides the corpus scan."""
+    from connect_server_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        winnow_fingerprints(docs, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -150,6 +150,13 @@ SHUFFLE_BUDGET = {
     # (the group-by reuses the window's partitioning — one Exchange, not
     # two). Document bodies never shuffle.
     "dedup_substring_spans": 3,
+    # r7 winnowing fingerprints: the fingerprint computation itself is
+    # scan-stage (0 Exchange, pinned in test_dedup.py); the pair stage
+    # pays the posting df agg + the max_df semi-join, the posting
+    # self-join on 16-byte fingerprint keys, the pair rollup, the two
+    # full-set joins for the exact score, and the final ordering — all
+    # narrow (id, fp) / (id_a, id_b) rows; document bodies never shuffle.
+    "dedup_winnow": 9,
     # r6 incremental twin: batch windows shuffle to the bucketed store
     # (store side Exchange-free), the intra-batch repeat count, the
     # flagged-position distinct, and the shared id-partition Exchange
