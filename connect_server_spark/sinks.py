@@ -168,6 +168,8 @@ def write_training_shards(
     n_shards: int,
     pack_col: str = "pack_id",
     token_col: str = "n_tokens",
+    shuffle_packs: bool = True,
+    shuffle_seed: int = 0,
 ) -> dict:
     """Write packed sequences as ``n_shards`` loader-ready shard
     partitions plus a driver-written manifest, manifest-last so the
@@ -181,6 +183,18 @@ def write_training_shards(
     task's output (≈ total/n_shards rows each); pick ``n_shards`` so a
     shard is 0.5–2 GB at the target scale, exactly like sizing shuffle
     partitions.
+
+    ``shuffle_packs`` (default on) additionally hash-randomizes the PACK
+    ORDER inside each shard with a ``sortWithinPartitions`` on a seeded
+    pack hash — no extra Exchange. Without it, a shard replays the
+    upstream order (source-grouped, time-grouped — whatever the pipeline
+    produced), and a loader reading shards sequentially trains on
+    correlated batches; with it, consecutive packs are an unbiased
+    sample of the shard. Rows of one pack stay contiguous and
+    slot-ordered (the hash ties on ``pack_id`` then the slot columns),
+    the order is deterministic under retry and across reruns, and
+    ``shuffle_seed`` reshuffles epochs without rewriting assignment
+    (same shards, new within-shard order).
 
     The manifest records per-shard pack/row/token counts and an
     order-independent content checksum (``bit_xor`` of row hashes —
@@ -202,9 +216,28 @@ def write_training_shards(
         )
     shard = F.pmod(F.xxhash64(F.col(pack_col)), n_shards).cast("int")
     tagged = packed.withColumn("shard", shard)
+    arranged = tagged.repartition(n_shards, "shard")
+    if shuffle_packs:
+        # pack-slot columns (when present) keep a pack's rows in loader
+        # order behind the randomized pack position
+        order_tail = [
+            F.col(c)
+            for c in ("pack_slot", "chunk_idx")
+            if c in packed.columns
+        ]
+        # "shard" leads the sort: the partitionBy writer REQUIRES its
+        # input sorted by the partition columns and would insert its own
+        # (order-destroying) sort otherwise — leading with shard makes
+        # this sort satisfy that requirement, so the hash order survives
+        # into the files (pinned by the loader-order test).
+        arranged = arranged.sortWithinPartitions(
+            "shard",
+            F.xxhash64(F.col(pack_col), F.lit(shuffle_seed)),
+            F.col(pack_col),
+            *order_tail,
+        )
     (
-        tagged.repartition(n_shards, "shard")
-        .write.mode("overwrite")
+        arranged.write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
     )

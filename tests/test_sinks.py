@@ -272,3 +272,67 @@ def test_write_training_shards_refuses_empty_release(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="empty release"):
         write_training_shards(empty, str(tmp_path / "s"), n_shards=2)
+
+
+def test_training_shards_pack_order_is_shuffled_contiguous_deterministic(
+    spark, tmp_path
+):
+    """The loader-order contract of shuffle_packs: inside each shard
+    file (a) every pack's rows are contiguous and slot-ordered, (b) pack
+    order follows the seeded hash (matches a Spark-side recompute, so
+    it's hash-random w.r.t. the upstream pack_id order), (c) reruns are
+    byte-order identical, and (d) a new seed reshuffles order without
+    moving any pack across shards."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from connect_server_spark.sinks import write_training_shards
+
+    packed = _packed(spark)
+    p1, p2, p3 = (str(tmp_path / d) for d in ("a", "b", "c"))
+    write_training_shards(packed, p1, n_shards=2)
+    write_training_shards(packed, p2, n_shards=2)
+    write_training_shards(packed, p3, n_shards=2, shuffle_seed=7)
+
+    expected_hash = {
+        r.pack_id: r.h
+        for r in packed.select(
+            "pack_id", F.xxhash64("pack_id", F.lit(0)).alias("h")
+        ).distinct().collect()
+    }
+
+    def shard_rows(path):
+        out = {}
+        for d in sorted(glob.glob(f"{path}/shard=*")):
+            tbl = pq.read_table(d)
+            out[d.rsplit("=", 1)[1]] = list(
+                zip(tbl["pack_id"].to_pylist(), tbl["pack_slot"].to_pylist())
+            )
+        return out
+
+    s1 = shard_rows(p1)
+    assert len(s1) == 2 and sum(len(v) for v in s1.values()) == packed.count()
+    saw_shuffled_order = False
+    for rows in s1.values():
+        # contiguity + slot order: packs appear as uninterrupted runs
+        order = []
+        for pid, slot in rows:
+            if not order or order[-1] != pid:
+                assert pid not in order, f"pack {pid} split into two runs"
+                order.append(pid)
+                assert slot == 0
+            else:
+                prev = [s for p, s in rows if p == pid]
+                assert prev == sorted(prev)
+        # pack order follows the seeded hash, not the upstream order
+        assert order == sorted(order, key=lambda p: (expected_hash[p], p))
+        if order != sorted(order):
+            saw_shuffled_order = True
+    assert saw_shuffled_order  # with ~100 packs, hash order != id order
+    assert s1 == shard_rows(p2)  # deterministic rerun
+    s3 = shard_rows(p3)
+    assert {k: sorted(v) for k, v in s1.items()} == {
+        k: sorted(v) for k, v in s3.items()
+    }  # same membership under the new seed…
+    assert s1 != s3  # …different within-shard order
