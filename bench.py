@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "dedup_semantic",
     "dedup_winnow",
+    "dedup_incremental_winnow",
     "similarity_topk_exact",
     "similarity_topk_ann",
     "similarity_topk_ivf",

@@ -52,6 +52,8 @@ __all__ = [
     "duplicated_spans_against_index",
     "winnow_fingerprints",
     "winnow_neardup_pairs",
+    "write_winnow_index",
+    "winnow_neardup_against_index",
 ]
 
 
@@ -1500,4 +1502,128 @@ def winnow_neardup_pairs(
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+    )
+
+
+def write_winnow_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    k: int = 4,
+    window: int = 4,
+    mode: str = "overwrite",
+    store_buckets: int = 32,
+) -> None:
+    """Persist the winnowing fingerprints of a corpus so a daily batch
+    dedups against it in O(batch) — the fifth incremental-index modality
+    (after the exact-digest, minhash, embedding-IVF, and window stores).
+
+    Two path-addressed bucketed artifacts under ``index_path``:
+
+    * ``posts/`` — the (id, fp) posting rows, bucketed by ``fp``: the
+      candidate join and the probe-time document-frequency count are
+      Exchange-free on the store side by layout.
+    * ``fps/``   — the (id, fps) full fingerprint sets, bucketed by the
+      id: the exact-Jaccard verify shuffles only batch-sized candidate
+      rows; the O(corpus) arrays never move.
+
+    ``mode="append"`` is the daily-ingest leg: survivors append their
+    fingerprint rows bucket-correctly; a replayed append re-writes
+    IDENTICAL rows, which the probe drops layout-free (the same
+    at-least-once discipline as the minhash and IVF stores). Compact
+    with :func:`~connect_server_spark.storage.compact_bucketed`."""
+    from connect_server_spark.storage import write_bucketed_path
+
+    fps = winnow_fingerprints(
+        corpus, id_col, text_col, k=k, window=window
+    ).localCheckpoint(eager=False)
+    write_bucketed_path(fps, f"{index_path}/fps", "id", store_buckets, mode=mode)
+    posts = fps.select("id", F.explode("fps").alias("fp"))
+    write_bucketed_path(
+        posts, f"{index_path}/posts", "fp", store_buckets, mode=mode
+    )
+
+
+def winnow_neardup_against_index(
+    new: DataFrame,
+    spark,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    window: int = 4,
+    threshold: float = 0.5,
+    max_df: int = 64,
+    store_buckets: int = 32,
+) -> DataFrame:
+    """Incremental winnowing near-dup: NEW documents against the
+    persisted corpus fingerprint index (written by
+    :func:`write_winnow_index`), never rescanning corpus text.
+
+    The hot-fingerprint cap is computed AT PROBE TIME against the live
+    store: the store postings restricted to the batch's fingerprints
+    (a semi-join that is Exchange-free on the store side by bucket
+    layout) are counted per fingerprint — a narrow, map-side-combined
+    (fp, df) aggregate whose output is batch-fingerprint-sized — and
+    fingerprints past ``max_df`` are excluded from CANDIDACY (the exact
+    verify still scores them: the cap gates which pairs surface, never
+    a surfaced pair's Jaccard, exactly :func:`winnow_neardup_pairs`'s
+    contract). So a boilerplate fingerprint shared by a million corpus
+    documents costs one counted scan of its bucket, not a million
+    candidate rows.
+
+    Join strategy is size-adaptive like the minhash probe: a small
+    store broadcasts, a large one keeps its bucketed layout with the
+    batch side hinted ``shuffle_hash`` so the store never sorts or
+    shuffles. Returns ``(new_id, corpus_id, shared, jaccard)`` with
+    ``jaccard >= threshold``."""
+    from connect_server_spark.storage import broadcastable, read_bucketed
+
+    def probe_side(df: DataFrame, store_path: str) -> DataFrame:
+        return df if broadcastable(spark, store_path) else df.hint("shuffle_hash")
+
+    posts_path = f"{index_path}/posts"
+    fps_path = f"{index_path}/fps"
+    nf = winnow_fingerprints(
+        new, id_col, text_col, k=k, window=window
+    ).localCheckpoint(eager=False)
+    n_posts = nf.select(
+        F.col("id").alias("new_id"), F.explode("fps").alias("fp")
+    )
+    store_posts = read_bucketed(spark, posts_path, "fp", store_buckets)
+    # at-least-once appends: identical replayed rows must not double-
+    # count df or duplicate candidates
+    store_posts = store_posts.dropDuplicates(["id", "fp"])
+    probed = store_posts.join(
+        probe_side(n_posts.select("fp").distinct(), posts_path),
+        "fp",
+        "leftsemi",
+    )
+    ok_fps = (
+        probed.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    cands = (
+        store_posts.withColumnRenamed("id", "corpus_id")
+        .join(probe_side(n_posts.join(ok_fps, "fp", "leftsemi"), posts_path), "fp")
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    a = nf.select(F.col("id").alias("new_id"), F.col("fps").alias("_fa"))
+    b = (
+        read_bucketed(spark, fps_path, "id", store_buckets)
+        .select(F.col("id").alias("corpus_id"), F.col("fps").alias("_fb"))
+        .dropDuplicates(["corpus_id"])
+    )
+    inter = F.size(F.array_intersect("_fa", "_fb")).cast("long")
+    union = F.size("_fa") + F.size("_fb") - inter
+    return (
+        b.join(probe_side(cands.join(a, "new_id"), fps_path), "corpus_id")
+        .withColumn("shared", inter)
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "shared", "jaccard")
     )

@@ -714,3 +714,38 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("dedup_winnow", dedup_winnow, defer=True)
+
+
+def dedup_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest winnowing: the batch (every 7th document) probes the
+    persisted corpus fingerprint index (cached per dataset under /tmp;
+    bench's warm-up pass pays the build) — O(batch) work, no corpus-text
+    rescan, hot fingerprints df-capped at probe time against the LIVE
+    store. Rows-only; equivalence to recomputing winnow_neardup_pairs
+    over the union is pinned in ``tests/test_dedup.py`` along with the
+    store-side-Exchange-free plan check."""
+    import os
+
+    from connect_server_spark.operators.dedup import (
+        winnow_neardup_against_index,
+        write_winnow_index,
+    )
+    from connect_server_spark.tables import dataset_cache_key
+
+    key = dataset_cache_key(sf_dir, "documents")
+    index_path = f"/tmp/connect_server_spark_winnow_index_v1/{key}"
+    corpus = _corpus_neardup(spark, sf_dir)
+    existing = corpus.filter(F.col("doc_id") % 7 != 0)
+    if not os.path.exists(f"{index_path}/posts/_SUCCESS"):
+        write_winnow_index(existing, "doc_id", "text", index_path)
+    return winnow_neardup_against_index(
+        corpus.filter(F.col("doc_id") % 7 == 0),
+        spark,
+        index_path,
+        "doc_id",
+        "text",
+        threshold=0.5,
+    )
+
+
+register("dedup_incremental_winnow", dedup_incremental_winnow, defer=True)

@@ -1352,3 +1352,142 @@ def test_winnow_fingerprints_are_scan_stage(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_winnow_index_matches_direct_and_stays_store_side_exchange_free(
+    spark, tmp_path
+):
+    """The incremental winnow probe ≡ the python full-set mirror over
+    batch × corpus pairs (max_df wide open), reads only the store (never
+    corpus text), and — with broadcast disabled to expose the at-scale
+    shape — both store scans are bucketed and feed no Exchange."""
+    from connect_server_spark.operators.dedup import (
+        winnow_neardup_against_index,
+        write_winnow_index,
+    )
+
+    corpus_rows = [(1, DOC), (2, OTHER), (3, "short text here")]
+    new_rows = [(101, NEAR), (102, "unrelated brand new content entirely")]
+    corpus_path = str(tmp_path / "corpus_text")
+    spark.createDataFrame(corpus_rows, ["doc_id", "text"]).write.parquet(
+        corpus_path
+    )
+    corpus = spark.read.parquet(corpus_path)
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    index_path = str(tmp_path / "winnow_index")
+    write_winnow_index(corpus, "doc_id", "text", index_path)
+
+    batch = winnow_neardup_against_index(
+        new, spark, index_path, "doc_id", "text",
+        threshold=0.3, max_df=10_000,
+    )
+    got = {
+        (r.new_id, r.corpus_id): (r.shared, round(r.jaccard, 9))
+        for r in batch.collect()
+    }
+    cf = {i: _py_winnow(t) for i, t in corpus_rows}
+    nf = {i: _py_winnow(t) for i, t in new_rows}
+    want = {}
+    for ni, nfp in nf.items():
+        for ci, cfp in cf.items():
+            inter = len(nfp & cfp)
+            if inter and inter / len(nfp | cfp) >= 0.3:
+                want[(ni, ci)] = (inter, round(inter / len(nfp | cfp), 9))
+    assert got == want and (101, 1) in got
+
+    read_files = set(batch.inputFiles())
+    assert any("winnow_index" in f for f in read_files), read_files
+    assert not any("corpus_text" in f for f in read_files), read_files
+    scan_lines = [
+        l
+        for l in batch._jdf.queryExecution().executedPlan().toString().splitlines()
+        if "FileScan parquet" in l
+    ]
+    assert scan_lines and not any("text" in l for l in scan_lines)
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fresh = winnow_neardup_against_index(
+            new, spark, index_path, "doc_id", "text",
+            threshold=0.3, max_df=10_000,
+        )
+        pplan = fresh._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    # posts is scanned twice (df count + candidates) plus the fps verify
+    # scan — every store scan planned bucketed, every store join
+    # shuffled-hash with the batch as build side (sort-merge would put
+    # an O(corpus) Sort above the store scan; the SMJs that remain are
+    # batch-only joins). Exchange total stays batch-sized: explode/
+    # distinct/agg shuffles of batch rows only.
+    assert pplan.count("Bucketed: true") >= 3, pplan
+    assert pplan.count("ShuffledHashJoin") >= 3, pplan
+    for line in pplan.splitlines():
+        if "FileScan" in line and "Bucketed: false" in line:
+            raise AssertionError(f"unbucketed store scan: {line}")
+    n_exchange = sum(
+        1
+        for line in pplan.splitlines()
+        if "Exchange" in line and "ReusedExchange" not in line
+    )
+    assert n_exchange <= 10, pplan
+
+
+def test_winnow_index_append_and_hot_fp_cap(spark, tmp_path):
+    """Day-2 survivors append in O(batch); a day-3 copy of a day-2
+    survivor is caught by the grown index. And the probe-time df cap:
+    a fingerprint hot in the STORE stops generating candidates without
+    touching surfaced pairs' exact scores."""
+    from connect_server_spark.operators.dedup import (
+        winnow_neardup_against_index,
+        write_winnow_index,
+    )
+
+    index_path = str(tmp_path / "widx")
+    day1 = spark.createDataFrame([(1, DOC), (2, OTHER)], ["doc_id", "text"])
+    write_winnow_index(day1, "doc_id", "text", index_path)
+    day2 = spark.createDataFrame([(10, NEAR)], ["doc_id", "text"])
+    hits2 = winnow_neardup_against_index(
+        day2, spark, index_path, "doc_id", "text", threshold=0.3
+    )
+    assert {(r.new_id, r.corpus_id) for r in hits2.collect()} == {(10, 1)}
+    write_winnow_index(day2, "doc_id", "text", index_path, mode="append")
+    day3 = spark.createDataFrame([(20, NEAR)], ["doc_id", "text"])
+    got3 = {(r.new_id, r.corpus_id) for r in winnow_neardup_against_index(
+        day3, spark, index_path, "doc_id", "text", threshold=0.3
+    ).collect()}
+    assert (20, 10) in got3 and (20, 1) in got3
+
+    # hot-fp cap: boilerplate shared by every store doc exceeds max_df
+    # and generates no candidates; a rare overlap still surfaces with
+    # its exact full-set score.
+    boiler = "subscribe to our newsletter for updates today please"
+    store = spark.createDataFrame(
+        [(i, f"u{i}x u{i}y u{i}z {boiler}") for i in range(12)]
+        + [(50, f"rare passage alpha beta gamma delta {boiler}")],
+        ["doc_id", "text"],
+    )
+    hot_path = str(tmp_path / "hotidx")
+    write_winnow_index(store, "doc_id", "text", hot_path)
+    probe = spark.createDataFrame(
+        [(200, f"rare passage alpha beta gamma delta {boiler} tail")],
+        ["doc_id", "text"],
+    )
+    capped = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in winnow_neardup_against_index(
+            probe, spark, hot_path, "doc_id", "text",
+            threshold=0.1, max_df=5,
+        ).collect()
+    }
+    assert set(capped) == {(200, 50)}
+    uncapped = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in winnow_neardup_against_index(
+            probe, spark, hot_path, "doc_id", "text",
+            threshold=0.1, max_df=10_000,
+        ).collect()
+        if (r.new_id, r.corpus_id) == (200, 50)
+    }
+    assert capped == uncapped  # the cap never changed a surfaced score

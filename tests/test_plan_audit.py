@@ -157,6 +157,12 @@ SHUFFLE_BUDGET = {
     # full-set joins for the exact score, and the final ordering — all
     # narrow (id, fp) / (id_a, id_b) rows; document bodies never shuffle.
     "dedup_winnow": 9,
+    # incremental winnow: batch fingerprint explode/distinct, the
+    # probe-time df-cap agg, the candidate distinct, and the batch-side
+    # verify joins — all batch-sized; both store scans are bucketed, so
+    # the O(corpus) posting/fps rows never move (plan pin in
+    # test_dedup.py's store-side-exchange-free test).
+    "dedup_incremental_winnow": 7,
     # r6 incremental twin: batch windows shuffle to the bucketed store
     # (store side Exchange-free), the intra-batch repeat count, the
     # flagged-position distinct, and the shared id-partition Exchange
