@@ -124,7 +124,10 @@ def daily_ingest_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``tests/test_streaming.py`` composed-ingest suite)."""
     import tempfile
 
-    from connect_server_spark.operators.dedup import write_minhash_index
+    from connect_server_spark.operators.dedup import (
+        write_minhash_index,
+        write_winnow_index,
+    )
     from connect_server_spark.operators.retrieval import write_bm25_index
     from connect_server_spark.operators.similarity import write_ivf_index
     from connect_server_spark.streaming.daily_ingest import (
@@ -159,6 +162,7 @@ def daily_ingest_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_id="doc_id", corpus_vec="embedding",
     )
     write_bm25_index(base, "doc_id", "text", paths["bm25_index"])
+    write_winnow_index(base, "doc_id", "text", paths["winnow_index"])
     sink = composed_ingest_sink(
         spark, root, "doc_id", "text", "embedding", "ts", "value"
     )

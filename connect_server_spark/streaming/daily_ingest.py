@@ -12,14 +12,15 @@ Per micro-batch, in order:
    batch, ledger-gated by batch id (exactly-once; computed pre-dedup so
    a replay whose dedup outcome shifts — see below — still records the
    identical partial).
-3. **dedup probes, both modalities** — minhash bands against the text
-   index, IVF cells against the embedding index; self-pairs filtered
-   (a replayed batch collides with its own prior index entries); both
-   pairs logs appended (at-least-once, keyed by (new_id, corpus_id)).
+3. **dedup probes, three modalities** — minhash bands against the text
+   index, IVF cells against the embedding index, winnow fingerprints
+   against the fingerprint store; self-pairs filtered (a replayed batch
+   collides with its own prior index entries); all three pairs logs
+   appended (at-least-once, keyed by (new_id, corpus_id)).
 4. **index growth** — the fresh survivors (S8 anti-join against the
    survivors table) append to the minhash index+shingle store, the IVF
-   cell store, and the BM25 term/doclens/meta stores. ALL index appends
-   run BEFORE the survivors append.
+   cell store, the BM25 term/doclens/meta stores, and the winnow
+   posts/fps store. ALL index appends run BEFORE the survivors append.
 5. **survivors append** — the exactly-once table; committing it is what
    marks the batch done.
 
@@ -32,15 +33,16 @@ batch-id ledger skips; pairs logs: duplicate keyed rows; minhash/IVF:
 duplicate index rows neutralized at read (candidate ``distinct`` +
 self-pair filter / serving ``distinct``); BM25: identical term/doclens
 rows dropped by serving, meta partial overwrites its own
-``batch=<id>`` directory. A crash AFTER step 5 replays into "nothing
+``batch=<id>`` directory; winnow: identical posting/fps rows dropped
+layout-free at probe time. A crash AFTER step 5 replays into "nothing
 fresh" and writes nothing. The one divergence window: if a replayed
 batch contains intra-batch near-duplicates, the first (crashed)
 attempt's index growth makes the replay catch them — the survivor set
 can only SHRINK toward the correct dedup answer, never double-insert.
 
-Store bootstrap: the minhash/IVF/BM25 stores must exist (base build via
-their ``write_*_index`` functions — same contract as the per-modality
-sinks); the rollup store and survivors table start empty.
+Store bootstrap: the minhash/IVF/BM25/winnow stores must exist (base
+build via their ``write_*_index`` functions — same contract as the
+per-modality sinks); the rollup store and survivors table start empty.
 """
 
 from __future__ import annotations
@@ -53,7 +55,9 @@ from pyspark.sql import functions as F
 from connect_server_spark.operators.dedup import (
     embedding_neardup_against_index,
     minhash_neardup_against_index,
+    winnow_neardup_against_index,
     write_minhash_index,
+    write_winnow_index,
 )
 from connect_server_spark.operators.retrieval import write_bm25_index
 from connect_server_spark.operators.similarity import write_ivf_index
@@ -70,10 +74,12 @@ def ingest_store_paths(root: str) -> dict[str, str]:
         "shingles": f"{root}/minhash/shingles",
         "ivf_index": f"{root}/ivf",
         "bm25_index": f"{root}/bm25",
+        "winnow_index": f"{root}/winnow",
         "rollup": f"{root}/rollup",
         "survivors": f"{root}/survivors",
         "pairs_text": f"{root}/pairs_text",
         "pairs_vec": f"{root}/pairs_vec",
+        "pairs_winnow": f"{root}/pairs_winnow",
     }
 
 
@@ -99,7 +105,7 @@ def composed_ingest_sink(
     """Build the composed ``foreachBatch`` function (module docstring
     for the discipline). ``_failpoint`` is a TEST hook: raise
     RuntimeError immediately after the named step ("rollup", "pairs",
-    "minhash_index", "ivf_index", "bm25_index") to exercise the
+    "minhash_index", "ivf_index", "bm25_index", "winnow_index") to exercise the
     crash-replay contract — production callers leave it None."""
     paths = ingest_store_paths(root)
     rollup = rollup_refresh_sink(
@@ -155,13 +161,27 @@ def composed_ingest_sink(
             .filter(F.col("new_id") != F.col("corpus_id"))
             .localCheckpoint(eager=True)
         )
+        pairs_w = (
+            winnow_neardup_against_index(
+                batch.select(id_col, text_col),
+                spark,
+                paths["winnow_index"],
+                id_col,
+                text_col,
+                threshold=threshold,
+            )
+            .filter(F.col("new_id") != F.col("corpus_id"))
+            .localCheckpoint(eager=True)
+        )
         pairs_t.write.mode("append").parquet(paths["pairs_text"])
         pairs_v.write.mode("append").parquet(paths["pairs_vec"])
+        pairs_w.write.mode("append").parquet(paths["pairs_winnow"])
         _maybe_fail("pairs")
 
         dup_ids = (
             pairs_t.select(F.col("new_id").alias(id_col))
             .unionByName(pairs_v.select(F.col("new_id").alias(id_col)))
+            .unionByName(pairs_w.select(F.col("new_id").alias(id_col)))
             .distinct()
         )
         survivors = batch.join(dup_ids, id_col, "left_anti")
@@ -196,6 +216,16 @@ def composed_ingest_sink(
                 batch_id=meta_namespace + int(batch_id),
             )
             _maybe_fail("bm25_index")
+            # winnow store: a replayed append re-writes IDENTICAL
+            # (id, fp)/(id, fps) rows, dropped layout-free at probe time
+            write_winnow_index(
+                fresh.select(id_col, text_col),
+                id_col,
+                text_col,
+                paths["winnow_index"],
+                mode="append",
+            )
+            _maybe_fail("winnow_index")
             fresh.write.mode("append").parquet(paths["survivors"])
 
     return sink

@@ -902,7 +902,10 @@ def _composed_fixture_rows():
 
 
 def _composed_build_base(spark, root, corpus_rows):
-    from connect_server_spark.operators.dedup import write_minhash_index
+    from connect_server_spark.operators.dedup import (
+        write_minhash_index,
+        write_winnow_index,
+    )
     from connect_server_spark.operators.retrieval import write_bm25_index
     from connect_server_spark.operators.similarity import write_ivf_index
     from connect_server_spark.streaming.daily_ingest import ingest_store_paths
@@ -918,6 +921,7 @@ def _composed_build_base(spark, root, corpus_rows):
         corpus_id="doc_id", corpus_vec="embedding",
     )
     write_bm25_index(corpus, "doc_id", "text", paths["bm25_index"])
+    write_winnow_index(corpus, "doc_id", "text", paths["winnow_index"])
     return paths
 
 
@@ -936,6 +940,7 @@ def _composed_state(spark, paths):
     from connect_server_spark.operators.dedup import (
         embedding_neardup_against_index,
         minhash_neardup_against_index,
+        winnow_neardup_against_index,
     )
     from connect_server_spark.operators.retrieval import bm25_topk_indexed
     from connect_server_spark.streaming.rollup_refresh import read_rollup
@@ -953,6 +958,10 @@ def _composed_state(spark, paths):
     pairs_v = sorted({
         (r.new_id, r.corpus_id) for r in
         spark.read.parquet(paths["pairs_vec"]).collect()
+    })
+    pairs_w = sorted({
+        (r.new_id, r.corpus_id) for r in
+        spark.read.parquet(paths["pairs_winnow"]).collect()
     })
     bm25 = sorted(map(tuple, bm25_topk_indexed(
         spark, paths["bm25_index"], "n202w1 c1w2 n103w3", k=10
@@ -975,9 +984,16 @@ def _composed_state(spark, paths):
             id_col="doc_id", vec_col="embedding",
         ).collect()
     )
+    wn = sorted(
+        (r.new_id, r.corpus_id) for r in winnow_neardup_against_index(
+            probe.select("doc_id", "text"), spark, paths["winnow_index"],
+            "doc_id", "text",
+        ).collect()
+    )
     return {
         "survivors": surv, "pairs_t": pairs_t, "pairs_v": pairs_v,
-        "bm25": bm25, "rollup": rollup, "mh_probe": mh, "ev_probe": ev,
+        "pairs_w": pairs_w, "bm25": bm25, "rollup": rollup,
+        "mh_probe": mh, "ev_probe": ev, "wn_probe": wn,
     }
 
 
@@ -1006,13 +1022,15 @@ def test_composed_ingest_end_to_end_semantics(spark, composed_control):
     assert (101, 1) in st["pairs_t"]      # text near-dup of corpus
     assert (201, 103) in st["pairs_t"]    # caught because the index GREW
     assert (102, 2) in st["pairs_v"]      # embedding near-dup of corpus
+    assert (101, 1) in st["pairs_w"]      # winnow catches the text dup too
     assert len(st["bm25"]) > 0
     assert len(st["rollup"]) > 0
 
 
 @pytest.mark.parametrize(
     "failpoint",
-    ["rollup", "pairs", "minhash_index", "ivf_index", "bm25_index"],
+    ["rollup", "pairs", "minhash_index", "ivf_index", "bm25_index",
+     "winnow_index"],
 )
 def test_composed_ingest_crash_replay_converges(
     spark, tmp_path, composed_control, failpoint
