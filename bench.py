@@ -91,6 +91,7 @@ HEADLINE = [
     "corpus_drift",
     "corpus_eval_split",
     "corpus_decon_fraction",
+    "corpus_decon_winnow",
     "corpus_ingest_compressed",
     "corpus_domain_keywords",
     "corpus_token_budget",

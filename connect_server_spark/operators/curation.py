@@ -32,6 +32,7 @@ __all__ = [
     "decontaminate",
     "contamination_fraction",
     "decontaminate_fraction",
+    "winnow_contamination",
     "eval_split",
     "split_leakage_pairs",
     "benchmark_bloom",
@@ -655,3 +656,59 @@ def decontaminate_fraction(
     )
     hits = frac.filter(F.col("frac") > max_fraction).select(id_col)
     return docs.join(hits, id_col, "left_anti")
+
+
+def winnow_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str,
+    k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """Per-document contamination fraction over WINNOWING fingerprints
+    (:func:`~connect_server_spark.operators.dedup.winnow_fingerprints`)
+    instead of raw n-grams — the position-robust fuzzy complement to
+    :func:`contamination_fraction`: the winnowing guarantee means any
+    verbatim run of ≥ ``window + k - 1`` tokens shared with a benchmark
+    item ALWAYS contributes a common fingerprint, while an edit only
+    perturbs the fingerprints within ``window + k`` tokens of it — so a
+    benchmark item pasted with light edits (the leak exact-gram decon
+    undercounts) still reports a high fraction.
+
+    Plan shape is :func:`contamination_fraction`'s exactly: fingerprint
+    selection is scan-stage, the benchmark fingerprint set is distinct
+    (bounded: ~2/(window+1) of the benchmark's grams) and broadcasts,
+    one explode + broadcast LEFT join + one narrow per-doc aggregation —
+    corpus text never shuffles. Returns ``(id_col, n_fps, n_hits,
+    frac)``; route the result through a threshold exactly like
+    :func:`decontaminate_fraction`."""
+    from connect_server_spark.operators.dedup import winnow_fingerprints
+
+    bench_fps = (
+        winnow_fingerprints(
+            bench.select(F.col(bench_text_col).alias("text")),
+            # any unique-enough id works: fingerprints are deduped anyway
+            "text",
+            "text",
+            k=k,
+            window=window,
+        )
+        .select(F.explode("fps").alias("_fp"))
+        .distinct()
+    )
+    doc_fps = winnow_fingerprints(
+        docs, id_col, text_col, k=k, window=window
+    ).select(F.col("id").alias(id_col), F.explode_outer("fps").alias("_fp"))
+    marked = doc_fps.join(
+        F.broadcast(bench_fps.withColumn("_hit", F.lit(1))), "_fp", "left"
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.col("_fp")).alias("n_fps"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce(F.sum("_hit"), F.lit(0))
+            / F.greatest(F.count(F.col("_fp")), F.lit(1))
+        ).alias("frac"),
+    )

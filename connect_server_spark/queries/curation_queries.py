@@ -281,3 +281,24 @@ def corpus_decon_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("corpus_decon_fraction", corpus_decon_fraction, defer=True)
+
+
+def corpus_decon_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination report over winnowing fingerprints: the
+    held-out set (every 41st document) leaks into a document whenever
+    they share fingerprint mass — position-robust, so a benchmark item
+    pasted with light edits still reports high ``frac`` where the exact
+    8-gram sweep undercounts. Contaminated rows only. Rows-only (the
+    sliding-window min selection has no DuckDB twin); the hashlib
+    mirror runs in ``tests/test_eval_split.py``."""
+    from connect_server_spark.operators.curation import winnow_contamination
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    frac = winnow_contamination(
+        docs, bench, "doc_id", "text", "text", k=4, window=4
+    )
+    return frac.filter(F.col("frac") > 0).orderBy("doc_id")
+
+
+register("corpus_decon_winnow", corpus_decon_winnow, defer=True)

@@ -114,10 +114,11 @@ register(
 def daily_ingest_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED production ingest job
     (:mod:`connect_server_spark.streaming.daily_ingest`) run end-to-end
-    as a batch-driven drill: build the base minhash/IVF/BM25 stores
-    from a third of the corpus, then push the other two thirds through
-    the one-``foreachBatch`` sink as two daily batches — gate, rollup
-    partial, both dedup probes, all index appends, survivors commit.
+    as a batch-driven drill: build the base minhash/IVF/BM25/winnow
+    stores from a third of the corpus, then push the other two thirds
+    through the one-``foreachBatch`` sink as two daily batches — gate,
+    rollup partial, all three dedup probes, all index appends,
+    survivors commit.
     Returns the survivor ledger (deterministic: the probes, splits, and
     thresholds are all hash-derived). Rows-only by design — the
     exactly-once/crash-replay semantics are the pytest-pinned part

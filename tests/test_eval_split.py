@@ -176,3 +176,71 @@ def test_contamination_fraction_matches_python_mirror(spark):
         ).collect()
     }
     assert 1 not in kept_half and 2 in kept_half
+
+
+def test_winnow_contamination_mirror_and_edit_robustness(spark):
+    """The fuzzy decon leg: exact hashlib mirror of the per-document
+    winnow-fingerprint fraction, plus the property that motivates it —
+    a benchmark item pasted with a light mid-passage edit still reports
+    substantial winnow contamination while the exact 8-gram fraction
+    collapses (each edit kills every 8-gram covering it)."""
+    import re
+
+    from connect_server_spark.operators.curation import (
+        benchmark_ngrams,
+        contamination_fraction,
+        winnow_contamination,
+    )
+
+    k, window = 4, 4
+
+    def py_winnow(text):
+        toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+        n_grams = max(len(toks) - k, 0) + 1
+        hs = [
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+            for i in range(n_grams)
+        ]
+        n_win = max(len(hs) - window, 0) + 1
+        return {min(hs[i : i + window]) for i in range(n_win)}
+
+    bench_text = (
+        "which planet in our solar system has the largest number of "
+        "confirmed moons orbiting it as of the latest survey results"
+    )
+    # one word swapped mid-passage ("largest" -> "greatest")
+    edited = bench_text.replace("largest", "greatest")
+    rows = [
+        (1, bench_text),
+        (2, "intro words then " + edited + " plus trailing filler text"),
+        (3, "entirely unrelated document about bucketed shuffle layouts"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame([(bench_text,)], ["text"])
+
+    got = {
+        r.doc_id: (r.n_fps, r.n_hits, round(r.frac, 9))
+        for r in winnow_contamination(
+            docs, bench, "doc_id", "text", "text", k=k, window=window
+        ).collect()
+    }
+    bfps = py_winnow(bench_text)
+    want = {}
+    for i, t in rows:
+        fps = py_winnow(t)
+        hits = len(fps & bfps)
+        want[i] = (len(fps), hits, round(hits / max(len(fps), 1), 9))
+    assert got == want
+    assert got[1][2] == 1.0 and got[3][1] == 0
+
+    # robustness: the edited paste keeps most winnow mass, the exact
+    # 8-gram fraction drops far below it
+    exact = {
+        r.doc_id: r.frac
+        for r in contamination_fraction(
+            docs, benchmark_ngrams(bench, "text", n=8), "doc_id", "text", n=8
+        ).collect()
+    }
+    assert got[2][2] >= 0.5  # winnow still sees most of the leak
+    assert exact[2] <= 0.3  # the one edit killed most covering 8-grams
+    assert exact[2] < got[2][2]

@@ -163,6 +163,11 @@ SHUFFLE_BUDGET = {
     # the O(corpus) posting/fps rows never move (plan pin in
     # test_dedup.py's store-side-exchange-free test).
     "dedup_incremental_winnow": 7,
+    # winnow fuzzy decon: the per-doc fingerprint-hit agg + final
+    # ordering (the bench fingerprint set dedups then broadcasts) —
+    # narrow (id, 16-byte fp) rows only, same shape as
+    # corpus_decon_fraction.
+    "corpus_decon_winnow": 4,
     # r6 incremental twin: batch windows shuffle to the bucketed store
     # (store side Exchange-free), the intra-batch repeat count, the
     # flagged-position distinct, and the shared id-partition Exchange
