@@ -32,3 +32,21 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return TEST_SF_DIR
+
+
+def py_winnow(text: str, k: int = 4, window: int = 4) -> set[str]:
+    """hashlib reference of ``operators.dedup.winnow_fingerprints`` —
+    the ONE python mirror of the winnowing scheme (normalized positional
+    token k-gram md5 hexes, min per sliding window, distinct), shared by
+    every test that pins against it."""
+    import hashlib
+    import re
+
+    toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    n_grams = max(len(toks) - k, 0) + 1
+    hashes = [
+        hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+        for i in range(n_grams)
+    ]
+    n_win = max(len(hashes) - window, 0) + 1
+    return {min(hashes[i : i + window]) for i in range(n_win)}

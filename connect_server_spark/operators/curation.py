@@ -682,8 +682,12 @@ def winnow_contamination(
     (bounded: ~2/(window+1) of the benchmark's grams) and broadcasts,
     one explode + broadcast LEFT join + one narrow per-doc aggregation —
     corpus text never shuffles. Returns ``(id_col, n_fps, n_hits,
-    frac)``; route the result through a threshold exactly like
-    :func:`decontaminate_fraction`."""
+    frac)`` with ONE ROW PER INPUT DOCUMENT — NULL text normalizes to
+    the empty text (the ``word_shingles`` family convention) and reports
+    its single empty-gram fingerprint with frac 0 unless the benchmark
+    itself contains an empty item, exactly like
+    :func:`contamination_fraction`; route the result through a
+    threshold exactly like :func:`decontaminate_fraction`."""
     from connect_server_spark.operators.dedup import winnow_fingerprints
 
     bench_fps = (
@@ -698,9 +702,21 @@ def winnow_contamination(
         .select(F.explode("fps").alias("_fp"))
         .distinct()
     )
-    doc_fps = winnow_fingerprints(
-        docs, id_col, text_col, k=k, window=window
-    ).select(F.col("id").alias(id_col), F.explode_outer("fps").alias("_fp"))
+    # left join back to the input ids: the report owes every input
+    # document a row even if a future winnow_fingerprints change drops
+    # some (today nothing is dropped — NULL/empty text still yields the
+    # one empty-gram fingerprint).
+    doc_fps = (
+        docs.select(F.col(id_col))
+        .join(
+            winnow_fingerprints(
+                docs, id_col, text_col, k=k, window=window
+            ).withColumnRenamed("id", id_col),
+            id_col,
+            "left",
+        )
+        .select(F.col(id_col), F.explode_outer("fps").alias("_fp"))
+    )
     marked = doc_fps.join(
         F.broadcast(bench_fps.withColumn("_hit", F.lit(1))), "_fp", "left"
     )

@@ -1458,11 +1458,11 @@ def winnow_neardup_pairs(
     ``jaccard >= threshold``, id_a < id_b.
     """
     fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
-    # one fingerprint job feeds sizes + postings: checkpoint the
-    # (id, fps) frame so the text split/hash pass runs once, not three
-    # times (same stage-boundary rule as the curation composites)
+    # one fingerprint job feeds the postings and both verify-side array
+    # lookups: checkpoint the (id, fps) frame so the text split/hash
+    # pass runs once, not three times (same stage-boundary rule as the
+    # curation composites)
     fps = fps.localCheckpoint(eager=False)
-    sizes = fps.select("id", F.size("fps").alias("n_fps"))
     posts = fps.select("id", F.explode("fps").alias("fp"))
     rare = (
         posts.groupBy("fp")

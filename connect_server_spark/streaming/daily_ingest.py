@@ -97,6 +97,7 @@ def composed_ingest_sink(
     bands: int = 8,
     shingle_n: int = 3,
     vec_threshold: float = 0.9,
+    winnow_threshold: float | None = None,
     nprobe: int = 4,
     rollup_widths: list[int] | None = None,
     meta_namespace: int = 1_000_000,
@@ -106,8 +107,16 @@ def composed_ingest_sink(
     for the discipline). ``_failpoint`` is a TEST hook: raise
     RuntimeError immediately after the named step ("rollup", "pairs",
     "minhash_index", "ivf_index", "bm25_index", "winnow_index") to exercise the
-    crash-replay contract — production callers leave it None."""
+    crash-replay contract — production callers leave it None.
+
+    ``winnow_threshold`` is the winnow fingerprint-set Jaccard cutoff —
+    a DIFFERENT score distribution from the minhash shingle Jaccard
+    (fingerprint sets are ~2/(window+1)-density selections), so it gets
+    its own knob like ``vec_threshold``; it defaults to ``threshold``
+    for the common same-corpus calibration."""
     paths = ingest_store_paths(root)
+    if winnow_threshold is None:
+        winnow_threshold = threshold
     rollup = rollup_refresh_sink(
         spark,
         paths["rollup"],
@@ -168,7 +177,7 @@ def composed_ingest_sink(
                 paths["winnow_index"],
                 id_col,
                 text_col,
-                threshold=threshold,
+                threshold=winnow_threshold,
             )
             .filter(F.col("new_id") != F.col("corpus_id"))
             .localCheckpoint(eager=True)

@@ -1214,26 +1214,17 @@ def test_window_index_incremental_spans_match_union_reference(spark, tmp_path):
 # ------------------------------------------------- winnowing (r7)
 
 
-def _py_winnow(text: str, k: int = 4, window: int = 4) -> set[str]:
-    """hashlib mirror of winnow_fingerprints: normalized positional token
-    k-gram md5 hexes, min per sliding window, distinct."""
-    import hashlib
-    import re
-
-    toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
-    n_grams = max(len(toks) - k, 0) + 1
-    hashes = [
-        hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
-        for i in range(n_grams)
-    ]
-    n_win = max(len(hashes) - window, 0) + 1
-    return {min(hashes[i : i + window]) for i in range(n_win)}
+from conftest import py_winnow as _py_winnow
 
 
 def test_winnow_fingerprints_match_hashlib_mirror(spark, sf_dir):
     from connect_server_spark.operators.dedup import winnow_fingerprints
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    # deterministic subset (limit-without-order may pick different rows
+    # in the two independent jobs below)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
     got = {
         r.id: set(r.fps)
         for r in winnow_fingerprints(docs, "doc_id", "text").collect()

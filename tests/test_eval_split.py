@@ -192,17 +192,9 @@ def test_winnow_contamination_mirror_and_edit_robustness(spark):
         winnow_contamination,
     )
 
-    k, window = 4, 4
+    from conftest import py_winnow
 
-    def py_winnow(text):
-        toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
-        n_grams = max(len(toks) - k, 0) + 1
-        hs = [
-            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
-            for i in range(n_grams)
-        ]
-        n_win = max(len(hs) - window, 0) + 1
-        return {min(hs[i : i + window]) for i in range(n_win)}
+    k, window = 4, 4
 
     bench_text = (
         "which planet in our solar system has the largest number of "
@@ -244,3 +236,18 @@ def test_winnow_contamination_mirror_and_edit_robustness(spark):
     assert got[2][2] >= 0.5  # winnow still sees most of the leak
     assert exact[2] <= 0.3  # the one edit killed most covering 8-grams
     assert exact[2] < got[2][2]
+
+    # contamination_fraction parity: a NULL-text document still gets a
+    # report row — NULL normalizes to the empty text (word_shingles
+    # family convention), one empty-gram fingerprint, frac 0
+    with_null = spark.createDataFrame(
+        [(1, bench_text), (9, None)], "doc_id long, text string"
+    )
+    nulled = {
+        r.doc_id: (r.n_fps, r.n_hits, r.frac)
+        for r in winnow_contamination(
+            with_null, bench, "doc_id", "text", "text", k=k, window=window
+        ).collect()
+    }
+    assert set(nulled) == {1, 9}
+    assert nulled[9] == (1, 0, 0.0)

@@ -164,10 +164,10 @@ SHUFFLE_BUDGET = {
     # test_dedup.py's store-side-exchange-free test).
     "dedup_incremental_winnow": 7,
     # winnow fuzzy decon: the per-doc fingerprint-hit agg + final
-    # ordering (the bench fingerprint set dedups then broadcasts) —
-    # narrow (id, 16-byte fp) rows only, same shape as
-    # corpus_decon_fraction.
-    "corpus_decon_winnow": 4,
+    # ordering (the bench fingerprint set dedups then broadcasts), plus
+    # the one-row-per-input left join back to the ids — narrow
+    # (id, 16-byte fp) rows only, same shape as corpus_decon_fraction.
+    "corpus_decon_winnow": 5,
     # r6 incremental twin: batch windows shuffle to the bucketed store
     # (store side Exchange-free), the intra-batch repeat count, the
     # flagged-position distinct, and the shared id-partition Exchange
