@@ -1482,3 +1482,39 @@ def test_winnow_index_append_and_hot_fp_cap(spark, tmp_path):
         if (r.new_id, r.corpus_id) == (200, 50)
     }
     assert capped == uncapped  # the cap never changed a surfaced score
+
+
+def test_winnow_guarantee_property_on_mirror():
+    """Hypothesis sweep of the winnowing theorem on the python mirror
+    (mirror ≡ Spark is pinned separately): any two token sequences
+    sharing a contiguous run of >= window + k - 1 tokens share >= 1
+    fingerprint, for every (k, window) in a small grid and arbitrary
+    surrounding tokens."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from conftest import py_winnow
+
+    token = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        k=st.integers(2, 5),
+        window=st.integers(2, 5),
+        run_extra=st.integers(0, 4),
+        prefix_a=st.lists(token, max_size=12),
+        suffix_a=st.lists(token, max_size=12),
+        prefix_b=st.lists(token, max_size=12),
+        suffix_b=st.lists(token, max_size=12),
+        run_seed=st.lists(token, min_size=1, max_size=20),
+    )
+    def check(k, window, run_extra, prefix_a, suffix_a, prefix_b, suffix_b, run_seed):
+        need = window + k - 1 + run_extra
+        run = (run_seed * ((need // len(run_seed)) + 1))[:need]
+        a = " ".join(prefix_a + run + suffix_a)
+        b = " ".join(prefix_b + run + suffix_b)
+        fa = py_winnow(a, k=k, window=window)
+        fb = py_winnow(b, k=k, window=window)
+        assert fa & fb, (k, window, a, b)
+
+    check()
