@@ -93,6 +93,7 @@ HEADLINE = [
     "corpus_decon_fraction",
     "corpus_decon_winnow",
     "corpus_ingest_compressed",
+    "corpus_ingest_warc",
     "corpus_domain_keywords",
     "corpus_token_budget",
     "corpus_datacard",

@@ -517,3 +517,48 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("multimodal_gif_frames", multimodal_gif_frames, defer=True)
+
+
+def corpus_ingest_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14/ingest: the Common Crawl front end end-to-end — documents
+    are packed into REAL multi-record ``.warc.gz`` shards (one gzip
+    member per record, HTML-wrapped bodies with a planted script/style
+    block), parsed back record-by-record by the real WARC parser, and
+    the visible text extracted with the stdlib HTML parser. Emits
+    per-shard ingest telemetry including ``n_text_match`` — extracted
+    text must equal the title prefix + original document text, so the
+    whole synth→parse→extract loop is self-verifying in-plan. Rows-only
+    driver check; byte-layout goldens, malformed-record resync,
+    truncation, and extraction pins live in ``tests/test_sources.py``."""
+    from connect_server_spark.sources.warc import (
+        html_to_text,
+        parse_warc_records,
+        synthesize_warc,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    sharded = docs.withColumn("shard", F.col("doc_id") % 8)
+    recs = parse_warc_records(synthesize_warc(sharded, "doc_id", "text"))
+    extracted = html_to_text(recs, "body")
+    rec_id = F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
+    joined = extracted.withColumn("doc_id", rec_id).join(
+        docs.withColumnRenamed("text", "_orig"), "doc_id", "left"
+    )
+    match = (
+        F.col("text")
+        == F.concat(F.lit("doc "), F.col("doc_id").cast("string"),
+                    F.lit(" "), F.col("_orig"))
+    )
+    return (
+        joined.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.count(F.col("error")).alias("n_errors"),
+            F.sum(match.cast("long")).alias("n_text_match"),
+            F.sum((F.col("http_status") == 200).cast("long")).alias("n_http_200"),
+        )
+        .orderBy("shard")
+    )
+
+
+register("corpus_ingest_warc", corpus_ingest_warc, defer=True)

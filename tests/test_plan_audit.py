@@ -78,6 +78,9 @@ ARROW_BOUNDARY_OK = {
     # partition-preserving Arrow stages (encode fixture + REAL stdlib
     # decode); payloads never shuffle
     "corpus_ingest_compressed",
+    # WARC front end: shard synthesis (applyInPandas fixture), record
+    # parsing (mapInPandas), HTML extraction (pandas UDF) — all Arrow
+    "corpus_ingest_warc",
     # c-TF-IDF domain labels ride the IVF probe assignment (Arrow
     # matmul) inside assign_domains
     "corpus_domain_keywords",
@@ -168,6 +171,12 @@ SHUFFLE_BUDGET = {
     # the one-row-per-input left join back to the ids — narrow
     # (id, 16-byte fp) rows only, same shape as corpus_decon_fraction.
     "corpus_decon_winnow": 5,
+    # WARC ingest drill: the synthesis groupBy (fixture cost), the
+    # doc_id join back for the self-verify, and the per-shard telemetry
+    # agg + ordering — payloads cross the one synthesis Exchange only;
+    # the parse/extract path itself is shuffle-free (pinned in
+    # test_sources.py).
+    "corpus_ingest_warc": 4,
     # r6 incremental twin: batch windows shuffle to the bucketed store
     # (store side Exchange-free), the intra-batch repeat count, the
     # flagged-position distinct, and the shared id-partition Exchange

@@ -179,3 +179,166 @@ def test_corpus_ingest_compressed_query_runs(spark, sf_dir):
         .collect()
     )
     assert total == want[0]
+
+
+# ------------------------------------------------------------- WARC (r7)
+
+
+def _warc_bytes(body: bytes, uri="http://x.example/doc/1",
+                date="2024-01-01T00:00:00Z", http=True) -> bytes:
+    """Hand-built WARC/1.0 response record — the golden the parser is
+    checked against (independent of synthesize_warc)."""
+    if http:
+        block = (b"HTTP/1.1 200 OK\r\n"
+                 b"Content-Type: text/html; charset=utf-8\r\n"
+                 + f"Content-Length: {len(body)}\r\n\r\n".encode() + body)
+        ctype = b"application/http;msgtype=response"
+    else:
+        block, ctype = body, b"text/plain"
+    return (b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + f"WARC-Date: {date}\r\n".encode()
+            + b"Content-Type: " + ctype + b"\r\n"
+            + f"Content-Length: {len(block)}\r\n\r\n".encode()
+            + block + b"\r\n\r\n")
+
+
+def test_warc_parse_golden_record_fields(spark):
+    from connect_server_spark.sources.warc import parse_warc_records
+
+    body = b"<html><body><p>hello &amp; goodbye</p></body></html>"
+    df = spark.createDataFrame(
+        [(1, _warc_bytes(body))], "shard long, payload binary"
+    )
+    [r] = parse_warc_records(df).collect()
+    assert r.error is None
+    assert r.target_uri == "http://x.example/doc/1"
+    assert r.warc_date == "2024-01-01T00:00:00Z"
+    assert r.http_status == 200
+    assert r.content_type == "text/html; charset=utf-8"
+    assert bytes(r.body) == body
+
+    # non-HTTP record: block IS the body, no status
+    [r2] = parse_warc_records(
+        spark.createDataFrame(
+            [(1, _warc_bytes(b"plain payload", http=False))],
+            "shard long, payload binary",
+        )
+    ).collect()
+    assert r2.error is None and r2.http_status is None
+    assert bytes(r2.body) == b"plain payload"
+
+
+def test_warc_gzip_members_are_independently_decodable(spark):
+    """The Common Crawl layout contract: each record its own gzip
+    member, so the FIRST member alone decompresses to exactly the first
+    record — a reader can split shards without full decompression."""
+    import gzip
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from connect_server_spark.sources.warc import (
+        parse_warc_records,
+        synthesize_warc,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "first doc text", 0), (2, "second doc text", 0)],
+        ["doc_id", "text", "shard"],
+    )
+    [shard] = synthesize_warc(docs, "doc_id", "text").collect()
+    payload = bytes(shard.payload)
+    assert shard.n_records == 2 and payload[:2] == b"\x1f\x8b"
+    d = zlib.decompressobj(31)
+    first = d.decompress(payload)
+    assert first.startswith(b"WARC/1.0\r\n") and b"/doc/1" in first
+    assert b"/doc/2" not in first          # member boundary respected
+    assert d.unused_data[:2] == b"\x1f\x8b"  # next member starts clean
+    second = gzip.decompress(d.unused_data)
+    assert b"/doc/2" in second
+
+    # and the parser sees both records with intact uris
+    recs = parse_warc_records(
+        spark.createDataFrame([(0, payload)], "shard long, payload binary")
+    ).collect()
+    assert [r.target_uri for r in recs] == [
+        "http://corpus.example/doc/1", "http://corpus.example/doc/2"
+    ]
+    assert all(r.error is None for r in recs)
+
+
+def test_warc_malformed_record_resyncs_and_truncation_errors(spark):
+    from connect_server_spark.sources.warc import parse_warc_records
+
+    good1 = _warc_bytes(b"<p>one</p>", uri="http://x/doc/1")
+    garbage = b"WARC/1.0\r\nthis header line has no colon\r\n\r\n"
+    good2 = _warc_bytes(b"<p>two</p>", uri="http://x/doc/2")
+    stream = good1 + garbage + good2
+    rows = parse_warc_records(
+        spark.createDataFrame([(0, stream)], "shard long, payload binary")
+    ).collect()
+    uris = [r.target_uri for r in rows if r.error is None]
+    errs = [r.error for r in rows if r.error is not None]
+    assert uris == ["http://x/doc/1", "http://x/doc/2"]  # resync worked
+    assert len(errs) == 1 and "malformed" in errs[0]
+
+    # Content-Length past shard end -> truncation error row
+    truncated = _warc_bytes(b"<p>cut</p>")[:-12]
+    [t] = parse_warc_records(
+        spark.createDataFrame([(0, truncated)], "shard long, payload binary")
+    ).collect()
+    assert t.error is not None and "truncated" in t.error
+
+    # null payload -> error row, never a task failure
+    [nr] = parse_warc_records(
+        spark.createDataFrame([(0, None)], "shard long, payload binary")
+    ).collect()
+    assert nr.error == "null payload"
+
+
+def test_html_to_text_drops_script_style_decodes_entities(spark):
+    from connect_server_spark.sources.warc import html_to_text
+
+    html = (b"<html><head><title>T</title>"
+            b"<script>var x = 'DROP';</script>"
+            b"<style>p { color: red }</style></head>"
+            b"<body><p>alpha &amp; beta</p>\n\n  <div>gamma</div>"
+            b"<script>also <b>DROP</b></script>d</body></html>")
+    df = spark.createDataFrame([(1, html), (2, None)], "i long, body binary")
+    out = {r.i: r.text for r in html_to_text(df, "body").collect()}
+    assert out[1] == "T alpha & beta gamma d"
+    assert out[2] is None
+
+
+def test_warc_parse_and_extract_are_shuffle_free(spark):
+    """Parsing + extraction ride the scan: zero Exchange over a payload
+    table (the drill's synthesis groupBy is fixture cost, not ingest)."""
+    from connect_server_spark.sources.warc import (
+        html_to_text,
+        parse_warc_records,
+    )
+
+    df = spark.createDataFrame(
+        [(1, _warc_bytes(b"<p>x</p>"))], "shard long, payload binary"
+    )
+    plan = (
+        html_to_text(parse_warc_records(df), "body")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow only
+
+
+def test_corpus_ingest_warc_query_self_verifies(spark, sf_dir):
+    from connect_server_spark.queries.extractor_queries import (
+        corpus_ingest_warc,
+    )
+
+    rows = corpus_ingest_warc(spark, sf_dir).collect()
+    assert len(rows) == 8
+    assert all(r.n_errors == 0 for r in rows)
+    assert all(r.n_text_match == r.n_records for r in rows)
+    assert all(r.n_http_200 == r.n_records for r in rows)
+    assert sum(r.n_records for r in rows) >= 400
