@@ -94,6 +94,7 @@ HEADLINE = [
     "corpus_decon_winnow",
     "corpus_ingest_compressed",
     "corpus_ingest_warc",
+    "corpus_url_filter",
     "corpus_domain_keywords",
     "corpus_token_budget",
     "corpus_datacard",

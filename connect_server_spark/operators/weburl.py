@@ -1,0 +1,155 @@
+"""URL-level curation: the filters a crawl pipeline applies between
+WARC parsing and text gating (C4 / RefinedWeb practice) — blocklists,
+per-domain caps, and URL canonicalization + dedup.
+
+All scan-stage or narrow-key by design:
+
+* host/path parsing is Spark's built-in ``try_parse_url`` (JVM expression,
+  whole-stage codegen — no Python);
+* the blocklist gate is a broadcast anti-join on the host (blocklists
+  are list-sized, corpora are not);
+* the per-domain cap is ONE hash partition by host carrying (id, host)
+  rows — a deterministic md5 rank, not ``rand()``, so retries and
+  reruns keep the identical sample;
+* URL dedup groups by the canonical URL's 16-byte md5 — the same
+  narrow-digest discipline as exact text dedup.
+
+Domain grouping uses the last two host labels (``a.b.c.example.com`` →
+``example.com``) — the standard approximation when no public-suffix
+table ships with the job; a deployment swaps in the PSL behind the
+same column contract (documented limitation: two-level ccTLD suffixes
+like ``.co.uk`` group one label too coarse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "url_host",
+    "url_domain",
+    "canonical_url",
+    "filter_blocked_domains",
+    "cap_per_domain",
+    "url_dedup",
+]
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of a URL (JVM ``try_parse_url`` — a malformed
+    URL is data, not a task failure); NULL for unparseable input."""
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
+
+
+def url_domain(url: Column) -> Column:
+    """Registrable-domain approximation: the last two labels of the
+    host (see module docstring for the PSL caveat)."""
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(host.isNull() | (host == ""), F.lit(None).cast("string")).when(
+        n <= 2, host
+    ).otherwise(
+        F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    )
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form for URL dedup: lowercase scheme+host, drop the
+    fragment, drop utm_*/fbclid/gclid tracking params, strip a trailing
+    slash from the path. Pure expressions — evaluated in the scan
+    stage."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = url_host(url)
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    # one trailing slash strips — including the bare root, so
+    # example.com/ and example.com canonicalize together
+    path = F.when(
+        path.endswith("/"),
+        F.substring(path, F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    query = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.startswith("fbclid=")
+        & ~p.startswith("gclid="),
+    )
+    qs = F.array_join(kept, "&")
+    # NULL for host-less input: every piece of unparseable garbage must
+    # NOT share one canonical form (url_dedup falls back to the raw
+    # string so distinct garbage stays distinct)
+    return F.when(
+        host.isNotNull(),
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+        ),
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame, url_col: str, blocklist: DataFrame
+) -> DataFrame:
+    """Drop rows whose registrable domain appears in ``blocklist``
+    (one ``domain`` string column). Broadcast LEFT ANTI on the domain —
+    the corpus never shuffles; subdomains of a blocked domain are
+    blocked with it (the C4 blocklist semantic)."""
+    tagged = df.withColumn("_dom", url_domain(F.col(url_col)))
+    block = blocklist.select(F.lower(F.col("domain")).alias("_dom")).distinct()
+    return tagged.join(F.broadcast(block), "_dom", "left_anti").drop("_dom")
+
+
+def cap_per_domain(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    max_docs: int,
+    seed: str = "",
+    domain_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``max_docs`` documents per registrable domain — the
+    anti-monoculture cap (RefinedWeb-style): without it one
+    mega-domain's boilerplate dominates a crawl snapshot.
+
+    The kept subset is a deterministic md5 rank over (seed, id) inside
+    each domain — stable under retries/reruns (no ``rand()``), and
+    changing ``seed`` resamples without re-reading anything upstream.
+    One hash-partition-by-domain Exchange carrying (id, url) rows.
+    Pass ``domain_col`` to partition on an already-projected domain
+    column so a downstream groupBy on the same column can reuse the
+    Exchange instead of re-deriving the expression."""
+    if max_docs <= 0:
+        raise ValueError("max_docs must be positive")
+    key = F.col(domain_col) if domain_col else url_domain(F.col(url_col))
+    w = Window.partitionBy(key).orderBy(
+        F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    return (
+        df.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_docs)
+        .drop("_r")
+    )
+
+
+def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """One row per canonical URL (min id wins) — crawls re-fetch the
+    same page across snapshots and mirrors; URL dedup is the cheap
+    first pass before any content dedup. Groups by the canonical URL's
+    16-byte md5 digest (narrow shuffle, the exact-text-dedup
+    discipline); ties break on the id so reruns are identical.
+    Unparseable URLs key on their raw string — distinct garbage stays
+    distinct."""
+    digest = F.md5(
+        F.coalesce(canonical_url(F.col(url_col)), F.col(url_col))
+    )
+    w_min = F.min(F.col(id_col)).over(Window.partitionBy(digest))
+    return df.withColumn("_m", w_min).filter(
+        F.col(id_col) == F.col("_m")
+    ).drop("_m")

@@ -302,3 +302,60 @@ def corpus_decon_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("corpus_decon_winnow", corpus_decon_winnow, defer=True)
+
+
+_URL_BLOCKLIST = ["src3.example", "src7.example"]
+_URL_DOMAIN_CAP = 15
+
+
+def corpus_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The URL-curation pass a crawl pipeline runs between WARC parsing
+    and text gating (C4/RefinedWeb practice), composed end-to-end:
+    deterministic per-document URLs (source → domain; every 4th URL
+    carries tracking params and a trailing slash; paths repeat modulo
+    200 so canonical-URL dups exist) → domain blocklist → canonical URL
+    dedup (min doc_id wins) → per-domain cap (deterministic md5 rank) →
+    per-domain telemetry. Rows-only (try_parse_url has no DuckDB twin);
+    the python urllib mirror runs in ``tests/test_weburl.py``."""
+    from connect_server_spark.operators.weburl import (
+        cap_per_domain,
+        filter_blocked_domains,
+        url_dedup,
+        url_domain,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example/page/"),
+        (F.col("doc_id") % 200).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/?utm_source=feed&x=1")).otherwise(
+            F.lit("")
+        ),
+    )
+    tagged = docs.withColumn("url", url)
+    block = spark.createDataFrame(
+        [(d,) for d in _URL_BLOCKLIST], ["domain"]
+    )
+    deduped = url_dedup(
+        filter_blocked_domains(tagged, "url", block), "url", "doc_id"
+    ).withColumn("domain", url_domain(F.col("url")))
+    # the cap window and the telemetry groupBy share the projected
+    # domain column, so they share one hash partitioning
+    kept = cap_per_domain(
+        deduped, "url", "doc_id", _URL_DOMAIN_CAP, seed="uf:",
+        domain_col="domain",
+    )
+    return (
+        kept.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("domain")
+    )
+
+
+register("corpus_url_filter", corpus_url_filter, defer=True)

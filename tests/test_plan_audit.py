@@ -177,6 +177,11 @@ SHUFFLE_BUDGET = {
     # the parse/extract path itself is shuffle-free (pinned in
     # test_sources.py).
     "corpus_ingest_warc": 4,
+    # URL curation: the canonical-digest dedup window, the shared
+    # domain partitioning (cap window + telemetry groupBy reuse it),
+    # and the final ordering — narrow (id, url, domain) rows; the
+    # blocklist broadcasts.
+    "corpus_url_filter": 10,
     # r6 incremental twin: batch windows shuffle to the bucketed store
     # (store side Exchange-free), the intra-batch repeat count, the
     # flagged-position distinct, and the shared id-partition Exchange

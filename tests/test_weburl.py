@@ -1,0 +1,149 @@
+"""Oracles for the URL-curation family (weburl.py): python mirrors via
+urllib/hashlib, semantics pins, and the composed query."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from connect_server_spark.operators.weburl import (
+    canonical_url,
+    cap_per_domain,
+    filter_blocked_domains,
+    url_dedup,
+    url_domain,
+    url_host,
+)
+
+URL_ZOO = [
+    (1, "https://WWW.Example.COM/a/b/?utm_source=x&q=1#frag"),
+    (2, "https://www.example.com/a/b?q=1"),
+    (3, "http://sub.deep.blocked.org/page"),
+    (4, "https://news.example.com/c/"),
+    (5, "not a url"),
+    (6, "https://example.com"),
+    (7, "https://example.com/?utm_source=a&utm_medium=b&fbclid=z"),
+    (8, "https://host.co/x?gclid=1&keep=2&utm_campaign=c"),
+]
+
+
+def _py_canonical(url: str) -> str | None:
+    from urllib.parse import urlsplit
+
+    try:
+        s = urlsplit(url)
+    except ValueError:
+        return None
+    if not s.netloc:
+        return None
+    path = s.path
+    if path.endswith("/"):
+        path = path[:-1]
+    kept = [
+        p
+        for p in s.query.split("&")
+        if p
+        and not p.startswith("utm_")
+        and not p.startswith("fbclid=")
+        and not p.startswith("gclid=")
+    ]
+    out = f"{s.scheme.lower()}://{s.netloc.lower()}{path}"
+    if kept:
+        out += "?" + "&".join(kept)
+    return out
+
+
+def _py_domain(url: str) -> str | None:
+    from urllib.parse import urlsplit
+
+    try:
+        host = urlsplit(url).hostname
+    except ValueError:
+        return None
+    if not host:
+        return None
+    parts = host.lower().split(".")
+    return host.lower() if len(parts) <= 2 else ".".join(parts[-2:])
+
+
+def test_canonical_and_domain_match_urllib_mirror(spark):
+    df = spark.createDataFrame(URL_ZOO, ["id", "url"])
+    got = {
+        r.id: (r.c, r.d)
+        for r in df.select(
+            "id",
+            canonical_url(F.col("url")).alias("c"),
+            url_domain(F.col("url")).alias("d"),
+        ).collect()
+    }
+    for i, u in URL_ZOO:
+        assert got[i] == (_py_canonical(u), _py_domain(u)), (i, u, got[i])
+    # the zoo exercises the interesting equivalence: 1 == 2 after canon
+    assert got[1][0] == got[2][0]
+    assert got[5] == (None, None)
+
+
+def test_blocklist_blocks_subdomains_and_keeps_null_domains(spark):
+    df = spark.createDataFrame(URL_ZOO, ["id", "url"])
+    block = spark.createDataFrame([("blocked.org",), ("HOST.CO",)], ["domain"])
+    kept = sorted(r.id for r in filter_blocked_domains(df, "url", block).collect())
+    assert 3 not in kept  # sub.deep.blocked.org blocked via its domain
+    assert 8 not in kept  # blocklist casing normalized
+    assert 5 in kept      # unparseable rows pass through (text gates decide)
+    assert kept == [1, 2, 4, 5, 6, 7]
+
+
+def test_url_dedup_min_id_and_garbage_stays_distinct(spark):
+    rows = URL_ZOO + [(9, "also not a url"), (10, "not a url")]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    kept = sorted(r.id for r in url_dedup(df, "url", "id").collect())
+    # 2 collapses into 1 (canonical equal); 7 collapses into 6 (tracking
+    # params stripped, bare host path "" == ""); 10 collapses into 5
+    # (IDENTICAL raw garbage); 9 is distinct garbage and survives
+    assert kept == [1, 3, 4, 5, 6, 8, 9]
+
+
+def test_cap_per_domain_mirror_and_seed_semantics(spark):
+    rows = [(i, f"https://d{i % 3}.example/p/{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    out = sorted(r.id for r in cap_per_domain(df, "url", "id", 5, seed="s:").collect())
+    # python mirror: md5 rank within each domain
+    by_dom: dict[str, list[int]] = {}
+    for i, u in rows:
+        by_dom.setdefault(_py_domain(u), []).append(i)
+    want = sorted(
+        i
+        for ids in by_dom.values()
+        for i in sorted(ids, key=lambda x: (hashlib.md5(f"s:{x}".encode()).hexdigest(), x))[:5]
+    )
+    assert out == want and len(out) == 15
+    # determinism + reseed changes the sample but not its size
+    again = sorted(r.id for r in cap_per_domain(df, "url", "id", 5, seed="s:").collect())
+    other = sorted(r.id for r in cap_per_domain(df, "url", "id", 5, seed="t:").collect())
+    assert again == out and len(other) == 15 and other != out
+
+
+def test_corpus_url_filter_query_semantics(spark, sf_dir):
+    from connect_server_spark.queries.curation_queries import (
+        _URL_BLOCKLIST,
+        _URL_DOMAIN_CAP,
+        corpus_url_filter,
+    )
+
+    rows = corpus_url_filter(spark, sf_dir).collect()
+    domains = [r.domain for r in rows]
+    assert not set(domains) & set(_URL_BLOCKLIST)
+    assert all(r.n_docs <= _URL_DOMAIN_CAP for r in rows)
+    assert len(rows) >= 10
+    again = corpus_url_filter(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_weburl_expressions_are_scan_stage(spark):
+    df = spark.createDataFrame(URL_ZOO, ["id", "url"])
+    plan = (
+        df.select(url_host(F.col("url")), canonical_url(F.col("url")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
