@@ -702,21 +702,14 @@ def winnow_contamination(
         .select(F.explode("fps").alias("_fp"))
         .distinct()
     )
-    # left join back to the input ids: the report owes every input
-    # document a row even if a future winnow_fingerprints change drops
-    # some (today nothing is dropped — NULL/empty text still yields the
-    # one empty-gram fingerprint).
-    doc_fps = (
-        docs.select(F.col(id_col))
-        .join(
-            winnow_fingerprints(
-                docs, id_col, text_col, k=k, window=window
-            ).withColumnRenamed("id", id_col),
-            id_col,
-            "left",
-        )
-        .select(F.col(id_col), F.explode_outer("fps").alias("_fp"))
-    )
+    # one row per input document WITHOUT a join back: every document —
+    # NULL/empty text included — yields >= 1 fingerprint (concat_ws
+    # skips NULL tokens, so the empty text fingerprints as [md5("")]),
+    # which the parity test pins; explode_outer keeps the contract
+    # explicit if that invariant ever changes.
+    doc_fps = winnow_fingerprints(
+        docs, id_col, text_col, k=k, window=window
+    ).select(F.col("id").alias(id_col), F.explode_outer("fps").alias("_fp"))
     marked = doc_fps.join(
         F.broadcast(bench_fps.withColumn("_hit", F.lit(1))), "_fp", "left"
     )

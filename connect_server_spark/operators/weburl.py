@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from connect_server_spark.functions.expr import let_col
+
 __all__ = [
     "url_host",
     "url_domain",
@@ -44,52 +46,72 @@ def url_host(url: Column) -> Column:
 
 def url_domain(url: Column) -> Column:
     """Registrable-domain approximation: the last two labels of the
-    host (see module docstring for the PSL caveat)."""
-    host = url_host(url)
-    parts = F.split(host, r"\.")
-    n = F.size(parts)
-    return F.when(host.isNull() | (host == ""), F.lit(None).cast("string")).when(
-        n <= 2, host
-    ).otherwise(
-        F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
-    )
+    host (see module docstring for the PSL caveat). The host parse is
+    let-bound — it is referenced three times, and inlining would
+    re-parse the URL per reference."""
+
+    def build(host: Column) -> Column:
+        parts = F.split(host, r"\.")
+        return (
+            F.when(host.isNull() | (host == ""), F.lit(None).cast("string"))
+            .when(F.size(parts) <= 2, host)
+            .otherwise(
+                F.concat_ws(
+                    ".", F.element_at(parts, -2), F.element_at(parts, -1)
+                )
+            )
+        )
+
+    return let_col(url_host(url), build)
 
 
 def canonical_url(url: Column) -> Column:
-    """Canonical form for URL dedup: lowercase scheme+host, drop the
-    fragment, drop utm_*/fbclid/gclid tracking params, strip a trailing
-    slash from the path. Pure expressions — evaluated in the scan
-    stage."""
+    """Canonical form for URL dedup: lowercase scheme + AUTHORITY
+    (userinfo, host, AND port — ``example.com:8080`` is a different
+    page from ``example.com``), drop the fragment, drop
+    utm_*/fbclid/gclid tracking params, strip a trailing slash from
+    the path. Pure let-bound expressions — evaluated in the scan
+    stage. NULL for host-less input: unparseable garbage must NOT
+    share one canonical form (url_dedup falls back to a per-row key)."""
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    host = url_host(url)
-    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
-    # one trailing slash strips — including the bare root, so
-    # example.com/ and example.com canonicalize together
-    path = F.when(
-        path.endswith("/"),
-        F.substring(path, F.lit(1), F.length(path) - 1),
-    ).otherwise(path)
-    query = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
-    kept = F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "")
-        & ~p.startswith("utm_")
-        & ~p.startswith("fbclid=")
-        & ~p.startswith("gclid="),
-    )
-    qs = F.array_join(kept, "&")
-    # NULL for host-less input: every piece of unparseable garbage must
-    # NOT share one canonical form (url_dedup falls back to the raw
-    # string so distinct garbage stays distinct)
-    return F.when(
-        host.isNotNull(),
-        F.concat(
-            scheme,
-            F.lit("://"),
-            host,
-            path,
-            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
-        ),
+
+    def with_path(raw_path: Column) -> Column:
+        # one trailing slash strips — including the bare root, so
+        # example.com/ and example.com canonicalize together
+        path = F.when(
+            raw_path.endswith("/"),
+            F.substring(raw_path, F.lit(1), F.length(raw_path) - 1),
+        ).otherwise(raw_path)
+        query = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
+        kept = F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.startswith("utm_")
+            & ~p.startswith("fbclid=")
+            & ~p.startswith("gclid="),
+        )
+
+        def with_qs(qs: Column) -> Column:
+            def build(authority: Column) -> Column:
+                return F.when(
+                    authority.isNotNull() & (authority != ""),
+                    F.concat(
+                        scheme,
+                        F.lit("://"),
+                        F.lower(authority),
+                        path,
+                        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(
+                            F.lit("")
+                        ),
+                    ),
+                )
+
+            return let_col(F.try_parse_url(url, F.lit("AUTHORITY")), build)
+
+        return let_col(F.array_join(kept, "&"), with_qs)
+
+    return let_col(
+        F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")), with_path
     )
 
 
@@ -123,18 +145,34 @@ def cap_per_domain(
     One hash-partition-by-domain Exchange carrying (id, url) rows.
     Pass ``domain_col`` to partition on an already-projected domain
     column so a downstream groupBy on the same column can reuse the
-    Exchange instead of re-deriving the expression."""
+    Exchange instead of re-deriving the expression.
+
+    NULL-domain rows (unparseable URLs) BYPASS the cap — they are one
+    pseudo-group, not one domain, so capping them would drop unbounded
+    data (1M unparseable docs → max_docs survivors). They stay in the
+    ONE window (no union — a two-branch union would duplicate the
+    upstream subtree) but partition on a SALTED pseudo-key
+    (1024 buckets off the id hash) so they never form a hot partition,
+    and the filter exempts them; the text gates decide their fate."""
     if max_docs <= 0:
         raise ValueError("max_docs must be positive")
     key = F.col(domain_col) if domain_col else url_domain(F.col(url_col))
-    w = Window.partitionBy(key).orderBy(
+    with_domain = df.withColumn("_capdom", key)
+    part = F.coalesce(
+        F.col("_capdom"),
+        F.concat(
+            F.lit("\x00null:"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1024)).cast("string"),
+        ),
+    )
+    w = Window.partitionBy(part).orderBy(
         F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
         F.col(id_col),
     )
     return (
-        df.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= max_docs)
-        .drop("_r")
+        with_domain.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_capdom").isNull() | (F.col("_r") <= max_docs))
+        .drop("_r", "_capdom")
     )
 
 
@@ -144,10 +182,15 @@ def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     first pass before any content dedup. Groups by the canonical URL's
     16-byte md5 digest (narrow shuffle, the exact-text-dedup
     discipline); ties break on the id so reruns are identical.
-    Unparseable URLs key on their raw string — distinct garbage stays
-    distinct."""
+    Unparseable URLs key on their raw string and NULL urls on their
+    row id — distinct garbage stays distinct, and NULL-url rows (e.g.
+    WARC error rows joined in) are never collapsed into one."""
     digest = F.md5(
-        F.coalesce(canonical_url(F.col(url_col)), F.col(url_col))
+        F.coalesce(
+            canonical_url(F.col(url_col)),
+            F.col(url_col),
+            F.concat(F.lit("\x00null-url:"), F.col(id_col).cast("string")),
+        )
     )
     w_min = F.min(F.col(id_col)).over(Window.partitionBy(digest))
     return df.withColumn("_m", w_min).filter(

@@ -544,11 +544,21 @@ def corpus_ingest_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = extracted.withColumn("doc_id", rec_id).join(
         docs.withColumnRenamed("text", "_orig"), "doc_id", "left"
     )
-    match = (
-        F.col("text")
-        == F.concat(F.lit("doc "), F.col("doc_id").cast("string"),
-                    F.lit(" "), F.col("_orig"))
+    # the extractor collapses whitespace, so the expectation does too;
+    # trim handles empty/NULL originals (title only, no trailing space)
+    expected = F.trim(
+        F.regexp_replace(
+            F.concat(
+                F.lit("doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(" "),
+                F.coalesce(F.col("_orig"), F.lit("")),
+            ),
+            r"\s+",
+            " ",
+        )
     )
+    match = F.col("text") == expected
     return (
         joined.groupBy("shard")
         .agg(

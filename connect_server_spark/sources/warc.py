@@ -94,16 +94,22 @@ def synthesize_warc(
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         import gzip
+        import html as _html
 
         pdf = pdf.sort_values(id_col)
         parts = []
         for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+            # escape: text containing & < > must round-trip through the
+            # extractor's entity decode; NULL text embeds as empty
             body = (
                 "<html><head><title>doc {i}</title>"
                 "<script>var tracking = 'drop me';</script>"
                 "<style>p {{ color: black }}</style></head>"
                 "<body><p>{t}</p></body></html>"
-            ).format(i=doc_id, t=str(text)).encode("utf-8")
+            ).format(
+                i=doc_id,
+                t=_html.escape("" if text is None else str(text)),
+            ).encode("utf-8")
             rec = _build_record(
                 uri=f"http://corpus.example/doc/{doc_id}",
                 date="2024-01-01T00:00:00Z",
@@ -234,19 +240,25 @@ def parse_warc_records(
         for pdf in batches:
             rows = []
             for shard, payload in zip(pdf[shard_col], pdf[payload_col]):
-                if payload is None:
+                if payload is None or len(bytes(payload)) == 0:
+                    # empty shards are failed-upload artifacts — they
+                    # must SURFACE in telemetry, not vanish
                     rows.append((shard, 0, None, None, None, None, None,
-                                 "null payload"))
+                                 "null payload" if payload is None
+                                 else "empty payload"))
                     continue
                 idx = 0
+                # broad except: a corrupt member raises zlib.error (NOT
+                # a ValueError subclass) — any decode failure is data,
+                # never task death
                 try:
                     for stream in _split_members(bytes(payload), max_bytes):
                         for rec in _parse_stream(stream):
                             rows.append((shard, idx) + rec)
                             idx += 1
-                except ValueError as exc:
+                except Exception as exc:  # noqa: BLE001 — reject path
                     rows.append((shard, idx, None, None, None, None, None,
-                                 str(exc)))
+                                 f"{type(exc).__name__}: {exc}"))
             yield pd.DataFrame(
                 rows,
                 columns=[shard_col, "record_idx", "target_uri", "warc_date",

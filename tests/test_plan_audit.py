@@ -167,21 +167,23 @@ SHUFFLE_BUDGET = {
     # test_dedup.py's store-side-exchange-free test).
     "dedup_incremental_winnow": 7,
     # winnow fuzzy decon: the per-doc fingerprint-hit agg + final
-    # ordering (the bench fingerprint set dedups then broadcasts), plus
-    # the one-row-per-input left join back to the ids — narrow
-    # (id, 16-byte fp) rows only, same shape as corpus_decon_fraction.
-    "corpus_decon_winnow": 5,
+    # ordering (the bench fingerprint set dedups then broadcasts) —
+    # narrow (id, 16-byte fp) rows only, same shape as
+    # corpus_decon_fraction; the one-row-per-doc contract needs no join
+    # (every document fingerprints, pinned by the NULL-text parity test).
+    "corpus_decon_winnow": 4,
     # WARC ingest drill: the synthesis groupBy (fixture cost), the
     # doc_id join back for the self-verify, and the per-shard telemetry
     # agg + ordering — payloads cross the one synthesis Exchange only;
     # the parse/extract path itself is shuffle-free (pinned in
     # test_sources.py).
     "corpus_ingest_warc": 4,
-    # URL curation: the canonical-digest dedup window, the shared
-    # domain partitioning (cap window + telemetry groupBy reuse it),
+    # URL curation: the canonical-digest dedup window, the salted cap
+    # window (NULL domains scatter over pseudo-keys and are exempted in
+    # the filter — no union, no hot partition), the telemetry agg pair,
     # and the final ordering — narrow (id, url, domain) rows; the
     # blocklist broadcasts.
-    "corpus_url_filter": 10,
+    "corpus_url_filter": 6,
     # r6 incremental twin: batch windows shuffle to the bucketed store
     # (store side Exchange-free), the intra-batch repeat count, the
     # flagged-position distinct, and the shared id-partition Exchange

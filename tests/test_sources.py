@@ -342,3 +342,56 @@ def test_corpus_ingest_warc_query_self_verifies(spark, sf_dir):
     assert all(r.n_text_match == r.n_records for r in rows)
     assert all(r.n_http_200 == r.n_records for r in rows)
     assert sum(r.n_records for r in rows) >= 400
+
+
+def test_warc_corrupt_gzip_and_empty_payload_become_error_rows(spark):
+    """zlib.error is NOT a ValueError — a bit-flipped member must still
+    become an error row, never a task death; a zero-byte shard (failed
+    upload) must surface in telemetry instead of vanishing."""
+    import gzip
+
+    from connect_server_spark.sources.warc import parse_warc_records
+
+    good = gzip.compress(_warc_bytes(b"<p>ok</p>"), mtime=0)
+    corrupt = bytearray(gzip.compress(_warc_bytes(b"<p>bad</p>"), mtime=0))
+    corrupt[len(corrupt) // 2] ^= 0xFF  # flip a byte mid-deflate-stream
+    rows = parse_warc_records(
+        spark.createDataFrame(
+            [(0, good + bytes(corrupt)), (1, b"")],
+            "shard long, payload binary",
+        )
+    ).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    ok = [r for r in by_shard[0] if r.error is None]
+    errs = [r for r in by_shard[0] if r.error is not None]
+    assert len(ok) == 1 and len(errs) == 1  # good member parsed first
+    assert "Error" in errs[0].error or "error" in errs[0].error
+    assert by_shard[1][0].error == "empty payload"
+
+
+def test_warc_roundtrip_survives_entities_and_whitespace(spark, sf_dir):
+    """Self-verify robustness: text with & < > and ragged whitespace
+    (and a NULL) still matches after escape → extract → collapse."""
+    from pyspark.sql import functions as F
+
+    from connect_server_spark.sources.warc import (
+        html_to_text,
+        parse_warc_records,
+        synthesize_warc,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a & b < c > d", 0), (2, "  ragged   spacing\ttabs ", 0),
+         (3, None, 0), (4, "", 0)],
+        "doc_id long, text string, shard long",
+    )
+    recs = html_to_text(parse_warc_records(synthesize_warc(docs, "doc_id", "text")), "body")
+    got = {
+        int(r.target_uri.rsplit("/", 1)[1]): r.text
+        for r in recs.collect()
+    }
+    assert got[1] == "doc 1 a & b < c > d"
+    assert got[2] == "doc 2 ragged spacing tabs"
+    assert got[3] == "doc 3" and got[4] == "doc 4"

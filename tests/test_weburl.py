@@ -147,3 +147,40 @@ def test_weburl_expressions_are_scan_stage(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_canonical_keeps_port_and_userinfo(spark):
+    """example.com:8080 is a DIFFERENT page from example.com — the
+    authority (userinfo, host, port) survives canonicalization, and the
+    urllib mirror agrees."""
+    zoo = [
+        (11, "https://Example.com:8080/a"),
+        (12, "https://example.com/a"),
+        (13, "https://User:Pw@Example.com:8443/b/"),
+    ]
+    df = spark.createDataFrame(zoo, ["id", "url"])
+    got = {
+        r.id: r.c
+        for r in df.select("id", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    for i, u in zoo:
+        assert got[i] == _py_canonical(u), (i, u, got[i])
+    assert got[11] != got[12]
+    kept = sorted(r.id for r in url_dedup(df, "url", "id").collect())
+    assert kept == [11, 12, 13]
+
+
+def test_null_urls_and_null_domains_pass_through(spark):
+    """NULL urls must never collapse in url_dedup, and NULL-domain rows
+    bypass the per-domain cap (one pseudo-group is not one domain)."""
+    rows = [(i, None) for i in range(1, 6)] + [
+        (10 + i, f"https://only.example/p{i}") for i in range(10)
+    ] + [(50 + i, f"garbage {i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, url string")
+    deduped = sorted(r.id for r in url_dedup(df, "url", "id").collect())
+    assert deduped == sorted(i for i, _ in rows)  # nothing collapses
+    capped = sorted(r.id for r in cap_per_domain(df, "url", "id", 3).collect())
+    # only.example capped to 3; every NULL/garbage-domain row kept
+    assert len([i for i in capped if 10 <= i < 20]) == 3
+    assert all(i in capped for i in range(1, 6))
+    assert all(50 + i in capped for i in range(8))
