@@ -95,6 +95,7 @@ HEADLINE = [
     "corpus_ingest_compressed",
     "corpus_ingest_warc",
     "corpus_url_filter",
+    "corpus_from_crawl",
     "corpus_domain_keywords",
     "corpus_token_budget",
     "corpus_datacard",

@@ -359,3 +359,83 @@ def corpus_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("corpus_url_filter", corpus_url_filter, defer=True)
+
+
+def corpus_from_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl HEAD of the pipeline, composed end-to-end in one plan:
+    real ``.warc.gz`` shards (synthesized from the documents table,
+    per-source domains) → WARC record parse → HTML text extraction →
+    URL curation (blocklist → canonical dedup → per-domain cap) →
+    fixture-adapted quality gate — with the per-stage FUNNEL the crawl
+    operator actually reads: one row per domain counting survivors at
+    every stage (parsed / url-filtered / gated). Monotone by
+    construction; blocked domains report parsed counts but zero
+    survivors downstream. Rows-only (binary container + try_parse_url
+    have no DuckDB twin); invariants pinned in ``tests/test_weburl.py``."""
+    from connect_server_spark.operators.quality import c4_doc_flags
+    from connect_server_spark.operators.weburl import (
+        cap_per_domain,
+        filter_blocked_domains,
+        url_dedup,
+        url_domain,
+    )
+    from connect_server_spark.sources.warc import (
+        html_to_text,
+        parse_warc_records,
+        synthesize_warc,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "text"
+    )
+    sharded = docs.withColumn("shard", F.col("doc_id") % 8).withColumn(
+        "domain", F.concat(F.col("source"), F.lit(".example"))
+    )
+    recs = parse_warc_records(
+        synthesize_warc(sharded, "doc_id", "text", domain_col="domain")
+    )
+    # one materialization: the parsed/extracted corpus feeds the funnel
+    # base count and every downstream stage (same boundary rule as the
+    # curation composites — Spark would otherwise duplicate the whole
+    # Arrow parse per consumer)
+    extracted = html_to_text(recs.filter(F.col("error").isNull()), "body")
+    parsed = extracted.select(
+        F.col("target_uri").alias("url"),
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "text",
+    ).localCheckpoint(eager=False)
+
+    block = spark.createDataFrame([(d,) for d in _URL_BLOCKLIST], ["domain"])
+    url_ok = cap_per_domain(
+        url_dedup(filter_blocked_domains(parsed, "url", block), "url", "doc_id"),
+        "url",
+        "doc_id",
+        _URL_DOMAIN_CAP,
+        seed="cfc:",
+    ).localCheckpoint(eager=False)
+
+    flags = c4_doc_flags(F.col("text"))
+    gated = url_ok.filter(
+        ~flags["has_lorem_ipsum"] & ~flags["has_brace"]
+    )
+
+    def stage_counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.withColumn("domain", url_domain(F.col("url")))
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    funnel = (
+        stage_counts(parsed, "n_parsed")
+        .join(stage_counts(url_ok, "n_url_ok"), "domain", "left")
+        .join(stage_counts(gated, "n_gated"), "domain", "left")
+        .fillna(0, ["n_url_ok", "n_gated"])
+        .orderBy("domain")
+    )
+    return funnel
+
+
+register("corpus_from_crawl", corpus_from_crawl, defer=True)

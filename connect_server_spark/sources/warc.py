@@ -76,6 +76,7 @@ def synthesize_warc(
     text_col: str,
     shard_col: str = "shard",
     gzip_members: bool = True,
+    domain_col: str | None = None,
 ) -> DataFrame:
     """Build real multi-record WARC shard payloads from a text corpus —
     the drill/fixture twin of :func:`parse_warc_records`.
@@ -87,6 +88,9 @@ def synthesize_warc(
     ``gzip_members`` (the Common Crawl ``.warc.gz`` layout — members
     independently decodable, so a reader can split a shard WITHOUT
     decompressing it). Returns ``(shard, payload binary, n_records)``.
+    Pass ``domain_col`` to vary the record URIs per document
+    (``https://<domain>/doc/<id>``) so downstream URL curation has real
+    domain structure; default is the single ``corpus.example`` host.
 
     Drill-only scale note: the groupBy is the synthesis fixture's cost,
     not the ingest path's — production shards arrive as files.
@@ -98,7 +102,10 @@ def synthesize_warc(
 
         pdf = pdf.sort_values(id_col)
         parts = []
-        for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+        domains = (
+            pdf[domain_col] if domain_col else ["corpus.example"] * len(pdf)
+        )
+        for doc_id, text, dom in zip(pdf[id_col], pdf[text_col], domains):
             # escape: text containing & < > must round-trip through the
             # extractor's entity decode; NULL text embeds as empty
             body = (
@@ -111,7 +118,7 @@ def synthesize_warc(
                 t=_html.escape("" if text is None else str(text)),
             ).encode("utf-8")
             rec = _build_record(
-                uri=f"http://corpus.example/doc/{doc_id}",
+                uri=f"https://{dom}/doc/{doc_id}",
                 date="2024-01-01T00:00:00Z",
                 rec_id=f"00000000-0000-0000-0000-{int(doc_id):012d}",
                 body=body,
@@ -125,8 +132,9 @@ def synthesize_warc(
             columns=[shard_col, "payload", "n_records"],
         )
 
+    cols = [shard_col, id_col, text_col] + ([domain_col] if domain_col else [])
     return (
-        df.select(shard_col, id_col, text_col)
+        df.select(*cols)
         .groupBy(shard_col)
         .applyInPandas(build, f"{shard_col} long, payload binary, n_records long")
     )

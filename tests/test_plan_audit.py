@@ -81,6 +81,10 @@ ARROW_BOUNDARY_OK = {
     # WARC front end: shard synthesis (applyInPandas fixture), record
     # parsing (mapInPandas), HTML extraction (pandas UDF) — all Arrow
     "corpus_ingest_warc",
+    # the crawl-head composite rides the same Arrow stages (its lazy
+    # checkpoints may or may not hide them from the printed plan
+    # depending on materialization state)
+    "corpus_from_crawl",
     # c-TF-IDF domain labels ride the IVF probe assignment (Arrow
     # matmul) inside assign_domains
     "corpus_domain_keywords",
@@ -184,6 +188,12 @@ SHUFFLE_BUDGET = {
     # and the final ordering — narrow (id, url, domain) rows; the
     # blocklist broadcasts.
     "corpus_url_filter": 6,
+    # crawl-head composite: the WARC synthesis groupBy (fixture cost),
+    # three per-domain stage aggs + the two funnel joins + ordering —
+    # the parsed corpus and the url-filtered stage are checkpointed so
+    # the Arrow parse/extract and the dedup/cap windows run once, and
+    # every Exchange carries (domain, count) or (id, url) rows.
+    "corpus_from_crawl": 12,
     # r6 incremental twin: batch windows shuffle to the bucketed store
     # (store side Exchange-free), the intra-batch repeat count, the
     # flagged-position distinct, and the shared id-partition Exchange

@@ -264,7 +264,7 @@ def test_warc_gzip_members_are_independently_decodable(spark):
         spark.createDataFrame([(0, payload)], "shard long, payload binary")
     ).collect()
     assert [r.target_uri for r in recs] == [
-        "http://corpus.example/doc/1", "http://corpus.example/doc/2"
+        "https://corpus.example/doc/1", "https://corpus.example/doc/2"
     ]
     assert all(r.error is None for r in recs)
 

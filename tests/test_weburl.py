@@ -184,3 +184,29 @@ def test_null_urls_and_null_domains_pass_through(spark):
     assert len([i for i in capped if 10 <= i < 20]) == 3
     assert all(i in capped for i in range(1, 6))
     assert all(50 + i in capped for i in range(8))
+
+
+def test_corpus_from_crawl_funnel_invariants(spark, sf_dir):
+    """The crawl-head composite: per-domain funnel is monotone
+    (parsed >= url_ok >= gated), blocked domains report parsed traffic
+    but zero survivors, the per-domain cap binds, and the drill is
+    deterministic."""
+    from connect_server_spark.queries.curation_queries import (
+        _URL_BLOCKLIST,
+        _URL_DOMAIN_CAP,
+        corpus_from_crawl,
+    )
+
+    rows = corpus_from_crawl(spark, sf_dir).collect()
+    assert len(rows) >= 10
+    by_dom = {r.domain: r for r in rows}
+    for r in rows:
+        assert r.n_parsed >= r.n_url_ok >= r.n_gated >= 0, r
+        assert r.n_url_ok <= _URL_DOMAIN_CAP, r
+    for blocked in _URL_BLOCKLIST:
+        assert by_dom[blocked].n_parsed > 0
+        assert by_dom[blocked].n_url_ok == 0
+        assert by_dom[blocked].n_gated == 0
+    assert any(r.n_url_ok > 0 for r in rows)
+    again = corpus_from_crawl(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
