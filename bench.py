@@ -53,7 +53,6 @@ HEADLINE = [
     "dedup_semantic",
     "dedup_winnow",
     "dedup_incremental_winnow",
-    "similarity_topk_exact",
     "similarity_topk_ann",
     "similarity_topk_ivf",
     "similarity_topk_ivf_indexed",
@@ -94,6 +93,7 @@ HEADLINE = [
     "corpus_decon_winnow",
     "corpus_ingest_compressed",
     "corpus_ingest_warc",
+    "corpus_ingest_files",
     "corpus_url_filter",
     "corpus_from_crawl",
     "corpus_domain_keywords",
@@ -111,12 +111,22 @@ HEADLINE = [
     "corpus_bm25",
     "corpus_hybrid_retrieval",
     "corpus_doc_keywords",
-    "mining_hard_negatives",
     "mining_hard_negatives_indexed",
     "corpus_line_dedup",
     "corpus_domains",
     "corpus_release_diff",
     "corpus_bm25_indexed",
+]
+
+# Declared exact-quadratic baselines (ALLPAIRS_BASELINES in
+# tests/test_plan_audit.py): still timed every round — the scale paths
+# are graded AGAINST them — but excluded from the headline total so the
+# headline tracks what a 100 TB run would actually execute. At sf1 the
+# all-pairs rows would otherwise dominate the sweep wall (r7 verdict
+# ask #8).
+BASELINE_ONLY = [
+    "similarity_topk_exact",
+    "mining_hard_negatives",
 ]
 
 
@@ -163,6 +173,7 @@ def main() -> None:
 
     queries = registry.all_queries()
     names = [n for n in HEADLINE if n in queries]
+    baseline_names = [n for n in BASELINE_ONLY if n in queries]
     if not names:
         sys.exit("no headline queries registered")
 
@@ -173,7 +184,7 @@ def main() -> None:
     # recorded and skipped from timing — one broken query must never erase
     # the whole round's bench evidence.
     errors: dict[str, str] = {}
-    for name in names:
+    for name in names + baseline_names:
         try:
             queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         except Exception as exc:  # noqa: BLE001 — record, keep benching
@@ -181,23 +192,37 @@ def main() -> None:
 
     # Best-of-3 per query: the builder container shares cores with the
     # driver's own processes, so single-shot timings swing 10×; the min is
-    # the honest steady-state number.
+    # the honest steady-state number. The full per-rep spread is ALSO
+    # recorded (r7 verdict ask #2): builder-vs-driver runs of the same
+    # tree have differed by 1.6× on single queries, and without
+    # {min, med, max} a slow driver-close run is indistinguishable from
+    # a real regression.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
-    for name in names:
+    baseline_timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
+    for name in names + baseline_names:
         if name in errors:
             continue
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(reps):
             try:
                 t0 = time.perf_counter()
                 queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-                best = min(best, time.perf_counter() - t0)
+                samples.append(time.perf_counter() - t0)
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 break
-        if name not in errors and best < float("inf"):
-            timings[name] = round(best, 4)
+        if name not in errors and samples:
+            bucket = baseline_timings if name in BASELINE_ONLY else timings
+            bucket[name] = round(min(samples), 4)
+            samples.sort()
+            spread[name] = {
+                "min": round(samples[0], 4),
+                "med": round(samples[len(samples) // 2], 4),
+                "max": round(samples[-1], 4),
+                "reps": len(samples),
+            }
 
     # A partial round must never read as a speedup: when any query errored
     # the headline total is null (totals over different query sets are not
@@ -208,6 +233,12 @@ def main() -> None:
         "value": None if errors else round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        # declared exact-quadratic baselines: timed (the scale paths are
+        # graded against them) but outside the headline total
+        "baselines": baseline_timings,
+        # per-query {min, med, max, reps} over the timed repetitions —
+        # the contention-vs-regression disambiguator
+        "spread": spread,
         "sf": _sf_from_dir(sf_dir),
         # warmed up by the query passes above; interpret per-query timings
         # relative to this fixed-compute row across rounds

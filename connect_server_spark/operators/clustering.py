@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from connect_server_spark.execution import stage_boundary
+
 __all__ = ["connected_components", "assign_clusters"]
 
 
@@ -57,13 +59,13 @@ def connected_components(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
+        .transform(stage_boundary, eager=True, pin=True)
     )
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint()
+        .transform(stage_boundary, eager=True, pin=True)
     )
     for _ in range(max_iterations):
         nbr_min = (
@@ -95,7 +97,7 @@ def connected_components(
                 "_old",
                 F.coalesce(F.col("_jc"), F.col("_c1")).alias("component"),
             )
-            .localCheckpoint()
+            .transform(stage_boundary, eager=True, pin=True)
         )
         changed = jumped.filter(F.col("component") != F.col("_old")).count()
         labels = jumped.drop("_old")

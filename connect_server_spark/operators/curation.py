@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from connect_server_spark.execution import stage_boundary
+
 from connect_server_spark.operators.dedup import word_shingles
 
 __all__ = [
@@ -329,7 +331,7 @@ def make_curation_gate(
                 out = out.filter(scan_pred(None))
         if lm is not None or lm_scored is not None:
             if materialize:
-                out = out.localCheckpoint(eager=False)
+                out = out.transform(stage_boundary)
             if lm_scored is not None:
                 # pre-scored reuse: the caller already ran
                 # lm_quality_scores over (a superset of) this frame —
@@ -351,7 +353,7 @@ def make_curation_gate(
             out = out.join(keep, id_col, "left_semi")
         if bloom is not None:
             if materialize:
-                out = out.localCheckpoint(eager=False)
+                out = out.transform(stage_boundary)
             words, n_words = bloom
             hits = contaminated_ids_bloom(
                 out, words, n_words, id_col, text_col, ngram_n, bloom_k

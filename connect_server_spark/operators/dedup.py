@@ -21,7 +21,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from connect_server_spark.functions.expr import let_col
+from connect_server_spark.execution import stage_boundary
+
+from connect_server_spark.functions.expr import let_col, memo_expr
 
 __all__ = [
     "normalize_text",
@@ -62,6 +64,7 @@ def normalize_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+@memo_expr
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams of the normalized text (the unit set for
     Jaccard similarity). Pure expression — evaluated in the scan stage.
@@ -222,7 +225,7 @@ def lsh_candidate_pairs(
     """
     buckets = minhash_band_buckets(
         df, id_col, shingles_col, num_hashes, bands
-    ).localCheckpoint(eager=False)
+    ).transform(stage_boundary)
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -421,7 +424,7 @@ def write_minhash_index(
     if mode == "append":
         # appending: the new rows are batch-sized — derive buckets
         # directly (reading the whole store back would be O(corpus))
-        shingled = shingled.localCheckpoint(eager=False)
+        shingled = shingled.transform(stage_boundary)
         write_bucketed_path(
             shingled, shingle_path, id_col, store_buckets, mode="append"
         )
@@ -720,16 +723,16 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         *[F.col(b) for b in blocks],
         F.md5(normalize_text(F.col(text_col))).alias("_digest"),
-    ).localCheckpoint(eager=False)
+    ).transform(stage_boundary)
     reps = keyed.groupBy("_digest", *blocks).agg(F.min(id_col).alias("_rep"))
     member_map = (
         keyed.join(reps, ["_digest", *blocks])
         .select(F.col(id_col), *[F.col(b) for b in blocks], F.col("_rep"))
-        .localCheckpoint(eager=False)
+        .transform(stage_boundary)
     )
     rep_docs = df.join(
         reps.select(F.col("_rep").alias(id_col)), on=id_col, how="leftsemi"
-    ).localCheckpoint(eager=False)
+    ).transform(stage_boundary)
     rep_pairs = ngram_jaccard_pairs(
         rep_docs,
         id_col,
@@ -883,9 +886,7 @@ def simhash_neardup_pairs(
     Fingerprints feed BOTH sides of the chunk self-join; the lazy
     checkpoint makes the vote aggregation (the pass over every shingle)
     run once — one (id, long) row per document lands on local disk."""
-    fp = simhash_fingerprints(df, id_col, text_col, shingle_n).localCheckpoint(
-        eager=False
-    )
+    fp = simhash_fingerprints(df, id_col, text_col, shingle_n).transform(stage_boundary)
     chunks = fp.select(
         id_col,
         "_fp",
@@ -1320,7 +1321,7 @@ def duplicated_spans_against_index(
     Returns the same (id, span_start, span_end, n_windows) contract."""
     from connect_server_spark.storage import broadcastable, read_bucketed
 
-    wins = _window_keys(new, id_col, text_col, k).localCheckpoint(eager=False)
+    wins = _window_keys(new, id_col, text_col, k).transform(stage_boundary)
     store = read_bucketed(spark, index_path, "key", store_buckets)
     probe = wins.select("id", "pos", "key")
     if not broadcastable(spark, index_path):
@@ -1462,7 +1463,7 @@ def winnow_neardup_pairs(
     # lookups: checkpoint the (id, fps) frame so the text split/hash
     # pass runs once, not three times (same stage-boundary rule as the
     # curation composites)
-    fps = fps.localCheckpoint(eager=False)
+    fps = fps.transform(stage_boundary)
     posts = fps.select("id", F.explode("fps").alias("fp"))
     rare = (
         posts.groupBy("fp")
@@ -1537,7 +1538,7 @@ def write_winnow_index(
 
     fps = winnow_fingerprints(
         corpus, id_col, text_col, k=k, window=window
-    ).localCheckpoint(eager=False)
+    ).transform(stage_boundary)
     write_bucketed_path(fps, f"{index_path}/fps", "id", store_buckets, mode=mode)
     posts = fps.select("id", F.explode("fps").alias("fp"))
     write_bucketed_path(
@@ -1587,7 +1588,7 @@ def winnow_neardup_against_index(
     fps_path = f"{index_path}/fps"
     nf = winnow_fingerprints(
         new, id_col, text_col, k=k, window=window
-    ).localCheckpoint(eager=False)
+    ).transform(stage_boundary)
     n_posts = nf.select(
         F.col("id").alias("new_id"), F.explode("fps").alias("fp")
     )

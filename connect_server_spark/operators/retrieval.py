@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from connect_server_spark.execution import stage_boundary
+
 from connect_server_spark.operators.text import tokens
 
 __all__ = [
@@ -65,7 +67,7 @@ def corpus_term_stats(df: DataFrame, id_col: str, text_col: str):
     # the raw scan — same pattern as rollup_cascade.
     term_counts = exploded.groupBy("_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
-    ).localCheckpoint(eager=False)
+    ).transform(stage_boundary)
     # lazily checkpointed like term_counts: doc_lens also has several
     # consumers (the N/avgdl agg below, the index's doclens write, the
     # meta dl aggregation) and each would otherwise re-tokenize the
@@ -77,7 +79,7 @@ def corpus_term_stats(df: DataFrame, id_col: str, text_col: str):
         )
         .cast("long")
         .alias("dl"),
-    ).localCheckpoint(eager=False)
+    ).transform(stage_boundary)
     row = doc_lens.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).first()

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from connect_server_spark.execution import stage_boundary
+
 __all__ = [
     "asof_join",
     "interval_join",
@@ -412,7 +414,7 @@ def rollup_cascade(
     for width in widths_seconds[1:]:
         # Checkpoint the finer level ONCE and let both readers (the
         # union branch and the coarser aggregation) share it.
-        levels[-1] = levels[-1].localCheckpoint(eager=False)
+        levels[-1] = levels[-1].transform(stage_boundary)
         levels.append(_coarsen(levels[-1], keys, width))
     out = levels[0]
     for level in levels[1:]:

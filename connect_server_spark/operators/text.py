@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from connect_server_spark.functions.expr import let_col
+from connect_server_spark.functions.expr import let_col, memo_expr
 from connect_server_spark.operators.dedup import normalize_text
 
 __all__ = [
@@ -116,6 +116,7 @@ def _hit_ratio(toks: Column, words: tuple[str, ...]) -> Column:
     )
 
 
+@memo_expr
 def language_scores(text: Column, toks=None) -> Column:
     """Struct of per-language stopword-evidence scores."""
     return _bind_tokens(
@@ -127,6 +128,7 @@ def language_scores(text: Column, toks=None) -> Column:
     )
 
 
+@memo_expr
 def language_id(text: Column, toks=None) -> Column:
     """Best-evidence language code, ``und`` when no stopword matches."""
 
@@ -178,6 +180,7 @@ def stopword_ratio(text: Column, lang: str = "en", toks=None) -> Column:
     )
 
 
+@memo_expr
 def quality_score(text: Column, toks=None) -> Column:
     """Composite heuristic scaled to integer e-7 units of [0,1]:
     ``4*stopword + 3*word-length-shape + 3*(1-punct)``, each component

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from connect_server_spark.execution import stage_boundary
+
 from connect_server_spark.registry import register
 from connect_server_spark.tables import load_table
 
@@ -107,7 +109,7 @@ def curation_full(
     # scans once, and the visible plan stays stage-sized (75 duplicated
     # Exchanges without this, measured at sf0.01).
     ckpt = (
-        (lambda df: df.localCheckpoint(eager=False))
+        (lambda df: df.transform(stage_boundary))
         if checkpoint
         else (lambda df: df)
     )
@@ -405,7 +407,7 @@ def corpus_from_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("doc_id"),
         "text",
-    ).localCheckpoint(eager=False)
+    ).transform(stage_boundary)
 
     block = spark.createDataFrame([(d,) for d in _URL_BLOCKLIST], ["domain"])
     url_ok = cap_per_domain(
@@ -414,7 +416,7 @@ def corpus_from_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         _URL_DOMAIN_CAP,
         seed="cfc:",
-    ).localCheckpoint(eager=False)
+    ).transform(stage_boundary)
 
     flags = c4_doc_flags(F.col("text"))
     gated = url_ok.filter(

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from connect_server_spark.execution import stage_boundary
+
 from connect_server_spark.operators.dedup import (
     exact_dedup,
     minhash_neardup_pairs,
@@ -213,7 +215,7 @@ def dedup_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_neardup(spark, sf_dir)
     shingled = corpus.select(
         "doc_id", word_shingles(F.col("text"), 3).alias("_sh")
-    ).localCheckpoint(eager=False)
+    ).transform(stage_boundary)
     self_pairs = jaccard_verify(
         lsh_candidate_pairs(shingled, "doc_id", "_sh", num_hashes=32, bands=16),
         shingled,
@@ -427,7 +429,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_neardup(spark, sf_dir)
     shingled = corpus.select(
         "doc_id", word_shingles(F.col("text"), 3).alias("_sh")
-    ).localCheckpoint(eager=False)
+    ).transform(stage_boundary)
     return minhash_neardup_against_shingled(
         shingled.filter(F.col("doc_id") % 7 == 0),
         shingled.filter(F.col("doc_id") % 7 != 0),

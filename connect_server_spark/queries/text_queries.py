@@ -189,6 +189,14 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (~8× per row; measured +0.5 s at sf0.1, the r6 regression). Here
     # the split runs once per row in the gate and once per SURVIVOR in
     # the metric projection. Values are bit-identical (same oracle).
+    # r8 note: the textually-duplicated metric trees below are NOT
+    # evaluated twice — whole-stage codegen's subexpression elimination
+    # dedupes identical trees inside the projection. Both let-bound
+    # struct variants (flatten-now and flatten-after-the-dedup-shuffle)
+    # were measured SLOWER at sf0.1 (med 1.93 s → 2.4-2.6 s): the
+    # struct defeats that elimination and widens the window shuffle.
+    # The r7 perf gap was plan-CONSTRUCTION cost, fixed by memo_expr on
+    # the stopword-tree builders (functions/expr.py).
     def _gate(tk):
         return (
             (quality_score(t, toks=tk) >= _QMIN)

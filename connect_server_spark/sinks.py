@@ -20,6 +20,8 @@ from pyspark.errors.exceptions.base import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from connect_server_spark.execution import stage_boundary
+
 from connect_server_spark.fsutil import fs_exists, read_text, write_text_atomic
 from connect_server_spark.operators.org import anti_join_insert
 
@@ -61,7 +63,7 @@ def fresh_rows(
         if not _is_path_not_found(exc):
             raise  # a real read failure must not masquerade as first-write
         fresh = incoming  # first write: nothing to guard against
-    return fresh.localCheckpoint(eager=True)
+    return fresh.transform(stage_boundary, eager=True, pin=True)
 
 
 def idempotent_append(
@@ -120,7 +122,7 @@ def _search_ingest_inner(
             .select(*batch.columns)
             # sever lineage from `path`: Spark refuses to overwrite a path
             # its own read plan references
-            .localCheckpoint(eager=True)
+            .transform(stage_boundary, eager=True, pin=True)
         )
         out = survivors.unionByName(batch)
     except AnalysisException as exc:

@@ -52,6 +52,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from connect_server_spark.execution import stage_boundary
+
 from connect_server_spark.operators.dedup import (
     embedding_neardup_against_index,
     minhash_neardup_against_index,
@@ -136,7 +138,7 @@ def composed_ingest_sink(
             batch = gate(batch)
         # one materialization: feeds the rollup, both probes, the
         # anti-joins, and every append; severs streaming lineage
-        batch = batch.localCheckpoint(eager=True)
+        batch = batch.transform(stage_boundary, eager=True, pin=True)
 
         rollup(batch.select(ts_col, value_col), batch_id)
         _maybe_fail("rollup")
@@ -155,7 +157,7 @@ def composed_ingest_sink(
                 shingle_n=shingle_n,
             )
             .filter(F.col("new_id") != F.col("corpus_id"))
-            .localCheckpoint(eager=True)
+            .transform(stage_boundary, eager=True, pin=True)
         )
         pairs_v = (
             embedding_neardup_against_index(
@@ -168,7 +170,7 @@ def composed_ingest_sink(
                 nprobe=nprobe,
             )
             .filter(F.col("new_id") != F.col("corpus_id"))
-            .localCheckpoint(eager=True)
+            .transform(stage_boundary, eager=True, pin=True)
         )
         pairs_w = (
             winnow_neardup_against_index(
@@ -180,7 +182,7 @@ def composed_ingest_sink(
                 threshold=winnow_threshold,
             )
             .filter(F.col("new_id") != F.col("corpus_id"))
-            .localCheckpoint(eager=True)
+            .transform(stage_boundary, eager=True, pin=True)
         )
         pairs_t.write.mode("append").parquet(paths["pairs_text"])
         pairs_v.write.mode("append").parquet(paths["pairs_vec"])

@@ -50,6 +50,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from connect_server_spark.execution import stage_boundary
+
 from connect_server_spark.operators.dedup import (
     minhash_neardup_against_index,
     write_minhash_index,
@@ -154,7 +156,7 @@ def _run_ingest_batch(
     # one materialization per batch: the batch feeds the probe, the
     # anti-join, and the survivor write — and a checkpoint severs
     # lineage from the streaming source for the writes below
-    batch = batch_df.localCheckpoint(eager=True)
+    batch = batch_df.transform(stage_boundary, eager=True, pin=True)
     pairs = (
         probe(batch)
         # In the ingest loop survivors join the corpus id-space, so a
@@ -164,7 +166,7 @@ def _run_ingest_batch(
         # batch's NOVEL rows out of the survivor set. Identity here
         # always means "my own prior index entry".
         .filter(F.col("new_id") != F.col("corpus_id"))
-        .localCheckpoint(eager=True)
+        .transform(stage_boundary, eager=True, pin=True)
     )
     pairs.write.mode("append").parquet(pairs_path)
     dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()

@@ -37,6 +37,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from connect_server_spark.execution import stage_boundary
+
 from connect_server_spark.operators.retrieval import write_bm25_index
 from connect_server_spark.sinks import fresh_rows
 
@@ -66,7 +68,7 @@ def search_ingest_sink(
             batch = gate(batch)
         # one materialization: feeds the guard anti-join, the index
         # append, and the survivor write; severs streaming lineage.
-        batch = batch.localCheckpoint(eager=True)
+        batch = batch.transform(stage_boundary, eager=True, pin=True)
         fresh = fresh_rows(spark, batch, survivors_path, [id_col])
         if fresh.count():  # fresh_rows already checkpoints
             write_bm25_index(

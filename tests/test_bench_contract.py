@@ -10,12 +10,24 @@ def test_headline_names_all_registered():
     or renamed headline entry would vanish from the round's evidence
     without failing anything — pin every name to the registry."""
     registered = set(entry_mod.queries())
-    missing = [n for n in bench.HEADLINE if n not in registered]
+    missing = [
+        n
+        for n in bench.HEADLINE + bench.BASELINE_ONLY
+        if n not in registered
+    ]
     assert not missing, f"headline entries not in registry: {missing}"
 
 
 def test_headline_has_no_duplicates():
-    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    both = bench.HEADLINE + bench.BASELINE_ONLY
+    assert len(both) == len(set(both))
+
+
+def test_baseline_only_stays_out_of_headline():
+    """The exact-quadratic baselines are timed in their own section —
+    re-adding one to HEADLINE would put an all-pairs row back into the
+    headline total (r7 verdict ask #8)."""
+    assert not set(bench.BASELINE_ONLY) & set(bench.HEADLINE)
 
 
 def test_calibration_row_exists():
@@ -38,14 +50,14 @@ def test_headline_covers_every_operator_family():
             "dedup_incremental_minhash_indexed",
             "dedup_incremental_spans",
         ],
-        "similarity": ["similarity_topk_exact"],
+        "similarity": ["similarity_topk_ann", "similarity_topk_ivf"],
         "similarity_indexed": ["similarity_topk_ivf_indexed"],
         "packing": ["training_pack", "training_pack_chunked"],
         "tokenizer": ["tokenize_bpe", "training_pack_bpe"],
         "telemetry": ["corpus_stats", "vocab_top_tokens"],
         "text": ["text_analysis", "corpus_curation", "lm_quality"],
         "retrieval": ["corpus_bm25", "corpus_hybrid_retrieval", "corpus_bm25_indexed"],
-        "mining": ["mining_hard_negatives", "corpus_doc_keywords", "corpus_line_dedup"],
+        "mining": ["mining_hard_negatives_indexed", "corpus_doc_keywords", "corpus_line_dedup"],
         "lifecycle": ["corpus_domains", "corpus_release_diff"],
         "pipeline": ["submit_pipeline", "flow_execute"],
         "transfer": ["transfer_manifest"],

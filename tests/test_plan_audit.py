@@ -81,9 +81,12 @@ ARROW_BOUNDARY_OK = {
     # WARC front end: shard synthesis (applyInPandas fixture), record
     # parsing (mapInPandas), HTML extraction (pandas UDF) — all Arrow
     "corpus_ingest_warc",
-    # the crawl-head composite rides the same Arrow stages (its lazy
-    # checkpoints may or may not hide them from the printed plan
-    # depending on materialization state)
+    # the on-disk leg: binaryFile scan → the same mapInPandas parse +
+    # pandas-UDF extract as the in-plan leg
+    "corpus_ingest_files",
+    # the crawl-head composite rides the same Arrow stages — audited in
+    # FULL_PLAN_AUDIT form (checkpoints off), so the Arrow nodes are
+    # deterministically visible and this declaration binds
     "corpus_from_crawl",
     # c-TF-IDF domain labels ride the IVF probe assignment (Arrow
     # matmul) inside assign_domains
@@ -182,18 +185,28 @@ SHUFFLE_BUDGET = {
     # the parse/extract path itself is shuffle-free (pinned in
     # test_sources.py).
     "corpus_ingest_warc": 4,
+    # on-disk ingest leg: telemetry agg + ordering + the broadcast
+    # join-back, PLUS the conditional round-robin spread of shard rows
+    # across the file count when files < cores (the one-split lesson —
+    # absent at production scale where every ~1 GB shard is its own
+    # split, so payloads never shuffle on the 100 TB path)
+    "corpus_ingest_files": 4,
     # URL curation: the canonical-digest dedup window, the salted cap
     # window (NULL domains scatter over pseudo-keys and are exempted in
     # the filter — no union, no hot partition), the telemetry agg pair,
     # and the final ordering — narrow (id, url, domain) rows; the
     # blocklist broadcasts.
     "corpus_url_filter": 6,
-    # crawl-head composite: the WARC synthesis groupBy (fixture cost),
-    # three per-domain stage aggs + the two funnel joins + ordering —
-    # the parsed corpus and the url-filtered stage are checkpointed so
-    # the Arrow parse/extract and the dedup/cap windows run once, and
-    # every Exchange carries (domain, count) or (id, url) rows.
-    "corpus_from_crawl": 12,
+    # crawl-head composite, audited in FULL_PLAN_AUDIT (no-checkpoint)
+    # form: the WARC synthesis groupBy, the canonical-dedup and
+    # per-domain-cap windows, three per-domain stage aggs, the two
+    # funnel joins (+ blocklist broadcasts), and the final ordering —
+    # with the parsed/url-ok subtrees DUPLICATED once per funnel
+    # consumer, which is what the no-checkpoint form prints (the
+    # executed checkpointed plan runs each stage once; pinned at 12
+    # before r8). Every Exchange carries (domain, count) or (id, url)
+    # rows; payload bytes cross only the synthesis groupBy.
+    "corpus_from_crawl": 17,
     # r6 incremental twin: batch windows shuffle to the bucketed store
     # (store side Exchange-free), the intra-batch repeat count, the
     # flagged-position distinct, and the shared id-partition Exchange
@@ -400,9 +413,31 @@ COMPOSED_DRILLS = {
 }
 
 
+# Queries audited with stage-boundary checkpoints DISABLED (mode
+# "none"): a lazily-checkpointed composite prints a plan whose depth
+# depends on what happened to materialize earlier in the session, so
+# its assertions would bind only sometimes. Mode "none" makes the FULL
+# lineage print deterministically. The cost: Spark duplicates every
+# multi-consumer subtree per consumer in that form, so the Exchange
+# budget counts duplicated stages — higher than the executed
+# checkpointed plan, but stable, and any new shuffle stage still
+# raises it.
+FULL_PLAN_AUDIT = {
+    "corpus_from_crawl",
+}
+
+
 def _plan(spark, sf_dir, name: str) -> str:
-    df = _QUERIES[name](spark, sf_dir)
-    return df._jdf.queryExecution().executedPlan().toString()
+    from connect_server_spark.execution import CHECKPOINT_MODE_KEY
+
+    if name in FULL_PLAN_AUDIT:
+        spark.conf.set(CHECKPOINT_MODE_KEY, "none")
+    try:
+        df = _QUERIES[name](spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if name in FULL_PLAN_AUDIT:
+            spark.conf.set(CHECKPOINT_MODE_KEY, "local")
 
 
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - COMPOSED_DRILLS))

@@ -395,3 +395,42 @@ def test_warc_roundtrip_survives_entities_and_whitespace(spark, sf_dir):
     assert got[1] == "doc 1 a & b < c > d"
     assert got[2] == "doc 2 ragged spacing tabs"
     assert got[3] == "doc 3" and got[4] == "doc 4"
+
+
+def test_corpus_ingest_files_matches_in_plan_leg(spark, sf_dir):
+    """The on-disk leg (r7 verdict missing #2): a binaryFile scan over
+    real written .warc.gz shards must produce row-identical telemetry
+    to the in-plan synthesized leg — same corpus, same parser, same
+    aggregation — and its executed plan must actually READ files."""
+    from connect_server_spark.queries.extractor_queries import (
+        corpus_ingest_files,
+        corpus_ingest_warc,
+    )
+
+    on_disk = corpus_ingest_files(spark, sf_dir)
+    got = sorted(map(tuple, on_disk.collect()))
+    want = sorted(map(tuple, corpus_ingest_warc(spark, sf_dir).collect()))
+    assert got == want and len(got) == 8
+    plan = on_disk._jdf.queryExecution().executedPlan().toString()
+    assert "binaryFile" in plan, "the on-disk leg must scan real files"
+
+
+def test_warc_shard_files_idempotent_and_real_gzip(spark, sf_dir):
+    """The shard store builds once (marker-gated) and its files are
+    real member-gzip WARC shards a foreign reader could decompress."""
+    import glob
+    import gzip
+    import os
+
+    from connect_server_spark.queries.extractor_queries import warc_shard_files
+
+    d1 = warc_shard_files(spark, sf_dir)
+    stamp = {f: os.stat(f).st_mtime_ns for f in glob.glob(f"{d1}/*.warc.gz")}
+    assert len(stamp) == 8
+    d2 = warc_shard_files(spark, sf_dir)
+    assert d2 == d1
+    assert {f: os.stat(f).st_mtime_ns for f in glob.glob(f"{d1}/*.warc.gz")} == stamp
+    first = sorted(stamp)[0]
+    with open(first, "rb") as f:
+        head = gzip.GzipFile(fileobj=f).read(64)
+    assert head.startswith(b"WARC/1.0")
