@@ -41,6 +41,7 @@ __all__ = [
     "read_ivf_cells",
     "ivf_topk_indexed",
     "ivf_cell_stats",
+    "rebalance_ivf_index",
     "hard_negatives",
 ]
 
@@ -595,3 +596,92 @@ def ivf_cell_stats(spark, index_path: str) -> DataFrame:
         F.round(F.col("n") / total, 6).alias("share"),
         F.round(F.col("n") / mean, 4).alias("skew"),
     ).orderBy(F.col("n").desc(), F.col("cell").asc())
+
+
+def rebalance_ivf_index(
+    spark,
+    index_path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    target_cell_size: int = 256,
+    sample_size: int = 4096,
+    train_iters: int = 10,
+) -> int:
+    """Act on what :func:`ivf_cell_stats` reports: re-train the coarse
+    quantizer from the CURRENT store contents and re-assign every stored
+    vector, so an index whose appends drifted away from the frozen
+    centroids (hot cells = serving tail latency, probe cost is
+    O(nprobe · cell_size)) returns to ~uniform cells. The maintenance
+    twin of ``storage.compact`` in the index lifecycle: appends grow the
+    index O(batch), stats watch it, rebalance restores it.
+
+    * ``nlist`` is re-derived by the fixed-cell-size rule
+      (``max(16, N / target_cell_size)``) from the store's CURRENT
+      count — a store that grew 10× since build gets 10× the cells,
+      keeping probe cost corpus-size-independent.
+    * Re-assignment reads through :func:`read_ivf_cells`, so an SQ8
+      store rebalances losslessly: symmetric per-vector int8 dequantizes
+      onto exact lattice points whose re-quantization (same max-|v|
+      scale) reproduces the stored bytes — pinned in
+      ``tests/test_similarity.py``.
+    * Replay-safe swap, the ``compact`` discipline: the new index
+      (centroids + cells together — they must change ATOMICALLY, a
+      reader pairing new centroids with old cell ids would probe the
+      wrong partitions) is written to a dot-prefixed sibling, then two
+      renames swap whole index directories. A crash mid-build leaves
+      the live index untouched; a crash between renames leaves
+      ``.*._rebalance_old`` recoverable by hand, never deleted data.
+    * Duplicate rows from at-least-once appends are carried through
+      unchanged — serving already dedupes (``ivf_topk_indexed``'s
+      ``distinct``), and dropping them here would make rebalance
+      non-idempotent against a concurrent replay.
+
+    Returns the new ``nlist``.
+    """
+    from connect_server_spark.fsutil import fs_delete, fs_rename
+
+    store = read_ivf_cells(spark, index_path, corpus_id, corpus_vec)
+    quantized = corpus_vec not in spark.read.parquet(
+        f"{index_path}/cells"
+    ).columns
+    n = store.count()
+    if n == 0:
+        raise ValueError(
+            f"rebalance_ivf_index: empty cell store at {index_path} — "
+            "nothing to train on (build the index first)"
+        )
+    nlist = max(16, n // target_cell_size)
+    cents = train_ivf_centroids(
+        store,
+        nlist,
+        corpus_id,
+        corpus_vec,
+        sample_size=sample_size,
+        iters=train_iters,
+    )
+    hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
+    jpath = hadoop_path(index_path)
+    parent, name = str(jpath.getParent()), jpath.getName()
+    tmp = f"{parent}/.{name}._rebalance_tmp"
+    old = f"{parent}/.{name}._rebalance_old"
+    fs_delete(spark, tmp)
+    fs_delete(spark, old)
+    # store is lazily read from the LIVE index: materialize the re-write
+    # fully into tmp before any rename touches the live directories
+    write_ivf_index(
+        store,
+        tmp,
+        nlist=nlist,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        centroids=cents,
+        quantize=quantized,
+    )
+    fs_rename(spark, index_path, old)
+    try:
+        fs_rename(spark, tmp, index_path)
+    except OSError:
+        fs_rename(spark, old, index_path)  # roll back: live index wins
+        raise
+    fs_delete(spark, old)
+    return nlist

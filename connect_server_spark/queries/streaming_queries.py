@@ -175,6 +175,70 @@ def daily_ingest_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("daily_ingest_composed", daily_ingest_composed, defer=True)
 
 
+def daily_ingest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CRAWL-FED composed ingest job (r7 verdict ask #7): the same
+    store discipline as ``daily_ingest_composed``, but each daily batch
+    arrives the way a crawl delivers it — real ``.warc.gz`` shard
+    payloads — and runs the incremental crawl head first (WARC record
+    parse → HTML text extraction → URL blocklist/canonical-dedup/
+    per-domain-cap → C4 gate → deterministic embed) before the probe +
+    append discipline. Returns the survivor ledger. Rows-only by
+    design; the kill-mid-batch replay convergence for this leg is
+    pinned in ``tests/test_streaming.py`` (crawl_leg matrix)."""
+    import tempfile
+
+    from connect_server_spark.operators.dedup import (
+        write_minhash_index,
+        write_winnow_index,
+    )
+    from connect_server_spark.operators.retrieval import write_bm25_index
+    from connect_server_spark.operators.similarity import write_ivf_index
+    from connect_server_spark.sources.warc import synthesize_warc
+    from connect_server_spark.streaming.daily_ingest import (
+        composed_crawl_ingest_sink,
+        hash_embedder,
+        ingest_store_paths,
+    )
+    from connect_server_spark.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "text"
+    )
+    root = tempfile.mkdtemp(prefix="daily_ingest_crawl_")
+    paths = ingest_store_paths(root)
+    # base stores from a third of the corpus, embedded with the SAME
+    # deterministic embedder the head applies, so the IVF probe compares
+    # like with like
+    base = hash_embedder()(docs.filter(F.col("doc_id") % 3 == 0), "text")
+    write_minhash_index(
+        base, "doc_id", "text", paths["minhash_index"], paths["shingles"]
+    )
+    write_ivf_index(
+        base, paths["ivf_index"], nlist=8,
+        corpus_id="doc_id", corpus_vec="embedding",
+    )
+    write_bm25_index(base, "doc_id", "text", paths["bm25_index"])
+    write_winnow_index(base, "doc_id", "text", paths["winnow_index"])
+
+    def shard_batch(part: int) -> DataFrame:
+        day = docs.filter(F.col("doc_id") % 3 == part).withColumn(
+            "shard", F.col("doc_id") % 8
+        ).withColumn(
+            "domain", F.concat(F.col("source"), F.lit(".example"))
+        )
+        return synthesize_warc(day, "doc_id", "text", domain_col="domain")
+
+    sink = composed_crawl_ingest_sink(
+        spark, root, block_domains=["src3.example"], domain_cap=10_000
+    )
+    sink(shard_batch(1), 0)
+    sink(shard_batch(2), 1)
+    return spark.read.parquet(paths["survivors"]).select("doc_id")
+
+
+register("daily_ingest_crawl", daily_ingest_crawl, defer=True)
+
+
 def corpus_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming drift alarm run as a batch-driven drill: freeze a
     reference profile (``n_chars`` deciles) from the even-id half of

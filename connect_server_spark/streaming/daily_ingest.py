@@ -66,7 +66,13 @@ from connect_server_spark.operators.similarity import write_ivf_index
 from connect_server_spark.sinks import fresh_rows
 from connect_server_spark.streaming.rollup_refresh import rollup_refresh_sink
 
-__all__ = ["composed_ingest_sink", "ingest_store_paths"]
+__all__ = [
+    "composed_ingest_sink",
+    "composed_crawl_ingest_sink",
+    "hash_embedder",
+    "ingest_store_paths",
+    "warc_batch_head",
+]
 
 
 def ingest_store_paths(root: str) -> dict[str, str]:
@@ -238,5 +244,139 @@ def composed_ingest_sink(
             )
             _maybe_fail("winnow_index")
             fresh.write.mode("append").parquet(paths["survivors"])
+
+    return sink
+
+
+def hash_embedder(dim: int = 8, vec_col: str = "embedding"):
+    """Deterministic STAND-IN for the model-serving embedding stage of a
+    crawl ingest (the multimodal-stub convention: the Spark-side
+    plumbing — schema, scan-stage expressions, replay determinism — is
+    real; the model is not in this container). Each component is an
+    independent xxhash64 of the text, mapped to [-1, 1]; identical text
+    ⇒ identical vector on every engine, task retry, and replay, which is
+    exactly the property the exactly-once convergence pin needs."""
+
+    def embed(df: DataFrame, text_col: str) -> DataFrame:
+        comps = [
+            (
+                F.xxhash64(F.col(text_col), F.lit(i)).cast("double")
+                / F.lit(float(2**63))
+            )
+            for i in range(dim)
+        ]
+        return df.withColumn(vec_col, F.array(*comps))
+
+    return embed
+
+
+def warc_batch_head(
+    spark: SparkSession,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    ts_col: str = "ts",
+    value_col: str = "v",
+    block_domains: list[str] | None = None,
+    domain_cap: int | None = None,
+    cap_seed: str = "dih:",
+    embedder=None,
+) -> Callable[[DataFrame], DataFrame]:
+    """The crawl HEAD as a batch adapter (r7 verdict ask #7): turn a
+    micro-batch of WARC shard payloads ``(shard, payload)`` into the
+    curated document rows :func:`composed_ingest_sink` ingests —
+    ``corpus_from_crawl``'s funnel, run incrementally per batch.
+
+    Stages (all deterministic, so a replayed batch funnels identically):
+    record parse (real WARC walk, error rows dropped here — they carry
+    no document) → HTML text extraction → URL curation (blocklist,
+    canonical dedup WITHIN the batch, per-domain cap) → C4 document
+    gate → id from the record URI, event time from the WARC date,
+    unit ingest-volume value. ``embedder`` attaches ``vec_col``
+    (default :func:`hash_embedder` — swap in the model-serving UDF in
+    production). Everything is batch-sized; the persisted-store dedup
+    (cross-batch) stays where it was, in the composed sink's probes."""
+    from connect_server_spark.operators.quality import c4_doc_flags
+    from connect_server_spark.operators.weburl import (
+        cap_per_domain,
+        filter_blocked_domains,
+        url_dedup,
+    )
+    from connect_server_spark.sources.warc import html_to_text, parse_warc_records
+
+    embed = embedder or hash_embedder(vec_col=vec_col)
+    block = (
+        spark.createDataFrame([(d,) for d in block_domains], ["domain"])
+        if block_domains
+        else None
+    )
+
+    def head(batch_df: DataFrame) -> DataFrame:
+        recs = parse_warc_records(batch_df.select("shard", "payload"))
+        docs = html_to_text(
+            recs.filter(
+                F.col("error").isNull() & (F.col("http_status") == 200)
+            ),
+            "body",
+        ).select(
+            F.col("target_uri").alias("url"),
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias(id_col),
+            F.col(text_col),
+            F.to_timestamp(F.col("warc_date")).alias(ts_col),
+        )
+        if block is not None:
+            docs = filter_blocked_domains(docs, "url", block)
+        docs = url_dedup(docs, "url", id_col)
+        if domain_cap is not None:
+            docs = cap_per_domain(
+                docs, "url", id_col, domain_cap, seed=cap_seed
+            )
+        flags = c4_doc_flags(F.col(text_col))
+        gated = docs.filter(
+            ~flags["has_lorem_ipsum"] & ~flags["has_brace"]
+        )
+        return embed(gated, text_col).select(
+            id_col,
+            text_col,
+            vec_col,
+            ts_col,
+            F.lit(1.0).alias(value_col),
+        )
+
+    return head
+
+
+def composed_crawl_ingest_sink(
+    spark: SparkSession,
+    root: str,
+    block_domains: list[str] | None = None,
+    domain_cap: int | None = None,
+    embedder=None,
+    **sink_kwargs,
+) -> Callable[[DataFrame, int], None]:
+    """The crawl-fed composed daily-ingest job: one ``foreachBatch``
+    that runs :func:`warc_batch_head` (WARC parse → HTML extract → URL
+    funnel → gate → embed) and hands the curated documents to
+    :func:`composed_ingest_sink`'s store discipline unchanged.
+
+    Crash/replay: the head is a pure deterministic function of the
+    batch payloads, so a replayed batch reaches the inner sink with
+    byte-identical rows and the per-store convergence analysis in the
+    module docstring applies verbatim — pinned by extending the
+    kill-mid-batch matrix to this leg in ``tests/test_streaming.py``."""
+    head = warc_batch_head(
+        spark,
+        block_domains=block_domains,
+        domain_cap=domain_cap,
+        embedder=embedder,
+    )
+    inner = composed_ingest_sink(
+        spark, root, "doc_id", "text", "embedding", "ts", "v", **sink_kwargs
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        inner(head(batch_df), batch_id)
 
     return sink

@@ -1,0 +1,61 @@
+"""memo_expr (functions/expr.py): the expression-tree cache that fixed
+corpus_curation's plan-construction cost (r8). The contract: same
+inputs (by expression text) -> the SAME Column object; different
+inputs -> distinct trees; unhashable scalars fall through uncached."""
+
+from pyspark.sql import functions as F
+
+from connect_server_spark.functions.expr import memo_expr
+
+
+def test_memo_expr_hits_on_expression_text(spark):
+    calls = []
+
+    @memo_expr
+    def build(col, n=3):
+        calls.append(1)
+        return col + n
+
+    a = build(F.col("x"))
+    b = build(F.col("x"))
+    assert a is b and len(calls) == 1
+    c = build(F.col("y"))
+    assert c is not a and len(calls) == 2
+    d = build(F.col("x"), n=4)
+    assert d is not a and len(calls) == 3
+    build.cache_clear()
+    assert build(F.col("x")) is not a and len(calls) == 4
+
+
+def test_memo_expr_unhashable_args_fall_through(spark):
+    calls = []
+
+    @memo_expr
+    def build(col, weights):
+        calls.append(1)
+        return col * weights[0]
+
+    a = build(F.col("x"), [2.0])
+    b = build(F.col("x"), [2.0])
+    assert len(calls) == 2  # uncached, but still correct
+    assert a is not b
+
+
+def test_memoized_text_builders_share_trees_across_queries(spark):
+    """The production consequence: two independent query constructions
+    reuse the cached stopword trees, and the results still evaluate
+    correctly (the same Column object is safe in multiple plans)."""
+    from connect_server_spark.operators.text import language_id, tokens
+
+    t = F.col("text")
+    e1 = language_id(t, toks=tokens(t))
+    e2 = language_id(t, toks=tokens(t))
+    assert e1 is e2
+    df = spark.createDataFrame(
+        [("the of and a to in is was it for",), ("zz qq ww",)], ["text"]
+    )
+    out = [r[0] for r in df.select(e1.alias("lang")).collect()]
+    assert out[0] == "en" and out[1] == "und"
+    # the SAME object used twice in ONE plan is also fine
+    both = df.select(e1.alias("a"), e2.alias("b")).collect()
+    assert all(r.a == r.b for r in both)

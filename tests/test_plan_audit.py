@@ -408,6 +408,7 @@ SHUFFLE_BUDGET = {
 # tests/test_streaming.py (end-to-end + crash-replay convergence).
 COMPOSED_DRILLS = {
     "daily_ingest_composed",
+    "daily_ingest_crawl",
     "training_release",
     "corpus_quality_monitor",
 }

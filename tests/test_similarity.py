@@ -595,3 +595,137 @@ def test_ivf_store_compacts_after_appends_with_serving_unchanged(
         map(tuple, ivf_topk_indexed(probes, spark, ix, 3, nprobe=4).collect())
     )
     assert after == before and len(after) == 6
+
+
+def test_rebalance_ivf_index_restores_balance_and_serving(spark, tmp_path):
+    """The maintenance ACTION for what ivf_cell_stats reports (r7
+    verdict ask #6): a skew-appended index (drifted batch piles into one
+    cell) is re-trained + re-assigned; the hottest cell (= probe tail
+    cost) shrinks, full-probe serving stays output-identical, and the
+    swap leaves no work directories behind."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        ivf_cell_stats,
+        ivf_topk_indexed,
+        rebalance_ivf_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 16)
+    rows = [
+        (i, (centers[i % 4] + 0.1 * rng.randn(16)).tolist())
+        for i in range(80)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    ix = str(tmp_path / "rebal_ix")
+    write_ivf_index(corpus, ix, nlist=4)
+
+    # the drift: a same-size batch from a NEW cluster appends into
+    # whatever frozen cell its center falls nearest — one hot cell
+    shifted = centers[0] + 8.0 * np.abs(rng.randn(16))
+    batch = spark.createDataFrame(
+        [
+            (1000 + i, (shifted + 0.05 * rng.randn(16)).tolist())
+            for i in range(80)
+        ],
+        ["vec_id", "embedding"],
+    )
+    write_ivf_index(batch, ix, mode="append")
+
+    before = ivf_cell_stats(spark, ix).collect()
+    assert before[0].n >= 80  # the appended cluster made a hot cell
+    probes = spark.createDataFrame(
+        [(0, (centers[1] + 0.05 * rng.randn(16)).tolist()),
+         (1, (shifted + 0.05 * rng.randn(16)).tolist())],
+        ["probe_id", "probe_vec"],
+    )
+    served_before = sorted(
+        (r.probe_id, r.vec_id, r.rank)
+        for r in ivf_topk_indexed(probes, spark, ix, 5, nprobe=4).collect()
+    )
+
+    new_nlist = rebalance_ivf_index(spark, ix, target_cell_size=10)
+    assert new_nlist == 16  # 160 vectors / 10 per cell
+
+    after = ivf_cell_stats(spark, ix).collect()
+    assert sum(r.n for r in after) == 160  # every vector survived
+    assert after[0].n < before[0].n  # probe tail cost actually dropped
+    # full-probe serving is exact over the store, so rebalancing (a pure
+    # re-layout) must not move a single result row
+    served_after = sorted(
+        (r.probe_id, r.vec_id, r.rank)
+        for r in ivf_topk_indexed(
+            probes, spark, ix, 5, nprobe=new_nlist
+        ).collect()
+    )
+    assert served_after == served_before
+    # replay-safe swap: no tmp/old leftovers beside the index
+    leftovers = [
+        p
+        for p in glob.glob(os.path.join(os.path.dirname(ix), ".*"))
+        if "_rebalance_" in p
+    ]
+    assert leftovers == []
+
+
+def test_rebalance_ivf_index_sq8_is_lossless_and_stays_quantized(
+    spark, tmp_path
+):
+    """An SQ8 store rebalances LOSSLESSLY: dequantized lattice points
+    re-quantize to the same bytes (same max-|v| scale), and the store
+    stays int8 — a rebalance must never silently fatten the index 4x."""
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        read_ivf_cells,
+        rebalance_ivf_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(13)
+    rows = [(i, rng.randn(8).tolist()) for i in range(60)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    ix = str(tmp_path / "rebal_sq8")
+    write_ivf_index(corpus, ix, nlist=4, quantize=True)
+
+    def payload(path):
+        return {
+            r.vec_id: tuple(round(x, 9) for x in r.embedding)
+            for r in read_ivf_cells(spark, path).collect()
+        }
+
+    before = payload(ix)
+    rebalance_ivf_index(spark, ix, target_cell_size=4)
+    cols = spark.read.parquet(f"{ix}/cells").columns
+    assert "q" in cols and "embedding" not in cols  # still SQ8
+    assert payload(ix) == before
+
+
+def test_rebalance_ivf_index_refuses_empty_store(spark, tmp_path):
+    import pytest as _pytest
+
+    from connect_server_spark.operators.similarity import (
+        rebalance_ivf_index,
+        write_ivf_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    ix = str(tmp_path / "rebal_empty")
+    write_ivf_index(corpus, ix, nlist=1, centroids=[[1.0, 0.0]])
+    # empty the cells by overwriting with zero rows (unpartitioned so
+    # the parquet footer still carries a schema)
+    import shutil
+
+    shutil.rmtree(f"{ix}/cells")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, cell int"
+    ).write.parquet(f"{ix}/cells")
+    with _pytest.raises(ValueError, match="empty cell store"):
+        rebalance_ivf_index(spark, ix)
