@@ -224,13 +224,16 @@ def main() -> None:
                 "reps": len(samples),
             }
 
-    # A partial round must never read as a speedup: when any query errored
-    # the headline total is null (totals over different query sets are not
-    # comparable round-over-round) and `partial` is set. `queries` stays
+    # A partial round must never read as a speedup: when any HEADLINE
+    # query errored the headline total is null (totals over different
+    # query sets are not comparable round-over-round) and `partial` is
+    # set. A baseline-only failure does NOT null the headline — the
+    # baselines sit outside the total by design. `queries` stays
     # float-only; error messages live in their own top-level map.
+    headline_errored = bool(set(errors) & set(names))
     out: dict = {
         "metric": "headline_queries_total_runtime",
-        "value": None if errors else round(sum(timings.values()), 4),
+        "value": None if headline_errored else round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         # declared exact-quadratic baselines: timed (the scale paths are
@@ -245,9 +248,10 @@ def main() -> None:
         "calibration_sec": _calibration(spark, reps),
     }
     if errors:
+        out["query_errors"] = errors
+    if headline_errored:
         out["partial"] = True
         out["partial_total"] = round(sum(timings.values()), 4)
-        out["query_errors"] = errors
     payload = json.dumps(out)
     # Side artifact: the driver captures stdout through a tail buffer that
     # has truncated the JSON head before (BENCH_r06's `parsed` was null) —

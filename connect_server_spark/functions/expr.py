@@ -10,37 +10,55 @@ from pyspark.sql import functions as F
 __all__ = ["let_col", "memo_expr"]
 
 
+_MEMO_EXPR_CAP = 256
+
+
 def memo_expr(fn):
     """Memoize a pure Column-builder on its arguments' expression text.
 
     The heavy text expressions (language_id, quality_score: ~0.1 s of
     py4j round-trips EACH to build their stopword/score trees) are pure
     functions of their input expressions, and Column objects are
-    immutable — the same tree can appear in any number of plans. Keying
-    on ``str(col)`` (the JVM expression string) makes the cache exact:
-    two calls build the same tree iff their inputs print the same.
+    immutable — the same tree can appear in any number of plans.
 
-    Scalar kwargs join the key; Columns are keyed by their repr. The
-    cache holds py4j refs, which live as long as the process's gateway —
-    correct for every launcher in this repo (one JVM per process)."""
+    Columns are keyed on the NORMALIZED column-node string
+    (``_jc.node().normalized()`` — origins stripped, so two identical
+    unresolved trees print identically), not the ``Column`` repr: a
+    dataset-bound column like ``df["text"]`` prints ``Column<'text'>``
+    exactly like ``F.col("text")`` but carries a resolved attribute of
+    ONE DataFrame (node string ``text#<exprId>`` vs
+    ``UnresolvedAttribute`` — the exprId disambiguates), and serving
+    df1's tree to df2 would raise MISSING_ATTRIBUTES or silently bind
+    the wrong side of a join.
+    Lambda variables (``let_col`` bodies) get a fresh JVM name per
+    construction, so those call sites miss by design — the cache is
+    FIFO-bounded at ``_MEMO_EXPR_CAP`` so they cannot grow a long-lived
+    driver, and the win stays with the unresolved-``F.col`` hot sites.
+
+    Scalar kwargs join the key. Cached py4j refs live as long as the
+    process's gateway — one JVM per process in every launcher here."""
 
     def _key(v):
-        return f"C:{v}" if isinstance(v, Column) else v
+        if isinstance(v, Column):
+            return f"C:{v._jc.node().normalized().toString()}"
+        return v
 
     cache: dict = {}
 
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
-        key = (
-            tuple(_key(a) for a in args),
-            tuple(sorted((k, _key(v)) for k, v in kwargs.items())),
-        )
         try:
+            key = (
+                tuple(_key(a) for a in args),
+                tuple(sorted((k, _key(v)) for k, v in kwargs.items())),
+            )
             hit = cache.get(key)
-        except TypeError:  # unhashable arg: build uncached
+        except Exception:  # unhashable / Connect-only Column: uncached
             return fn(*args, **kwargs)
         if hit is None:
             hit = cache[key] = fn(*args, **kwargs)
+            if len(cache) > _MEMO_EXPR_CAP:  # FIFO: oldest insert out
+                cache.pop(next(iter(cache)))
         return hit
 
     wrapped.cache_clear = cache.clear  # parity with lru_cache for tests

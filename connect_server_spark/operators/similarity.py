@@ -680,7 +680,10 @@ def rebalance_ivf_index(
     fs_rename(spark, index_path, old)
     try:
         fs_rename(spark, tmp, index_path)
-    except OSError:
+    except Exception:
+        # broad on purpose: fs.rename can ALSO surface JVM IOExceptions
+        # (Py4JJavaError), and skipping the rollback would strand the
+        # live index at `old` with nothing at index_path
         fs_rename(spark, old, index_path)  # roll back: live index wins
         raise
     fs_delete(spark, old)

@@ -649,7 +649,13 @@ def corpus_ingest_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("shard"),
         F.col("content").alias("payload"),
     )
-    if 0 < n_files < spark.sparkContext.defaultParallelism:
+    # Compare against the SCAN's actual split count, not the core
+    # count: binaryFile packs small files under maxPartitionBytes, so
+    # 32 small shards on 32 cores would still land in ONE split and
+    # decode serially. When packing happened, spread one shard per
+    # task; at production scale (unsplittable ~1 GB shards, one split
+    # each) the counts are equal and payloads never shuffle.
+    if 0 < shards.rdd.getNumPartitions() < n_files:
         shards = shards.repartition(n_files)
     recs = parse_warc_records(shards)
     extracted = html_to_text(recs, "body")

@@ -125,13 +125,8 @@ def daily_ingest_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``tests/test_streaming.py`` composed-ingest suite)."""
     import tempfile
 
-    from connect_server_spark.operators.dedup import (
-        write_minhash_index,
-        write_winnow_index,
-    )
-    from connect_server_spark.operators.retrieval import write_bm25_index
-    from connect_server_spark.operators.similarity import write_ivf_index
     from connect_server_spark.streaming.daily_ingest import (
+        build_base_stores,
         composed_ingest_sink,
         ingest_store_paths,
     )
@@ -155,15 +150,7 @@ def daily_ingest_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="daily_ingest_composed_")
     paths = ingest_store_paths(root)
     base = corpus.filter(F.col("doc_id") % 3 == 0)
-    write_minhash_index(
-        base, "doc_id", "text", paths["minhash_index"], paths["shingles"]
-    )
-    write_ivf_index(
-        base, paths["ivf_index"], nlist=8,
-        corpus_id="doc_id", corpus_vec="embedding",
-    )
-    write_bm25_index(base, "doc_id", "text", paths["bm25_index"])
-    write_winnow_index(base, "doc_id", "text", paths["winnow_index"])
+    build_base_stores(base, paths)
     sink = composed_ingest_sink(
         spark, root, "doc_id", "text", "embedding", "ts", "value"
     )
@@ -187,14 +174,9 @@ def daily_ingest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in ``tests/test_streaming.py`` (crawl_leg matrix)."""
     import tempfile
 
-    from connect_server_spark.operators.dedup import (
-        write_minhash_index,
-        write_winnow_index,
-    )
-    from connect_server_spark.operators.retrieval import write_bm25_index
-    from connect_server_spark.operators.similarity import write_ivf_index
     from connect_server_spark.sources.warc import synthesize_warc
     from connect_server_spark.streaming.daily_ingest import (
+        build_base_stores,
         composed_crawl_ingest_sink,
         hash_embedder,
         ingest_store_paths,
@@ -210,15 +192,7 @@ def daily_ingest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic embedder the head applies, so the IVF probe compares
     # like with like
     base = hash_embedder()(docs.filter(F.col("doc_id") % 3 == 0), "text")
-    write_minhash_index(
-        base, "doc_id", "text", paths["minhash_index"], paths["shingles"]
-    )
-    write_ivf_index(
-        base, paths["ivf_index"], nlist=8,
-        corpus_id="doc_id", corpus_vec="embedding",
-    )
-    write_bm25_index(base, "doc_id", "text", paths["bm25_index"])
-    write_winnow_index(base, "doc_id", "text", paths["winnow_index"])
+    build_base_stores(base, paths)
 
     def shard_batch(part: int) -> DataFrame:
         day = docs.filter(F.col("doc_id") % 3 == part).withColumn(

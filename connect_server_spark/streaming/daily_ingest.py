@@ -67,6 +67,7 @@ from connect_server_spark.sinks import fresh_rows
 from connect_server_spark.streaming.rollup_refresh import rollup_refresh_sink
 
 __all__ = [
+    "build_base_stores",
     "composed_ingest_sink",
     "composed_crawl_ingest_sink",
     "hash_embedder",
@@ -89,6 +90,37 @@ def ingest_store_paths(root: str) -> dict[str, str]:
         "pairs_vec": f"{root}/pairs_vec",
         "pairs_winnow": f"{root}/pairs_winnow",
     }
+
+
+def build_base_stores(
+    corpus: DataFrame, paths: dict[str, str], nlist: int = 8
+) -> None:
+    """Bootstrap the four searchable stores from a base corpus —
+    the one place the minhash/IVF/BM25/winnow base build lives (the
+    composed drills and the crawl drill share it; the module docstring's
+    "store bootstrap" contract). ``corpus`` needs (doc_id, text,
+    embedding) columns."""
+    write_minhash_index(
+        corpus.select("doc_id", "text"),
+        "doc_id",
+        "text",
+        paths["minhash_index"],
+        paths["shingles"],
+    )
+    write_ivf_index(
+        corpus.select("doc_id", "embedding"),
+        paths["ivf_index"],
+        nlist=nlist,
+        corpus_id="doc_id",
+        corpus_vec="embedding",
+    )
+    write_bm25_index(
+        corpus.select("doc_id", "text"), "doc_id", "text", paths["bm25_index"]
+    )
+    write_winnow_index(
+        corpus.select("doc_id", "text"), "doc_id", "text",
+        paths["winnow_index"],
+    )
 
 
 def composed_ingest_sink(

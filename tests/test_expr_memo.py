@@ -27,6 +27,39 @@ def test_memo_expr_hits_on_expression_text(spark):
     assert build(F.col("x")) is not a and len(calls) == 4
 
 
+def test_memo_expr_never_conflates_dataset_bound_columns(spark):
+    """df1['text'] and df2['text'] both print Column<'text'> but carry
+    different resolved attributes — serving df1's cached tree to df2
+    would raise MISSING_ATTRIBUTES (or silently bind the wrong join
+    side). The key must be the normalized column NODE (exprId-aware)."""
+    from connect_server_spark.operators.dedup import word_shingles
+
+    df1 = spark.createDataFrame([("a b c d",)], ["text"])
+    df2 = spark.createDataFrame([("x y z w",)], ["text"])
+    s1 = word_shingles(df1["text"])
+    s2 = word_shingles(df2["text"])
+    assert s1 is not s2
+    assert [r.s for r in df2.select(s2.alias("s")).collect()] == [
+        ["x y z", "y z w"]
+    ]
+    # and the same bound column DOES hit its own cache entry
+    assert word_shingles(df1["text"]) is s1
+
+
+def test_memo_expr_cache_is_bounded(spark):
+    from connect_server_spark.functions import expr as expr_mod
+
+    @expr_mod.memo_expr
+    def build(col, n=0):
+        return col + n
+
+    first = build(F.col("x"), n=-1)
+    for i in range(expr_mod._MEMO_EXPR_CAP + 5):
+        build(F.col("x"), n=i)
+    # FIFO evicted the oldest entry; a rebuild returns a fresh tree
+    assert build(F.col("x"), n=-1) is not first
+
+
 def test_memo_expr_unhashable_args_fall_through(spark):
     calls = []
 

@@ -902,26 +902,15 @@ def _composed_fixture_rows():
 
 
 def _composed_build_base(spark, root, corpus_rows):
-    from connect_server_spark.operators.dedup import (
-        write_minhash_index,
-        write_winnow_index,
+    from connect_server_spark.streaming.daily_ingest import (
+        build_base_stores,
+        ingest_store_paths,
     )
-    from connect_server_spark.operators.retrieval import write_bm25_index
-    from connect_server_spark.operators.similarity import write_ivf_index
-    from connect_server_spark.streaming.daily_ingest import ingest_store_paths
 
     paths = ingest_store_paths(root)
     schema = "doc_id long, text string, embedding array<double>, ts string, v double"
     corpus = spark.createDataFrame(corpus_rows, schema)
-    write_minhash_index(
-        corpus, "doc_id", "text", paths["minhash_index"], paths["shingles"]
-    )
-    write_ivf_index(
-        corpus, paths["ivf_index"], nlist=4,
-        corpus_id="doc_id", corpus_vec="embedding",
-    )
-    write_bm25_index(corpus, "doc_id", "text", paths["bm25_index"])
-    write_winnow_index(corpus, "doc_id", "text", paths["winnow_index"])
+    build_base_stores(corpus, paths, nlist=4)
     return paths
 
 
