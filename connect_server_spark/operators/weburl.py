@@ -134,6 +134,7 @@ def cap_per_domain(
     max_docs: int,
     seed: str = "",
     domain_col: str | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """Keep at most ``max_docs`` documents per registrable domain — the
     anti-monoculture cap (RefinedWeb-style): without it one
@@ -153,9 +154,25 @@ def cap_per_domain(
     ONE window (no union — a two-branch union would duplicate the
     upstream subtree) but partition on a SALTED pseudo-key
     (1024 buckets off the id hash) so they never form a hot partition,
-    and the filter exempts them; the text gates decide their fate."""
+    and the filter exempts them; the text gates decide their fate.
+
+    ``salt``: the 100 TB skew path. One window partitioned by domain
+    means ONE task ranks a mega-domain's every row — a third of a real
+    crawl snapshot can be one host. ``salt=S`` runs the cap in two
+    exact phases: phase 1 ranks within (domain, id-hash % S) and keeps
+    only local rank ≤ max_docs (every global top-max_docs row ranks ≤
+    max_docs inside its own bucket, so nothing kept is lost); phase 2
+    re-ranks the ≤ S·max_docs survivors per domain in the same total
+    order, which therefore selects exactly the unsalted winners.
+    Output is pinned row-identical to ``salt=None`` in
+    ``tests/test_weburl.py``. Cost: one extra Exchange whose per-domain
+    volume is bounded by S·max_docs rows — at crawl scale set S ≈ the
+    executor count; locally the single window is faster, so None is
+    the default."""
     if max_docs <= 0:
         raise ValueError("max_docs must be positive")
+    if salt is not None and salt <= 0:
+        raise ValueError("salt must be positive when given")
     key = F.col(domain_col) if domain_col else url_domain(F.col(url_col))
     with_domain = df.withColumn("_capdom", key)
     part = F.coalesce(
@@ -165,13 +182,22 @@ def cap_per_domain(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(1024)).cast("string"),
         ),
     )
-    w = Window.partitionBy(part).orderBy(
+    order = [
         F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
         F.col(id_col),
-    )
+    ]
+    exempt = F.col("_capdom").isNull()
+    if salt is not None and salt > 1:
+        pre = Window.partitionBy(
+            part, F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(salt))
+        ).orderBy(*order)
+        with_domain = with_domain.withColumn(
+            "_r1", F.row_number().over(pre)
+        ).filter(exempt | (F.col("_r1") <= max_docs)).drop("_r1")
+    w = Window.partitionBy(part).orderBy(*order)
     return (
         with_domain.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_capdom").isNull() | (F.col("_r") <= max_docs))
+        .filter(exempt | (F.col("_r") <= max_docs))
         .drop("_r", "_capdom")
     )
 

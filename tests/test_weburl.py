@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from connect_server_spark.operators.weburl import (
@@ -122,6 +123,29 @@ def test_cap_per_domain_mirror_and_seed_semantics(spark):
     again = sorted(r.id for r in cap_per_domain(df, "url", "id", 5, seed="s:").collect())
     other = sorted(r.id for r in cap_per_domain(df, "url", "id", 5, seed="t:").collect())
     assert again == out and len(other) == 15 and other != out
+
+
+def test_cap_per_domain_salted_is_exact(spark):
+    """The two-phase skew path must select EXACTLY the unsalted winners
+    — every global top-k row ranks ≤ k inside its own salt bucket, so
+    phase 1 cannot drop a winner, and phase 2 re-ranks survivors in the
+    same total order. Skewed fixture: one mega-domain holds 80% of the
+    rows; NULL-domain (unparseable) rows must still bypass the cap in
+    both phases."""
+    rows = [(i, f"https://mega.example/p/{i}") for i in range(160)] + [
+        (200 + i, f"https://d{i % 4}.example/p/{i}") for i in range(40)
+    ] + [(300 + i, "not a url") for i in range(9)]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    base = sorted(r.id for r in cap_per_domain(df, "url", "id", 7, seed="s:").collect())
+    assert len(base) == 7 + 4 * 7 + 9  # mega + 4 small + exempt garbage
+    for s in (1, 2, 8, 64):  # 1 = degenerate (no pre-phase), 64 > rows/bucket
+        salted = sorted(
+            r.id
+            for r in cap_per_domain(df, "url", "id", 7, seed="s:", salt=s).collect()
+        )
+        assert salted == base, f"salt={s} diverged"
+    with pytest.raises(ValueError):
+        cap_per_domain(df, "url", "id", 7, salt=0)
 
 
 def test_corpus_url_filter_query_semantics(spark, sf_dir):
