@@ -57,39 +57,43 @@ def transfer_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("destination_path"),
         ).alias("u"),
     )
-    items = unified.select(
-        "dataset_id",
-        "l_linenumber",
-        F.col("u.origin_id").alias("origin_id"),
-        transfer_items(
-            F.col("u.origin_path"),
-            F.lit("/mdf"),
-            F.concat(F.lit("ds_"), F.col("dataset_id").cast("string")),
-        ).alias("item"),
-        make_globus_app_link(
-            F.concat(F.lit("globus://"), F.col("u.origin_id"), F.col("u.origin_path"))
-        ).alias("app_link"),
-    )
     # Per-dataset endpoint invariant via a window over the SAME shuffle
     # the items already need — one Exchange, not agg + join-back (three).
     # Groups are bounded (≤ 7 lines/dataset), so the windowed
     # collect_list holds a handful of 36-char ids, never a hot key.
+    # The window runs on the NARROW frame (id, linenumber, u) and the
+    # wide derived strings (transfer item paths, the percent-encoded
+    # app link — ~100+ chars/row) are projected AFTER it, so the
+    # Exchange never carries them (r8: moved post-shuffle, was built
+    # below the window).
     # `single_endpoint_check` (operators/transfer.py) stays as the
     # relational form for standalone use.
     w = Window.partitionBy("dataset_id")
     # collect_set dedupes inside the aggregation buffer (2 distinct ids
     # max) instead of materializing the per-row list first
-    n_endpoints = F.size(F.collect_set("origin_id").over(w)).cast("long")
-    return items.select(
+    n_endpoints = F.size(F.collect_set(F.col("u.origin_id")).over(w)).cast(
+        "long"
+    )
+    flagged = unified.withColumn("_n", n_endpoints)
+    item = transfer_items(
+        F.col("u.origin_path"),
+        F.lit("/mdf"),
+        F.concat(F.lit("ds_"), F.col("dataset_id").cast("string")),
+    )
+    return flagged.select(
         "dataset_id",
         "l_linenumber",
-        "origin_id",
-        F.col("item.source_path").alias("source_path"),
-        F.col("item.destination_path").alias("destination_path"),
-        F.col("item.recursive").alias("recursive"),
-        "app_link",
-        n_endpoints.alias("n_endpoints"),
-        (n_endpoints == 1).alias("endpoints_ok"),
+        F.col("u.origin_id").alias("origin_id"),
+        item.getField("source_path").alias("source_path"),
+        item.getField("destination_path").alias("destination_path"),
+        item.getField("recursive").alias("recursive"),
+        make_globus_app_link(
+            F.concat(
+                F.lit("globus://"), F.col("u.origin_id"), F.col("u.origin_path")
+            )
+        ).alias("app_link"),
+        F.col("_n").alias("n_endpoints"),
+        (F.col("_n") == 1).alias("endpoints_ok"),
     )
 
 
