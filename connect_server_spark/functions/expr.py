@@ -32,7 +32,7 @@ def memo_expr(fn):
     the wrong side of a join.
     Lambda variables (``let_col`` bodies) get a fresh JVM name per
     construction, so those call sites miss by design — the cache is
-    FIFO-bounded at ``_MEMO_EXPR_CAP`` so they cannot grow a long-lived
+    LRU-bounded at ``_MEMO_EXPR_CAP`` so they cannot grow a long-lived
     driver, and the win stays with the unresolved-``F.col`` hot sites.
 
     Scalar kwargs join the key. Cached py4j refs live as long as the
@@ -40,8 +40,16 @@ def memo_expr(fn):
 
     def _key(v):
         if isinstance(v, Column):
-            return f"C:{v._jc.node().normalized().toString()}"
-        return v
+            # normalized() carries resolved exprIds (df1["text"] vs
+            # df2["text"]) but prints typed literals identically
+            # (Literal(1,...) for both 1 and "1"); sql() quotes string
+            # literals but drops exprIds. Key on BOTH so neither
+            # blindness can serve a wrong tree.
+            node = v._jc.node()
+            return f"C:{node.normalized().toString()}\x00{node.sql()}"
+        # scalars: 1, True and 1.0 are equal as dict keys — pair the
+        # type so a bool-flagged call never hits an int-flagged entry
+        return (type(v), v)
 
     cache: dict = {}
 
@@ -57,8 +65,14 @@ def memo_expr(fn):
             return fn(*args, **kwargs)
         if hit is None:
             hit = cache[key] = fn(*args, **kwargs)
-            if len(cache) > _MEMO_EXPR_CAP:  # FIFO: oldest insert out
+            if len(cache) > _MEMO_EXPR_CAP:  # evict least-recently-USED
                 cache.pop(next(iter(cache)))
+        else:
+            # LRU, not FIFO: let_col lambda bodies insert
+            # never-again-matched keys by design, and FIFO would let
+            # that churn evict the hot stopword-tree entries this cache
+            # exists for — a hit re-inserts at the back of the order
+            cache[key] = cache.pop(key)
         return hit
 
     wrapped.cache_clear = cache.clear  # parity with lru_cache for tests

@@ -652,11 +652,15 @@ def corpus_ingest_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Compare against the SCAN's actual split count, not the core
     # count: binaryFile packs small files under maxPartitionBytes, so
     # 32 small shards on 32 cores would still land in ONE split and
-    # decode serially. When packing happened, spread one shard per
-    # task; at production scale (unsplittable ~1 GB shards, one split
-    # each) the counts are equal and payloads never shuffle.
-    if 0 < shards.rdd.getNumPartitions() < n_files:
-        shards = shards.repartition(n_files)
+    # decode serially. When packing happened, spread the shards — but
+    # cap the target at 4×cores: one-partition-per-file on a 100k-file
+    # directory would shuffle every payload byte into 100k tasks for
+    # no added parallelism. At production scale (unsplittable ~1 GB
+    # shards, one split each) the counts are equal and payloads never
+    # shuffle.
+    target = min(n_files, 4 * spark.sparkContext.defaultParallelism)
+    if 0 < shards.rdd.getNumPartitions() < target:
+        shards = shards.repartition(target)
     recs = parse_warc_records(shards)
     extracted = html_to_text(recs, "body")
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")

@@ -46,6 +46,48 @@ def test_memo_expr_never_conflates_dataset_bound_columns(spark):
     assert word_shingles(df1["text"]) is s1
 
 
+def test_memo_expr_key_is_literal_type_aware(spark):
+    """F.lit(1) and F.lit("1") normalize to the same node string, and
+    1/True/1.0 are equal as dict keys — a type-blind key would serve
+    the int tree to the string call (wrong literal type, no error)."""
+    from connect_server_spark.functions import expr as expr_mod
+
+    calls = []
+
+    @expr_mod.memo_expr
+    def build(col, flag=0):
+        calls.append(1)
+        return F.concat(col.cast("string"), F.lit("!"))
+
+    assert build(F.lit(1)) is not build(F.lit("1"))
+    assert build(F.lit(True)) is not build(F.lit(1))
+    c = F.col("x")
+    assert build(c, flag=1) is not build(c, flag=True)
+    assert build(c, flag=1.0) is not build(c, flag=1)
+    # 6 distinct keys built; the lit(1) and flag=1 repeats above HIT
+    assert len(calls) == 6
+    assert build(F.lit(1)) is build(F.lit(1)) and len(calls) == 6
+
+
+def test_memo_expr_eviction_is_lru_not_fifo(spark):
+    """let_col lambda bodies insert never-again-matched keys by design;
+    FIFO would let that churn evict the hot stopword-tree entries. A
+    hit must refresh the entry's eviction order."""
+    from connect_server_spark.functions import expr as expr_mod
+
+    @expr_mod.memo_expr
+    def build(col, n=0):
+        return col + n
+
+    hot = build(F.col("x"), n=-1)
+    for i in range(expr_mod._MEMO_EXPR_CAP - 1):
+        build(F.col("x"), n=i)  # fill to cap
+    assert build(F.col("x"), n=-1) is hot  # touch: now most-recent
+    for i in range(expr_mod._MEMO_EXPR_CAP // 2):
+        build(F.col("x"), n=10_000 + i)  # churn past the cap
+    assert build(F.col("x"), n=-1) is hot  # survived — LRU, not FIFO
+
+
 def test_memo_expr_cache_is_bounded(spark):
     from connect_server_spark.functions import expr as expr_mod
 
