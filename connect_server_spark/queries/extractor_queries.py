@@ -581,10 +581,19 @@ def _warc_ingest_telemetry(extracted: DataFrame, docs: DataFrame) -> DataFrame:
 register("corpus_ingest_warc", corpus_ingest_warc, defer=True)
 
 
-def warc_shard_files(spark: SparkSession, sf_dir: str, n_shards: int = 8) -> str:
+def warc_shard_files(
+    spark: SparkSession, sf_dir: str, n_shards: int | None = None
+) -> str:
     """Write REAL ``.warc.gz`` shard files once per dataset (content-keyed
     /tmp cache, the IVF-index idiom) — the fixture stand-in for the
     object-store shards a production crawl ingest starts from.
+
+    ``n_shards`` defaults to ~7.5k docs per shard (min 8) so the shard
+    COUNT grows with the corpus — the production shape (a crawl is many
+    fixed-size shards, not 8 growing ones). A fixed count would make
+    the sf1 sweep measure the fixture's 8-way decode ceiling, not the
+    operator. The cache key carries the shard count so an explicit
+    ``n_shards`` never collides with the default layout.
 
     The writes happen EXECUTOR-side (``foreachPartition``): each task
     writes its own shard files by atomic rename, the ``_SUCCESS`` marker
@@ -595,8 +604,11 @@ def warc_shard_files(spark: SparkSession, sf_dir: str, n_shards: int = 8) -> str
     from connect_server_spark.sources.warc import synthesize_warc
     from connect_server_spark.tables import dataset_cache_key
 
+    if n_shards is None:
+        n_docs = load_table(spark, "documents", sf_dir).count()
+        n_shards = max(8, n_docs // 7500)
     key = dataset_cache_key(sf_dir, "documents")
-    shard_dir = f"/tmp/connect_server_spark_warc_files_v1/{key}"
+    shard_dir = f"/tmp/connect_server_spark_warc_files_v1/{key}-s{n_shards}"
     marker = f"{shard_dir}/_SUCCESS"
     if not os.path.exists(marker):
         os.makedirs(shard_dir, exist_ok=True)
