@@ -31,6 +31,19 @@ hard-coded ``localCheckpoint``:
     ``pin=True`` (see below) still materialize locally because their
     correctness depends on severing lineage, not just their speed.
 
+Checkpoint-file lifetime: reliable checkpoints are PERMANENT files —
+Spark deletes one only when its RDD is garbage-collected AND
+``spark.cleaner.referenceTracking.cleanCheckpoints`` is on (it is, in
+:func:`~connect_server_spark.session.get_spark`; stock Spark defaults
+it off). Scope the mode accordingly: it exists for the long BATCH
+composites (curation_full, training_release, the dedup pipelines),
+where boundaries are few and the job end releases them. Inside a
+streaming ``foreachBatch`` body, keep the default ``local`` — a batch
+is short-lived and the stream's own checkpoint/replay already covers
+executor loss (the kill-mid-batch convergence pins), so reliable
+boundaries there would only accrete per-batch file-sets between GC
+cycles.
+
 The mode is read from the session conf at each boundary, so a caller
 flips the whole execution strategy of every composite with one
 ``spark.conf.set`` — no API threading through fifteen call sites — and

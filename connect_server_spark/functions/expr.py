@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import functools
+import threading
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -52,6 +53,10 @@ def memo_expr(fn):
         return (type(v), v)
 
     cache: dict = {}
+    # plan construction is driver-side but NOT single-threaded:
+    # foreachBatch bodies run on per-stream threads, and an unlocked
+    # pop-then-reinsert would let two hits race into a KeyError
+    lock = threading.Lock()
 
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
@@ -60,19 +65,23 @@ def memo_expr(fn):
                 tuple(_key(a) for a in args),
                 tuple(sorted((k, _key(v)) for k, v in kwargs.items())),
             )
-            hit = cache.get(key)
+            hash(key)  # an unhashable arg surfaces HERE, not in .get
         except Exception:  # unhashable / Connect-only Column: uncached
             return fn(*args, **kwargs)
-        if hit is None:
-            hit = cache[key] = fn(*args, **kwargs)
+        with lock:
+            hit = cache.get(key)
+            if hit is not None:
+                # LRU, not FIFO: let_col lambda bodies insert
+                # never-again-matched keys by design, and FIFO would
+                # let that churn evict the hot stopword-tree entries
+                # this cache exists for — a hit re-inserts at the back
+                cache[key] = cache.pop(key)
+                return hit
+        hit = fn(*args, **kwargs)  # build outside the lock (py4j-slow)
+        with lock:
+            cache[key] = hit
             if len(cache) > _MEMO_EXPR_CAP:  # evict least-recently-USED
                 cache.pop(next(iter(cache)))
-        else:
-            # LRU, not FIFO: let_col lambda bodies insert
-            # never-again-matched keys by design, and FIFO would let
-            # that churn evict the hot stopword-tree entries this cache
-            # exists for — a hit re-inserts at the back of the order
-            cache[key] = cache.pop(key)
         return hit
 
     wrapped.cache_clear = cache.clear  # parity with lru_cache for tests

@@ -247,6 +247,13 @@ def train_ivf_centroids(
     sample = sample / np.maximum(
         np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
     )
+    if len(sample) < nlist:
+        raise ValueError(
+            f"train_ivf_centroids: nlist={nlist} needs at least nlist "
+            f"sample vectors but only {len(sample)} are available — "
+            "raise sample_size (or lower nlist); k-means cannot seed "
+            "more centroids than it has points"
+        )
     rng = np.random.RandomState(seed)
     cents = sample[rng.choice(len(sample), size=nlist, replace=False)]
     for _ in range(iters):
@@ -606,6 +613,8 @@ def rebalance_ivf_index(
     target_cell_size: int = 256,
     sample_size: int = 4096,
     train_iters: int = 10,
+    max_nlist: int = 65536,
+    _pre_swap_hook=None,
 ) -> int:
     """Act on what :func:`ivf_cell_stats` reports: re-train the coarse
     quantizer from the CURRENT store contents and re-assign every stored
@@ -650,13 +659,23 @@ def rebalance_ivf_index(
             f"rebalance_ivf_index: empty cell store at {index_path} — "
             "nothing to train on (build the index first)"
         )
-    nlist = max(16, n // target_cell_size)
+    # fixed-cell-size rule, clamped three ways (review finding — the
+    # unclamped form CRASHED in exactly the grew-10× regime it was
+    # written for): never more cells than stored vectors (a 5-vector
+    # store cannot seed 16 centroids), and never past max_nlist — the
+    # driver-side Lloyd's is O(sample·nlist·iters) and the centroid
+    # matrix ships to every probe task, so past ~65k cells the answer
+    # is sharding the index, not a bigger quantizer. The training
+    # sample then scales WITH nlist (≥4 points per centroid, floor at
+    # the configured sample_size) instead of silently asking k-means
+    # for more centroids than points.
+    nlist = min(max(16, n // target_cell_size), max_nlist, n)
     cents = train_ivf_centroids(
         store,
         nlist,
         corpus_id,
         corpus_vec,
-        sample_size=sample_size,
+        sample_size=max(sample_size, 4 * nlist),
         iters=train_iters,
     )
     hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
@@ -677,6 +696,8 @@ def rebalance_ivf_index(
         centroids=cents,
         quantize=quantized,
     )
+    if _pre_swap_hook is not None:  # test seam: simulate a concurrent
+        _pre_swap_hook()  # append landing between tmp write and swap
     fs_rename(spark, index_path, old)
     try:
         fs_rename(spark, tmp, index_path)
@@ -686,5 +707,25 @@ def rebalance_ivf_index(
         # live index at `old` with nothing at index_path
         fs_rename(spark, old, index_path)  # roll back: live index wins
         raise
+    # Appends that landed AFTER the tmp materialization live only in
+    # `old` (the swap moved them aside with the rest of the live dir) —
+    # re-appending the id-level delta before the delete means a
+    # concurrent daily-ingest append is carried into the rebuilt index,
+    # never destroyed (review finding: the window used to lose clean
+    # appends silently). Assignment uses the NEW stored centroids via
+    # mode="append"; duplicates are impossible by the anti-join.
+    old_rows = read_ivf_cells(spark, old, corpus_id, corpus_vec)
+    rebuilt_ids = read_ivf_cells(spark, index_path, corpus_id, corpus_vec)
+    delta = old_rows.select(corpus_id, corpus_vec).join(
+        rebuilt_ids.select(corpus_id), corpus_id, "left_anti"
+    )
+    if delta.limit(1).count() > 0:
+        write_ivf_index(
+            delta,
+            index_path,
+            corpus_id=corpus_id,
+            corpus_vec=corpus_vec,
+            mode="append",
+        )
     fs_delete(spark, old)
     return nlist

@@ -604,6 +604,20 @@ def warc_shard_files(
     from connect_server_spark.sources.warc import synthesize_warc
     from connect_server_spark.tables import dataset_cache_key
 
+    # The executor-side open()/os.replace writes land on NODE-LOCAL
+    # disk while the binaryFile scan lists driver-side: those only see
+    # the same /tmp when driver and executors share one machine. On a
+    # real cluster this fixture generator would write shards the scan
+    # never finds (and stamp _SUCCESS anyway) — refuse loudly;
+    # production ingest points corpus_ingest_files-style scans at the
+    # object-store shards a crawler already wrote.
+    master = spark.sparkContext.master
+    if not master.startswith("local"):
+        raise ValueError(
+            f"warc_shard_files writes node-local files (master={master!r}):"
+            " this is a local-mode fixture generator — on a cluster, scan"
+            " the crawler's own shards on shared storage instead"
+        )
     if n_shards is None:
         n_docs = load_table(spark, "documents", sf_dir).count()
         n_shards = max(8, n_docs // 7500)

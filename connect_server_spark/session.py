@@ -54,6 +54,12 @@ def get_spark(
         # branches on the dtype). A no-op for current timestamp[us] data.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # reliable stage boundaries (execution.stage_boundary) write
+        # permanent checkpoint file-sets; without this, Spark never
+        # deletes them while the context lives, so a long-running job
+        # with many boundaries grows the checkpoint dir unboundedly.
+        # With it, a checkpoint is GC'd once its RDD is unreachable.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -345,16 +345,30 @@ def warc_batch_head(
 
     def head(batch_df: DataFrame) -> DataFrame:
         recs = parse_warc_records(batch_df.select("shard", "payload"))
+        # id: the fixture URI pattern when present, else the URI hash —
+        # a real crawl record's target_uri is an arbitrary URL, and a
+        # NULL id here would be SILENTLY swallowed downstream
+        # (url_dedup's min-id filter compares NULL == NULL → row
+        # dropped). xxhash64 of the URI is deterministic across
+        # replays; the text hash is the last resort for uri-less
+        # records so distinct documents never share one id.
+        fixture_id = F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        doc_id = F.coalesce(
+            F.when(fixture_id != "", fixture_id.cast("long")),
+            F.when(
+                F.col("target_uri").isNotNull(), F.xxhash64("target_uri")
+            ),
+            F.xxhash64(F.col(text_col)),
+        )
         docs = html_to_text(
             recs.filter(
                 F.col("error").isNull() & (F.col("http_status") == 200)
             ),
             "body",
+            out_col=text_col,
         ).select(
             F.col("target_uri").alias("url"),
-            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
-            .cast("long")
-            .alias(id_col),
+            doc_id.alias(id_col),
             F.col(text_col),
             F.to_timestamp(F.col("warc_date")).alias(ts_col),
         )

@@ -729,3 +729,96 @@ def test_rebalance_ivf_index_refuses_empty_store(spark, tmp_path):
     ).write.parquet(f"{ix}/cells")
     with _pytest.raises(ValueError, match="empty cell store"):
         rebalance_ivf_index(spark, ix)
+
+
+def test_rebalance_ivf_index_clamps_nlist_and_scales_sample(spark, tmp_path):
+    """The fixed-cell-size rule must survive both edges it used to crash
+    on: nlist can never exceed the store size (a 5-vector store cannot
+    seed 16 centroids) and the training sample scales WITH nlist instead
+    of letting k-means ask for more centroids than points."""
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        ivf_cell_stats,
+        rebalance_ivf_index,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    # tiny store: n=5 < the 16-cell floor
+    tiny = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0]) for i in range(5)],
+        ["vec_id", "embedding"],
+    )
+    ixt = str(tmp_path / "rebal_tiny")
+    write_ivf_index(tiny, ixt, nlist=2)
+    assert rebalance_ivf_index(spark, ixt) == 5
+    assert sum(r.n for r in ivf_cell_stats(spark, ixt).collect()) == 5
+
+    # nlist > sample_size regime: 600 vectors at 2/cell wants 300 cells;
+    # a fixed sample of 64 used to feed k-means 64 points for 300 seeds
+    # (numpy ValueError) — now the sample floor rises to 4*nlist
+    rng = np.random.RandomState(5)
+    big = spark.createDataFrame(
+        [(i, rng.randn(8).tolist()) for i in range(600)],
+        ["vec_id", "embedding"],
+    )
+    ixb = str(tmp_path / "rebal_many_cells")
+    write_ivf_index(big, ixb, nlist=4)
+    n = rebalance_ivf_index(
+        spark, ixb, target_cell_size=2, sample_size=64
+    )
+    assert n == 300
+    assert sum(r.n for r in ivf_cell_stats(spark, ixb).collect()) == 600
+
+    # and the direct guard reads as a contract, not a numpy traceback
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="more centroids than it has"):
+        train_ivf_centroids(tiny, nlist=50, sample_size=5)
+
+
+def test_rebalance_ivf_index_carries_concurrent_appends(spark, tmp_path):
+    """An append landing between the rebuilt-index materialization and
+    the directory swap lives only in the swapped-aside old directory —
+    rebalance must re-append that delta before deleting it, or a clean
+    daily-ingest append is silently destroyed (the maintenance job runs
+    CONCURRENTLY with ingest by design)."""
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        ivf_topk_indexed,
+        read_ivf_cells,
+        rebalance_ivf_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(3)
+    base = spark.createDataFrame(
+        [(i, rng.randn(8).tolist()) for i in range(64)],
+        ["vec_id", "embedding"],
+    )
+    ix = str(tmp_path / "rebal_race")
+    write_ivf_index(base, ix, nlist=4)
+
+    late_vec = rng.randn(8).tolist()
+
+    def racing_append():
+        batch = spark.createDataFrame(
+            [(9001, late_vec)], ["vec_id", "embedding"]
+        )
+        write_ivf_index(batch, ix, mode="append")
+
+    rebalance_ivf_index(
+        spark, ix, target_cell_size=8, _pre_swap_hook=racing_append
+    )
+    store = read_ivf_cells(spark, ix)
+    assert store.count() == 65  # nothing lost, nothing duplicated
+    assert store.filter(F.col("vec_id") == 9001).count() == 1
+    # and the late row is assigned under the NEW centroids: a full
+    # probe at its own vector finds it at rank 1
+    probe = spark.createDataFrame(
+        [(0, late_vec)], ["probe_id", "probe_vec"]
+    )
+    top = ivf_topk_indexed(probe, spark, ix, 1, nprobe=16).collect()
+    assert [r.vec_id for r in top] == [9001]
