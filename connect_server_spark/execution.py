@@ -35,7 +35,10 @@ Checkpoint-file lifetime: reliable checkpoints are PERMANENT files —
 Spark deletes one only when its RDD is garbage-collected AND
 ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on (it is, in
 :func:`~connect_server_spark.session.get_spark`; stock Spark defaults
-it off). Scope the mode accordingly: it exists for the long BATCH
+it off — it is a context-start conf, so a session built elsewhere
+must set it at launch or budget the checkpoint dir for the job's full
+boundary count). Scope the mode accordingly: it exists for the long
+BATCH
 composites (curation_full, training_release, the dedup pipelines),
 where boundaries are few and the job end releases them. Inside a
 streaming ``foreachBatch`` body, keep the default ``local`` — a batch
@@ -94,7 +97,12 @@ def set_checkpoint_mode(
     spark: SparkSession, mode: str, checkpoint_dir: str | None = None
 ) -> None:
     """Set the stage-boundary mode; ``reliable`` needs a checkpoint
-    directory (shared storage on a cluster) and sets it here when given."""
+    directory (shared storage on a cluster) and sets it here when given.
+    A long-running reliable job also needs
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` at
+    SESSION LAUNCH (``get_spark`` sets it; it is a context-start conf
+    that cannot be set here) — without it every boundary's file-set
+    persists until context stop (module docstring)."""
     if mode not in _MODES:
         raise ValueError(f"checkpoint mode {mode!r}: expected one of {_MODES}")
     if checkpoint_dir is not None:

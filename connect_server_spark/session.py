@@ -55,10 +55,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # reliable stage boundaries (execution.stage_boundary) write
-        # permanent checkpoint file-sets; without this, Spark never
-        # deletes them while the context lives, so a long-running job
-        # with many boundaries grows the checkpoint dir unboundedly.
-        # With it, a checkpoint is GC'd once its RDD is unreachable.
+        # permanent checkpoint file-sets; stock Spark never deletes
+        # them while the context lives, so a long-running job with
+        # many boundaries grows the checkpoint dir unboundedly. With
+        # this on, a checkpoint is GC'd once its RDD is unreachable.
+        # Local cost: none measurable (interleaved A/B on the
+        # checkpoint-heavy training_release at sf0.1 showed only the
+        # container's ±20% inter-process drift, both arms alike).
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
