@@ -247,6 +247,13 @@ def main() -> None:
         # relative to this fixed-compute row across rounds
         "calibration_sec": _calibration(spark, reps),
     }
+    # unitless machine-normalized headline (total / calibration): the
+    # container's inter-run drift moves both numerator and denominator,
+    # so THIS is the round-over-round comparable — raw totals are not
+    if out["value"] is not None and out["calibration_sec"] > 0:
+        out["value_calibrated"] = round(
+            out["value"] / out["calibration_sec"], 1
+        )
     if errors:
         out["query_errors"] = errors
     if headline_errored:

@@ -312,6 +312,7 @@ def warc_batch_head(
     block_domains: list[str] | None = None,
     domain_cap: int | None = None,
     cap_seed: str = "dih:",
+    cap_salt: int | None = None,
     embedder=None,
 ) -> Callable[[DataFrame], DataFrame]:
     """The crawl HEAD as a batch adapter (r7 verdict ask #7): turn a
@@ -376,8 +377,12 @@ def warc_batch_head(
             docs = filter_blocked_domains(docs, "url", block)
         docs = url_dedup(docs, "url", id_col)
         if domain_cap is not None:
+            # cap_salt: the two-phase exact skew path — a production
+            # crawl batch can be one mega-domain; set ≈ executor count
+            # there (operators/weburl.py), leave None for local drills
             docs = cap_per_domain(
-                docs, "url", id_col, domain_cap, seed=cap_seed
+                docs, "url", id_col, domain_cap,
+                seed=cap_seed, salt=cap_salt,
             )
         flags = c4_doc_flags(F.col(text_col))
         gated = docs.filter(
