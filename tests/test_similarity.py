@@ -664,13 +664,29 @@ def test_rebalance_ivf_index_restores_balance_and_serving(spark, tmp_path):
         ).collect()
     )
     assert served_after == served_before
-    # replay-safe swap: no tmp/old leftovers beside the index
+    # replay-safe swap: the pointer names the rebuilt generation, no
+    # rename-era work dirs appear beside the index, and the pre-swap
+    # payload survives exactly one publish as reader grace
+    from connect_server_spark.fsutil import (
+        CURRENT_POINTER,
+        resolve_store,
+    )
+
     leftovers = [
         p
         for p in glob.glob(os.path.join(os.path.dirname(ix), ".*"))
         if "_rebalance_" in p
     ]
     assert leftovers == []
+    assert os.path.exists(f"{ix}/{CURRENT_POINTER}")
+    gen1 = resolve_store(spark, ix)
+    assert gen1 != ix and os.path.isdir(f"{ix}/cells")  # grace kept
+    rebalance_ivf_index(spark, ix, target_cell_size=10)
+    gen2 = resolve_store(spark, ix)
+    assert gen2 != gen1
+    assert not os.path.exists(f"{ix}/cells")  # flat legacy GC'd
+    assert os.path.isdir(gen1)  # gen1 is now the grace generation
+    assert sum(r.n for r in ivf_cell_stats(spark, ix).collect()) == 160
 
 
 def test_rebalance_ivf_index_sq8_is_lossless_and_stays_quantized(
@@ -701,7 +717,11 @@ def test_rebalance_ivf_index_sq8_is_lossless_and_stays_quantized(
 
     before = payload(ix)
     rebalance_ivf_index(spark, ix, target_cell_size=4)
-    cols = spark.read.parquet(f"{ix}/cells").columns
+    from connect_server_spark.fsutil import resolve_store
+
+    live = resolve_store(spark, ix)
+    assert live != ix  # the swap upgraded the store to a generation
+    cols = spark.read.parquet(f"{live}/cells").columns
     assert "q" in cols and "embedding" not in cols  # still SQ8
     assert payload(ix) == before
 
@@ -776,6 +796,56 @@ def test_rebalance_ivf_index_clamps_nlist_and_scales_sample(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="more centroids than it has"):
         train_ivf_centroids(tiny, nlist=50, sample_size=5)
+
+
+def test_maintain_ivf_index_triggers_only_on_drift(spark, tmp_path):
+    """The automated stats→threshold→rebalance loop (r8 verdict missing
+    #3): a healthy index reads one balance row and does NOTHING (no
+    swap, no pointer, no rewrite); once appends drift past the skew
+    threshold the rebalance fires, every vector survives, and the
+    hottest-cell share (the probe tail cost) actually drops."""
+    import os
+
+    import numpy as np
+
+    from connect_server_spark.fsutil import CURRENT_POINTER
+    from connect_server_spark.operators.similarity import (
+        ivf_cell_stats,
+        maintain_ivf_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(21)
+    centers = rng.randn(4, 8)
+    rows = [
+        (i, (centers[i % 4] + 0.05 * rng.randn(8)).tolist())
+        for i in range(80)
+    ]
+    ix = str(tmp_path / "maint_ix")
+    write_ivf_index(
+        spark.createDataFrame(rows, ["vec_id", "embedding"]), ix, nlist=4
+    )
+
+    # healthy: ~20 per cell, max skew ≈ 1 — no action, no layout change
+    assert maintain_ivf_index(spark, ix) is None
+    assert not os.path.exists(f"{ix}/{CURRENT_POINTER}")
+
+    # drift: a one-cluster batch piles into one frozen cell
+    hot = centers[0] + 6.0 * np.abs(rng.randn(8))
+    batch = spark.createDataFrame(
+        [(1000 + i, (hot + 0.02 * rng.randn(8)).tolist()) for i in range(80)],
+        ["vec_id", "embedding"],
+    )
+    write_ivf_index(batch, ix, mode="append")
+    before = max(r.skew for r in ivf_cell_stats(spark, ix).collect())
+    assert before > 2.0
+
+    new_nlist = maintain_ivf_index(spark, ix, skew_threshold=2.0)
+    assert isinstance(new_nlist, int)
+    assert os.path.exists(f"{ix}/{CURRENT_POINTER}")  # pointer swap fired
+    after = ivf_cell_stats(spark, ix).collect()
+    assert sum(r.n for r in after) == 160  # every vector survived
+    assert max(r.skew for r in after) < before
 
 
 def test_rebalance_ivf_index_carries_concurrent_appends(spark, tmp_path):

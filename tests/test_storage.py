@@ -130,11 +130,17 @@ def test_compact_merges_small_files(spark, tmp_path):
     import glob
 
     assert len(glob.glob(f"{path}/part-*.parquet")) == 64
-    # huge target → everything folds into one file
+    # huge target → everything folds into one file, published as a new
+    # generation (the pointer flip IS the swap; the 64-file flat payload
+    # survives one publish as reader grace)
+    from connect_server_spark.fsutil import resolve_store
+
     n = compact(spark, path, target_file_bytes=1 << 30)
-    files = glob.glob(f"{path}/part-*.parquet")
+    live = resolve_store(spark, path)
+    assert live != path
+    files = glob.glob(f"{live}/part-*.parquet")
     assert n == 1 and len(files) == 1
-    back = spark.read.parquet(path)
+    back = spark.read.parquet(live)
     assert back.count() == 10000
     assert back.agg(F.sum("id")).first()[0] == sum(range(10000))
 
@@ -256,13 +262,17 @@ def test_compact_bucketed_merges_files_and_preserves_layout(spark, tmp_path):
         )
         write_minhash_index(batch, "doc_id", "text", ix, sh, mode="append")
 
+    from connect_server_spark.fsutil import resolve_store
+
     rows_before = sorted(tuple(r) for r in spark.read.parquet(ix).collect())
     files_before = len(glob.glob(f"{ix}/*.parquet"))
     compact_bucketed(spark, ix, "band_hash")
     compact_bucketed(spark, sh, "doc_id")
-    files_after = len(glob.glob(f"{ix}/*.parquet"))
+    live = resolve_store(spark, ix)
+    assert live != ix  # compaction published a generation
+    files_after = len(glob.glob(f"{live}/*.parquet"))
     assert files_after < files_before
-    assert sorted(tuple(r) for r in spark.read.parquet(ix).collect()) == rows_before
+    assert sorted(tuple(r) for r in spark.read.parquet(live).collect()) == rows_before
 
     # the compacted stores still serve the probe path, with the layout
     # guarantee intact: bucketed scans, batch-side-build hash joins

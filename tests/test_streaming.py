@@ -1016,6 +1016,43 @@ def test_composed_ingest_end_to_end_semantics(spark, composed_control):
     assert len(st["rollup"]) > 0
 
 
+def test_composed_ingest_maintenance_cadence_is_pure_relayout(
+    spark, tmp_path, composed_control
+):
+    """The automated IVF maintenance loop wired into the composed job
+    (r8 verdict ask #5): with ``maintain_every`` on and a hair-trigger
+    threshold, the rebalance FIRES on cadence (the store swaps to a
+    generation pointer) — and the full observable state of every store
+    still equals the no-maintenance control, because a rebalance is a
+    pure re-layout. A replayed batch after maintenance converges too
+    (the post-commit placement keeps the exactly-once contract)."""
+    import os
+
+    from connect_server_spark.fsutil import CURRENT_POINTER
+    from connect_server_spark.streaming.daily_ingest import (
+        composed_ingest_sink,
+    )
+
+    root = str(tmp_path / "root")
+    corpus, b1, b2 = _composed_fixture_rows()
+    paths = _composed_build_base(spark, root, corpus)
+    # skew_threshold below 1.0 always trips (max skew >= 1 by
+    # definition): the cadence leg must fire after every batch
+    sink = composed_ingest_sink(
+        spark, root, "doc_id", "text", "embedding", "ts", "v",
+        maintain_every=1, maintain_skew_threshold=0.5,
+    )
+    sink(_composed_batch(spark, b1), 0)
+    assert os.path.exists(
+        f"{paths['ivf_index']}/{CURRENT_POINTER}"
+    ), "maintenance never fired"
+    sink(_composed_batch(spark, b2), 1)
+    assert _composed_state(spark, paths) == composed_control
+    # replay the last batch (post-maintenance layout): still convergent
+    sink(_composed_batch(spark, b2), 1)
+    assert _composed_state(spark, paths) == composed_control
+
+
 @pytest.mark.parametrize(
     "failpoint",
     ["rollup", "pairs", "minhash_index", "ivf_index", "bm25_index",
@@ -1313,6 +1350,24 @@ def test_warc_batch_head_ingests_real_urls_and_custom_text_col(spark):
                 b"<html><p>fixture doc body words</p></html>",
                 "https://corpus.example/doc/7",
             ),
+            # real hosts sharing a /doc/<n> path: the fixture scheme is
+            # scoped to .example hosts, so these hash-derive DISTINCT
+            # ids (an id collision here would silently drop one doc at
+            # the sink's id-keyed anti-join) and neither maps to 7
+            _raw_warc_record(
+                b"<html><p>site a article words</p></html>",
+                "https://site-a.com/doc/7",
+            ),
+            _raw_warc_record(
+                b"<html><p>site b article words</p></html>",
+                "https://site-b.org/doc/7",
+            ),
+            # a 19-digit run overflows BIGINT: must fall through to the
+            # URI hash instead of throwing under default ANSI mode
+            _raw_warc_record(
+                b"<html><p>huge id page words</p></html>",
+                "https://corpus.example/doc/9999999999999999999",
+            ),
         ]
     )
     batch = spark.createDataFrame(
@@ -1320,7 +1375,7 @@ def test_warc_batch_head_ingests_real_urls_and_custom_text_col(spark):
     )
     rows = warc_batch_head(spark, text_col="content")(batch).collect()
     ids = sorted(r.doc_id for r in rows)
-    assert len(rows) == 3 and None not in ids and len(set(ids)) == 3
+    assert len(rows) == 6 and None not in ids and len(set(ids)) == 6
     assert 7 in ids  # the fixture scheme still yields its numeric id
     texts = {r.doc_id: r.content for r in rows}
     assert "first real page body words" in texts[
