@@ -84,7 +84,16 @@ def memo_expr(fn):
                 cache.pop(next(iter(cache)))
         return hit
 
-    wrapped.cache_clear = cache.clear  # parity with lru_cache for tests
+    def _cache_clear():
+        # parity with lru_cache for tests — but under the SAME lock as
+        # the hit path: a bare cache.clear() interleaving between the
+        # locked get() hit and the pop()-reinsert would raise KeyError
+        # in a concurrent plan-construction thread (foreachBatch bodies
+        # build plans on per-stream threads)
+        with lock:
+            cache.clear()
+
+    wrapped.cache_clear = _cache_clear
     return wrapped
 
 

@@ -32,7 +32,39 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("events_funnel", events_funnel, defer=True)
+# Oracle: correlated-min per step (equivalent to the array fold — each
+# step's qualification is monotone in ts, so first-qualifying ==
+# min-qualifying). Promoted into the gated-50 window in r9 in place of
+# a long-stable trivial gate (r8 verdict ask #4); previously the same
+# SQL ran as the pytest mirror in tests/test_events_analytics.py.
+register(
+    "events_funnel",
+    events_funnel,
+    sql=f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + to_seconds({FUNNEL_HORIZON_S})
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s1.t1 + to_seconds({FUNNEL_HORIZON_S})
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+           1 + (s2.t2 IS NOT NULL)::INT + (s3.t3 IS NOT NULL)::INT
+             AS reached
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+)
 
 
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,7 +75,30 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("events_retention", events_retention, defer=True)
+# Oracle: distinct (user, week-bucket) activity → first bucket per user
+# is the cohort → per (cohort, offset) distinct-user counts. Promoted
+# into the gated-50 window in r9 (r8 verdict ask #4).
+register(
+    "events_retention",
+    events_retention,
+    sql=f"""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+        CAST(to_timestamp(floor(epoch(ts) / {COHORT_BUCKET_S})
+             * {COHORT_BUCKET_S}) AS TIMESTAMP) AS b
+      FROM events
+    ),
+    first AS (
+      SELECT user_id, min(b) AS c FROM act GROUP BY user_id
+    )
+    SELECT c AS cohort_ts,
+           CAST((epoch(b) - epoch(c)) / {COHORT_BUCKET_S} AS BIGINT)
+             AS period_offset,
+           count(DISTINCT user_id) AS n_active
+    FROM act JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
 
 
 def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

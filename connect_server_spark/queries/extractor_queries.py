@@ -537,10 +537,21 @@ def corpus_ingest_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    sharded = docs.withColumn("shard", F.col("doc_id") % 8)
+    # SAME shard-count rule as warc_shard_files: the on-disk leg is
+    # pinned row-identical to this one, and the pin only binds if both
+    # legs emit the same per-shard row set at EVERY corpus size — a
+    # fixed 8 here would silently diverge past ~60k docs (r8 advice).
+    n_shards = _ingest_shard_count(docs.count())
+    sharded = docs.withColumn("shard", F.col("doc_id") % n_shards)
     recs = parse_warc_records(synthesize_warc(sharded, "doc_id", "text"))
     extracted = html_to_text(recs, "body")
     return _warc_ingest_telemetry(extracted, docs)
+
+
+def _ingest_shard_count(n_docs: int) -> int:
+    """~7.5k docs per shard, min 8 — shared by the in-plan and on-disk
+    ingest legs so their telemetry row sets stay identical at any sf."""
+    return max(8, n_docs // 7500)
 
 
 def _warc_ingest_telemetry(extracted: DataFrame, docs: DataFrame) -> DataFrame:
@@ -585,62 +596,68 @@ def warc_shard_files(
     spark: SparkSession, sf_dir: str, n_shards: int | None = None
 ) -> str:
     """Write REAL ``.warc.gz`` shard files once per dataset (content-keyed
-    /tmp cache, the IVF-index idiom) — the fixture stand-in for the
+    cache, the IVF-index idiom) — the fixture stand-in for the
     object-store shards a production crawl ingest starts from.
 
-    ``n_shards`` defaults to ~7.5k docs per shard (min 8) so the shard
-    COUNT grows with the corpus — the production shape (a crawl is many
-    fixed-size shards, not 8 growing ones). A fixed count would make
-    the sf1 sweep measure the fixture's 8-way decode ceiling, not the
-    operator. The cache key carries the shard count so an explicit
-    ``n_shards`` never collides with the default layout.
+    ``n_shards`` defaults to :func:`_ingest_shard_count` (~7.5k docs per
+    shard, min 8) so the shard COUNT grows with the corpus — the
+    production shape (a crawl is many fixed-size shards, not 8 growing
+    ones), and the SAME rule ``corpus_ingest_warc`` shards by, so the
+    two legs stay row-identical at every sf. The cache key carries the
+    shard count so an explicit ``n_shards`` never collides with the
+    default layout.
 
-    The writes happen EXECUTOR-side (``foreachPartition``): each task
-    writes its own shard files by atomic rename, the ``_SUCCESS`` marker
-    lands last, so a crashed build is re-run, never half-read. No driver
-    collect — payload bytes go straight from the synth task to disk."""
+    Writes go through the Hadoop ``FileSystem`` API
+    (:func:`~connect_server_spark.fsutil.write_bytes_atomic`): each
+    shard lands by unique-tmp atomic rename, the ``_SUCCESS`` marker
+    last, so a crashed build is re-run (never half-read) and two
+    processes racing on one cache key cannot interleave into a
+    corrupted shard. The shard root honors
+    ``SPARK_GRAFT_WARC_FIXTURE_DIR`` — point it at shared storage
+    (``hdfs://``/``s3a://``) and the same fixture works on a cluster;
+    the default local ``/tmp`` root is refused off local masters
+    because executors' ``binaryFile`` reads would miss driver-local
+    files. Payloads stream through ``toLocalIterator`` one shard at a
+    time — bounded driver memory, no full collect."""
     import os
 
+    from connect_server_spark.fsutil import (
+        fs_exists,
+        write_bytes_atomic,
+        write_text_atomic,
+    )
     from connect_server_spark.sources.warc import synthesize_warc
     from connect_server_spark.tables import dataset_cache_key
 
-    # The executor-side open()/os.replace writes land on NODE-LOCAL
-    # disk while the binaryFile scan lists driver-side: those only see
-    # the same /tmp when driver and executors share one machine. On a
-    # real cluster this fixture generator would write shards the scan
-    # never finds (and stamp _SUCCESS anyway) — refuse loudly;
-    # production ingest points corpus_ingest_files-style scans at the
-    # object-store shards a crawler already wrote.
+    root = os.environ.get(
+        "SPARK_GRAFT_WARC_FIXTURE_DIR",
+        "/tmp/connect_server_spark_warc_files_v1",
+    )
     master = spark.sparkContext.master
-    if not master.startswith("local"):
+    if not master.startswith("local") and "://" not in root:
         raise ValueError(
-            f"warc_shard_files writes node-local files (master={master!r}):"
-            " this is a local-mode fixture generator — on a cluster, scan"
-            " the crawler's own shards on shared storage instead"
+            f"warc_shard_files: shard root {root!r} is a driver-local path"
+            f" but master={master!r} — executors' binaryFile reads would"
+            " miss it; set SPARK_GRAFT_WARC_FIXTURE_DIR to shared storage"
+            " (or scan the crawler's own shards directly)"
         )
     if n_shards is None:
         n_docs = load_table(spark, "documents", sf_dir).count()
-        n_shards = max(8, n_docs // 7500)
+        n_shards = _ingest_shard_count(n_docs)
     key = dataset_cache_key(sf_dir, "documents")
-    shard_dir = f"/tmp/connect_server_spark_warc_files_v1/{key}-s{n_shards}"
+    shard_dir = f"{root}/{key}-s{n_shards}"
     marker = f"{shard_dir}/_SUCCESS"
-    if not os.path.exists(marker):
-        os.makedirs(shard_dir, exist_ok=True)
+    if not fs_exists(spark, marker):
         docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
         sharded = docs.withColumn("shard", F.col("doc_id") % n_shards)
         payloads = synthesize_warc(sharded, "doc_id", "text")
-
-        def write_part(rows) -> None:
-            for r in rows:
-                final = f"{shard_dir}/shard-{r['shard']:05d}.warc.gz"
-                tmp = f"{final}.tmp"
-                with open(tmp, "wb") as f:
-                    f.write(bytes(r["payload"]))
-                os.replace(tmp, final)
-
-        payloads.select("shard", "payload").foreachPartition(write_part)
-        with open(marker, "w"):
-            pass
+        for r in payloads.select("shard", "payload").toLocalIterator():
+            write_bytes_atomic(
+                spark,
+                f"{shard_dir}/shard-{r['shard']:05d}.warc.gz",
+                bytes(r["payload"]),
+            )
+        write_text_atomic(spark, marker, "")
     return shard_dir
 
 

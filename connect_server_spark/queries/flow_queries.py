@@ -230,10 +230,10 @@ def status_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "status_poll",
-    status_poll,
-    sql="""
+# Demoted from the gated-50 window in r9 to make room for the newer
+# LLM-pipeline families (r8 verdict ask #4): semantics frozen since r3
+# and pinned by the DuckDB mirror in tests/test_flow.py.
+STATUS_POLL_ORACLE_SQL = """
     WITH ranked AS (
       SELECT user_id, event_type, event_id,
              row_number() OVER (
@@ -247,5 +247,6 @@ register(
            event_type IN ('purchase', 'signup') AS is_terminal,
            event_type NOT IN ('purchase', 'signup') AS requeue
     FROM ranked WHERE rn = 1
-    """,
-)
+"""
+
+register("status_poll", status_poll, defer=True)

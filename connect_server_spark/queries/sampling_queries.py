@@ -52,7 +52,41 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("corpus_mixing", corpus_mixing, defer=True)
+# Oracle: n^alpha rate table + the md5 keep gate, all in SQL — the
+# Python-side target scalar becomes a floor()'d count(*) CTE (int()
+# truncates, CAST rounds — floor matches for non-negative counts).
+# Promoted into the gated-50 window in r9 (r8 verdict ask #4).
+register(
+    "corpus_mixing",
+    corpus_mixing,
+    sql=f"""
+    WITH tgt AS (
+      SELECT CAST(floor(count(*) * {MIX_FRACTION}) AS BIGINT) AS target
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, count(*) AS n_rows FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source, n_rows,
+             round(pow(n_rows, {MIX_ALPHA})
+                   / sum(pow(n_rows, {MIX_ALPHA})) OVER (), 9)
+               AS mix_weight,
+             round(least(1.0,
+                   (SELECT target FROM tgt)
+                     * (pow(n_rows, {MIX_ALPHA})
+                        / sum(pow(n_rows, {MIX_ALPHA})) OVER ())
+                     / n_rows), 9) AS keep_rate
+      FROM counts
+    )
+    SELECT d.doc_id, d.source, d.lang, d.n_chars,
+           r.mix_weight, r.keep_rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE r.keep_rate >= 1
+       OR substring(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+          < printf('%04x', CAST(floor(r.keep_rate * 65536) AS INT))
+    """,
+)
 
 
 def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:

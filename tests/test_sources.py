@@ -407,10 +407,17 @@ def test_corpus_ingest_files_matches_in_plan_leg(spark, sf_dir):
         corpus_ingest_warc,
     )
 
+    from connect_server_spark.queries.extractor_queries import (
+        _ingest_shard_count,
+    )
+    from connect_server_spark.tables import load_table
+
     on_disk = corpus_ingest_files(spark, sf_dir)
     got = sorted(map(tuple, on_disk.collect()))
     want = sorted(map(tuple, corpus_ingest_warc(spark, sf_dir).collect()))
-    assert got == want and len(got) == 8
+    # both legs shard by the SAME count rule, so the pin binds at any sf
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    assert got == want and len(got) == _ingest_shard_count(n_docs)
     plan = on_disk._jdf.queryExecution().executedPlan().toString()
     assert "binaryFile" in plan, "the on-disk leg must scan real files"
 
