@@ -165,6 +165,28 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+def _git_head() -> str:
+    """Short HEAD sha (+'-dirty' when the tree has local edits), or
+    'unknown' outside a git checkout — never fails the bench."""
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "-C", REPO_ROOT, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if not sha:
+            return "unknown"
+        dirty = subprocess.run(
+            ["git", "-C", REPO_ROOT, "status", "--porcelain",
+             "--untracked-files=no"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return f"{sha}-dirty" if dirty else sha
+    except Exception:  # noqa: BLE001 — telemetry only
+        return "unknown"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -246,6 +268,12 @@ def main() -> None:
         # warmed up by the query passes above; interpret per-query timings
         # relative to this fixed-compute row across rounds
         "calibration_sec": _calibration(spark, reps),
+        # tree identity: bench_result.json is overwritten in the working
+        # tree by whoever ran bench LAST (the round driver's close run is
+        # authoritative); the embedded HEAD makes any copy self-identify
+        # the tree it actually measured instead of silently diverging
+        # from the commit it sits next to (r8 verdict ask #8)
+        "git_head": _git_head(),
     }
     # unitless machine-normalized headline (total / calibration): the
     # container's inter-run drift moves both numerator and denominator,
