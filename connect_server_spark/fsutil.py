@@ -105,16 +105,26 @@ def _write_atomic(spark: SparkSession, path: str, payload: bytes) -> None:
         out.hflush()
     finally:
         out.close()
-    if fs.exists(jpath):
-        fs.delete(jpath, False)
-    if not fs.rename(tmp, jpath):
-        # lost a race: another writer renamed between our delete and
-        # our rename. One bounded retry gives last-writer-wins; a
-        # second refusal is a real filesystem error.
-        fs.delete(jpath, False)
-        if not fs.rename(tmp, jpath):
-            fs.delete(tmp, False)
-            raise OSError(f"rename failed: {tmp} -> {path}")
+    # OVERWRITE rename via FileContext: an atomic REPLACE on HDFS and
+    # POSIX-local (one rename(2) syscall), unlike FileSystem.rename
+    # which refuses existing destinations and would force a
+    # delete-then-rename with a no-pointer window in between — a
+    # resolve_store() racing that window would silently fall back to
+    # the flat legacy layout (or fail once legacy is GC'd), breaking
+    # the old-or-new-never-neither pointer guarantee on every publish.
+    jvm = spark._jvm
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        jpath.toUri(), spark._jsc.hadoopConfiguration()
+    )
+    overwrite = spark.sparkContext._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 1
+    )
+    overwrite[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    try:
+        fc.rename(tmp, jpath, overwrite)
+    except Exception as e:  # noqa: BLE001 — surface with path context
+        fs.delete(tmp, False)
+        raise OSError(f"atomic rename failed: {tmp} -> {path}: {e}") from e
 
 
 def read_text(spark: SparkSession, path: str) -> str:
@@ -199,10 +209,22 @@ def publish_generation(spark: SparkSession, root: str, gen_path: str) -> None:
     resolved either the old pointer (its generation survives this
     publish: grace) or the new one; never a mix of the two.
 
-    GC scope after the flip: every other ``_gen-*`` child except the
-    immediately-previous live generation, plus — once the previous live
-    payload is itself a generation dir — any flat legacy payload left in
-    ``root`` from before the store was upgraded."""
+    GC scope after the flip: ``_gen-*`` children numbered BELOW the
+    published generation except the immediately-previous live one
+    (grace), plus — once the previous live payload is itself a
+    generation dir — any flat legacy payload left in ``root`` from
+    before the store was upgraded. Higher-numbered generations are
+    never touched: they belong to an in-flight builder that began
+    after this one.
+
+    Writer contract: swaps of ONE store must not run concurrently —
+    two builders that call :func:`begin_generation` before either's
+    directory exists receive the SAME number and interleave into one
+    payload (the composed daily ingest satisfies this by running
+    maintenance inline in its batch thread; ad-hoc rebalances of a
+    live store are an operator action, one at a time). Concurrent
+    READERS and APPENDERS are always safe — that is what the pointer,
+    the grace generation, and the rebalance delta-carry exist for."""
     root = root.rstrip("/")
     gen_name = gen_path.rstrip("/").rsplit("/", 1)[1]
     if not gen_name.startswith(GENERATION_PREFIX):
@@ -210,6 +232,14 @@ def publish_generation(spark: SparkSession, root: str, gen_path: str) -> None:
             f"publish_generation: {gen_path!r} is not a "
             f"{GENERATION_PREFIX}* child of {root!r}"
         )
+
+    def _num(name: str) -> int | None:
+        try:
+            return int(name[len(GENERATION_PREFIX):])
+        except ValueError:
+            return None
+
+    new_n = _num(gen_name)
     prev = resolve_store(spark, root)
     write_text_atomic(spark, f"{root}/{CURRENT_POINTER}", gen_name)
     prev_name = None if prev == root else prev.rsplit("/", 1)[1]
@@ -217,6 +247,9 @@ def publish_generation(spark: SparkSession, root: str, gen_path: str) -> None:
         if name == CURRENT_POINTER or name == gen_name or name == prev_name:
             continue
         if name.startswith(GENERATION_PREFIX):
+            k = _num(name)
+            if k is not None and new_n is not None and k > new_n:
+                continue  # a newer in-flight build — not ours to GC
             fs_delete(spark, f"{root}/{name}")  # superseded or orphaned
         elif prev_name is not None:
             # previous live payload is a generation dir, so any flat

@@ -329,7 +329,12 @@ def write_ivf_index(
         live = index_path
     cent_path, cells_path = f"{live}/centroids", f"{live}/cells"
     if mode == "append":
-        cents = read_ivf_centroids(spark, index_path)
+        # read centroids from the ALREADY-resolved generation (never
+        # re-resolve: a rebalance publishing between the two resolves
+        # would pair the NEW quantizer's cell ids with the OLD cell
+        # store — wrong probes for its readers, and rows stranded in a
+        # generation the next publish GCs)
+        cents = read_ivf_centroids(spark, live)
         stored = spark.read.parquet(cells_path).columns
         quantize = "q" in stored and corpus_vec not in stored
     else:

@@ -35,12 +35,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle: correlated-min per step (equivalent to the array fold — each
 # step's qualification is monotone in ts, so first-qualifying ==
 # min-qualifying). Promoted into the gated-50 window in r9 in place of
-# a long-stable trivial gate (r8 verdict ask #4); previously the same
-# SQL ran as the pytest mirror in tests/test_events_analytics.py.
-register(
-    "events_funnel",
-    events_funnel,
-    sql=f"""
+# a long-stable trivial gate (r8 verdict ask #4); the pytest mirror in
+# tests/test_events_analytics.py imports this SAME string so the two
+# can never drift.
+EVENTS_FUNNEL_ORACLE_SQL = f"""
     WITH s1 AS (
       SELECT user_id, min(ts) AS t1 FROM events
       WHERE event_type = 'view' GROUP BY user_id
@@ -63,8 +61,9 @@ register(
            1 + (s2.t2 IS NOT NULL)::INT + (s3.t3 IS NOT NULL)::INT
              AS reached
     FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-    """,
-)
+    """
+
+register("events_funnel", events_funnel, sql=EVENTS_FUNNEL_ORACLE_SQL)
 
 
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,11 +76,9 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Oracle: distinct (user, week-bucket) activity → first bucket per user
 # is the cohort → per (cohort, offset) distinct-user counts. Promoted
-# into the gated-50 window in r9 (r8 verdict ask #4).
-register(
-    "events_retention",
-    events_retention,
-    sql=f"""
+# into the gated-50 window in r9 (r8 verdict ask #4); shared with the
+# pytest mirror.
+EVENTS_RETENTION_ORACLE_SQL = f"""
     WITH act AS (
       SELECT DISTINCT user_id,
         CAST(to_timestamp(floor(epoch(ts) / {COHORT_BUCKET_S})
@@ -97,8 +94,9 @@ register(
            count(DISTINCT user_id) AS n_active
     FROM act JOIN first USING (user_id)
     GROUP BY 1, 2
-    """,
-)
+    """
+
+register("events_retention", events_retention, sql=EVENTS_RETENTION_ORACLE_SQL)
 
 
 def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -541,7 +541,7 @@ def corpus_ingest_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned row-identical to this one, and the pin only binds if both
     # legs emit the same per-shard row set at EVERY corpus size — a
     # fixed 8 here would silently diverge past ~60k docs (r8 advice).
-    n_shards = _ingest_shard_count(docs.count())
+    n_shards = _ingest_shard_count(_ingest_doc_count(spark, sf_dir))
     sharded = docs.withColumn("shard", F.col("doc_id") % n_shards)
     recs = parse_warc_records(synthesize_warc(sharded, "doc_id", "text"))
     extracted = html_to_text(recs, "body")
@@ -552,6 +552,24 @@ def _ingest_shard_count(n_docs: int) -> int:
     """~7.5k docs per shard, min 8 — shared by the in-plan and on-disk
     ingest legs so their telemetry row sets stay identical at any sf."""
     return max(8, n_docs // 7500)
+
+
+_DOC_COUNTS: dict[str, int] = {}
+
+
+def _ingest_doc_count(spark: SparkSession, sf_dir: str) -> int:
+    """documents row count, cached per dataset content key: the shard
+    rule needs it at every PLAN CONSTRUCTION of the in-plan leg, and an
+    eager count job per construction would bill the operator's timing
+    for fixture bookkeeping (review finding). Parquet count-star is
+    metadata-only, but even that is a Spark job; one per dataset per
+    process is the right amount."""
+    from connect_server_spark.tables import dataset_cache_key
+
+    key = dataset_cache_key(sf_dir, "documents")
+    if key not in _DOC_COUNTS:
+        _DOC_COUNTS[key] = load_table(spark, "documents", sf_dir).count()
+    return _DOC_COUNTS[key]
 
 
 def _warc_ingest_telemetry(extracted: DataFrame, docs: DataFrame) -> DataFrame:
@@ -642,8 +660,7 @@ def warc_shard_files(
             " (or scan the crawler's own shards directly)"
         )
     if n_shards is None:
-        n_docs = load_table(spark, "documents", sf_dir).count()
-        n_shards = _ingest_shard_count(n_docs)
+        n_shards = _ingest_shard_count(_ingest_doc_count(spark, sf_dir))
     key = dataset_cache_key(sf_dir, "documents")
     shard_dir = f"{root}/{key}-s{n_shards}"
     marker = f"{shard_dir}/_SUCCESS"

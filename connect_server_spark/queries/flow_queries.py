@@ -232,7 +232,7 @@ def status_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Demoted from the gated-50 window in r9 to make room for the newer
 # LLM-pipeline families (r8 verdict ask #4): semantics frozen since r3
-# and pinned by the DuckDB mirror in tests/test_flow.py.
+# and pinned by the preserved-oracle mirror in tests/test_entry_oracle.py.
 STATUS_POLL_ORACLE_SQL = """
     WITH ranked AS (
       SELECT user_id, event_type, event_id,

@@ -1,13 +1,13 @@
 """Driver queries for the corpus-sampling family (temperature mixing,
 DSIR importance resampling, cluster-balanced diversity sampling).
 
-All three register rows-only (the 50-slot oracle window is fully
-allocated); oracle-grade gates live in ``tests/test_sampling.py``:
-``corpus_mixing`` has a full DuckDB SQL mirror (the md5 Bernoulli gate
-is engine-portable by construction), ``dsir_resample``'s score is
-DuckDB-mirrored and its Gumbel selection recomputed by a pure-Python
-reference, ``diversity_sample`` is re-ranked by a NumPy reference on
-the same centroids.
+``corpus_mixing`` is driver-gated since r9 with a full DuckDB oracle
+(the md5 Bernoulli gate is engine-portable by construction; the pytest
+mirror imports the same SQL). The rest register rows-only with
+oracle-grade gates in ``tests/test_sampling.py``: ``dsir_resample``'s
+score is DuckDB-mirrored and its Gumbel selection recomputed by a
+pure-Python reference, ``diversity_sample`` is re-ranked by a NumPy
+reference on the same centroids.
 """
 
 from __future__ import annotations
@@ -55,11 +55,9 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle: n^alpha rate table + the md5 keep gate, all in SQL — the
 # Python-side target scalar becomes a floor()'d count(*) CTE (int()
 # truncates, CAST rounds — floor matches for non-negative counts).
-# Promoted into the gated-50 window in r9 (r8 verdict ask #4).
-register(
-    "corpus_mixing",
-    corpus_mixing,
-    sql=f"""
+# Promoted into the gated-50 window in r9 (r8 verdict ask #4); shared
+# with the pytest mirror in tests/test_sampling.py.
+CORPUS_MIXING_ORACLE_SQL = f"""
     WITH tgt AS (
       SELECT CAST(floor(count(*) * {MIX_FRACTION}) AS BIGINT) AS target
       FROM documents
@@ -85,8 +83,9 @@ register(
     WHERE r.keep_rate >= 1
        OR substring(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 4)
           < printf('%04x', CAST(floor(r.keep_rate * 65536) AS INT))
-    """,
-)
+    """
+
+register("corpus_mixing", corpus_mixing, sql=CORPUS_MIXING_ORACLE_SQL)
 
 
 def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:

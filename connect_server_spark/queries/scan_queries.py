@@ -121,7 +121,7 @@ def scan_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Demoted from the gated-50 window in r9 to make room for the newer
 # LLM-pipeline families (r8 verdict ask #4): semantics frozen since r2
-# and pinned by the DuckDB mirror in tests/test_scans.py (the same
+# and pinned by the preserved-oracle mirror in tests/test_entry_oracle.py (the same
 # None-handling branches are ALSO gated via scan_ops_matrix and
 # scan_status_read_path, which stay in the window).
 SCAN_NULL_SEMANTICS_ORACLE_SQL = """

@@ -311,7 +311,7 @@ def custom_block_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Demoted from the gated-50 window in r9 to make room for the newer
 # LLM-pipeline families (r8 verdict ask #4): semantics frozen since r2
-# and pinned by the DuckDB mirror in tests/test_transfer_queries.py.
+# and pinned by the preserved-oracle mirror in tests/test_entry_oracle.py.
 CUSTOM_BLOCK_NORMALIZE_ORACLE_SQL = """
     SELECT p_partkey, 'color_desc' AS key, p_brand AS value FROM part
     UNION ALL
@@ -367,7 +367,7 @@ def flow_log_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Demoted from the gated-50 window in r9 to make room for the newer
 # LLM-pipeline families (r8 verdict ask #4): semantics frozen since r2
-# and pinned by the DuckDB mirror in tests/test_transfer_queries.py.
+# and pinned by the preserved-oracle mirror in tests/test_entry_oracle.py.
 FLOW_LOG_LIMIT_ORACLE_SQL = """
     SELECT o_orderkey, o_orderstatus, o_totalprice
     FROM orders ORDER BY o_orderkey ASC LIMIT 100

@@ -89,19 +89,37 @@ def ensure_bucketed_table(
     re-shuffles. This re-attaches the spec in a new session with a
     ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` DDL over the existing
     files, so the layout guarantee survives process restarts (the
-    daily-ingest case: the index is built by yesterday's job)."""
+    daily-ingest case: the index is built by yesterday's job).
+
+    An existing registration is VALIDATED against the requested spec
+    and recreated on mismatch: table names are content-hashed from the
+    path, so a reused path (a store overwritten under a different key,
+    or generation numbering restarting after an overwrite reset) would
+    otherwise be served under a stale CLUSTERED BY — wrong bucket
+    assignments, silently wrong joins."""
     name = _bucket_table_name(path)
-    if not spark.catalog.tableExists(name):
-        if schema is None:
-            schema = spark.read.parquet(path).schema
-        cols = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
-        )
-        spark.sql(
-            f"CREATE TABLE {name} ({cols}) USING PARQUET "
-            f"CLUSTERED BY (`{key}`) SORTED BY (`{sort_key or key}`) "
-            f"INTO {buckets} BUCKETS LOCATION '{path}'"
-        )
+    if spark.catalog.tableExists(name):
+        spec = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        }
+        if (
+            spec.get("Num Buckets") == str(buckets)
+            and spec.get("Bucket Columns") == f"[`{key}`]"
+            and spec.get("Sort Columns") == f"[`{sort_key or key}`]"
+        ):
+            return name
+        spark.sql(f"DROP TABLE IF EXISTS {name}")  # stale spec: rebuild
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE {name} ({cols}) USING PARQUET "
+        f"CLUSTERED BY (`{key}`) SORTED BY (`{sort_key or key}`) "
+        f"INTO {buckets} BUCKETS LOCATION '{path}'"
+    )
     return name
 
 
@@ -136,8 +154,20 @@ def write_bucketed_path(
     spark = df.sparkSession
     sort_key = sort_key or key
     if mode == "overwrite":
+        from connect_server_spark.fsutil import GENERATION_PREFIX, fs_list
+
         name = _bucket_table_name(path)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # deleting the root resets generation NUMBERING, so also drop
+        # any per-generation registrations — a later compact recreating
+        # _gen-00000001 must not inherit a stale CLUSTERED BY spec
+        # (ensure_bucketed_table re-validates too; this keeps the
+        # catalog from accreting dead entries)
+        for child in fs_list(spark, path):
+            if child.startswith(GENERATION_PREFIX):
+                spark.sql(
+                    f"DROP TABLE IF EXISTS {_bucket_table_name(f'{path}/{child}')}"
+                )
         hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
         jpath = hadoop_path(path)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())

@@ -293,6 +293,9 @@ def composed_ingest_sink(
         if maintain_every and int(batch_id) % maintain_every == (
             maintain_every - 1
         ):
+            from connect_server_spark.operators.retrieval import (
+                maintain_bm25_index,
+            )
             from connect_server_spark.operators.similarity import (
                 maintain_ivf_index,
             )
@@ -305,6 +308,7 @@ def composed_ingest_sink(
                 corpus_vec=vec_col,
                 target_cell_size=maintain_cell_size,
             )
+            maintain_bm25_index(spark, paths["bm25_index"])
 
     return sink
 

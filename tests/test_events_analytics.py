@@ -118,39 +118,20 @@ def test_funnel_plan_single_user_shuffle_no_join(spark, sf_dir):
 
 
 def test_events_funnel_matches_duckdb_mirror(spark, sf_dir):
-    """Correlated-min per step in DuckDB (equivalent to the array fold:
-    each step's qualification is monotone in ts, so first-qualifying ==
-    min-qualifying)."""
+    """Correlated-min per step — since r9 this SQL is ALSO the driver's
+    gated oracle (imported from events_analytics_queries so the two can
+    never drift); the test keeps the sf0.001 fast check."""
+    from connect_server_spark.queries.events_analytics_queries import (
+        EVENTS_FUNNEL_ORACLE_SQL,
+    )
+
     got = sorted(map(tuple, events_funnel(spark, sf_dir).collect()))
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW events AS SELECT * FROM "
         f"read_parquet('{sf_dir}/events.parquet')"
     )
-    want = sorted(map(tuple, con.execute(f"""
-        WITH s1 AS (
-          SELECT user_id, min(ts) AS t1 FROM events
-          WHERE event_type = 'view' GROUP BY user_id
-        ),
-        s2 AS (
-          SELECT e.user_id, min(e.ts) AS t2
-          FROM events e JOIN s1 USING (user_id)
-          WHERE e.event_type = 'click' AND e.ts > s1.t1
-            AND e.ts <= s1.t1 + to_seconds({FUNNEL_HORIZON_S})
-          GROUP BY e.user_id
-        ),
-        s3 AS (
-          SELECT e.user_id, min(e.ts) AS t3
-          FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
-          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
-            AND e.ts <= s1.t1 + to_seconds({FUNNEL_HORIZON_S})
-          GROUP BY e.user_id
-        )
-        SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
-               1 + (s2.t2 IS NOT NULL)::INT + (s3.t3 IS NOT NULL)::INT
-                 AS reached
-        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-    """).fetchall()))
+    want = sorted(map(tuple, con.execute(EVENTS_FUNNEL_ORACLE_SQL).fetchall()))
     assert len(got) > 0
     assert got == want
 
@@ -191,29 +172,21 @@ def test_retention_multiple_events_count_once(spark):
 
 
 def test_events_retention_matches_duckdb_mirror(spark, sf_dir):
+    """Since r9 the same SQL is the driver's gated oracle (imported
+    from events_analytics_queries)."""
+    from connect_server_spark.queries.events_analytics_queries import (
+        EVENTS_RETENTION_ORACLE_SQL,
+    )
+
     got = sorted(map(tuple, events_retention(spark, sf_dir).collect()))
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW events AS SELECT * FROM "
         f"read_parquet('{sf_dir}/events.parquet')"
     )
-    want = sorted(map(tuple, con.execute(f"""
-        WITH act AS (
-          SELECT DISTINCT user_id,
-            CAST(to_timestamp(floor(epoch(ts) / {COHORT_BUCKET_S})
-                 * {COHORT_BUCKET_S}) AS TIMESTAMP) AS b
-          FROM events
-        ),
-        first AS (
-          SELECT user_id, min(b) AS c FROM act GROUP BY user_id
-        )
-        SELECT c AS cohort_ts,
-               CAST((epoch(b) - epoch(c)) / {COHORT_BUCKET_S} AS BIGINT)
-                 AS period_offset,
-               count(DISTINCT user_id) AS n_active
-        FROM act JOIN first USING (user_id)
-        GROUP BY 1, 2
-    """).fetchall()))
+    want = sorted(
+        map(tuple, con.execute(EVENTS_RETENTION_ORACLE_SQL).fetchall())
+    )
     assert len(got) > 0
     assert got == want
 

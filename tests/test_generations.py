@@ -173,6 +173,54 @@ def test_bucketed_append_after_compact_lands_in_live_generation(
     assert not glob.glob(f"{root}/*.parquet")  # flat legacy gone
 
 
+def test_bucketed_respec_after_overwrite_never_serves_stale_layout(
+    spark, tmp_path
+):
+    """Review pin: table names are content-hashed from the PATH, and an
+    overwrite resets generation numbering — so a recreated
+    _gen-00000001 under a re-keyed store must never be served with the
+    old CLUSTERED BY (wrong bucket assignments → silently wrong joins).
+    ensure_bucketed_table re-validates the spec; write_bucketed_path
+    overwrite also drops the per-generation registrations."""
+    from connect_server_spark.storage import (
+        compact_bucketed,
+        read_bucketed,
+        write_bucketed_path,
+    )
+
+    root = str(tmp_path / "bkt")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k long, v string"
+    )
+    write_bucketed_path(df, root, "k", buckets=4)
+    compact_bucketed(spark, root, "k", buckets=4)
+    # reads registered a table for _gen-00000001 under the OLD spec
+    assert read_bucketed(spark, root, "k", buckets=4).count() == 40
+
+    df2 = spark.createDataFrame(
+        [(i, i * 2) for i in range(40)], "j long, payload long"
+    )
+    write_bucketed_path(df2, root, "j", buckets=8, mode="overwrite")
+    compact_bucketed(spark, root, "j", buckets=8)  # recreates _gen-00000001
+    got = read_bucketed(spark, root, "j", buckets=8)
+    assert got.count() == 40
+    assert got.columns == ["j", "payload"]
+    # the catalog spec serving this read is the NEW one, not the stale
+    # 4-bucket-by-k registration the reused generation path once had
+    from connect_server_spark.fsutil import resolve_store
+    from connect_server_spark.storage import ensure_bucketed_table
+
+    name = ensure_bucketed_table(
+        spark, resolve_store(spark, root), "j", buckets=8
+    )
+    spec = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    }
+    assert spec.get("Num Buckets") == "8"
+    assert spec.get("Bucket Columns") == "[`j`]"
+
+
 def test_bucketed_layout_survives_generation_swap(spark, tmp_path):
     """The whole point of compact_bucketed: the layout guarantee (zero
     Exchange on the store side) must hold when the store is served from

@@ -299,6 +299,82 @@ def test_bm25_indexed_matches_in_memory_and_appends(spark, sf_dir, tmp_path):
         write_bm25_index(batch, "doc_id", "text", idx2, mode="append")
 
 
+def test_maintain_bm25_index_merges_ledgers_and_serves_identically(
+    spark, sf_dir, tmp_path
+):
+    """The BM25 maintenance loop (r9): many daily appends accrete
+    per-batch ledger partials and per-bucket small files; maintenance
+    must merge/compact them behind generation pointers WITHOUT moving a
+    single score — and a healthy index must cost a listing and do
+    nothing."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from connect_server_spark.fsutil import resolve_store
+    from connect_server_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        maintain_bm25_index,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = "spark merge window"
+    idx = str(tmp_path / "bm25_maint")
+    write_bm25_index(docs.filter(F.col("doc_id") % 5 == 0), "doc_id", "text", idx)
+    for day in range(1, 5):  # four daily appends → 5 ledger partials
+        write_bm25_index(
+            docs.filter(F.col("doc_id") % 5 == day),
+            "doc_id", "text", idx, mode="append", batch_id=day,
+        )
+    want = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, idx, q, k=25).collect()
+    ]
+
+    # healthy thresholds: nothing fires, nothing changes
+    assert maintain_bm25_index(spark, idx, max_ledger_batches=64) == {}
+
+    # hair-trigger thresholds: both actions fire
+    actions = maintain_bm25_index(
+        spark, idx, max_files_per_bucket=0, max_ledger_batches=2
+    )
+    assert "terms" in actions and "ledgers" in actions
+
+    ts_live = resolve_store(spark, f"{idx}/termstats")
+    assert ts_live != f"{idx}/termstats"  # ledger swapped generations
+    batch_dirs = glob.glob(f"{ts_live}/batch=*")
+    assert len(batch_dirs) == 2  # merged partial + the newest kept one
+
+    got = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, idx, q, k=25).collect()
+    ]
+    assert got == want  # pure re-layout: not one score moved
+
+    # a post-maintenance append (fresh ids — the uniqueness contract)
+    # lands in the LIVE ledger generation and serves — the daily loop
+    # continues unbroken across the swap
+    late = docs.filter(F.col("doc_id") % 50 == 7).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    write_bm25_index(late, "doc_id", "text", idx, mode="append", batch_id=9)
+    want2 = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, idx, q, k=25).collect()
+    ]
+    ts_live2 = resolve_store(spark, f"{idx}/termstats")
+    assert glob.glob(f"{ts_live2}/batch=9")  # partial in the live gen
+
+    # idempotent: re-running maintenance converges (merged + kept + the
+    # new partial → one more merge, scores unchanged)
+    maintain_bm25_index(spark, idx, max_ledger_batches=2)
+    assert [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, idx, q, k=25).collect()
+    ] == want2
+
+
 def test_bm25_indexed_plan_prunes_and_never_retokenizes(spark, sf_dir, tmp_path):
     """The serving plan reads ONLY the index stores (never the corpus
     parquet), pushes the term predicate into the scan, prunes buckets,

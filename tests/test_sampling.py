@@ -54,32 +54,17 @@ def _con(sf_dir):
 
 
 def test_corpus_mixing_matches_duckdb_mirror(spark, sf_dir):
+    """Since r9 the same SQL is the driver's gated oracle (imported
+    from sampling_queries so the two can never drift)."""
+    from connect_server_spark.queries.sampling_queries import (
+        CORPUS_MIXING_ORACLE_SQL,
+    )
+
     got = sorted(map(tuple, corpus_mixing(spark, sf_dir).collect()))
     con = _con(sf_dir)
-    n_total = con.execute("SELECT count(*) FROM documents").fetchone()[0]
-    target = int(n_total * MIX_FRACTION)
-    want = sorted(map(tuple, con.execute(f"""
-        WITH counts AS (
-          SELECT source, count(*) AS n_rows FROM documents GROUP BY source
-        ),
-        rates AS (
-          SELECT source, n_rows,
-                 round(pow(n_rows, {MIX_ALPHA})
-                       / sum(pow(n_rows, {MIX_ALPHA})) OVER (), 9)
-                   AS mix_weight,
-                 round(least(1.0,
-                       {target} * (pow(n_rows, {MIX_ALPHA})
-                                   / sum(pow(n_rows, {MIX_ALPHA})) OVER ())
-                       / n_rows), 9) AS keep_rate
-          FROM counts
-        )
-        SELECT d.doc_id, d.source, d.lang, d.n_chars,
-               r.mix_weight, r.keep_rate
-        FROM documents d JOIN rates r USING (source)
-        WHERE r.keep_rate >= 1
-           OR substring(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 4)
-              < printf('%04x', CAST(floor(r.keep_rate * 65536) AS INT))
-    """).fetchall()))
+    want = sorted(
+        map(tuple, con.execute(CORPUS_MIXING_ORACLE_SQL).fetchall())
+    )
     assert len(got) > 0
     assert got == want
 
