@@ -20,11 +20,18 @@ changelog+compaction pair use):
   DISTINCT buckets (bounded by time-range × keys), not to how many
   batches contributed.
 * ``compact_rollup`` bounds log growth: merge the log into one row per
-  bucket and swap it in with the storage module's two-rename
-  discipline. Absorbed batch ids move to ``seen`` FIRST, then the swap:
-  a crash between the two leaves a still-raw log (reads stay correct)
-  and an already-updated ledger (replays stay gated) — the safe
-  ordering; swap-first would let a replayed absorbed batch double-count.
+  bucket and publish it as a new GENERATION of the log behind a
+  ``_CURRENT`` pointer (``fsutil.publish_generation`` — r9; the pointer
+  flip is one atomic small-file replace, object-store-safe where the
+  old two-rename swap was a non-atomic copy on S3A, and a crash
+  mid-compaction now leaves the live log simply UNTOUCHED instead of
+  stranded aside). Absorbed batch ids move to ``seen`` FIRST, then the
+  publish: a crash between the two leaves a still-raw log (reads stay
+  correct) and an already-updated ledger (replays stay gated) — the
+  safe ordering; publish-first would let a replayed absorbed batch
+  double-count. Writer contract: appends and compaction of ONE store
+  run in one thread (the foreachBatch body) — same single-writer rule
+  as every generational swap.
 """
 
 from __future__ import annotations
@@ -35,7 +42,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from connect_server_spark.fsutil import fs_delete, fs_exists, fs_rename
+from connect_server_spark.fsutil import (
+    begin_generation,
+    fs_delete,
+    fs_exists,
+    publish_generation,
+    resolve_store,
+)
 from connect_server_spark.operators.temporal import (
     merge_partials,
     rollup_cascade,
@@ -88,7 +101,7 @@ def _batch_already_ingested(
     probes over narrow columns."""
     _check_not_stranded(spark, store)
     for path, col in (
-        (_partials_path(store), "batch_id"),
+        (resolve_store(spark, _partials_path(store)), "batch_id"),
         (_seen_path(store), "batch_id"),
     ):
         try:
@@ -127,7 +140,12 @@ def rollup_refresh_sink(
         partials = rollup_cascade(
             batch_df, ts_col, value_col, keys, widths_seconds
         ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
-        partials.write.mode("append").parquet(_partials_path(store))
+        # append into the LIVE generation: a post-compaction log lives
+        # behind the _CURRENT pointer, and rows appended to the
+        # superseded flat dir would be invisible to resolving readers
+        partials.write.mode("append").parquet(
+            resolve_store(spark, _partials_path(store))
+        )
 
     return sink
 
@@ -142,7 +160,7 @@ def read_rollup(
     level). ``width_seconds`` prunes to one level scan-stage (the
     filter pushes down to the parquet scan)."""
     _check_not_stranded(spark, store)
-    log = spark.read.parquet(_partials_path(store))
+    log = spark.read.parquet(resolve_store(spark, _partials_path(store)))
     if width_seconds is not None:
         log = log.filter(F.col("bucket_seconds") == width_seconds)
     return merge_partials(log.drop("batch_id"), keys)
@@ -153,42 +171,41 @@ def compact_rollup(
 ) -> int:
     """Fold the partial log to one row per (keys, bucket, level).
 
-    Ledger-first ordering (see module docstring), then the two-step
-    rename swap: merged log written to a dot-prefixed sibling, current
-    log moved aside, merged moved in, old log removed. Crash analysis,
-    window by window: before the first rename — raw log intact, ledger
-    already safe (replays gated). Between the renames — the log is
-    MISSING with all history in ``._rollup_old``; every entry point
-    (sink, read, compact) detects that state via
-    :func:`_check_not_stranded` and fails with the one-rename recovery
-    command instead of silently forking the store. After the second
-    rename but before the cleanup — a completed swap with a stale
-    ``._rollup_old``; the next compaction removes it (the swap already
-    committed, the copy is garbage) rather than failing the rename.
+    Ledger-first ordering (see module docstring), then the
+    generation-pointer publish (r9 — replaced the two-rename swap, whose
+    mid-swap state needed manual recovery and whose renames are
+    non-atomic copies on object stores). Crash analysis, window by
+    window: before the ledger append — nothing changed. Between ledger
+    and publish — raw log intact (reads correct), absorbed batches
+    gated by ``seen``; re-running compaction re-absorbs (idempotent:
+    ``seen`` appends duplicate ids harmlessly, the probe is existence).
+    Mid-build — the pointer (and the live log) untouched; the orphan
+    generation dir is GC'd by the next successful publish. After
+    publish — done; the pre-swap log survives one publish as reader
+    grace. Legacy rename-era crash states (``._rollup_old``) are still
+    detected by :func:`_check_not_stranded` and stale copies cleared.
     Returns the compacted row count.
     """
     _check_not_stranded(spark, store)
     ppath, tmp, old = _swap_paths(store)
-    # a PREVIOUS run's completed swap may have crashed before cleanup;
-    # with ppath present the old copy is committed garbage — clear it so
-    # this run's rename cannot fail on a non-empty target.
+    # rename-era leftovers from a pre-r9 store: committed garbage
     for stale in (old, tmp):
         if fs_exists(spark, stale):
             fs_delete(spark, stale)
-    log = spark.read.parquet(ppath)
+    live = resolve_store(spark, ppath)
+    log = spark.read.parquet(live)
     absorbed = log.select("batch_id").distinct().filter(
         F.col("batch_id") != _COMPACTED
     )
     # 1. ledger first: replayed absorbed batches must stay gated even if
-    # the swap below never happens.
+    # the publish below never happens.
     absorbed.write.mode("append").parquet(_seen_path(store))
     merged = merge_partials(log.drop("batch_id"), keys).withColumn(
         "batch_id", F.lit(_COMPACTED).cast("long")
     )
     n = merged.count()
-    # 2. write-aside + two renames (same discipline as storage.compact).
-    merged.write.mode("overwrite").parquet(tmp)
-    fs_rename(spark, ppath, old)
-    fs_rename(spark, tmp, ppath)
-    fs_delete(spark, old)
+    # 2. build the merged log as a new generation, then flip the pointer
+    gen = begin_generation(spark, ppath)
+    merged.write.mode("overwrite").parquet(gen)
+    publish_generation(spark, ppath, gen)
     return n

@@ -636,8 +636,13 @@ def test_streaming_rollup_replay_and_compaction(spark, tmp_path):
     n = compact_rollup(spark, store, ["k"])
     after = sorted(map(tuple, read_rollup(spark, store, ["k"]).collect()))
     assert after == baseline
-    # log now holds exactly the merged rows
-    assert spark.read.parquet(f"{store}/partials").count() == n
+    # the LIVE log generation now holds exactly the merged rows (the
+    # compaction published a generation behind the _CURRENT pointer)
+    from connect_server_spark.fsutil import resolve_store
+
+    live = resolve_store(spark, f"{store}/partials")
+    assert live != f"{store}/partials"
+    assert spark.read.parquet(live).count() == n
 
     sink(b2, 1)  # replay after compaction: gated by the seen ledger
     assert sorted(map(tuple,
