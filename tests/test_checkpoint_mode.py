@@ -209,11 +209,20 @@ def test_reliable_mode_survives_executor_sigkill_midrun(
     """THE round-8 headline claim, demonstrated: curation_full under
     checkpoint_mode=reliable, one executor JVM SIGKILLed while the job
     is provably still running (past its first materialized boundary),
-    and the job COMPLETES with rows identical to the undisturbed run."""
+    and the job COMPLETES with rows identical to the undisturbed run.
+
+    The kill is timed off the first checkpoint file appearing; on a
+    machine fast enough to finish the job inside that polling gap the
+    scenario isn't exercised — retry the whole drill once rather than
+    fail on a timing artifact (the assertion still requires a run where
+    the kill provably landed mid-job)."""
     res = _run_drill("reliable", "midrun", tmp_path)
+    if res["job_alive_at_kill"] is not True:
+        res = _run_drill("reliable", "midrun", tmp_path / "retry")
     assert res["killed"], "no executor was killed"
     assert res["job_alive_at_kill"] is True, (
-        "the job finished before the kill landed — scenario not exercised"
+        "the job finished before the kill landed (twice) — scenario "
+        "not exercised"
     )
     assert res["error"] is None, f"job died with the executor: {res['error']}"
     assert res["rows"] == drill_control["rows"]
