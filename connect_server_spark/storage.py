@@ -378,8 +378,12 @@ def status_point_read(
     predicate is a *foldable* expression (``xxhash64`` of a literal), so
     Catalyst constant-folds it to a single partition directory and the
     key equality pushes to the parquet scan — the plan touches one
-    bucket's files, never the table."""
-    df = spark.read.parquet(path)
+    bucket's files, never the table. Resolves the generation pointer
+    (no-op on flat stores) so object-store compactions
+    (``compact_partitioned(publish_root=True)``) stay invisible here."""
+    from connect_server_spark.fsutil import resolve_store
+
+    df = spark.read.parquet(resolve_store(spark, path))
     # xxhash64 hashes by physical type: a Python int literal (INT) and a
     # BIGINT column hash differently — cast the probe to the column type
     # so the folded bucket equals the written bucket.
@@ -512,6 +516,7 @@ def compact_partitioned(
     shuffle: bool = False,
     max_workers: int = 8,
     timings: dict | None = None,
+    publish_root: bool = False,
 ) -> dict:
     """Compact every LEAF partition directory of a hive-partitioned table
     (``band=*/``, ``cell=*/``, nested ``a=*/b=*/``) independently — the
@@ -531,11 +536,36 @@ def compact_partitioned(
     ``max_workers`` bounds transient extra disk at that many partitions'
     size. ``timings`` (optional, test hook) is filled with
     ``{leaf: (start_monotonic, end_monotonic)}`` so concurrency is
-    assertable. Returns ``{leaf_path: new_file_count}``."""
+    assertable. Returns ``{leaf_path: new_file_count}``.
+
+    ``publish_root=True`` is the OBJECT-STORE form (r9): leaf renames
+    are non-atomic per-object copies on S3A, so instead the WHOLE table
+    is rewritten — partition layout preserved — into a new generation
+    and the root's ``_CURRENT`` pointer flips atomically
+    (:func:`~connect_server_spark.fsutil.publish_generation`). Costs a
+    full-table rewrite instead of per-leaf increments; readers resolve
+    the pointer (:func:`status_point_read` does; a no-op on flat
+    stores). Returns ``{generation_path: file_count}``. For the IVF
+    cell store specifically, prefer ``rebalance_ivf_index`` — it IS the
+    pointer-published full rewrite, with re-training included."""
     from concurrent.futures import ThreadPoolExecutor
+
+    from connect_server_spark.fsutil import resolve_store
 
     hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
     fs = hadoop_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    if publish_root:
+        return _compact_partitioned_root(
+            spark, path, target_file_bytes, fs, hadoop_path
+        )
+    live = resolve_store(spark, path)
+    if live != path:
+        raise ValueError(
+            f"compact_partitioned: {path} is generation-pointered — keep "
+            "compacting it with publish_root=True (leaf renames inside a "
+            "published generation would mutate an immutable snapshot)"
+        )
 
     def leaves(p) -> list:
         subs = [
@@ -578,6 +608,61 @@ def compact_partitioned(
         for leaf_str, n in pool.map(work, leaf_paths):
             results[leaf_str] = n
     return results
+
+
+def _compact_partitioned_root(
+    spark: SparkSession, path: str, target_file_bytes: int, fs, hadoop_path
+) -> dict:
+    """The ``publish_root=True`` body: rewrite the whole partitioned
+    table into a new generation, partition columns detected from the
+    live layout's directory names so the hive structure (and therefore
+    PartitionFilters pruning) survives the rewrite."""
+    import math
+
+    from connect_server_spark.fsutil import (
+        begin_generation,
+        publish_generation,
+        resolve_store,
+    )
+
+    live = resolve_store(spark, path)
+    # partition columns, outermost-first, from the first leaf's
+    # relative path (a=1/b=2 → [a, b]); hidden/underscore names are
+    # not partition dirs
+    part_cols: list[str] = []
+    probe = hadoop_path(live)
+    while True:
+        subs = [
+            s.getPath()
+            for s in fs.listStatus(probe)
+            if s.isDirectory()
+            and "=" in s.getPath().getName()
+            and not s.getPath().getName().startswith((".", "_"))
+        ]
+        if not subs:
+            break
+        part_cols.append(subs[0].getName().split("=", 1)[0])
+        probe = subs[0]
+    if not part_cols:
+        raise ValueError(
+            f"compact_partitioned(publish_root=True): no partition "
+            f"directories under {live} — use compact() for flat stores"
+        )
+    df = spark.read.parquet(live)
+    size = fs.getContentSummary(hadoop_path(live)).getLength()
+    n = max(1, math.ceil(size / target_file_bytes))
+    gen = begin_generation(spark, path)
+    (
+        # repartition on the partition columns co-locates each hive
+        # partition's rows (≈1 file per partition per owning task);
+        # n caps the task count so file sizes track the byte target
+        df.repartition(n, *[F.col(c) for c in part_cols])
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(gen)
+    )
+    publish_generation(spark, path, gen)
+    return {gen: n}
 
 
 def salted_join(

@@ -221,6 +221,64 @@ def test_bucketed_respec_after_overwrite_never_serves_stale_layout(
     assert spec.get("Bucket Columns") == "[`j`]"
 
 
+def test_compact_partitioned_publish_root_preserves_pruning(
+    spark, tmp_path
+):
+    """The object-store form of partitioned compaction: the whole table
+    rewrites into a generation (leaf renames are per-object copies on
+    S3A), the hive layout survives — point reads still prune to one
+    bucket directory via PartitionFilters — and values are identical.
+    A generation-pointered table then REFUSES the leaf-rename form."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from connect_server_spark.storage import (
+        compact_partitioned,
+        status_point_read,
+        write_status_layout,
+    )
+
+    root = str(tmp_path / "status")
+    df = spark.range(0, 3000).select(
+        F.concat(F.lit("src_"), (F.col("id") % 97).cast("string")).alias(
+            "source_id"
+        ),
+        (F.col("id") % 5 + 1).cast("int").alias("version"),
+        F.col("id").alias("payload"),
+    )
+    write_status_layout(df, root, "source_id", "version", n_buckets=16)
+    want = sorted(
+        map(tuple, status_point_read(
+            spark, root, "source_id", "src_7", n_buckets=16
+        ).collect())
+    )
+    assert want
+
+    out = compact_partitioned(spark, root, publish_root=True)
+    [(gen, _n)] = out.items()
+    assert resolve_store(spark, root) == gen
+
+    probe = status_point_read(spark, root, "source_id", "src_7", n_buckets=16)
+    assert sorted(map(tuple, probe.collect())) == want
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "key_bucket" in plan.split(
+        "PartitionFilters"
+    )[1][:160]
+
+    # leaf-rename compaction of a pointered table is refused loudly
+    with _pytest.raises(ValueError, match="publish_root=True"):
+        compact_partitioned(spark, root)
+
+    # and a second root publish keeps exactly live + grace
+    compact_partitioned(spark, root, publish_root=True)
+    assert len(_gen_dirs(root)) == 2
+    assert sorted(
+        map(tuple, status_point_read(
+            spark, root, "source_id", "src_7", n_buckets=16
+        ).collect())
+    ) == want
+
+
 def test_bucketed_layout_survives_generation_swap(spark, tmp_path):
     """The whole point of compact_bucketed: the layout guarantee (zero
     Exchange on the store side) must hold when the store is served from
