@@ -36,6 +36,10 @@ __all__ = [
     "ivf_assign_udf",
     "train_ivf_centroids",
     "ivf_topk",
+    "train_pq_codebooks",
+    "pq_encode_udf",
+    "pq_decode_udf",
+    "read_pq_codebooks",
     "write_ivf_index",
     "read_ivf_centroids",
     "read_ivf_cells",
@@ -270,6 +274,174 @@ def train_ivf_centroids(
     return cents
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    sample_size: int = 4096,
+    iters: int = 15,
+    seed: int = 29,
+    ncodes: int = 256,
+):
+    """Product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    d-dim vector into ``m`` contiguous subvectors of d/m dims and train
+    an independent ``ncodes``-entry k-means codebook per subspace, so a
+    vector stores as ``m`` one-byte codes — 32× less than float32 at
+    d=64/m=8 (vs SQ8's 4×). At 100 TB the probed-cell scan I/O is the
+    serving bill, and PQ is the standard next step down the
+    memory/recall ladder after scalar quantization.
+
+    Training mirrors :func:`train_ivf_centroids`: a BOUNDED
+    deterministic sample (smallest ``sample_size`` ids in xxhash64
+    order — layout-decorrelated, retry-stable), Lloyd's driver-side in
+    NumPy per subspace (O(sample · ncodes · iters · d/m) — never the
+    corpus), empty clusters re-seeded from the sample with a fixed RNG.
+    Vectors are NOT normalized first: codes reconstruct the RAW stored
+    vector and cosine normalizes downstream at scoring time, exactly
+    like the float and SQ8 cell stores.
+
+    Returns a float32 array of shape ``(m, k, d/m)`` with
+    ``k = min(ncodes, sample rows)`` — a tiny corpus caps its codebook
+    at one entry per sample point (k-means cannot seed more centroids
+    than points; codes stay one byte by the ``ncodes ≤ 256`` contract).
+    """
+    if not 1 <= ncodes <= 256:
+        raise ValueError(
+            f"train_pq_codebooks: ncodes={ncodes} must be in [1, 256] — "
+            "codes are stored as one byte each"
+        )
+    sample = np.array(
+        [
+            row[0]
+            for row in corpus.orderBy(
+                F.xxhash64(F.col(corpus_id)), F.col(corpus_id)
+            )
+            .limit(sample_size)
+            .select(corpus_vec)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    if sample.size == 0:
+        raise ValueError("train_pq_codebooks: empty corpus")
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(
+            f"train_pq_codebooks: dim {d} is not divisible by m={m} — "
+            "pick m dividing the embedding dimension (pad upstream if "
+            "the model emits an awkward width)"
+        )
+    dsub = d // m
+    k = min(ncodes, len(sample))
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for sub in range(m):
+        pts = sample[:, sub * dsub : (sub + 1) * dsub]
+        cents = pts[rng.choice(len(pts), size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            owner = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = pts[owner == c]
+                if len(members) == 0:
+                    cents[c] = pts[rng.randint(len(pts))]
+                    continue
+                cents[c] = members.mean(axis=0)
+        books[sub] = cents
+    return books.astype(np.float32)
+
+
+def pq_encode_udf(codebooks):
+    """``array<float>`` → ``binary`` of m one-byte codes: per subspace,
+    the index of the nearest (L2) codebook entry. One Arrow batch does
+    all subspaces as vectorized NumPy distance matrices — the same
+    "BLAS beats per-element Catalyst lambdas" call as
+    :func:`srp_signatures_udf`. The (m, k, d/m) codebook array is
+    closure-captured (float32, ≤ 64 KB at d=64 — broadcast-model
+    sized)."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(codebooks, dtype=np.float32)
+    m, _k, dsub = books.shape
+
+    @pandas_udf("binary")
+    def enc(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        arr = np.array(vs.tolist(), dtype=np.float32).reshape(
+            len(vs), m, dsub
+        )
+        codes = np.empty((len(vs), m), dtype=np.uint8)
+        for sub in range(m):
+            d2 = ((arr[:, sub, None, :] - books[sub][None, :, :]) ** 2).sum(
+                -1
+            )
+            codes[:, sub] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return enc
+
+
+def pq_decode_udf(codebooks):
+    """``binary`` codes → reconstructed ``array<float>``: a pure NumPy
+    gather (no arithmetic — reconstructed subvectors ARE codebook
+    entries, which is what makes decode→re-encode lossless for the
+    rebalance carry). This is the one Python boundary PQ adds to the
+    serving plan vs SQ8's pure-Catalyst dequantize: a 256-way nested
+    table lookup has no vectorized Catalyst form, and the Arrow gather
+    costs microseconds per batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(codebooks, dtype=np.float32)
+    m, _k, dsub = books.shape
+    rows = np.arange(m)
+
+    @pandas_udf("array<float>")
+    def dec(cs: pd.Series) -> pd.Series:
+        if len(cs) == 0:
+            return pd.Series([], dtype=object)
+        codes = np.frombuffer(
+            b"".join(cs.tolist()), dtype=np.uint8
+        ).reshape(len(cs), m)
+        recon = books[rows[None, :], codes]
+        return pd.Series(recon.reshape(len(cs), m * dsub).tolist())
+
+    return dec
+
+
+def _write_pq_codebooks(spark, path: str, books) -> None:
+    m, k, _dsub = books.shape
+    spark.createDataFrame(
+        [
+            (int(sub), int(c), [float(x) for x in books[sub, c]])
+            for sub in range(m)
+            for c in range(k)
+        ],
+        "m int, code int, weights array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_pq_codebooks(spark, index_path: str):
+    """The stored PQ codebooks as an (m, k, d/m) float32 array — m·k
+    rows, a driver-side read by design (like the coarse centroids, this
+    is the broadcast model that ships in the encode/decode UDF
+    closures). ``index_path`` must already be resolved by callers that
+    also read ``cells/`` — same single-snapshot rule as
+    :func:`read_ivf_centroids`."""
+    rows = (
+        spark.read.parquet(f"{index_path}/pq").orderBy("m", "code").collect()
+    )
+    if not rows:
+        raise ValueError(f"empty PQ codebook store at {index_path}/pq")
+    m = rows[-1].m + 1
+    k = len(rows) // m
+    return np.array([r.weights for r in rows], dtype=np.float32).reshape(
+        m, k, -1
+    )
+
+
 def write_ivf_index(
     corpus: DataFrame,
     index_path: str,
@@ -279,7 +451,9 @@ def write_ivf_index(
     centroids=None,
     train_iters: int = 10,
     mode: str = "overwrite",
-    quantize: bool = False,
+    quantize=False,
+    pq_m: int = 8,
+    pq_codebooks=None,
 ) -> None:
     """Persist the IVF index so ANN serving never re-trains or re-assigns
     the corpus: the quantizer trains ONCE (bounded sample) and the
@@ -298,13 +472,22 @@ def write_ivf_index(
     and appended, growing the index by O(batch). Consumed by
     :func:`ivf_topk_indexed`.
 
-    ``quantize=True`` stores each cell vector as symmetric per-vector
-    int8 (``scale`` + ``array<tinyint>`` — the FAISS-SQ8 trade): ~4×
-    less index storage and scan I/O, ~1e-3 cosine error, with
-    dequantization happening scan-stage at serving time
-    (:func:`read_ivf_cells`). Appends follow the EXISTING store's
-    format regardless of the argument — a cell store must stay
-    homogeneous.
+    ``quantize`` picks the cell-payload representation:
+
+    * ``False`` — raw float vectors.
+    * ``True`` / ``"sq8"`` — symmetric per-vector int8 (``scale`` +
+      ``array<tinyint>`` — the FAISS-SQ8 trade): ~4× less index storage
+      and scan I/O, ~1e-3 cosine error, dequantized scan-stage at
+      serving time (:func:`read_ivf_cells`).
+    * ``"pq"`` — product quantization (``codes: binary``, ``pq_m``
+      one-byte codes per vector — the FAISS-IVFPQ trade): ~32× less at
+      d=64/m=8, decoded at serving time by an Arrow-batched gather.
+      Codebooks train here once (:func:`train_pq_codebooks`, or pass
+      ``pq_codebooks`` to reuse a trained set — the rebalance carry
+      does) and persist under ``pq/`` beside the centroids.
+
+    Appends follow the EXISTING store's format regardless of the
+    argument — a cell store must stay homogeneous.
 
     Generation-pointer stores (an index :func:`rebalance_ivf_index` has
     swapped at least once): ``append`` resolves the ``_CURRENT`` pointer
@@ -318,6 +501,12 @@ def write_ivf_index(
         resolve_store,
     )
 
+    fmt = {False: None, True: "sq8", "sq8": "sq8", "pq": "pq"}.get(quantize, "?")
+    if fmt == "?":
+        raise ValueError(
+            f"write_ivf_index: unknown quantize={quantize!r} — expected "
+            "False, True/'sq8', or 'pq'"
+        )
     spark = corpus.sparkSession
     if mode == "append":
         live = resolve_store(spark, index_path)
@@ -336,7 +525,13 @@ def write_ivf_index(
         # generation the next publish GCs)
         cents = read_ivf_centroids(spark, live)
         stored = spark.read.parquet(cells_path).columns
-        quantize = "q" in stored and corpus_vec not in stored
+        if corpus_vec in stored:
+            fmt = None
+        elif "codes" in stored:
+            fmt = "pq"
+            pq_codebooks = read_pq_codebooks(spark, live)
+        else:
+            fmt = "sq8"
     else:
         cents = (
             np.asarray(centroids, dtype=np.float64)
@@ -349,9 +544,15 @@ def write_ivf_index(
             [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
             "cell int, weights array<double>",
         ).coalesce(1).write.mode(mode).parquet(cent_path)
+        if fmt == "pq":
+            if pq_codebooks is None:
+                pq_codebooks = train_pq_codebooks(
+                    corpus, m=pq_m, corpus_id=corpus_id, corpus_vec=corpus_vec
+                )
+            _write_pq_codebooks(spark, f"{live}/pq", np.asarray(pq_codebooks))
     cell = F.explode(ivf_assign_udf(cents, 1)(F.col(corpus_vec))).alias("cell")
     assigned = corpus.select(F.col(corpus_id), F.col(corpus_vec), cell)
-    if quantize:
+    if fmt == "sq8":
         from connect_server_spark.operators.embeddings import quantize_int8
 
         # separate projection: mixing getField on a freshly-built named
@@ -364,6 +565,12 @@ def write_ivf_index(
             F.col(corpus_id),
             packed.getField("scale").alias("scale"),
             packed.getField("q").alias("q"),
+            "cell",
+        )
+    elif fmt == "pq":
+        assigned = assigned.select(
+            F.col(corpus_id),
+            pq_encode_udf(pq_codebooks)(F.col(corpus_vec)).alias("codes"),
             "cell",
         )
     assigned.write.mode("append" if mode == "append" else mode).partitionBy(
@@ -400,7 +607,10 @@ def read_ivf_cells(
     stored representation: float vectors pass through; SQ8 stores
     (``write_ivf_index(quantize=True)``) are dequantized SCAN-STAGE
     (pure Catalyst array expressions — no Python boundary, and the 4×
-    I/O saving has already happened at the parquet scan).
+    I/O saving has already happened at the parquet scan); PQ stores
+    (``quantize="pq"``) are reconstructed by an Arrow-batched codebook
+    gather (one extra Python boundary — the price of the 32× cut; the
+    codebooks come from the SAME resolved generation as the cells).
 
     ``_resolve=False`` reads the payload at ``index_path`` literally,
     ignoring any ``_CURRENT`` pointer — the rebalance delta-carry needs
@@ -413,6 +623,9 @@ def read_ivf_cells(
     cells = spark.read.parquet(f"{index_path}/cells")
     if corpus_vec in cells.columns:
         vec = F.col(corpus_vec)
+    elif "codes" in cells.columns:
+        books = read_pq_codebooks(spark, index_path)
+        vec = pq_decode_udf(books)(F.col("codes"))
     elif {"scale", "q"} <= set(cells.columns):
         from connect_server_spark.operators.embeddings import dequantize_int8
 
@@ -685,7 +898,9 @@ def rebalance_ivf_index(
       store rebalances losslessly: symmetric per-vector int8 dequantizes
       onto exact lattice points whose re-quantization (same max-|v|
       scale) reproduces the stored bytes — pinned in
-      ``tests/test_similarity.py``.
+      ``tests/test_similarity.py``. A PQ store is likewise lossless:
+      its codebooks are carried into the new generation and re-encoding
+      the gathered reconstructions reproduces the stored codes.
     * Replay-safe swap, the generation-pointer discipline: the new
       index (centroids + cells together — they must change ATOMICALLY,
       a reader pairing new centroids with old cell ids would probe the
@@ -714,9 +929,20 @@ def rebalance_ivf_index(
     # the post-swap delta) must see the SAME pre-swap generation
     old_live = resolve_store(spark, index_path)
     store = read_ivf_cells(spark, old_live, corpus_id, corpus_vec)
-    quantized = corpus_vec not in spark.read.parquet(
-        f"{old_live}/cells"
-    ).columns
+    stored_cols = spark.read.parquet(f"{old_live}/cells").columns
+    books = None
+    if corpus_vec in stored_cols:
+        quantized = False
+    elif "codes" in stored_cols:
+        # PQ rebalances losslessly by CODEBOOK REUSE: decode is a pure
+        # gather (reconstructed subvectors ARE codebook entries), so
+        # re-encoding with the same books reproduces the stored
+        # reconstructions exactly — codes are centroid-independent and
+        # survive any coarse re-train
+        quantized = "pq"
+        books = read_pq_codebooks(spark, old_live)
+    else:
+        quantized = True
     n = store.count()
     if n == 0:
         raise ValueError(
@@ -755,6 +981,7 @@ def rebalance_ivf_index(
         corpus_vec=corpus_vec,
         centroids=cents,
         quantize=quantized,
+        pq_codebooks=books,
     )
     if _pre_swap_hook is not None:  # test seam: simulate a concurrent
         _pre_swap_hook()  # append landing between build and flip

@@ -89,7 +89,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("similarity_topk_ivf", similarity_topk_ivf, defer=True)
 
 def _ivf_index_for(
-    spark: SparkSession, sf_dir: str, quantize: bool = False
+    spark: SparkSession, sf_dir: str, quantize=False
 ) -> str:
     """Build-once path of the persisted IVF index for this dataset
     (content-keyed cache: path+mtime+size — see the dedup_queries twin).
@@ -109,7 +109,11 @@ def _ivf_index_for(
     from connect_server_spark.tables import dataset_cache_key
 
     key = dataset_cache_key(sf_dir, "embeddings")
-    variant = "sq8_" if quantize else ""
+    variant = (
+        ""
+        if not quantize
+        else ("sq8_" if quantize is True else f"{quantize}_")
+    )
     index_path = f"/tmp/connect_server_spark_ivf_index_{variant}v2/{key}"
     if not os.path.exists(f"{index_path}/cells/_SUCCESS"):
         emb = load_table(spark, "embeddings", sf_dir)
@@ -157,6 +161,28 @@ def similarity_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("similarity_topk_ivf_sq8", similarity_topk_ivf_sq8, defer=True)
+
+
+def similarity_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCT-QUANTIZED serving path: same probes against a PQ
+    cell store (``write_ivf_index(quantize="pq")`` — m=8 one-byte codes
+    per 64-dim vector, ~32× less index storage and probed-cell scan I/O
+    than float32, the FAISS-IVFPQ trade one step below SQ8's 4×).
+    Reconstruction is an Arrow-batched codebook gather; scoring and
+    ranking are plan-identical to ``similarity_topk_ivf_indexed``.
+    Rows-only; recall and reconstruction-error bounds vs the float
+    index, the storage cut, and the rebalance codebook carry are pinned
+    in ``tests/test_similarity.py``."""
+    from connect_server_spark.operators.similarity import ivf_topk_indexed
+
+    index_path = _ivf_index_for(spark, sf_dir, quantize="pq")
+    emb = load_table(spark, "embeddings", sf_dir)
+    return ivf_topk_indexed(
+        _probes(emb), spark, index_path, _K, nprobe=4
+    ).select("probe_id", "vec_id", "cosine", "rank")
+
+
+register("similarity_topk_ivf_pq", similarity_topk_ivf_pq, defer=True)
 
 
 def embeddings_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:

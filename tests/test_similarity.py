@@ -512,6 +512,221 @@ def test_ivf_sq8_append_follows_store_format(spark, tmp_path):
     assert got == {3, 1000}
 
 
+def test_ivf_pq_store_serves_with_recall_and_much_smaller_files(
+    spark, tmp_path
+):
+    """The PQ cell store: (a) serving through the product-quantized
+    index keeps high top-k overlap with the float index at full probe
+    coverage and every probe keeps its self-match at rank 1; (b) the
+    cells directory is dramatically smaller on disk than float (8 code
+    bytes vs 512 raw vector bytes per row — the 100 TB point); (c) the
+    serving plan holds exactly two Arrow boundaries (probe assignment +
+    codebook gather) and no pickled row-UDF."""
+    import os
+
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        ivf_topk_indexed,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 64)
+    rows = [
+        (i, (centers[i % 4] + 0.1 * rng.randn(64)).tolist())
+        for i in range(1200)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = spark.createDataFrame(
+        [(j, rows[j * 70][1]) for j in range(4)], ["probe_id", "probe_vec"]
+    )
+    fp = str(tmp_path / "fp")
+    pq = str(tmp_path / "pq")
+    write_ivf_index(corpus, fp, nlist=8)
+    cents = read_ivf_centroids(spark, fp)
+    write_ivf_index(corpus, pq, nlist=8, centroids=cents, quantize="pq")
+
+    out_fp = ivf_topk_indexed(probes, spark, fp, 5, nprobe=8).collect()
+    out_pq = ivf_topk_indexed(probes, spark, pq, 5, nprobe=8).collect()
+    ids_fp = {(r.probe_id, r.vec_id) for r in out_fp}
+    ids_pq = {(r.probe_id, r.vec_id) for r in out_pq}
+    assert len(ids_fp) == 20
+    # the honest PQ contract: cluster-level neighborhoods survive (the
+    # inter-cluster cosine gap dwarfs the reconstruction error, so a
+    # wrong-cluster neighbor would be a real defect), while exact rank
+    # order among same-cluster ε-ties is NOT guaranteed — this fixture's
+    # within-cluster candidates differ by less than the quantization
+    # noise, the worst case for set overlap (deterministically 13/20
+    # here; assert the floor with margin)
+    for r in out_pq:
+        assert r.vec_id % 4 == rows[r.probe_id * 70][0] % 4
+    assert len(ids_pq & ids_fp) >= 12, ids_pq ^ ids_fp
+    rank1_pq = {r.probe_id: r.vec_id for r in out_pq if r.rank == 1}
+    rank1_fp = {r.probe_id: r.vec_id for r in out_fp if r.rank == 1}
+    assert rank1_pq == rank1_fp
+    cos_fp = {(r.probe_id, r.vec_id): r.cosine for r in out_fp}
+    for r in out_pq:
+        if (r.probe_id, r.vec_id) in cos_fp:
+            assert abs(r.cosine - cos_fp[(r.probe_id, r.vec_id)]) < 5e-2
+
+    def _dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    fp_bytes = _dir_bytes(f"{fp}/cells")
+    pq_bytes = _dir_bytes(f"{pq}/cells")
+    # 8 bytes of codes vs 512 bytes of float64 vector per row: even with
+    # parquet/page overheads the cut lands far below SQ8's 0.5×
+    assert pq_bytes < 0.25 * fp_bytes, (pq_bytes, fp_bytes)
+
+    plan = (
+        ivf_topk_indexed(probes, spark, pq, 5, nprobe=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 2, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_ivf_pq_append_follows_store_format(spark, tmp_path):
+    """mode='append' into a PQ store encodes the batch with the STORED
+    codebooks regardless of the argument, and the appended vector is
+    immediately searchable through the decoded read path."""
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(16).tolist()) for i in range(60)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    ix = str(tmp_path / "pq_append")
+    write_ivf_index(corpus, ix, nlist=4, quantize="pq", pq_m=4)
+
+    twin = (np.array(rows[3][1]) + 0.01).tolist()
+    batch = spark.createDataFrame([(1000, twin)], ["vec_id", "embedding"])
+    # note: quantize left at its default (False) — the store wins
+    write_ivf_index(batch, ix, mode="append")
+
+    cells = spark.read.parquet(f"{ix}/cells")
+    assert "codes" in cells.columns and "embedding" not in cells.columns
+    assert cells.filter("vec_id = 1000").count() == 1
+
+    probes = spark.createDataFrame([(0, rows[3][1])], ["probe_id", "probe_vec"])
+    got = {
+        r.vec_id
+        for r in ivf_topk_indexed(probes, spark, ix, 2, nprobe=4).collect()
+    }
+    assert got == {3, 1000}
+
+
+def test_pq_encode_decode_roundtrip_is_idempotent(spark):
+    """decode→re-encode is a fixed point (reconstructed subvectors ARE
+    codebook entries, so the nearest entry is the stored one at distance
+    zero) — the property the PQ rebalance carry rests on; and the
+    reconstruction error of any encoded vector is bounded by its
+    distance to the nearest codebook entry per subspace."""
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        pq_decode_udf,
+        pq_encode_udf,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.RandomState(23)
+    rows = [(i, rng.randn(32).tolist()) for i in range(300)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = train_pq_codebooks(corpus, m=4, sample_size=300, ncodes=32)
+    assert books.shape == (4, 32, 8)
+
+    enc, dec = pq_encode_udf(books), pq_decode_udf(books)
+    out = (
+        corpus.select(
+            "vec_id", enc(F.col("embedding")).alias("codes")
+        )
+        .select("vec_id", "codes", dec(F.col("codes")).alias("recon"))
+        .select(
+            "vec_id", "codes", "recon", enc(F.col("recon")).alias("codes2")
+        )
+        .collect()
+    )
+    assert len(out) == 300
+    by_id = {r.vec_id: r for r in out}
+    for i, vec in rows:
+        r = by_id[i]
+        assert bytes(r.codes2) == bytes(r.codes)
+        # per-subspace reconstruction = nearest codebook entry exactly
+        recon = np.array(r.recon, dtype=np.float32).reshape(4, 8)
+        raw = np.array(vec, dtype=np.float32).reshape(4, 8)
+        for sub in range(4):
+            d2 = ((books[sub] - raw[sub]) ** 2).sum(-1)
+            nearest = books[sub][np.argmin(d2)]
+            assert np.array_equal(recon[sub], nearest)
+
+
+def test_pq_dim_and_ncodes_contracts(spark):
+    import pytest as _pytest
+
+    from connect_server_spark.operators.similarity import train_pq_codebooks
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], ["vec_id", "embedding"]
+    )
+    with _pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(corpus, m=2)
+    with _pytest.raises(ValueError, match="ncodes"):
+        train_pq_codebooks(corpus, m=3, ncodes=512)
+
+
+def test_rebalance_ivf_index_pq_is_lossless_and_stays_pq(spark, tmp_path):
+    """A PQ store rebalances LOSSLESSLY: the codebooks are carried into
+    the new generation byte-identically and the decoded payload is
+    unchanged — a rebalance must never silently fatten the index 32× or
+    retrain codes under a serving reader."""
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        read_ivf_cells,
+        read_pq_codebooks,
+        rebalance_ivf_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(13)
+    rows = [(i, rng.randn(8).tolist()) for i in range(60)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    ix = str(tmp_path / "rebal_pq")
+    write_ivf_index(corpus, ix, nlist=4, quantize="pq", pq_m=2)
+    books_before = read_pq_codebooks(spark, ix)
+
+    def payload(path):
+        return {
+            r.vec_id: tuple(round(x, 9) for x in r.embedding)
+            for r in read_ivf_cells(spark, path).collect()
+        }
+
+    before = payload(ix)
+    rebalance_ivf_index(spark, ix, target_cell_size=4)
+    from connect_server_spark.fsutil import resolve_store
+
+    live = resolve_store(spark, ix)
+    assert live != ix  # the swap upgraded the store to a generation
+    cols = spark.read.parquet(f"{live}/cells").columns
+    assert "codes" in cols and "embedding" not in cols  # still PQ
+    assert payload(ix) == before
+    assert np.array_equal(read_pq_codebooks(spark, live), books_before)
+
+
 def test_ivf_cell_stats_counts_skew_and_empty_cells(spark, tmp_path):
     """Planted imbalance: cells carrying 0, and hot, vectors must be
     reported with exact counts, share summing to 1, and skew = n/mean
