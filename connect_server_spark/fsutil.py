@@ -27,6 +27,7 @@ __all__ = [
     "resolve_store",
     "begin_generation",
     "publish_generation",
+    "list_generations",
 ]
 
 
@@ -169,13 +170,67 @@ CURRENT_POINTER = "_CURRENT"
 GENERATION_PREFIX = "_gen-"
 
 
-def resolve_store(spark: SparkSession, root: str) -> str:
+def resolve_store(
+    spark: SparkSession, root: str, generation: int | str | None = None
+) -> str:
     """The live payload directory of a store: ``root/<_CURRENT>`` when
     the pointer file exists, else ``root`` itself (flat/legacy store).
     Idempotent — resolving an already-resolved generation dir returns it
-    unchanged (generation dirs never carry their own pointer)."""
+    unchanged (generation dirs never carry their own pointer).
+
+    ``generation`` pins a SNAPSHOT instead of the live payload (the
+    Iceberg/Delta time-travel read, sized to this store format's
+    bounded retention): pass a generation number (or ``_gen-*`` name)
+    and get that immutable payload directory — valid for the reader's
+    whole query lifetime because published generations never mutate.
+    Pins refuse loudly rather than serve garbage: a flat store has no
+    snapshots; a number above the live pointer is an in-flight (or
+    crashed) build that was never published; a number below the
+    retention window (``publish_generation(keep=N)`` holds the N most
+    recent superseded payloads) has been GC'd —
+    :func:`list_generations` shows what is readable."""
     root = root.rstrip("/")
     marker = f"{root}/{CURRENT_POINTER}"
+    if generation is not None:
+        name = (
+            generation
+            if isinstance(generation, str)
+            else f"{GENERATION_PREFIX}{int(generation):08d}"
+        )
+        if not name.startswith(GENERATION_PREFIX) or "/" in name:
+            raise ValueError(
+                f"resolve_store: bad generation {generation!r} — expected "
+                f"a number or a {GENERATION_PREFIX}* name"
+            )
+        if not fs_exists(spark, marker):
+            raise ValueError(
+                f"resolve_store: {root} is a flat store (no "
+                f"{CURRENT_POINTER} pointer) — it has no generation "
+                "snapshots to pin; a store upgrades on its first "
+                "compaction/rebalance publish"
+            )
+        live = read_text(spark, marker).strip()
+
+        def _num(n: str) -> int:
+            try:
+                return int(n[len(GENERATION_PREFIX):])
+            except ValueError:
+                return -1
+
+        if _num(name) > _num(live):
+            raise ValueError(
+                f"resolve_store: generation {name} at {root} is newer "
+                f"than the live pointer ({live}) — an unpublished "
+                "in-flight or crashed build, not a readable snapshot"
+            )
+        if not fs_exists(spark, f"{root}/{name}"):
+            raise ValueError(
+                f"resolve_store: generation {name} at {root} is not on "
+                "disk — GC'd past the retention window (publish keeps "
+                "the `keep` most recent superseded payloads); "
+                "list_generations() shows what is readable"
+            )
+        return f"{root}/{name}"
     if not fs_exists(spark, marker):
         return root
     name = read_text(spark, marker).strip()
@@ -202,7 +257,9 @@ def begin_generation(spark: SparkSession, root: str) -> str:
     return f"{root}/{GENERATION_PREFIX}{highest + 1:08d}"
 
 
-def publish_generation(spark: SparkSession, root: str, gen_path: str) -> None:
+def publish_generation(
+    spark: SparkSession, root: str, gen_path: str, keep: int = 1
+) -> None:
     """Atomically repoint ``root``'s live generation to ``gen_path``
     (a fully-materialized ``root/_gen-*`` child), then GC superseded
     payloads. The flip is one small-file replace — a concurrent reader
@@ -210,12 +267,15 @@ def publish_generation(spark: SparkSession, root: str, gen_path: str) -> None:
     publish: grace) or the new one; never a mix of the two.
 
     GC scope after the flip: ``_gen-*`` children numbered BELOW the
-    published generation except the immediately-previous live one
-    (grace), plus — once the previous live payload is itself a
-    generation dir — any flat legacy payload left in ``root`` from
-    before the store was upgraded. Higher-numbered generations are
-    never touched: they belong to an in-flight builder that began
-    after this one.
+    published generation except the retained set — the
+    immediately-previous live one (grace for in-flight readers, always
+    kept) plus the ``keep - 1`` highest-numbered others (snapshot
+    retention for time-travel pins, ``resolve_store(generation=...)``)
+    — plus, once the previous live payload is itself a generation dir,
+    any flat legacy payload left in ``root`` from before the store was
+    upgraded. ``keep=1`` (default) is the minimal grace-only policy.
+    Higher-numbered generations are never touched: they belong to an
+    in-flight builder that began after this one.
 
     Writer contract: swaps of ONE store must not run concurrently —
     two builders that call :func:`begin_generation` before either's
@@ -243,8 +303,26 @@ def publish_generation(spark: SparkSession, root: str, gen_path: str) -> None:
     prev = resolve_store(spark, root)
     write_text_atomic(spark, f"{root}/{CURRENT_POINTER}", gen_name)
     prev_name = None if prev == root else prev.rsplit("/", 1)[1]
+    # retention beyond the always-kept grace generation: the keep-1
+    # highest-numbered remaining superseded payloads stay readable as
+    # time-travel snapshots
+    retained = {gen_name, prev_name}
+    if keep > 1:
+        older = sorted(
+            (
+                name
+                for name in fs_list(spark, root)
+                if name.startswith(GENERATION_PREFIX)
+                and name not in retained
+                and _num(name) is not None
+                and (new_n is None or _num(name) < new_n)
+            ),
+            key=_num,
+            reverse=True,
+        )
+        retained.update(older[: keep - 1])
     for name in fs_list(spark, root):
-        if name == CURRENT_POINTER or name == gen_name or name == prev_name:
+        if name == CURRENT_POINTER or name in retained:
             continue
         if name.startswith(GENERATION_PREFIX):
             k = _num(name)
@@ -256,3 +334,37 @@ def publish_generation(spark: SparkSession, root: str, gen_path: str) -> None:
             # child is pre-upgrade legacy (or a crashed rename-era
             # leftover) whose grace period has passed
             fs_delete(spark, f"{root}/{name}")
+
+
+def list_generations(spark: SparkSession, root: str) -> list[dict]:
+    """The readable snapshot inventory of a generation-pointer store:
+    one dict per on-disk ``_gen-*`` child — ``{"name", "number",
+    "live", "path"}`` — newest first. A flat (never-swapped) store
+    returns ``[]``. Driver-side metadata listing by design (generation
+    counts are bounded by the retention policy, never by data volume);
+    feed ``number`` to ``resolve_store(generation=...)`` for a pinned
+    time-travel read. Entries above the live pointer are in-flight or
+    crashed builds (listed so operators can see them; pins refuse
+    them)."""
+    root = root.rstrip("/")
+    live = None
+    marker = f"{root}/{CURRENT_POINTER}"
+    if fs_exists(spark, marker):
+        live = read_text(spark, marker).strip()
+    out = []
+    for name in fs_list(spark, root):
+        if not name.startswith(GENERATION_PREFIX):
+            continue
+        try:
+            n = int(name[len(GENERATION_PREFIX):])
+        except ValueError:
+            continue
+        out.append(
+            {
+                "name": name,
+                "number": n,
+                "live": name == live,
+                "path": f"{root}/{name}",
+            }
+        )
+    return sorted(out, key=lambda g: g["number"], reverse=True)

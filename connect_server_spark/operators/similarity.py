@@ -880,6 +880,7 @@ def rebalance_ivf_index(
     sample_size: int = 4096,
     train_iters: int = 10,
     max_nlist: int = 65536,
+    keep: int = 1,
     _pre_swap_hook=None,
 ) -> int:
     """Act on what :func:`ivf_cell_stats` reports: re-train the coarse
@@ -985,7 +986,12 @@ def rebalance_ivf_index(
     )
     if _pre_swap_hook is not None:  # test seam: simulate a concurrent
         _pre_swap_hook()  # append landing between build and flip
-    publish_generation(spark, index_path, gen)
+    # keep > 1 retains superseded index generations as pinned-serving
+    # snapshots (resolve_store(generation=...)): a generation dir is
+    # SELF-CONTAINED (centroids + cells + pq codebooks), so an old
+    # generation keeps serving consistently for A/B comparison while
+    # the live pointer moves
+    publish_generation(spark, index_path, gen, keep=keep)
     # Appends that landed AFTER the build materialized live only in the
     # pre-swap generation (concurrent write_ivf_index(mode="append")
     # resolved the pointer before the flip) — re-appending the id-level

@@ -32,6 +32,7 @@ __all__ = [
     "compact",
     "compact_partitioned",
     "read_table",
+    "read_snapshot",
     "salted_collect_set",
     "snapshot_diff",
 ]
@@ -270,6 +271,7 @@ def compact_bucketed(
     key: str,
     buckets: int = 32,
     sort_key: str | None = None,
+    keep: int = 1,
 ) -> None:
     """Compact an append-accreted bucketed store back to ~one file per
     bucket WITHOUT losing the layout: rewrite through a bucketed write
@@ -317,7 +319,7 @@ def compact_bucketed(
     # metadata-only drop: the files stay; read_bucketed re-registers
     # the generation under its canonical hashed name on first read
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
-    publish_generation(spark, path, gen)
+    publish_generation(spark, path, gen, keep=keep)
 
 
 def write_partitioned(
@@ -400,6 +402,7 @@ def compact(
     target_file_bytes: int = 128 * 1024 * 1024,
     shuffle: bool = False,
     generational: bool = True,
+    keep: int = 1,
 ) -> int:
     """Rewrite a parquet directory into ~``target_file_bytes`` files.
 
@@ -453,7 +456,7 @@ def compact(
         out = df.repartition(n) if shuffle else df.coalesce(n)
         gen = begin_generation(spark, path)
         out.write.mode("overwrite").parquet(gen)
-        publish_generation(spark, path, gen)
+        publish_generation(spark, path, gen, keep=keep)
         return n
 
     df = spark.read.parquet(path)
@@ -480,6 +483,25 @@ def compact(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, generation: int | str | None = None
+) -> DataFrame:
+    """Time-travel read of a generation-pointer store: the live payload
+    by default, or the pinned ``generation`` snapshot (a number or
+    ``_gen-*`` name still inside the retention window —
+    ``compact(keep=N)`` / ``publish_generation(keep=N)`` hold the N
+    most recent superseded payloads). Published generations are
+    immutable, so the returned DataFrame is a consistent snapshot for
+    its whole lifetime regardless of concurrent compactions; pins
+    outside retention refuse loudly
+    (:func:`~connect_server_spark.fsutil.resolve_store`), and
+    :func:`~connect_server_spark.fsutil.list_generations` inventories
+    what is readable."""
+    from connect_server_spark.fsutil import resolve_store
+
+    return spark.read.parquet(resolve_store(spark, path, generation=generation))
 
 
 def salted_collect_set(

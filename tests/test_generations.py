@@ -314,3 +314,91 @@ def test_bucketed_layout_survives_generation_swap(spark, tmp_path):
         assert joined.count() == 2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_publish_keep_retains_time_travel_snapshots(spark, tmp_path):
+    """keep=N holds the N most recent superseded generations readable:
+    three keep=2 compactions of an evolving store leave live + two
+    snapshots, the oldest is GC'd, and a pinned read of a retained
+    generation returns that snapshot's rows — not the live ones."""
+    from connect_server_spark.fsutil import list_generations
+    from connect_server_spark.storage import compact, read_snapshot
+
+    root = str(tmp_path / "tt")
+    spark.range(0, 10).write.parquet(root)
+    compact(spark, root, keep=2)  # gen 1 live = rows 0..9
+    spark.range(10, 15).write.mode("append").parquet(
+        resolve_store(spark, root)  # appends land in the LIVE generation
+    )
+    compact(spark, root, keep=2)  # gen 2 live; gen 1 freezes at 0..14
+    spark.range(15, 18).write.mode("append").parquet(
+        resolve_store(spark, root)
+    )
+    compact(spark, root, keep=2)  # gen 3 live; gen 2 freezes at 0..17
+
+    gens = list_generations(spark, root)
+    assert [g["number"] for g in gens] == [3, 2, 1]
+    assert [g["live"] for g in gens] == [True, False, False]
+
+    assert read_snapshot(spark, root).count() == 18  # live
+    # a superseded generation is frozen at its supersede-time contents
+    assert read_snapshot(spark, root, generation=1).count() == 15
+    assert read_snapshot(spark, root, generation=2).count() == 18
+    # the pinned snapshot re-reads identically after ANOTHER compaction
+    # moved the live pointer — and the oldest falls past retention
+    pinned = read_snapshot(spark, root, generation=2)
+    compact(spark, root, keep=2)  # gen 4: retained = {4, 3, 2}; 1 GC'd
+    assert pinned.count() == 18
+    assert {r.id for r in pinned.collect()} == set(range(18))
+    gens = list_generations(spark, root)
+    assert [g["number"] for g in gens] == [4, 3, 2]
+    with pytest.raises(ValueError, match="retention"):
+        read_snapshot(spark, root, generation=1)
+
+
+def test_snapshot_pins_refuse_gc_flat_and_unpublished(spark, tmp_path):
+    """Every wrong pin refuses loudly instead of serving garbage: a
+    GC'd generation, a flat store, a not-yet-published build, and a
+    malformed name."""
+    from connect_server_spark.storage import compact, read_snapshot
+
+    flat = str(tmp_path / "flat")
+    spark.range(3).write.parquet(flat)
+    with pytest.raises(ValueError, match="flat store"):
+        read_snapshot(spark, flat, generation=1)
+
+    root = str(tmp_path / "store")
+    spark.range(5).write.parquet(root)
+    compact(spark, root)  # gen 1 (keep=1 default)
+    compact(spark, root)  # gen 2
+    compact(spark, root)  # gen 3 — gen 1 GC'd under keep=1
+    with pytest.raises(ValueError, match="retention"):
+        read_snapshot(spark, root, generation=1)
+    with pytest.raises(ValueError, match="unpublished"):
+        resolve_store(spark, root, generation=99)
+    with pytest.raises(ValueError, match="bad generation"):
+        resolve_store(spark, root, generation="evil/../path")
+    # default keep=1 retention is unchanged: live + grace only
+    assert len(_gen_dirs(root)) == 2
+
+
+def test_list_generations_flat_store_and_inflight_builds(spark, tmp_path):
+    from connect_server_spark.fsutil import list_generations
+    from connect_server_spark.storage import compact
+
+    flat = str(tmp_path / "flat")
+    spark.range(2).write.parquet(flat)
+    assert list_generations(spark, flat) == []
+
+    root = str(tmp_path / "store")
+    spark.range(4).write.parquet(root)
+    compact(spark, root)
+    # simulate an in-flight build: begin_generation names gen 2 but no
+    # publish — listed (operator visibility) yet refused by the pin
+    gen = begin_generation(spark, root)
+    spark.range(1).write.parquet(gen)
+    gens = list_generations(spark, root)
+    assert [g["number"] for g in gens] == [2, 1]
+    assert [g["live"] for g in gens] == [False, True]
+    with pytest.raises(ValueError, match="unpublished"):
+        resolve_store(spark, root, generation=2)
