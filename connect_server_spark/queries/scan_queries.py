@@ -143,3 +143,43 @@ register("scan_null_semantics", scan_null_semantics, defer=True)
 # ``version_queries.py``, unioned with the S7 key-range read — both probes
 # hit the same synthetic status table and push their key predicates to the
 # parquet scan.
+
+
+def events_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-predicate scan over a Z-ORDERED copy of the events table
+    (``operators/layout.py write_zordered`` on (user_id, value) —
+    content-keyed build cache like the IVF index, so bench's warm-up
+    pays the one-time layout rewrite): a conjunctive probe on BOTH
+    z-columns, the workload shape where a single-sort layout must read
+    every file for the second predicate but the z-layout's per-file
+    min/max footer stats prune most files on each (fractions pinned in
+    ``tests/test_layout.py``). The scan itself is plain parquet +
+    pushed filters — readers need nothing special. Rows-only in the
+    driver window; the DuckDB mirror runs in pytest."""
+    import os
+
+    from connect_server_spark.operators.layout import write_zordered
+    from connect_server_spark.tables import dataset_cache_key
+
+    key = dataset_cache_key(sf_dir, "events")
+    zpath = f"/tmp/connect_server_spark_zorder_v1/{key}"
+    if not os.path.exists(f"{zpath}/_SUCCESS"):
+        write_zordered(
+            load_table(spark, "events", sf_dir),
+            zpath,
+            ["user_id", "value"],
+            files=32,
+        )
+    ev = spark.read.parquet(zpath)
+    return ev.filter(
+        (F.col("user_id") % 97 == 3) & F.col("value").between(2.0, 4.0)
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+EVENTS_ZORDER_SCAN_ORACLE_SQL = """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id % 97 = 3 AND value BETWEEN 2.0 AND 4.0
+"""
+
+register("events_zorder_scan", events_zorder_scan, defer=True)

@@ -1,0 +1,133 @@
+"""Z-order layout (`operators/layout.py`): multi-dimensional file
+pruning from parquet footer stats. The payoff is mechanical, so the
+pins measure it mechanically — `file_pruning_fraction` reads the same
+min/max statistics a predicate-pushdown scan uses to skip files."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from connect_server_spark.operators.layout import (
+    file_pruning_fraction,
+    write_zordered,
+    zorder_value,
+)
+
+
+def _grid(spark, n=4096):
+    """Two independent uniform columns — the canonical z-order case."""
+    return (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.xxhash64("id") % 1000).alias("a"),
+            ((F.xxhash64("id", F.lit(1)) % 1000) / 10.0).alias("b"),
+        )
+    )
+
+
+def test_zorder_rewrite_is_lossless_and_prunes_both_columns(
+    spark, tmp_path
+):
+    df = _grid(spark)
+    zp = str(tmp_path / "z")
+    sp = str(tmp_path / "s")
+    write_zordered(df, zp, ["a", "b"], files=16)
+    # baseline: single-key sort on `a` only
+    (
+        df.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.parquet(sp)
+    )
+
+    # lossless rewrite
+    assert sorted(tuple(r) for r in spark.read.parquet(zp).collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    # the z-value column is scaffolding, not persisted
+    assert spark.read.parquet(zp).columns == df.columns
+
+    probe = df.limit(1).collect()[0]
+    z_a = file_pruning_fraction(zp, "a", probe.a)
+    z_b = file_pruning_fraction(zp, "b", probe.b)
+    s_a = file_pruning_fraction(sp, "a", probe.a)
+    s_b = file_pruning_fraction(sp, "b", probe.b)
+    # single-sort: tight on its key, nothing on the other
+    assert s_a <= 2 / 16
+    assert s_b == 1.0
+    # z-order: BOTH columns prune most files (the trade: each a bit
+    # looser than a dedicated sort, neither degenerate)
+    assert z_a <= 0.5, (z_a, s_a)
+    assert z_b <= 0.5, (z_b, s_b)
+
+
+def test_zorder_value_is_pure_catalyst_and_handles_types(spark):
+    """No Python boundary in the z-expression (it runs inside the write
+    pipeline of every layout job), and timestamp columns interleave on
+    their epoch position."""
+    df = spark.range(500).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        F.timestamp_seconds(F.col("id") * 3600).alias("ts"),
+    )
+    z = zorder_value(df, ["k", "ts"], bits=8)
+    plan = (
+        df.withColumn("_z", z)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    vals = df.withColumn("_z", z).select("_z").distinct().count()
+    assert vals > 50  # real resolution, not a constant
+
+
+def test_zorder_value_contracts(spark):
+    df = spark.range(10).select(
+        F.col("id"), F.lit(5).alias("const"), F.col("id").alias("v")
+    )
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_value(df, [])
+    with pytest.raises(ValueError, match="exceeds a long"):
+        zorder_value(df, ["id", "v"], bits=32)
+    # constant column degrades to one stripe instead of crashing, and
+    # the other column still provides resolution
+    z = zorder_value(df, ["const", "v"], bits=8)
+    assert df.select(z.alias("z")).distinct().count() == 10
+
+
+def test_zorder_nulls_cluster_at_origin(spark, tmp_path):
+    df = spark.range(200).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id"))
+        .alias("a"),
+        (F.col("id") % 50).alias("b"),
+    )
+    zp = str(tmp_path / "z")
+    write_zordered(df, zp, ["a", "b"], files=8)
+    got = spark.read.parquet(zp)
+    assert got.filter(F.col("a").isNull()).count() == 20
+    assert got.count() == 200
+
+
+def test_events_zorder_scan_matches_duckdb_mirror(spark, sf_dir):
+    """The registered query's DuckDB oracle (rows-only in the driver
+    window — the mirror runs here)."""
+    import duckdb
+
+    from connect_server_spark.queries.scan_queries import (
+        EVENTS_ZORDER_SCAN_ORACLE_SQL,
+        events_zorder_scan,
+    )
+
+    got = sorted(
+        tuple(r) for r in events_zorder_scan(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(EVENTS_ZORDER_SCAN_ORACLE_SQL).fetchall())
+    assert got == want and len(got) > 0
