@@ -112,3 +112,46 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("events_heavy_hitters", events_heavy_hitters, defer=True)
+
+
+def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user telemetry per event_type from an HLL SKETCH LEDGER
+    (``operators/sketches.py``): the events table arrives as four
+    simulated ingest batches, each persisting a KB-sized partial sketch
+    row per group (replay-idempotent ``batch=<id>`` overwrite, the BM25
+    termstats discipline); the answer unions ledger rows — O(batches ×
+    groups), never a re-scan of history. lg_k=12 → ~1.6% RSE; accuracy,
+    merge-order invariance, replay convergence and compaction
+    equivalence are pinned in ``tests/test_sketches.py``. Rows-only:
+    DuckDB's approx_count_distinct is a different estimator, so the
+    pytest oracle compares against EXACT distincts with the sketch's
+    error bound instead."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from connect_server_spark.operators.sketches import (
+        distinct_estimates,
+        write_sketch_partial,
+    )
+    from connect_server_spark.tables import dataset_cache_key
+
+    key = dataset_cache_key(sf_dir, "events")
+    root = f"/tmp/connect_server_spark_sketch_ledger_v1/{key}"
+    ev = load_table(spark, "events", sf_dir)
+    if not os.path.exists(root):
+        for b in range(4):
+            write_sketch_partial(
+                ev.filter(F.col("event_id") % 4 == b),
+                root,
+                b,
+                "user_id",
+                by=["event_type"],
+            )
+    return (
+        distinct_estimates(spark, root, by=["event_type"])
+        .orderBy("event_type")
+    )
+
+
+register("events_distinct_sketch", events_distinct_sketch, defer=True)
