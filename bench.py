@@ -57,6 +57,9 @@ HEADLINE = [
     "similarity_topk_ivf",
     "similarity_topk_ivf_indexed",
     "similarity_topk_ivf_sq8",
+    "similarity_topk_ivf_pq",
+    "events_zorder_scan",
+    "events_distinct_sketch",
     "text_analysis",
     "corpus_curation",
     "curation_full",
@@ -291,11 +294,19 @@ def main() -> None:
     # Side artifact: the driver captures stdout through a tail buffer that
     # has truncated the JSON head before (BENCH_r06's `parsed` was null) —
     # an atomic side file keeps every round's numbers machine-readable.
+    # Non-default scale factors write a SEPARATE file: the committed
+    # bench_result.json is the round's sf0.1 headline record, and an
+    # sf0.001 smoke run must not clobber it (review finding r9).
+    name = (
+        "bench_result.json"
+        if sf_dir.rstrip("/").endswith("sf0.1")
+        else "bench_result_smoke.json"
+    )
     try:
-        tmp = os.path.join(REPO_ROOT, ".bench_result.json.tmp")
+        tmp = os.path.join(REPO_ROOT, f".{name}.tmp")
         with open(tmp, "w") as f:
             f.write(payload + "\n")
-        os.replace(tmp, os.path.join(REPO_ROOT, "bench_result.json"))
+        os.replace(tmp, os.path.join(REPO_ROOT, name))
     except OSError:
         pass  # a read-only checkout must not kill the stdout contract
     print(payload)

@@ -168,6 +168,43 @@ def read_text(spark: SparkSession, path: str) -> str:
 
 CURRENT_POINTER = "_CURRENT"
 GENERATION_PREFIX = "_gen-"
+HISTORY_FILE = "_HISTORY"
+
+
+def _gen_name(generation: int | str) -> str:
+    """Canonical zero-padded ``_gen-*`` name for a number or any
+    ``_gen-*`` spelling (``'_gen-5'`` normalizes to ``_gen-00000005``
+    — on-disk names are always padded, so an unpadded pin must not be
+    mistaken for a GC'd snapshot)."""
+    if isinstance(generation, str):
+        if not generation.startswith(GENERATION_PREFIX) or "/" in generation:
+            raise ValueError(
+                f"bad generation {generation!r} — expected a number or a "
+                f"{GENERATION_PREFIX}* name"
+            )
+        try:
+            generation = int(generation[len(GENERATION_PREFIX):])
+        except ValueError:
+            raise ValueError(
+                f"bad generation {generation!r} — the suffix is not a "
+                "number"
+            ) from None
+    return f"{GENERATION_PREFIX}{int(generation):08d}"
+
+
+def _read_history(spark: SparkSession, root: str) -> list[str] | None:
+    """Published-generation names (newest first, live included) from the
+    ``_HISTORY`` manifest, or None on a store published before the
+    manifest existed (legacy — pins fall back to the weaker
+    number-vs-pointer checks)."""
+    path = f"{root}/{HISTORY_FILE}"
+    if not fs_exists(spark, path):
+        return None
+    return [
+        line.strip()
+        for line in read_text(spark, path).splitlines()
+        if line.strip()
+    ]
 
 
 def resolve_store(
@@ -192,16 +229,10 @@ def resolve_store(
     root = root.rstrip("/")
     marker = f"{root}/{CURRENT_POINTER}"
     if generation is not None:
-        name = (
-            generation
-            if isinstance(generation, str)
-            else f"{GENERATION_PREFIX}{int(generation):08d}"
-        )
-        if not name.startswith(GENERATION_PREFIX) or "/" in name:
-            raise ValueError(
-                f"resolve_store: bad generation {generation!r} — expected "
-                f"a number or a {GENERATION_PREFIX}* name"
-            )
+        try:
+            name = _gen_name(generation)
+        except ValueError as e:
+            raise ValueError(f"resolve_store: {e}") from None
         if not fs_exists(spark, marker):
             raise ValueError(
                 f"resolve_store: {root} is a flat store (no "
@@ -210,19 +241,32 @@ def resolve_store(
                 "compaction/rebalance publish"
             )
         live = read_text(spark, marker).strip()
+        history = _read_history(spark, root)
+        if history is not None:
+            # the manifest is the source of truth for what was ever
+            # PUBLISHED — a crash-orphaned build below the live number
+            # is on disk but half-written, and must not pin
+            if name != live and name not in history:
+                raise ValueError(
+                    f"resolve_store: generation {name} at {root} was "
+                    "never published (a crashed/in-flight build) or has "
+                    "been GC'd past the retention window; "
+                    "list_generations() shows what is readable"
+                )
+        else:
 
-        def _num(n: str) -> int:
-            try:
-                return int(n[len(GENERATION_PREFIX):])
-            except ValueError:
-                return -1
+            def _num(n: str) -> int:
+                try:
+                    return int(n[len(GENERATION_PREFIX):])
+                except ValueError:
+                    return -1
 
-        if _num(name) > _num(live):
-            raise ValueError(
-                f"resolve_store: generation {name} at {root} is newer "
-                f"than the live pointer ({live}) — an unpublished "
-                "in-flight or crashed build, not a readable snapshot"
-            )
+            if _num(name) > _num(live):
+                raise ValueError(
+                    f"resolve_store: generation {name} at {root} is newer "
+                    f"than the live pointer ({live}) — an unpublished "
+                    "in-flight or crashed build, not a readable snapshot"
+                )
         if not fs_exists(spark, f"{root}/{name}"):
             raise ValueError(
                 f"resolve_store: generation {name} at {root} is not on "
@@ -301,28 +345,45 @@ def publish_generation(
 
     new_n = _num(gen_name)
     prev = resolve_store(spark, root)
-    write_text_atomic(spark, f"{root}/{CURRENT_POINTER}", gen_name)
     prev_name = None if prev == root else prev.rsplit("/", 1)[1]
+    # published-generation manifest: the source of truth for which
+    # on-disk dirs are real snapshots — a crash-orphaned build below
+    # the live number is on disk but half-written, and must neither be
+    # retained in place of a real snapshot nor become pinnable. Legacy
+    # stores (published before the manifest existed) seed it from the
+    # previous live payload.
+    old_history = _read_history(spark, root)
+    if old_history is None:
+        old_history = [prev_name] if prev_name else []
+    write_text_atomic(spark, f"{root}/{CURRENT_POINTER}", gen_name)
     # retention beyond the always-kept grace generation: the keep-1
-    # highest-numbered remaining superseded payloads stay readable as
-    # time-travel snapshots
+    # newest other PUBLISHED generations stay readable as time-travel
+    # snapshots
     retained = {gen_name, prev_name}
     if keep > 1:
-        older = sorted(
+        candidates = sorted(
             (
                 name
-                for name in fs_list(spark, root)
-                if name.startswith(GENERATION_PREFIX)
-                and name not in retained
+                for name in old_history
+                if name not in retained
                 and _num(name) is not None
                 and (new_n is None or _num(name) < new_n)
+                and fs_exists(spark, f"{root}/{name}")
             ),
             key=_num,
             reverse=True,
         )
-        retained.update(older[: keep - 1])
+        retained.update(candidates[: keep - 1])
+    history = sorted(
+        (n for n in retained if n is not None),
+        key=lambda n: _num(n) if _num(n) is not None else -1,
+        reverse=True,
+    )
+    write_text_atomic(
+        spark, f"{root}/{HISTORY_FILE}", "\n".join(history) + "\n"
+    )
     for name in fs_list(spark, root):
-        if name == CURRENT_POINTER or name in retained:
+        if name in (CURRENT_POINTER, HISTORY_FILE) or name in retained:
             continue
         if name.startswith(GENERATION_PREFIX):
             k = _num(name)
@@ -339,18 +400,21 @@ def publish_generation(
 def list_generations(spark: SparkSession, root: str) -> list[dict]:
     """The readable snapshot inventory of a generation-pointer store:
     one dict per on-disk ``_gen-*`` child — ``{"name", "number",
-    "live", "path"}`` — newest first. A flat (never-swapped) store
-    returns ``[]``. Driver-side metadata listing by design (generation
-    counts are bounded by the retention policy, never by data volume);
-    feed ``number`` to ``resolve_store(generation=...)`` for a pinned
-    time-travel read. Entries above the live pointer are in-flight or
-    crashed builds (listed so operators can see them; pins refuse
-    them)."""
+    "live", "published", "path"}`` — newest first. A flat
+    (never-swapped) store returns ``[]``. Driver-side metadata listing
+    by design (generation counts are bounded by the retention policy,
+    never by data volume); feed ``number`` to
+    ``resolve_store(generation=...)`` for a pinned time-travel read.
+    ``published=False`` entries are in-flight or crashed builds —
+    listed so operators can see them; pins refuse them (``None`` on
+    legacy stores without a ``_HISTORY`` manifest, where publication
+    cannot be distinguished after the fact)."""
     root = root.rstrip("/")
     live = None
     marker = f"{root}/{CURRENT_POINTER}"
     if fs_exists(spark, marker):
         live = read_text(spark, marker).strip()
+    history = _read_history(spark, root)
     out = []
     for name in fs_list(spark, root):
         if not name.startswith(GENERATION_PREFIX):
@@ -359,11 +423,18 @@ def list_generations(spark: SparkSession, root: str) -> list[dict]:
             n = int(name[len(GENERATION_PREFIX):])
         except ValueError:
             continue
+        if name == live:
+            published = True
+        elif history is not None:
+            published = name in history
+        else:
+            published = None
         out.append(
             {
                 "name": name,
                 "number": n,
                 "live": name == live,
+                "published": published,
                 "path": f"{root}/{name}",
             }
         )

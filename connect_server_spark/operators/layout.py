@@ -13,9 +13,9 @@ pruning somewhat less tightly than a dedicated sort.
 Spark-first shape (mirrors Delta OSS's range_partition_id approach but
 stays in one pass):
 
-* Per column, a bounded `approxQuantile` driver pass (GK sketch —
-  never a shuffle, never a collect of data rows) learns ``knots + 1``
-  equi-depth CDF knots.
+* ONE multi-column `approxQuantile` driver pass (GK sketches for every
+  z-column in a single scan — never a shuffle, never a collect of data
+  rows) learns ``knots + 1`` equi-depth CDF knots per column.
 * Scan-stage, each value maps to rank space by piecewise-linear
   interpolation between its two knots — a fold over ≤ 33 literal
   knots, pure Catalyst, whole-stage-codegen friendly — then to an
@@ -119,9 +119,12 @@ def zorder_value(
 
     numeric = df.select(*[_as_double(c).alias(c) for c in cols])
     qs = [i / knots for i in range(knots + 1)]
+    # ONE multi-column GK pass: approxQuantile sketches every z-column
+    # in a single scan — per-column calls would re-read the table
+    # len(cols) times at compaction cadence
+    all_edges = numeric.approxQuantile(cols, qs, relative_error)
     buckets = []
-    for c in cols:
-        edges = numeric.approxQuantile(c, qs, relative_error)
+    for c, edges in zip(cols, all_edges):
         # collapse duplicate knots (heavy ties) — _cdf_bucket needs a
         # monotone knot sequence; ties just shorten the piecewise CDF
         dedup = [edges[0]] if edges else []

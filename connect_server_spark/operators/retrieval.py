@@ -539,12 +539,7 @@ def maintain_bm25_index(
 
     Returns ``{store: action}`` telemetry for what actually ran.
     """
-    from connect_server_spark.fsutil import (
-        begin_generation,
-        fs_list,
-        publish_generation,
-        resolve_store,
-    )
+    from connect_server_spark.fsutil import fs_list, resolve_store
     from connect_server_spark.storage import compact_bucketed
 
     actions: dict[str, str] = {}
@@ -559,24 +554,22 @@ def maintain_bm25_index(
             compact_bucketed(spark, root, key, buckets)
             actions[store] = f"compacted {n_files} files"
 
-    def ledger_batches(live: str) -> list[int]:
-        out = []
-        for name in fs_list(spark, live):
-            if name.startswith("batch="):
-                try:
-                    out.append(int(name.split("=", 1)[1]))
-                except ValueError:
-                    continue
-        return sorted(out)
+    from connect_server_spark.storage import (
+        ledger_batch_ids,
+        merge_batch_ledger,
+    )
 
     # decide the merge grouping ONCE from termstats, apply to both
     # ledgers — the coverage guard requires identical batch-id sets
     ts_live = resolve_store(spark, f"{index_path}/termstats")
-    batches = ledger_batches(ts_live)
+    batches = ledger_batch_ids(spark, ts_live)
     if len(batches) > max_ledger_batches:
         merge_ids = batches[: len(batches) - keep_recent]
         keep_ids = batches[len(batches) - keep_recent:]
-        merged_id = merge_ids[-1]
+        # shared replay-safe mechanic (storage.merge_batch_ledger):
+        # newest-stays-unmerged enforced there; termstats publishes
+        # FIRST so a crash between the two publishes trips the serving
+        # coverage guard loudly, never a silent df undercount
         for ledger, agg in (
             ("termstats", lambda df: df.groupBy("term").agg(
                 F.sum("df").alias("df"))),
@@ -585,23 +578,10 @@ def maintain_bm25_index(
                 F.sum("dl_sum").alias("dl_sum"),
                 F.sum("dl_cnt").alias("dl_cnt"))),
         ):
-            root = f"{index_path}/{ledger}"
-            live = resolve_store(spark, root)
-            gen = begin_generation(spark, root)
-            merged = agg(
-                spark.read.parquet(
-                    *[f"{live}/batch={b}" for b in merge_ids]
-                )
+            merge_batch_ledger(
+                spark, f"{index_path}/{ledger}", agg, merge_ids, keep_ids
             )
-            merged.coalesce(1).write.mode("overwrite").parquet(
-                f"{gen}/batch={merged_id}"
-            )
-            for b in keep_ids:  # tiny single-file partials: copy-through
-                spark.read.parquet(f"{live}/batch={b}").coalesce(1).write.mode(
-                    "overwrite"
-                ).parquet(f"{gen}/batch={b}")
-            publish_generation(spark, root, gen)
         actions["ledgers"] = (
-            f"merged {len(merge_ids)} partials into batch={merged_id}"
+            f"merged {len(merge_ids)} partials into batch={merge_ids[-1]}"
         )
     return actions

@@ -129,34 +129,30 @@ def compact_sketch_ledger(
     Estimates before and after are identical by HLL merge associativity
     (pinned); what changes is the ledger's row count, which is what
     keeps a year of hourly batches from growing the telemetry read."""
-    from connect_server_spark.fsutil import (
-        begin_generation,
-        publish_generation,
-        resolve_store,
+    from connect_server_spark.fsutil import resolve_store
+    from connect_server_spark.storage import (
+        ledger_batch_ids,
+        merge_batch_ledger,
     )
 
-    live = resolve_store(spark, root)
-    led = spark.read.parquet(live)
-    ids = sorted(r.batch for r in led.select("batch").distinct().collect())
+    if keep_latest < 1:
+        raise ValueError(
+            "compact_sketch_ledger: keep_latest must be >= 1 — the "
+            "newest batch can replay (overwriting its batch=<id> dir), "
+            "so merging it under its own id would let one redelivery "
+            "destroy the absorbed history"
+        )
+    ids = ledger_batch_ids(spark, resolve_store(spark, root))
     if len(ids) <= keep_latest:
         return 0
-    absorb, keep = ids[:-keep_latest] if keep_latest else ids, (
-        ids[-keep_latest:] if keep_latest else []
-    )
+    absorb, keep = ids[:-keep_latest], ids[-keep_latest:]
     cols = by or []
-    merged = (
-        led.filter(F.col("batch").isin([int(i) for i in absorb]))
-        .groupBy(*cols)
-        .agg(
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy(*cols).agg(
             F.hll_union_agg("sketch").alias("sketch"),
             F.sum("n_rows").alias("n_rows"),
         )
-    )
-    gen = begin_generation(spark, root)
-    merged.coalesce(1).write.parquet(f"{gen}/batch={int(max(absorb))}")
-    for b in keep:
-        spark.read.parquet(f"{live}/batch={int(b)}").write.parquet(
-            f"{gen}/batch={int(b)}"
-        )
-    publish_generation(spark, root, gen)
+
+    merge_batch_ledger(spark, root, merge, absorb, keep)
     return len(absorb)

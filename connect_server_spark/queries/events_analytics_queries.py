@@ -139,7 +139,10 @@ def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = dataset_cache_key(sf_dir, "events")
     root = f"/tmp/connect_server_spark_sketch_ledger_v1/{key}"
     ev = load_table(spark, "events", sf_dir)
-    if not os.path.exists(root):
+    # completion = the LAST batch's _SUCCESS, not the root dir (Spark
+    # creates root at batch 0 — a crash mid-build must rebuild, not
+    # serve a quarter of the events as "the corpus")
+    if not os.path.exists(f"{root}/batch=3/_SUCCESS"):
         for b in range(4):
             write_sketch_partial(
                 ev.filter(F.col("event_id") % 4 == b),

@@ -33,6 +33,8 @@ __all__ = [
     "compact_partitioned",
     "read_table",
     "read_snapshot",
+    "ledger_batch_ids",
+    "merge_batch_ledger",
     "salted_collect_set",
     "snapshot_diff",
 ]
@@ -483,6 +485,72 @@ def compact(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def ledger_batch_ids(spark: SparkSession, live: str) -> list[int]:
+    """Sorted batch ids of a ``batch=<id>/`` partial ledger, from the
+    directory listing (never a data scan)."""
+    from connect_server_spark.fsutil import fs_list
+
+    out = []
+    for name in fs_list(spark, live):
+        if name.startswith("batch="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def merge_batch_ledger(
+    spark: SparkSession,
+    root: str,
+    agg,
+    merge_ids: list[int],
+    keep_ids: list[int],
+) -> None:
+    """The shared replay-safe ledger-compaction mechanic (BM25
+    termstats/meta and the HLL sketch ledger both use it): aggregate
+    the ``merge_ids`` batches' partials with ``agg`` into ONE partial
+    under the HIGHEST merged id, copy the ``keep_ids`` partials
+    through, and publish as a new generation behind the store pointer.
+
+    The replay-safety invariants live HERE so the callers cannot
+    drift: ``keep_ids`` must include the ledger's newest id — only the
+    LATEST batch can replay under the monotone-id contract, and a
+    replay overwrites its own ``batch=<id>`` dir, so merging it would
+    let one redelivery silently destroy the absorbed history. Merged
+    ids are committed and never reissued, which is what makes merging
+    THEM safe."""
+    from connect_server_spark.fsutil import (
+        begin_generation,
+        publish_generation,
+        resolve_store,
+    )
+
+    if not merge_ids:
+        raise ValueError("merge_batch_ledger: nothing to merge")
+    newest = max(merge_ids + keep_ids)
+    if newest not in keep_ids:
+        raise ValueError(
+            "merge_batch_ledger: the newest batch id must stay unmerged "
+            f"(keep_ids={keep_ids}, merge_ids={merge_ids}) — only the "
+            "latest batch can replay, and a replayed overwrite of a "
+            "merged partial would destroy the absorbed history"
+        )
+    live = resolve_store(spark, root)
+    merged = agg(
+        spark.read.parquet(*[f"{live}/batch={int(b)}" for b in merge_ids])
+    )
+    gen = begin_generation(spark, root)
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        f"{gen}/batch={int(max(merge_ids))}"
+    )
+    for b in keep_ids:  # tiny single-file partials: copy-through
+        spark.read.parquet(f"{live}/batch={int(b)}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{gen}/batch={int(b)}")
+    publish_generation(spark, root, gen)
 
 
 def read_snapshot(

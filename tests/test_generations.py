@@ -374,7 +374,7 @@ def test_snapshot_pins_refuse_gc_flat_and_unpublished(spark, tmp_path):
     compact(spark, root)  # gen 3 — gen 1 GC'd under keep=1
     with pytest.raises(ValueError, match="retention"):
         read_snapshot(spark, root, generation=1)
-    with pytest.raises(ValueError, match="unpublished"):
+    with pytest.raises(ValueError, match="never published"):
         resolve_store(spark, root, generation=99)
     with pytest.raises(ValueError, match="bad generation"):
         resolve_store(spark, root, generation="evil/../path")
@@ -400,5 +400,38 @@ def test_list_generations_flat_store_and_inflight_builds(spark, tmp_path):
     gens = list_generations(spark, root)
     assert [g["number"] for g in gens] == [2, 1]
     assert [g["live"] for g in gens] == [False, True]
-    with pytest.raises(ValueError, match="unpublished"):
+    with pytest.raises(ValueError, match="never published"):
         resolve_store(spark, root, generation=2)
+
+
+def test_keep_retention_never_retains_or_pins_crashed_builds(
+    spark, tmp_path
+):
+    """Review pin: a crash-orphaned build BELOW the live number is on
+    disk but half-written — it must be GC'd (not retained in place of a
+    real snapshot under keep>1) and must never pin, and hand-built
+    unpadded names normalize instead of misreporting as GC'd."""
+    from connect_server_spark.fsutil import list_generations
+    from connect_server_spark.storage import compact, read_snapshot
+
+    root = str(tmp_path / "store")
+    spark.range(10).write.parquet(root)
+    compact(spark, root, keep=2)  # gen 1 live
+    orphan = begin_generation(spark, root)  # _gen-00000002
+    os.makedirs(orphan)
+    with open(f"{orphan}/halfwritten.parquet", "wb") as f:
+        f.write(b"\x00garbage")  # "crashed mid-build"
+    compact(spark, root, keep=2)  # gen 3: retained = {3, grace 1}
+
+    assert not os.path.exists(orphan)  # orphan GC'd, NOT kept as a snapshot
+    assert read_snapshot(spark, root, generation=1).count() == 10
+    with pytest.raises(ValueError, match="never published"):
+        read_snapshot(spark, root, generation=2)
+    pub = {g["number"]: g["published"] for g in list_generations(spark, root)}
+    assert pub == {3: True, 1: True}
+
+    # unpadded name pin normalizes to the on-disk padded dir
+    got = resolve_store(spark, root, generation="_gen-1")
+    assert got.endswith("_gen-00000001")
+    with pytest.raises(ValueError, match="bad generation"):
+        resolve_store(spark, root, generation="_gen-x")
