@@ -89,6 +89,7 @@ def ingest_store_paths(root: str) -> dict[str, str]:
         "pairs_text": f"{root}/pairs_text",
         "pairs_vec": f"{root}/pairs_vec",
         "pairs_winnow": f"{root}/pairs_winnow",
+        "sketch_ledger": f"{root}/telemetry/sketches",
     }
 
 
@@ -144,13 +145,15 @@ def composed_ingest_sink(
     maintain_every: int | None = None,
     maintain_skew_threshold: float = 4.0,
     maintain_cell_size: int = 256,
+    sketch_telemetry: bool = False,
     _failpoint: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the composed ``foreachBatch`` function (module docstring
     for the discipline). ``_failpoint`` is a TEST hook: raise
     RuntimeError immediately after the named step ("rollup", "pairs",
-    "minhash_index", "ivf_index", "bm25_index", "winnow_index") to exercise the
-    crash-replay contract — production callers leave it None.
+    "minhash_index", "ivf_index", "bm25_index", "winnow_index",
+    "sketch_ledger") to exercise the crash-replay contract — production
+    callers leave it None.
 
     ``winnow_threshold`` is the winnow fingerprint-set Jaccard cutoff —
     a DIFFERENT score distribution from the minhash shingle Jaccard
@@ -166,7 +169,16 @@ def composed_ingest_sink(
     only past ``maintain_skew_threshold``. It runs post-commit so a
     crashed maintenance pass replays into "nothing fresh" + a
     re-measure, and the rebalance swap itself is the generation-pointer
-    flip — the batch convergence contract is untouched either way."""
+    flip — the batch convergence contract is untouched either way.
+
+    ``sketch_telemetry=True`` records each batch's COMMITTED corpus
+    contribution in the HLL sketch ledger
+    (:mod:`~connect_server_spark.operators.sketches`): one KB-sized
+    partial per batch of fresh survivors, written BEFORE the survivors
+    append so any crash window replays into an identical overwrite
+    (same batch=<id> discipline as the BM25 partials); "distinct docs
+    ingested so far" then reads the ledger in O(batches), never the
+    corpus. The maintenance cadence also compacts the ledger."""
     paths = ingest_store_paths(root)
     if winnow_threshold is None:
         winnow_threshold = threshold
@@ -288,6 +300,20 @@ def composed_ingest_sink(
                 mode="append",
             )
             _maybe_fail("winnow_index")
+            if sketch_telemetry:
+                from connect_server_spark.operators.sketches import (
+                    write_sketch_partial,
+                )
+
+                # BEFORE the survivors append: a crash between the two
+                # replays with the SAME fresh set (survivors not yet
+                # committed) and overwrites an identical partial; once
+                # survivors commit, the partial is already on disk — no
+                # ordering leaves the telemetry short a committed batch
+                write_sketch_partial(
+                    fresh, paths["sketch_ledger"], int(batch_id), id_col
+                )
+                _maybe_fail("sketch_ledger")
             fresh.write.mode("append").parquet(paths["survivors"])
 
         if maintain_every and int(batch_id) % maintain_every == (
@@ -309,6 +335,12 @@ def composed_ingest_sink(
                 target_cell_size=maintain_cell_size,
             )
             maintain_bm25_index(spark, paths["bm25_index"])
+            if sketch_telemetry:
+                from connect_server_spark.operators.sketches import (
+                    compact_sketch_ledger,
+                )
+
+                compact_sketch_ledger(spark, paths["sketch_ledger"])
 
     return sink
 

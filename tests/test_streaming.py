@@ -1392,3 +1392,75 @@ def test_warc_batch_head_ingests_real_urls_and_custom_text_col(spark):
         for r in warc_batch_head(spark, text_col="content")(batch).collect()
     )
     assert again == ids
+
+
+def test_composed_ingest_sketch_telemetry_tracks_committed_survivors(
+    spark, tmp_path, composed_control
+):
+    """sketch_telemetry=True: the ledger's distinct-docs estimate equals
+    the committed survivor count exactly at this cardinality (HLL is
+    exact in sparse mode), a kill right after the partial write replays
+    into an identical ledger AND identical stores, and the maintenance
+    cadence compacts the ledger without changing the answer."""
+    from connect_server_spark.operators.sketches import (
+        distinct_estimates,
+        read_sketch_ledger,
+    )
+    from connect_server_spark.streaming.daily_ingest import (
+        composed_ingest_sink,
+    )
+
+    root = str(tmp_path / "root")
+    corpus, b1, b2 = _composed_fixture_rows()
+    paths = _composed_build_base(spark, root, corpus)
+    sink = composed_ingest_sink(
+        spark, root, "doc_id", "text", "embedding", "ts", "v",
+        sketch_telemetry=True,
+    )
+    crashy = composed_ingest_sink(
+        spark, root, "doc_id", "text", "embedding", "ts", "v",
+        sketch_telemetry=True, _failpoint="sketch_ledger",
+    )
+    sink(_composed_batch(spark, b1), 0)
+    try:
+        crashy(_composed_batch(spark, b2), 1)
+        raise AssertionError("failpoint did not fire")
+    except RuntimeError:
+        pass
+    sink(_composed_batch(spark, b2), 1)  # replay
+
+    # stores converge exactly as without telemetry
+    assert _composed_state(spark, paths) == composed_control
+    # ledger: one partial per committed batch; estimate == exact
+    # committed survivors (103, 202)
+    est = distinct_estimates(spark, paths["sketch_ledger"]).collect()[0]
+    assert (est.distinct_est, est.n_rows) == (2, 2)
+    batches = sorted(
+        r.batch
+        for r in read_sketch_ledger(spark, paths["sketch_ledger"])
+        .select("batch")
+        .distinct()
+        .collect()
+    )
+    assert batches == [0, 1]
+
+    # maintenance cadence compacts the ledger; answer unchanged
+    maint = composed_ingest_sink(
+        spark, root, "doc_id", "text", "embedding", "ts", "v",
+        sketch_telemetry=True, maintain_every=1,
+        maintain_skew_threshold=0.5,
+    )
+    import numpy as np
+
+    v301 = np.random.RandomState(301).randn(8)
+    maint(
+        _composed_batch(
+            spark,
+            [(301, " ".join(f"n301w{j}" for j in range(21)),
+              (v301 / np.linalg.norm(v301)).tolist(),
+              "2024-01-04 08:00:00", 6.0)],
+        ),
+        2,
+    )
+    est2 = distinct_estimates(spark, paths["sketch_ledger"]).collect()[0]
+    assert (est2.distinct_est, est2.n_rows) == (3, 3)
