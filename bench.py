@@ -97,6 +97,7 @@ HEADLINE = [
     "corpus_ingest_compressed",
     "corpus_ingest_warc",
     "corpus_ingest_files",
+    "corpus_ingest_jsonl",
     "corpus_url_filter",
     "corpus_from_crawl",
     "corpus_domain_keywords",

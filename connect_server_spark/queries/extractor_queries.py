@@ -728,3 +728,87 @@ def corpus_ingest_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("corpus_ingest_files", corpus_ingest_files, defer=True)
+
+
+def jsonl_shard_files(
+    spark: SparkSession, sf_dir: str, n_shards: int | None = None
+) -> str:
+    """Write real ``.jsonl.gz`` shard files once per dataset (the
+    ``warc_shard_files`` idiom: content-keyed cache, Hadoop-FS atomic
+    writes, ``_SUCCESS`` last, shared-storage root via
+    ``SPARK_GRAFT_WARC_FIXTURE_DIR``'s JSONL sibling env var,
+    driver-local root refused off local masters). One planted corrupt
+    line per shard gives ingest a known malformed-row ground truth."""
+    import os
+
+    from connect_server_spark.fsutil import fs_exists
+    from connect_server_spark.sources.jsonl import write_jsonl_shards
+    from connect_server_spark.tables import dataset_cache_key
+
+    root = os.environ.get(
+        "SPARK_GRAFT_JSONL_FIXTURE_DIR",
+        "/tmp/connect_server_spark_jsonl_files_v1",
+    )
+    master = spark.sparkContext.master
+    if not master.startswith("local") and "://" not in root:
+        raise ValueError(
+            f"jsonl_shard_files: shard root {root!r} is a driver-local"
+            f" path but master={master!r} — executors' scans would miss"
+            " it; set SPARK_GRAFT_JSONL_FIXTURE_DIR to shared storage"
+        )
+    if n_shards is None:
+        n_shards = _ingest_shard_count(_ingest_doc_count(spark, sf_dir))
+    key = dataset_cache_key(sf_dir, "documents")
+    shard_dir = f"{root}/{key}-s{n_shards}"
+    if not fs_exists(spark, f"{shard_dir}/_SUCCESS"):
+        docs = load_table(spark, "documents", sf_dir).select(
+            "doc_id", "text", "lang", "source"
+        )
+        write_jsonl_shards(
+            docs, shard_dir, n_shards=n_shards, corrupt_per_shard=1
+        )
+    return shard_dir
+
+
+def corpus_ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14/ingest: the JSONL dump path — real gzip'd ``.jsonl`` shard
+    files scanned with an EXPLICIT schema (never inference: that is a
+    full extra pass over every byte at 100 TB) in PERMISSIVE mode, so
+    the planted malformed lines surface as counted corrupt rows instead
+    of killing the job (FAILFAST) or silently shrinking the corpus
+    (DROPMALFORMED). Telemetry: per-lang doc/char counts over the valid
+    rows plus one ``__corrupt__`` row — content row-identity to the
+    parquet documents table and the exact corrupt count are pinned in
+    ``tests/test_sources.py``. One task per gzip shard by construction
+    (unsplittable codec — shard size is the parallelism knob)."""
+    from connect_server_spark.sources.jsonl import (
+        CORRUPT_COL,
+        read_jsonl_corpus,
+    )
+
+    shard_dir = jsonl_shard_files(spark, sf_dir)
+    raw = read_jsonl_corpus(
+        spark,
+        shard_dir,
+        "doc_id long, text string, lang string, source string",
+    )
+    # ONE aggregation over a derived group key: corrupt rows fold into
+    # their own bucket in the same scan (a corrupt-only projection is
+    # also disallowed by Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN rule —
+    # this shape sidesteps it without caching)
+    bucket = (
+        F.when(F.col(CORRUPT_COL).isNotNull(), F.lit("__corrupt__"))
+        .otherwise(F.col("lang"))
+        .alias("lang")
+    )
+    return (
+        raw.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("n_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+register("corpus_ingest_jsonl", corpus_ingest_jsonl, defer=True)

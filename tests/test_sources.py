@@ -441,3 +441,87 @@ def test_warc_shard_files_idempotent_and_real_gzip(spark, sf_dir):
     with open(first, "rb") as f:
         head = gzip.GzipFile(fileobj=f).read(64)
     assert head.startswith(b"WARC/1.0")
+
+
+def test_jsonl_ingest_round_trips_content_and_counts_corrupt(
+    spark, sf_dir, tmp_path
+):
+    """The JSONL dump path: (a) every valid line round-trips
+    row-identically to the parquet documents table (ids, full text,
+    lang, source — arbitrary unicode/newlines survive to_json); (b) the
+    planted malformed lines surface as exactly one counted corrupt row
+    per shard, with every schema column NULL — PERMISSIVE semantics,
+    never a crash, never a silent drop; (c) the files are real gzip."""
+    import glob
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from connect_server_spark.queries.extractor_queries import (
+        corpus_ingest_jsonl,
+        jsonl_shard_files,
+    )
+    from connect_server_spark.sources.jsonl import (
+        CORRUPT_COL,
+        read_jsonl_corpus,
+    )
+    from connect_server_spark.tables import load_table
+
+    shard_dir = jsonl_shard_files(spark, sf_dir)
+    files = sorted(glob.glob(f"{shard_dir}/shard-*.jsonl.gz"))
+    assert files
+    with open(files[0], "rb") as f:
+        assert f.read(2) == b"\x1f\x8b"  # real gzip magic
+
+    raw = read_jsonl_corpus(
+        spark,
+        shard_dir,
+        "doc_id long, text string, lang string, source string",
+    ).cache()
+    try:
+        got = sorted(
+            (r.doc_id, r.text, r.lang, r.source)
+            for r in raw.filter(raw[CORRUPT_COL].isNull()).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in load_table(spark, "documents", sf_dir)
+            .select("doc_id", "text", "lang", "source")
+            .collect()
+        )
+        assert got == want  # byte-identical corpus through the dump
+
+        corrupt = raw.filter(raw[CORRUPT_COL].isNotNull()).collect()
+        assert len(corrupt) == len(files)  # one planted line per shard
+        assert all(
+            r.doc_id is None and r.text is None for r in corrupt
+        )
+    finally:
+        raw.unpersist()
+
+    tele = {r.lang: (r.n_docs, r.n_chars) for r in
+            corpus_ingest_jsonl(spark, sf_dir).collect()}
+    assert tele["__corrupt__"] == (len(files), 0)
+    by_lang = {
+        r.lang: (r.n, r.c)
+        for r in load_table(spark, "documents", sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("c"),
+        )
+        .collect()
+    }
+    assert {k: v for k, v in tele.items() if k != "__corrupt__"} == by_lang
+
+
+def test_read_jsonl_corpus_requires_explicit_schema(spark):
+    """The no-inference contract is structural: read_jsonl_corpus has no
+    schema-optional path (inference would be a full extra pass over
+    every byte at corpus scale)."""
+    import inspect
+
+    from connect_server_spark.sources.jsonl import read_jsonl_corpus
+
+    sig = inspect.signature(read_jsonl_corpus)
+    assert sig.parameters["schema"].default is inspect.Parameter.empty
