@@ -43,6 +43,8 @@ __all__ = [
     "zorder_value",
     "write_zordered",
     "file_pruning_fraction",
+    "clustering_decay",
+    "maintain_zorder",
 ]
 
 
@@ -213,3 +215,100 @@ def file_pruning_fraction(path: str, col: str, value) -> float:
         elif lo <= value <= hi:
             hit += 1
     return hit / len(paths)
+
+
+def clustering_decay(path: str, col: str) -> float:
+    """How decayed ``col``'s file clustering is at ``path``: the mean,
+    over files, of the fraction of OTHER files whose [min, max] contains
+    this file's midpoint — i.e. what share of the table a typical point
+    predicate still has to read. A fresh single-column sort scores ~0
+    (disjoint ranges); fully interleaved appends score ~1. Driver-side
+    parquet-footer metadata only, like :func:`file_pruning_fraction` —
+    the maintenance trigger must be far cheaper than the rewrite it
+    gates. Files without stats count as overlapping (the scan cannot
+    skip them). Returns 0.0 for a single file (nothing to prune
+    between)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for p in sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ):
+        md = pq.ParquetFile(p).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        spans.append((lo, hi) if ok and lo is not None else None)
+    if not spans:
+        raise ValueError(f"clustering_decay: no parquet files at {path}")
+    if len(spans) == 1:
+        return 0.0
+    total = 0.0
+    for i, s in enumerate(spans):
+        if s is None:
+            total += 1.0  # statless file: nothing prunes against it
+            continue
+        try:
+            mid = s[0] + (s[1] - s[0]) / 2
+        except TypeError:  # non-numeric (e.g. string) stats: use min
+            mid = s[0]
+        hits = sum(
+            1
+            for j, o in enumerate(spans)
+            if j != i and (o is None or o[0] <= mid <= o[1])
+        )
+        total += hits / (len(spans) - 1)
+    return total / len(spans)
+
+
+def maintain_zorder(
+    spark,
+    root: str,
+    cols: list[str],
+    decay_threshold: float = 0.5,
+    files: int = 32,
+    bits: int = 12,
+    keep: int = 1,
+) -> bool:
+    """The layout twin of ``maintain_ivf_index``: measure → threshold →
+    rewrite. Appends land wherever the writer put them, so a z-ordered
+    table's file ranges decay toward full overlap and point predicates
+    stop pruning; this reads the live generation's footers
+    (:func:`clustering_decay`, driver-side metadata only), and only
+    past ``decay_threshold`` on some z-column re-clusters the table
+    with :func:`write_zordered` into a new generation and flips the
+    pointer (object-store-safe, crash leaves the live table untouched,
+    readers keep their snapshot). A healthy table costs footer reads
+    and does NOTHING. Returns whether a rewrite ran.
+
+    Appends between the decay read and the publish survive: they
+    landed in the pre-swap generation, which outlives this publish as
+    the grace snapshot — re-appending deltas is the caller's idiom
+    when needed (the IVF rebalance carry), but a layout rewrite is
+    usually scheduled against a quiesced table at compaction cadence."""
+    from connect_server_spark.fsutil import (
+        begin_generation,
+        publish_generation,
+        resolve_store,
+    )
+
+    live = resolve_store(spark, root)
+    if all(clustering_decay(live, c) <= decay_threshold for c in cols):
+        return False
+    df = spark.read.parquet(live)
+    gen = begin_generation(spark, root)
+    write_zordered(df, gen, cols, files=files, bits=bits)
+    publish_generation(spark, root, gen, keep=keep)
+    return True

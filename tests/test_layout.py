@@ -131,3 +131,53 @@ def test_events_zorder_scan_matches_duckdb_mirror(spark, sf_dir):
     )
     want = sorted(tuple(r) for r in con.execute(EVENTS_ZORDER_SCAN_ORACLE_SQL).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_maintain_zorder_measures_decay_and_recluster_restores_pruning(
+    spark, tmp_path
+):
+    """The layout lifecycle loop: a fresh z-table measures healthy and
+    maintenance DOES NOTHING; interleaved appends decay the footer
+    ranges toward full overlap; maintenance then fires, re-clusters
+    behind the generation pointer (rows identical, old snapshot
+    readable as grace), and both columns prune again."""
+    from connect_server_spark.fsutil import resolve_store
+    from connect_server_spark.operators.layout import (
+        clustering_decay,
+        maintain_zorder,
+    )
+
+    root = str(tmp_path / "t")
+    df = _grid(spark, 4096)
+    write_zordered(df, root, ["a", "b"], files=16)
+    assert clustering_decay(root, "a") < 0.5
+    assert maintain_zorder(spark, root, ["a", "b"]) is False  # healthy
+    assert resolve_store(spark, root) == root  # still flat — no rewrite
+
+    # interleaved appends: each new file spans the whole value range
+    extra = _grid(spark, 2048).select(
+        (F.col("id") + 100000).alias("id"), "a", "b"
+    )
+    extra.repartition(8).write.mode("append").parquet(root)
+    decayed_a = clustering_decay(root, "a")
+    assert decayed_a > 0.5  # appends wrecked the clustering
+
+    fired = maintain_zorder(spark, root, ["a", "b"])
+    assert fired is True
+    live = resolve_store(spark, root)
+    assert live != root  # pointer-published re-layout
+    # back under the healthy threshold on both columns (a z-layout's
+    # per-column overlap is inherently ~sqrt-resolution, not zero)
+    assert clustering_decay(live, "a") < 0.5 < decayed_a
+    assert clustering_decay(live, "b") < 0.5
+
+    # lossless: union of base + appends, exactly
+    got = sorted(tuple(r) for r in spark.read.parquet(live).collect())
+    want = sorted(
+        tuple(r) for r in df.unionByName(extra).collect()
+    )
+    assert got == want
+
+    # healthy again: a second maintenance pass is a no-op (no new gen)
+    assert maintain_zorder(spark, root, ["a", "b"]) is False
+    assert resolve_store(spark, root) == live
