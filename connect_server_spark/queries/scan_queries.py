@@ -171,15 +171,20 @@ def events_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             files=32,
         )
     ev = spark.read.parquet(zpath)
+    # both predicates are plain range comparisons so BOTH push down to
+    # the parquet scan (PushedFilters — plan-pinned in test_layout.py)
+    # and both benefit from the z-layout's per-file min/max hypercubes;
+    # an expression predicate (e.g. user_id % 97 = 3) would be
+    # evaluated post-scan and prune nothing
     return ev.filter(
-        (F.col("user_id") % 97 == 3) & F.col("value").between(2.0, 4.0)
+        F.col("user_id").between(4, 9) & F.col("value").between(2.0, 4.0)
     ).select("event_id", "user_id", "event_type", "value")
 
 
 EVENTS_ZORDER_SCAN_ORACLE_SQL = """
     SELECT event_id, user_id, event_type, value
     FROM events
-    WHERE user_id % 97 = 3 AND value BETWEEN 2.0 AND 4.0
+    WHERE user_id BETWEEN 4 AND 9 AND value BETWEEN 2.0 AND 4.0
 """
 
 register("events_zorder_scan", events_zorder_scan, defer=True)

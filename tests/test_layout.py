@@ -132,6 +132,22 @@ def test_events_zorder_scan_matches_duckdb_mirror(spark, sf_dir):
     want = sorted(tuple(r) for r in con.execute(EVENTS_ZORDER_SCAN_ORACLE_SQL).fetchall())
     assert got == want and len(got) > 0
 
+    # the demonstration only demonstrates if BOTH predicates reach the
+    # parquet scan (range comparisons push; an expression would not)
+    df = events_zorder_scan(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = qe.explainString(mode.fromString("formatted"))
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "GreaterThanOrEqual(user_id,4)" in pushed
+    assert "LessThanOrEqual(value,4.0)" in pushed
+    # and column pruning holds: the scan reads only the projected four
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert set(read_schema.split("struct<")[1].rstrip(">").split(",")) == {
+        "event_id:bigint", "user_id:bigint", "event_type:string",
+        "value:double",
+    }
+
 
 def test_maintain_zorder_measures_decay_and_recluster_restores_pruning(
     spark, tmp_path
