@@ -56,6 +56,9 @@ ARROW_BOUNDARY_OK = {
     # SQ8 store: dequantize is scan-stage Catalyst; the one Arrow node
     # is still just the probe assignment
     "similarity_topk_ivf_sq8",
+    # PQ store: probe assignment + the codebook-gather decode — exactly
+    # two Arrow nodes, pinned in test_similarity.py
+    "similarity_topk_ivf_pq",
     "dedup_neardup_embedding_lsh",
     "dedup_semantic",
     "dedup_incremental_embedding",
@@ -237,6 +240,19 @@ SHUFFLE_BUDGET = {
     # at-least-once retried index append
     "similarity_topk_ivf_indexed": 3,
     "similarity_topk_ivf_sq8": 3,
+    # PQ serving: plan-identical to the sq8 path (rank + two distincts);
+    # the decode gather adds a Python boundary, not a shuffle
+    "similarity_topk_ivf_pq": 3,
+    # r9 z-order demo: the scan is shuffle-free; the one Exchange is the
+    # global orderBy presentation sort over the ~tens of matched rows
+    "events_zorder_scan": 1,
+    # r9 sketch ledger: one narrow (group, sketch-buffer) agg over
+    # KB-sized ledger rows + the presentation sort — data rows never
+    # entered these Exchanges (partials were aggregated at write time)
+    "events_distinct_sketch": 2,
+    # r9 JSONL ingest: one (lang, counts) agg over the shard scan + the
+    # presentation sort — same shape as corpus_ingest_compressed
+    "corpus_ingest_jsonl": 2,
     # batch-vs-index candidate distinct + the threshold-filtered scoring
     # join back — same shape as the indexed IVF top-k minus the rank
     "dedup_incremental_embedding": 2,
