@@ -193,10 +193,12 @@ def version_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "version_increment",
-    version_increment,
-    sql="""
+# Demoted from the gated-50 window in r9 (second rotation) to gate the
+# z-order layout scan externally: semantics frozen since r2 and the
+# preserved oracle keeps running in tests/test_entry_oracle.py (the
+# increment expression is ALSO property-tested in test_functions and
+# exercised through latest_version_probes, which stays gated).
+VERSION_INCREMENT_ORACLE_SQL = """
     WITH v AS (
       SELECT o_orderkey,
         CASE
@@ -219,8 +221,9 @@ register(
         ELSE NULL
       END AS next_version
     FROM v
-    """,
-)
+    """
+
+register("version_increment", version_increment, defer=True)
 
 
 # ---------------------------------------------------------------------------

@@ -31,12 +31,15 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
 
 def _demoted_mirrors():
-    """The four gates rotated OUT of the driver's 50-slot oracle window
+    """The gates rotated OUT of the driver's 50-slot oracle window
     in r9 (to gate the newer LLM-pipeline families externally): their
     frozen oracle SQL keeps running here, so demotion never weakens the
     actual correctness coverage."""
     from connect_server_spark.queries.flow_queries import (
         STATUS_POLL_ORACLE_SQL,
+    )
+    from connect_server_spark.queries.function_queries import (
+        VERSION_INCREMENT_ORACLE_SQL,
     )
     from connect_server_spark.queries.scan_queries import (
         SCAN_NULL_SEMANTICS_ORACLE_SQL,
@@ -51,6 +54,8 @@ def _demoted_mirrors():
         "status_poll": STATUS_POLL_ORACLE_SQL,
         "custom_block_normalize": CUSTOM_BLOCK_NORMALIZE_ORACLE_SQL,
         "flow_log_limit": FLOW_LOG_LIMIT_ORACLE_SQL,
+        # r9 second rotation: displaced by events_zorder_scan
+        "version_increment": VERSION_INCREMENT_ORACLE_SQL,
     }
 
 
