@@ -45,6 +45,7 @@ __all__ = [
     "file_pruning_fraction",
     "clustering_decay",
     "maintain_zorder",
+    "append_zordered_store",
 ]
 
 
@@ -312,3 +313,21 @@ def maintain_zorder(
     write_zordered(df, gen, cols, files=files, bits=bits)
     publish_generation(spark, root, gen, keep=keep)
     return True
+
+
+def append_zordered_store(df: DataFrame, root: str) -> None:
+    """Append rows to a (possibly generation-pointered) z-ordered table:
+    resolves ``_CURRENT`` first so the rows land INSIDE the live
+    generation — a naive ``.write.mode("append").parquet(root)`` after
+    the first :func:`maintain_zorder` publish would drop flat files
+    beside the generation dirs, invisible to every resolving reader and
+    deleted as pre-upgrade legacy by the next publish. (Same contract
+    as ``write_bucketed_path(mode="append")`` and
+    ``write_ivf_index(mode="append")``.) Appends are NOT re-clustered —
+    they decay the layout by design, and :func:`maintain_zorder` is the
+    cadence that restores it."""
+    from connect_server_spark.fsutil import resolve_store
+
+    df.write.mode("append").parquet(
+        resolve_store(df.sparkSession, root)
+    )

@@ -197,3 +197,41 @@ def test_maintain_zorder_measures_decay_and_recluster_restores_pruning(
     # healthy again: a second maintenance pass is a no-op (no new gen)
     assert maintain_zorder(spark, root, ["a", "b"]) is False
     assert resolve_store(spark, root) == live
+
+
+def test_append_after_publish_lands_in_live_generation(spark, tmp_path):
+    """Appends must follow the pointer: rows appended through
+    append_zordered_store after a maintenance publish are visible to
+    resolving readers AND survive the next maintenance publish — a
+    flat append to the root would be silently GC'd as legacy."""
+    from connect_server_spark.fsutil import resolve_store
+    from connect_server_spark.operators.layout import (
+        append_zordered_store,
+        maintain_zorder,
+    )
+
+    root = str(tmp_path / "t")
+    write_zordered(_grid(spark, 2048), root, ["a", "b"], files=8)
+    # decay + maintain → store upgrades to generational
+    _grid(spark, 1024).select(
+        (F.col("id") + 50000).alias("id"), "a", "b"
+    ).repartition(8).write.mode("append").parquet(root)
+    assert maintain_zorder(spark, root, ["a", "b"]) is True
+
+    late = spark.createDataFrame(
+        [(999999, 1, 1.0)], "id long, a long, b double"
+    )
+    append_zordered_store(late, root)
+    live = resolve_store(spark, root)
+    assert (
+        spark.read.parquet(live).filter(F.col("id") == 999999).count() == 1
+    )
+    # the append decays the layout; the next maintenance folds it in
+    # rather than deleting it
+    assert maintain_zorder(spark, root, ["a", "b"], decay_threshold=0.0)
+    live2 = resolve_store(spark, root)
+    assert live2 != live
+    assert (
+        spark.read.parquet(live2).filter(F.col("id") == 999999).count() == 1
+    )
+    assert spark.read.parquet(live2).count() == 2048 + 1024 + 1
