@@ -298,9 +298,12 @@ def main() -> None:
     # Non-default scale factors write a SEPARATE file: the committed
     # bench_result.json is the round's sf0.1 headline record, and an
     # sf0.001 smoke run must not clobber it (review finding r9).
+    # routed by the SAME parse that stamps the payload's sf field, so
+    # the committed headline record and its recorded sf can never
+    # disagree (review finding r9)
     name = (
         "bench_result.json"
-        if sf_dir.rstrip("/").endswith("sf0.1")
+        if _sf_from_dir(sf_dir) == 0.1
         else "bench_result_smoke.json"
     )
     try:

@@ -354,7 +354,18 @@ def publish_generation(
     # previous live payload.
     old_history = _read_history(spark, root)
     if old_history is None:
-        old_history = [prev_name] if prev_name else []
+        # conservative legacy seed: every on-disk generation dir, not
+        # just the previous live — on a pre-manifest store we cannot
+        # distinguish an old published snapshot from a crashed orphan,
+        # and retention must err toward KEEPING possibly-published data
+        # (an orphan kept one extra cycle is wasted disk; a snapshot
+        # deleted is destroyed user data). From the first manifest
+        # write onward the ambiguity is gone.
+        old_history = [
+            name
+            for name in fs_list(spark, root)
+            if name.startswith(GENERATION_PREFIX) and name != gen_name
+        ]
     write_text_atomic(spark, f"{root}/{CURRENT_POINTER}", gen_name)
     # retention beyond the always-kept grace generation: the keep-1
     # newest other PUBLISHED generations stay readable as time-travel

@@ -44,6 +44,7 @@ __all__ = [
     "write_zordered",
     "file_pruning_fraction",
     "clustering_decay",
+    "clustering_decay_all",
     "maintain_zorder",
     "append_zordered_store",
 ]
@@ -95,7 +96,7 @@ def zorder_value(
 ) -> Column:
     """The Morton z-value column for ``cols`` over ``df``'s distribution:
     per-column equi-depth buckets (``bits`` bits each, CDF knots from
-    one bounded ``approxQuantile`` pass per column) with bits
+    ONE bounded multi-column ``approxQuantile`` pass) with bits
     interleaved column-major — two rows are z-close iff they are close
     in EVERY column's rank space. Timestamps and numerics both work
     (timestamps bucket on their epoch seconds); the returned expression
@@ -180,6 +181,65 @@ def write_zordered(
     )
 
 
+def _leaf_index(md, col: str) -> int:
+    """Parquet LEAF-column index of ``col`` — NOT the Arrow top-level
+    field index (a struct column before ``col`` would shift every leaf,
+    so get_field_index would silently read the wrong column's stats on
+    nested schemas). Resolved from the schema's leaf paths, so it works
+    on files with zero row groups too; raises a named error instead of
+    pyarrow's bare IndexError for a typo'd column."""
+    leaves = list(md.schema.names)
+    try:
+        return leaves.index(col)
+    except ValueError:
+        raise ValueError(
+            f"column {col!r} not found among parquet leaves {leaves}"
+        ) from None
+
+
+def _file_spans(path: str, cols: list[str]) -> list[dict]:
+    """ONE footer pass per file collecting every requested column's
+    [min, max] (or None when any row group lacks stats): the shared
+    metadata read behind :func:`file_pruning_fraction` and
+    :func:`clustering_decay`, so an N-column maintenance check costs
+    one ParquetFile open per file, not N — on an object store each
+    open is a round trip."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    paths = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    if not paths:
+        raise ValueError(f"no parquet files at {path}")
+    out = []
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        if md.num_row_groups == 0:
+            # empty part file (range partitioning can emit them): no
+            # rows to read, but keep the conservative no-stats shape
+            out.append({col: None for col in cols})
+            continue
+        spans = {}
+        for col in cols:
+            idx = _leaf_index(md, col)
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            spans[col] = None if lo is None else (lo, hi)
+        out.append(spans)
+    return out
+
+
 def file_pruning_fraction(path: str, col: str, value) -> float:
     """The fraction of parquet files under ``path`` a point predicate
     ``col = value`` must READ: files whose footer [min, max] for
@@ -187,35 +247,15 @@ def file_pruning_fraction(path: str, col: str, value) -> float:
     cannot skip). Driver-side footer metadata only — no data pages.
     The honest pruning metric for layout tests and maintenance
     telemetry: 1.0 means the layout gives this predicate nothing."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    paths = [
-        os.path.join(r, f)
-        for r, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    ]
-    if not paths:
-        raise ValueError(f"file_pruning_fraction: no parquet files at {path}")
     hit = 0
-    for p in paths:
-        md = pq.ParquetFile(p).metadata
-        idx = md.schema.to_arrow_schema().get_field_index(col)
-        lo = hi = None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                lo = hi = None
-                break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        if lo is None:  # no stats → the scan must read the file
+    spans = _file_spans(path, [col])
+    for s in spans:
+        span = s[col]
+        if span is None:  # no stats → the scan must read the file
             hit += 1
-        elif lo <= value <= hi:
+        elif span[0] <= value <= span[1]:
             hit += 1
-    return hit / len(paths)
+    return hit / len(spans)
 
 
 def clustering_decay(path: str, col: str) -> float:
@@ -228,50 +268,44 @@ def clustering_decay(path: str, col: str) -> float:
     the maintenance trigger must be far cheaper than the rewrite it
     gates. Files without stats count as overlapping (the scan cannot
     skip them). Returns 0.0 for a single file (nothing to prune
-    between)."""
-    import os
+    between).
 
-    import pyarrow.parquet as pq
+    Multi-column checks should go through :func:`clustering_decay_all`
+    — one footer pass for every column instead of N."""
+    return clustering_decay_all(path, [col])[col]
 
-    spans = []
-    for p in sorted(
-        os.path.join(r, f)
-        for r, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    ):
-        md = pq.ParquetFile(p).metadata
-        idx = md.schema.to_arrow_schema().get_field_index(col)
-        lo = hi = None
-        ok = True
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                ok = False
-                break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        spans.append((lo, hi) if ok and lo is not None else None)
-    if not spans:
-        raise ValueError(f"clustering_decay: no parquet files at {path}")
-    if len(spans) == 1:
-        return 0.0
-    total = 0.0
-    for i, s in enumerate(spans):
-        if s is None:
-            total += 1.0  # statless file: nothing prunes against it
+
+def clustering_decay_all(path: str, cols: list[str]) -> dict[str, float]:
+    """Per-column :func:`clustering_decay` from ONE footer pass
+    (:func:`_file_spans`) — the shape ``maintain_zorder`` uses, for the
+    same reason ``zorder_value`` sketches all columns in one
+    ``approxQuantile`` call: the trigger must stay far cheaper than the
+    rewrite, and on an object store each footer open is a round
+    trip."""
+    file_spans = _file_spans(path, cols)
+    out = {}
+    for col in cols:
+        spans = [s[col] for s in file_spans]
+        if len(spans) == 1:
+            out[col] = 0.0
             continue
-        try:
-            mid = s[0] + (s[1] - s[0]) / 2
-        except TypeError:  # non-numeric (e.g. string) stats: use min
-            mid = s[0]
-        hits = sum(
-            1
-            for j, o in enumerate(spans)
-            if j != i and (o is None or o[0] <= mid <= o[1])
-        )
-        total += hits / (len(spans) - 1)
-    return total / len(spans)
+        total = 0.0
+        for i, s in enumerate(spans):
+            if s is None:
+                total += 1.0  # statless file: nothing prunes against it
+                continue
+            try:
+                mid = s[0] + (s[1] - s[0]) / 2
+            except TypeError:  # non-numeric (e.g. string) stats: use min
+                mid = s[0]
+            hits = sum(
+                1
+                for j, o in enumerate(spans)
+                if j != i and (o is None or o[0] <= mid <= o[1])
+            )
+            total += hits / (len(spans) - 1)
+        out[col] = total / len(spans)
+    return out
 
 
 def maintain_zorder(
@@ -306,7 +340,8 @@ def maintain_zorder(
     )
 
     live = resolve_store(spark, root)
-    if all(clustering_decay(live, c) <= decay_threshold for c in cols):
+    decay = clustering_decay_all(live, cols)  # one footer pass, N cols
+    if all(decay[c] <= decay_threshold for c in cols):
         return False
     df = spark.read.parquet(live)
     gen = begin_generation(spark, root)

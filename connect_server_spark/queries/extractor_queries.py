@@ -610,6 +610,29 @@ def _warc_ingest_telemetry(extracted: DataFrame, docs: DataFrame) -> DataFrame:
 register("corpus_ingest_warc", corpus_ingest_warc, defer=True)
 
 
+def _shard_fixture_root(
+    spark: SparkSession, env_var: str, default_root: str
+) -> str:
+    """Shared scaffolding for the on-disk shard fixtures
+    (``warc_shard_files`` / ``jsonl_shard_files``): resolve the root
+    from the env var (point it at shared storage and the same fixture
+    works on a cluster) and refuse a driver-local default off local
+    masters — executors' scans would silently miss driver-local files.
+    One copy of the guard so the ingest legs can never drift apart."""
+    import os
+
+    root = os.environ.get(env_var, default_root)
+    master = spark.sparkContext.master
+    if not master.startswith("local") and "://" not in root:
+        raise ValueError(
+            f"shard fixture root {root!r} is a driver-local path but"
+            f" master={master!r} — executors' scans would miss it; set"
+            f" {env_var} to shared storage (or scan the real shards"
+            " directly)"
+        )
+    return root
+
+
 def warc_shard_files(
     spark: SparkSession, sf_dir: str, n_shards: int | None = None
 ) -> str:
@@ -637,8 +660,6 @@ def warc_shard_files(
     because executors' ``binaryFile`` reads would miss driver-local
     files. Payloads stream through ``toLocalIterator`` one shard at a
     time — bounded driver memory, no full collect."""
-    import os
-
     from connect_server_spark.fsutil import (
         fs_exists,
         write_bytes_atomic,
@@ -647,18 +668,11 @@ def warc_shard_files(
     from connect_server_spark.sources.warc import synthesize_warc
     from connect_server_spark.tables import dataset_cache_key
 
-    root = os.environ.get(
+    root = _shard_fixture_root(
+        spark,
         "SPARK_GRAFT_WARC_FIXTURE_DIR",
         "/tmp/connect_server_spark_warc_files_v1",
     )
-    master = spark.sparkContext.master
-    if not master.startswith("local") and "://" not in root:
-        raise ValueError(
-            f"warc_shard_files: shard root {root!r} is a driver-local path"
-            f" but master={master!r} — executors' binaryFile reads would"
-            " miss it; set SPARK_GRAFT_WARC_FIXTURE_DIR to shared storage"
-            " (or scan the crawler's own shards directly)"
-        )
     if n_shards is None:
         n_shards = _ingest_shard_count(_ingest_doc_count(spark, sf_dir))
     key = dataset_cache_key(sf_dir, "documents")
@@ -739,23 +753,15 @@ def jsonl_shard_files(
     ``SPARK_GRAFT_WARC_FIXTURE_DIR``'s JSONL sibling env var,
     driver-local root refused off local masters). One planted corrupt
     line per shard gives ingest a known malformed-row ground truth."""
-    import os
-
     from connect_server_spark.fsutil import fs_exists
     from connect_server_spark.sources.jsonl import write_jsonl_shards
     from connect_server_spark.tables import dataset_cache_key
 
-    root = os.environ.get(
+    root = _shard_fixture_root(
+        spark,
         "SPARK_GRAFT_JSONL_FIXTURE_DIR",
         "/tmp/connect_server_spark_jsonl_files_v1",
     )
-    master = spark.sparkContext.master
-    if not master.startswith("local") and "://" not in root:
-        raise ValueError(
-            f"jsonl_shard_files: shard root {root!r} is a driver-local"
-            f" path but master={master!r} — executors' scans would miss"
-            " it; set SPARK_GRAFT_JSONL_FIXTURE_DIR to shared storage"
-        )
     if n_shards is None:
         n_shards = _ingest_shard_count(_ingest_doc_count(spark, sf_dir))
     key = dataset_cache_key(sf_dir, "documents")

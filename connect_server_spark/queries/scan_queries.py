@@ -154,8 +154,10 @@ def events_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     every file for the second predicate but the z-layout's per-file
     min/max footer stats prune most files on each (fractions pinned in
     ``tests/test_layout.py``). The scan itself is plain parquet +
-    pushed filters — readers need nothing special. Rows-only in the
-    driver window; the DuckDB mirror runs in pytest."""
+    pushed filters — readers need nothing special. Oracle-GATED in the
+    driver window since the r9 second rotation (the scan result is
+    layout-independent, so the external DuckDB oracle checks exactly
+    the right thing); the pruning/pushdown pins run in pytest."""
     import os
 
     from connect_server_spark.operators.layout import write_zordered

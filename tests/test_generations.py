@@ -435,3 +435,26 @@ def test_keep_retention_never_retains_or_pins_crashed_builds(
     assert got.endswith("_gen-00000001")
     with pytest.raises(ValueError, match="bad generation"):
         resolve_store(spark, root, generation="_gen-x")
+
+
+def test_legacy_store_without_manifest_keeps_snapshots_on_upgrade(
+    spark, tmp_path
+):
+    """Review pin: the first publish on a pre-manifest store seeds the
+    history from EVERY on-disk generation (we cannot distinguish an old
+    snapshot from an orphan there, and retention errs toward keeping
+    possibly-published data) — so keep>1 retains them instead of
+    destroying them."""
+    from connect_server_spark.fsutil import HISTORY_FILE
+    from connect_server_spark.storage import compact, read_snapshot
+
+    root = str(tmp_path / "legacy")
+    spark.range(7).write.parquet(root)
+    compact(spark, root, keep=3)  # gen 1
+    compact(spark, root, keep=3)  # gen 2 (gen 1 retained)
+    os.remove(f"{root}/{HISTORY_FILE}")  # simulate a pre-manifest store
+    compact(spark, root, keep=3)  # gen 3: seed history from disk
+    assert sorted(_gen_dirs(root)) == [
+        f"{GENERATION_PREFIX}0000000{i}" for i in (1, 2, 3)
+    ]
+    assert read_snapshot(spark, root, generation=1).count() == 7

@@ -235,3 +235,30 @@ def test_append_after_publish_lands_in_live_generation(spark, tmp_path):
         spark.read.parquet(live2).filter(F.col("id") == 999999).count() == 1
     )
     assert spark.read.parquet(live2).count() == 2048 + 1024 + 1
+
+
+def test_footer_stats_resolve_leaf_columns_on_nested_schemas(
+    spark, tmp_path
+):
+    """Review pin: parquet footer stats index LEAF columns — a struct
+    column ahead of the z-columns must not shift the lookup onto the
+    wrong column's min/max (the silent way maintenance stops firing),
+    and a typo'd column gets a named error, not a bare IndexError."""
+    from connect_server_spark.operators.layout import clustering_decay
+
+    df = spark.range(256).select(
+        F.struct(
+            (F.col("id") % 2).alias("x"), F.lit(7).alias("y")
+        ).alias("meta"),
+        F.col("id").alias("a"),
+        (F.col("id") % 4).alias("b"),
+    )
+    p = str(tmp_path / "nested")
+    df.repartitionByRange(4, "a").sortWithinPartitions("a").write.parquet(p)
+    # `a` is range-sorted: its decay must read ~0, which only happens if
+    # the lookup hit a's OWN stats (meta.x/meta.y spans would overlap)
+    assert clustering_decay(p, "a") < 0.2
+    assert clustering_decay(p, "b") > 0.5  # b interleaves — and resolves
+    assert file_pruning_fraction(p, "a", 0) <= 0.5
+    with pytest.raises(ValueError, match="not found among parquet leaves"):
+        clustering_decay(p, "nope")
