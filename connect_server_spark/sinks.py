@@ -55,9 +55,17 @@ def fresh_rows(
     so callers can count AND write without re-running the anti-join — the
     checkpoint also severs lineage from ``path``, which the append itself
     targets. Exposed for sinks that need the surviving rows themselves
-    (the streaming ingest-dedup loop appends them to a second artifact)."""
+    (the streaming ingest-dedup loop appends them to a second artifact).
+
+    The read resolves the store's ``_CURRENT`` pointer first (no-op on
+    flat stores), so the guard keeps working after the table has been
+    compacted generationally."""
+    from connect_server_spark.fsutil import resolve_store
+
     try:
-        existing = spark.read.parquet(path).select(*keys)
+        existing = spark.read.parquet(
+            resolve_store(spark, path)
+        ).select(*keys)
         fresh = anti_join_insert(incoming, existing, keys)
     except AnalysisException as exc:
         if not _is_path_not_found(exc):
@@ -71,11 +79,16 @@ def idempotent_append(
 ) -> int:
     """S8: append only rows whose key tuple is absent. Returns appended
     row count (the reference returns a duplicate error per row; batch
-    semantics surface it as incoming-minus-appended)."""
+    semantics surface it as incoming-minus-appended). Appends follow the
+    pointer into the live generation — a flat append beside published
+    generations would be invisible to resolving readers and GC'd as
+    legacy by the next publish."""
+    from connect_server_spark.fsutil import resolve_store
+
     fresh = fresh_rows(spark, incoming, path, keys)
     n = fresh.count()
     if n:
-        fresh.write.mode("append").parquet(path)
+        fresh.write.mode("append").parquet(resolve_store(spark, path))
     return n
 
 

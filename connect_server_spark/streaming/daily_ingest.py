@@ -146,6 +146,7 @@ def composed_ingest_sink(
     maintain_skew_threshold: float = 4.0,
     maintain_cell_size: int = 256,
     sketch_telemetry: bool = False,
+    log_compact_files: int = 64,
     _failpoint: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the composed ``foreachBatch`` function (module docstring
@@ -247,9 +248,21 @@ def composed_ingest_sink(
             .filter(F.col("new_id") != F.col("corpus_id"))
             .transform(stage_boundary, eager=True, pin=True)
         )
-        pairs_t.write.mode("append").parquet(paths["pairs_text"])
-        pairs_v.write.mode("append").parquet(paths["pairs_vec"])
-        pairs_w.write.mode("append").parquet(paths["pairs_winnow"])
+        # appends resolve the pointer (no-op while the logs are flat):
+        # once the maintenance cadence compacts a log generationally, a
+        # flat append beside the generations would be invisible to
+        # resolving readers and GC'd as legacy at the next publish
+        from connect_server_spark.fsutil import resolve_store
+
+        pairs_t.write.mode("append").parquet(
+            resolve_store(spark, paths["pairs_text"])
+        )
+        pairs_v.write.mode("append").parquet(
+            resolve_store(spark, paths["pairs_vec"])
+        )
+        pairs_w.write.mode("append").parquet(
+            resolve_store(spark, paths["pairs_winnow"])
+        )
         _maybe_fail("pairs")
 
         dup_ids = (
@@ -314,7 +327,9 @@ def composed_ingest_sink(
                     fresh, paths["sketch_ledger"], int(batch_id), id_col
                 )
                 _maybe_fail("sketch_ledger")
-            fresh.write.mode("append").parquet(paths["survivors"])
+            fresh.write.mode("append").parquet(
+                resolve_store(spark, paths["survivors"])
+            )
 
         if maintain_every and int(batch_id) % maintain_every == (
             maintain_every - 1
@@ -341,6 +356,25 @@ def composed_ingest_sink(
                 )
 
                 compact_sketch_ledger(spark, paths["sketch_ledger"])
+            # append-only logs (survivors + pairs) accrete one file set
+            # per batch FOREVER without this: past log_compact_files the
+            # log rewrites behind its generation pointer (post-commit,
+            # so a crashed compaction replays into "nothing fresh" + a
+            # retry, and the appends above resolve the pointer)
+            from connect_server_spark.fsutil import fs_list, resolve_store
+            from connect_server_spark.storage import compact
+
+            for store in (
+                "survivors", "pairs_text", "pairs_vec", "pairs_winnow"
+            ):
+                live = resolve_store(spark, paths[store])
+                n_files = sum(
+                    1
+                    for f in fs_list(spark, live)
+                    if f.endswith(".parquet")
+                )
+                if n_files > log_compact_files:
+                    compact(spark, paths[store])
 
     return sink
 

@@ -939,23 +939,27 @@ def _composed_state(spark, paths):
     from connect_server_spark.operators.retrieval import bm25_topk_indexed
     from connect_server_spark.streaming.rollup_refresh import read_rollup
 
+    from connect_server_spark.fsutil import resolve_store
+
+    def _read(key):
+        # serving path: resolve the pointer (no-op until the maintenance
+        # cadence compacts the log generationally)
+        return spark.read.parquet(resolve_store(spark, paths[key]))
+
     surv = sorted(
         (r.doc_id, r.text) for r in
-        spark.read.parquet(paths["survivors"]).select("doc_id", "text").collect()
+        _read("survivors").select("doc_id", "text").collect()
     )
     # the pairs logs are at-least-once by contract: consumers key by
     # (new_id, corpus_id), so the observable state is the SET
     pairs_t = sorted({
-        (r.new_id, r.corpus_id) for r in
-        spark.read.parquet(paths["pairs_text"]).collect()
+        (r.new_id, r.corpus_id) for r in _read("pairs_text").collect()
     })
     pairs_v = sorted({
-        (r.new_id, r.corpus_id) for r in
-        spark.read.parquet(paths["pairs_vec"]).collect()
+        (r.new_id, r.corpus_id) for r in _read("pairs_vec").collect()
     })
     pairs_w = sorted({
-        (r.new_id, r.corpus_id) for r in
-        spark.read.parquet(paths["pairs_winnow"]).collect()
+        (r.new_id, r.corpus_id) for r in _read("pairs_winnow").collect()
     })
     bm25 = sorted(map(tuple, bm25_topk_indexed(
         spark, paths["bm25_index"], "n202w1 c1w2 n103w3", k=10
@@ -1464,3 +1468,46 @@ def test_composed_ingest_sketch_telemetry_tracks_committed_survivors(
     )
     est2 = distinct_estimates(spark, paths["sketch_ledger"]).collect()[0]
     assert (est2.distinct_est, est2.n_rows) == (3, 3)
+
+
+def test_composed_ingest_log_compaction_is_state_preserving(
+    spark, tmp_path, composed_control
+):
+    """The append-only logs (survivors + 3 pairs logs) accrete one file
+    set per batch forever without maintenance. With a hair-trigger
+    log_compact_files the cadence compacts them behind generation
+    pointers — and the full observable state still equals the
+    no-maintenance control, appends keep landing in the live
+    generation, and a replayed batch converges."""
+    import glob
+    import os
+
+    from connect_server_spark.fsutil import CURRENT_POINTER, resolve_store
+    from connect_server_spark.streaming.daily_ingest import (
+        composed_ingest_sink,
+    )
+
+    root = str(tmp_path / "root")
+    corpus, b1, b2 = _composed_fixture_rows()
+    paths = _composed_build_base(spark, root, corpus)
+    sink = composed_ingest_sink(
+        spark, root, "doc_id", "text", "embedding", "ts", "v",
+        maintain_every=1, maintain_skew_threshold=1e9,  # only log upkeep
+        log_compact_files=0,
+    )
+    sink(_composed_batch(spark, b1), 0)
+    assert os.path.exists(f"{paths['survivors']}/{CURRENT_POINTER}")
+    sink(_composed_batch(spark, b2), 1)
+
+    assert _composed_state(spark, paths) == composed_control
+    # batch-2 rows landed inside the live generation, not as doomed
+    # flat files beside it
+    live = resolve_store(spark, paths["survivors"])
+    assert live != paths["survivors"]
+    assert not glob.glob(f"{paths['survivors']}/part-*.parquet")
+    assert (
+        spark.read.parquet(live).filter(F.col("doc_id") == 202).count() == 1
+    )
+    # replay after compaction: still convergent
+    sink(_composed_batch(spark, b2), 1)
+    assert _composed_state(spark, paths) == composed_control
