@@ -28,6 +28,7 @@ __all__ = [
     "begin_generation",
     "publish_generation",
     "list_generations",
+    "append_resolved",
 ]
 
 
@@ -353,19 +354,26 @@ def publish_generation(
     # stores (published before the manifest existed) seed it from the
     # previous live payload.
     old_history = _read_history(spark, root)
+    legacy_ambiguous: set[str] = set()
     if old_history is None:
-        # conservative legacy seed: every on-disk generation dir, not
-        # just the previous live — on a pre-manifest store we cannot
-        # distinguish an old published snapshot from a crashed orphan,
-        # and retention must err toward KEEPING possibly-published data
-        # (an orphan kept one extra cycle is wasted disk; a snapshot
-        # deleted is destroyed user data). From the first manifest
-        # write onward the ambiguity is gone.
-        old_history = [
+        # pre-manifest store: on-disk generations other than the live
+        # one are AMBIGUOUS — an old published snapshot and a crashed
+        # half-written build look identical. Both wrong answers are
+        # bad (deleting destroys a possibly-published snapshot;
+        # trusting makes a torn payload pinnable), so they get the
+        # middle treatment: kept ONE grace publish for an operator to
+        # salvage, excluded from the manifest so pins refuse them
+        # (list_generations shows published=False), and GC'd by the
+        # publish after this one. From the first manifest write onward
+        # the ambiguity is gone.
+        legacy_ambiguous = {
             name
             for name in fs_list(spark, root)
-            if name.startswith(GENERATION_PREFIX) and name != gen_name
-        ]
+            if name.startswith(GENERATION_PREFIX)
+            and name != gen_name
+            and name != prev_name
+        }
+        old_history = [prev_name] if prev_name else []
     write_text_atomic(spark, f"{root}/{CURRENT_POINTER}", gen_name)
     # retention beyond the always-kept grace generation: the keep-1
     # newest other PUBLISHED generations stay readable as time-travel
@@ -393,6 +401,8 @@ def publish_generation(
     write_text_atomic(
         spark, f"{root}/{HISTORY_FILE}", "\n".join(history) + "\n"
     )
+    # grace-only: kept on disk this publish, never in the manifest
+    retained |= legacy_ambiguous
     for name in fs_list(spark, root):
         if name in (CURRENT_POINTER, HISTORY_FILE) or name in retained:
             continue
@@ -450,3 +460,16 @@ def list_generations(spark: SparkSession, root: str) -> list[dict]:
             }
         )
     return sorted(out, key=lambda g: g["number"], reverse=True)
+
+
+def append_resolved(df, root: str) -> None:
+    """Append ``df`` to a (possibly generation-pointered) parquet store:
+    resolve ``_CURRENT`` first so rows land INSIDE the live generation —
+    a flat append beside published generations is invisible to every
+    resolving reader and GC'd as pre-upgrade legacy by the next publish.
+    No-op resolution on flat stores, so call sites need not know whether
+    their store has ever been compacted. This is THE append idiom for
+    any store that ``storage.compact`` (or any other generation publish)
+    may have rewritten; open-coding resolve+append at call sites is how
+    half-converted writers lose data."""
+    df.write.mode("append").parquet(resolve_store(df.sparkSession, root))

@@ -220,9 +220,11 @@ def _file_spans(path: str, cols: list[str]) -> list[dict]:
     for p in paths:
         md = pq.ParquetFile(p).metadata
         if md.num_row_groups == 0:
-            # empty part file (range partitioning can emit them): no
-            # rows to read, but keep the conservative no-stats shape
-            out.append({col: None for col in cols})
+            # empty part file (range partitioning can emit them): it
+            # holds no rows, so it neither costs a predicate anything
+            # nor overlaps anything — counting it as "must read" would
+            # make a freshly z-ordered table measure as decayed and
+            # could trip maintain_zorder into pointless rewrites
             continue
         spans = {}
         for col in cols:
@@ -237,6 +239,8 @@ def _file_spans(path: str, cols: list[str]) -> list[dict]:
                 hi = st.max if hi is None else max(hi, st.max)
             spans[col] = None if lo is None else (lo, hi)
         out.append(spans)
+    if not out:  # every file empty: nothing to read, nothing overlaps
+        return []
     return out
 
 
@@ -249,6 +253,8 @@ def file_pruning_fraction(path: str, col: str, value) -> float:
     telemetry: 1.0 means the layout gives this predicate nothing."""
     hit = 0
     spans = _file_spans(path, [col])
+    if not spans:
+        return 0.0  # only empty part files: the scan reads no data
     for s in spans:
         span = s[col]
         if span is None:  # no stats → the scan must read the file
@@ -286,7 +292,7 @@ def clustering_decay_all(path: str, cols: list[str]) -> dict[str, float]:
     out = {}
     for col in cols:
         spans = [s[col] for s in file_spans]
-        if len(spans) == 1:
+        if len(spans) <= 1:
             out[col] = 0.0
             continue
         total = 0.0
@@ -361,8 +367,6 @@ def append_zordered_store(df: DataFrame, root: str) -> None:
     ``write_ivf_index(mode="append")``.) Appends are NOT re-clustered —
     they decay the layout by design, and :func:`maintain_zorder` is the
     cadence that restores it."""
-    from connect_server_spark.fsutil import resolve_store
+    from connect_server_spark.fsutil import append_resolved
 
-    df.write.mode("append").parquet(
-        resolve_store(df.sparkSession, root)
-    )
+    append_resolved(df, root)

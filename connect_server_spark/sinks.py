@@ -82,13 +82,17 @@ def idempotent_append(
     semantics surface it as incoming-minus-appended). Appends follow the
     pointer into the live generation — a flat append beside published
     generations would be invisible to resolving readers and GC'd as
-    legacy by the next publish."""
+    legacy by the next publish. The pointer resolves ONCE — the guard
+    read and the append see the same generation (fresh_rows is a no-op
+    re-resolve on an already-resolved dir), so a compaction publishing
+    between the two cannot split them."""
     from connect_server_spark.fsutil import resolve_store
 
-    fresh = fresh_rows(spark, incoming, path, keys)
+    live = resolve_store(spark, path)
+    fresh = fresh_rows(spark, incoming, live, keys)
     n = fresh.count()
     if n:
-        fresh.write.mode("append").parquet(resolve_store(spark, path))
+        fresh.write.mode("append").parquet(live)
     return n
 
 

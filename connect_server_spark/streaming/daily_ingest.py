@@ -248,21 +248,16 @@ def composed_ingest_sink(
             .filter(F.col("new_id") != F.col("corpus_id"))
             .transform(stage_boundary, eager=True, pin=True)
         )
-        # appends resolve the pointer (no-op while the logs are flat):
-        # once the maintenance cadence compacts a log generationally, a
-        # flat append beside the generations would be invisible to
-        # resolving readers and GC'd as legacy at the next publish
-        from connect_server_spark.fsutil import resolve_store
+        # appends resolve the pointer (fsutil.append_resolved, no-op
+        # while the logs are flat): once the maintenance cadence
+        # compacts a log generationally, a flat append beside the
+        # generations would be invisible to resolving readers and GC'd
+        # as legacy at the next publish
+        from connect_server_spark.fsutil import append_resolved
 
-        pairs_t.write.mode("append").parquet(
-            resolve_store(spark, paths["pairs_text"])
-        )
-        pairs_v.write.mode("append").parquet(
-            resolve_store(spark, paths["pairs_vec"])
-        )
-        pairs_w.write.mode("append").parquet(
-            resolve_store(spark, paths["pairs_winnow"])
-        )
+        append_resolved(pairs_t, paths["pairs_text"])
+        append_resolved(pairs_v, paths["pairs_vec"])
+        append_resolved(pairs_w, paths["pairs_winnow"])
         _maybe_fail("pairs")
 
         dup_ids = (
@@ -327,9 +322,7 @@ def composed_ingest_sink(
                     fresh, paths["sketch_ledger"], int(batch_id), id_col
                 )
                 _maybe_fail("sketch_ledger")
-            fresh.write.mode("append").parquet(
-                resolve_store(spark, paths["survivors"])
-            )
+            append_resolved(fresh, paths["survivors"])
 
         if maintain_every and int(batch_id) % maintain_every == (
             maintain_every - 1

@@ -168,7 +168,9 @@ def _run_ingest_batch(
         .filter(F.col("new_id") != F.col("corpus_id"))
         .transform(stage_boundary, eager=True, pin=True)
     )
-    pairs.write.mode("append").parquet(pairs_path)
+    from connect_server_spark.fsutil import append_resolved
+
+    append_resolved(pairs, pairs_path)
     dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
     survivors = batch.join(dup_ids, id_col, "left_anti")
     fresh = fresh_rows(spark, survivors, survivors_path, [id_col])
@@ -181,7 +183,7 @@ def _run_ingest_batch(
         # filter above). The reverse order would let the S8 guard
         # suppress the retry and lose the index growth forever.
         append_index(fresh)
-        fresh.write.mode("append").parquet(survivors_path)
+        append_resolved(fresh, survivors_path)
 
 
 def embedding_ingest_sink(

@@ -79,6 +79,8 @@ def search_ingest_sink(
                 mode="append",
                 batch_id=meta_namespace + int(batch_id),
             )
-            fresh.write.mode("append").parquet(survivors_path)
+            from connect_server_spark.fsutil import append_resolved
+
+            append_resolved(fresh, survivors_path)
 
     return sink

@@ -437,15 +437,16 @@ def test_keep_retention_never_retains_or_pins_crashed_builds(
         resolve_store(spark, root, generation="_gen-x")
 
 
-def test_legacy_store_without_manifest_keeps_snapshots_on_upgrade(
+def test_legacy_store_ambiguous_generations_get_grace_not_pins(
     spark, tmp_path
 ):
-    """Review pin: the first publish on a pre-manifest store seeds the
-    history from EVERY on-disk generation (we cannot distinguish an old
-    snapshot from an orphan there, and retention errs toward keeping
-    possibly-published data) — so keep>1 retains them instead of
-    destroying them."""
-    from connect_server_spark.fsutil import HISTORY_FILE
+    """Review pin (two rounds of it): a pre-manifest store's non-live
+    generations are AMBIGUOUS — an old snapshot and a crashed torn
+    build look identical. The first manifest publish must neither
+    destroy them outright (a possibly-published snapshot) nor make them
+    pinnable (a torn payload would serve garbage): they survive ONE
+    grace publish with pins refusing, then GC."""
+    from connect_server_spark.fsutil import HISTORY_FILE, list_generations
     from connect_server_spark.storage import compact, read_snapshot
 
     root = str(tmp_path / "legacy")
@@ -453,8 +454,18 @@ def test_legacy_store_without_manifest_keeps_snapshots_on_upgrade(
     compact(spark, root, keep=3)  # gen 1
     compact(spark, root, keep=3)  # gen 2 (gen 1 retained)
     os.remove(f"{root}/{HISTORY_FILE}")  # simulate a pre-manifest store
-    compact(spark, root, keep=3)  # gen 3: seed history from disk
+    compact(spark, root, keep=3)  # gen 3: gen 1 is now ambiguous
     assert sorted(_gen_dirs(root)) == [
         f"{GENERATION_PREFIX}0000000{i}" for i in (1, 2, 3)
+    ]  # kept on disk for an operator to salvage...
+    with pytest.raises(ValueError, match="never published"):
+        read_snapshot(spark, root, generation=1)  # ...but never pinnable
+    pub = {g["number"]: g["published"] for g in list_generations(spark, root)}
+    assert pub == {3: True, 2: True, 1: False}
+    # the grace expires at the NEXT publish; the real snapshot (gen 2,
+    # the pre-upgrade live payload) stays retained under keep=3
+    compact(spark, root, keep=3)  # gen 4
+    assert sorted(_gen_dirs(root)) == [
+        f"{GENERATION_PREFIX}0000000{i}" for i in (2, 3, 4)
     ]
-    assert read_snapshot(spark, root, generation=1).count() == 7
+    assert read_snapshot(spark, root, generation=2).count() == 7
