@@ -203,22 +203,36 @@ def _file_spans(path: str, cols: list[str]) -> list[dict]:
     metadata read behind :func:`file_pruning_fraction` and
     :func:`clustering_decay`, so an N-column maintenance check costs
     one ParquetFile open per file, not N — on an object store each
-    open is a round trip."""
-    import os
+    open is a round trip.
 
+    Listing and opens go through ``pyarrow.fs`` resolved FROM THE PATH
+    (``file://``, ``s3://``, ``hdfs://`` — the same stores
+    ``publish_generation`` targets), not ``os.walk``, which would
+    silently walk the DRIVER's local disk for any remote scheme and
+    report 'no parquet files' for a perfectly healthy table (r9 advice
+    #1). Footer-stats maintenance is driver-side by design (metadata,
+    not data); the store scheme must not change that."""
+    import pyarrow.fs as pafs
     import pyarrow.parquet as pq
 
+    if "://" in path or path.startswith("file:"):
+        fs, root = pafs.FileSystem.from_uri(path)
+    else:
+        fs, root = pafs.LocalFileSystem(), path
+    infos = fs.get_file_info(
+        pafs.FileSelector(root, recursive=True, allow_not_found=True)
+    )
     paths = sorted(
-        os.path.join(r, f)
-        for r, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
+        i.path
+        for i in infos
+        if i.type == pafs.FileType.File and i.path.endswith(".parquet")
     )
     if not paths:
         raise ValueError(f"no parquet files at {path}")
     out = []
     for p in paths:
-        md = pq.ParquetFile(p).metadata
+        with fs.open_input_file(p) as f:
+            md = pq.ParquetFile(f).metadata
         if md.num_row_groups == 0:
             # empty part file (range partitioning can emit them): it
             # holds no rows, so it neither costs a predicate anything

@@ -370,6 +370,17 @@ def pq_encode_udf(codebooks):
     def enc(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype=object)
+        # named rejection instead of an opaque numpy reshape error: a
+        # NULL or ragged vector in a cell-store build is a data bug the
+        # operator must hear about (the SQ8 path null-propagates via
+        # Catalyst; PQ codes are non-nullable by contract)
+        lens = {(-1 if v is None else len(v)) for v in vs}
+        if lens != {m * dsub}:
+            raise ValueError(
+                "pq_encode_udf: vectors must be non-null with dim "
+                f"{m * dsub}; batch has lengths {sorted(lens)} "
+                "(-1 = NULL) — filter or fix upstream"
+            )
         arr = np.array(vs.tolist(), dtype=np.float32).reshape(
             len(vs), m, dsub
         )
@@ -402,6 +413,13 @@ def pq_decode_udf(codebooks):
     def dec(cs: pd.Series) -> pd.Series:
         if len(cs) == 0:
             return pd.Series([], dtype=object)
+        lens = {(-1 if c is None else len(c)) for c in cs}
+        if lens != {m}:
+            raise ValueError(
+                f"pq_decode_udf: codes must be non-null binary of {m} "
+                f"bytes; batch has lengths {sorted(lens)} (-1 = NULL) "
+                "— the cell store is corrupt or from a different pq_m"
+            )
         codes = np.frombuffer(
             b"".join(cs.tolist()), dtype=np.uint8
         ).reshape(len(cs), m)
@@ -423,23 +441,70 @@ def _write_pq_codebooks(spark, path: str, books) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
+# Serving-model memo: the coarse centroids and PQ codebooks are tiny
+# driver-side models that every serving call used to re-collect (a full
+# Spark job per query — ~0.2 s/rep in the r9 bench decomposition, the
+# single largest driver-side line). A real 100 TB serving tier holds
+# the quantizer in memory and reloads only when the store changes; this
+# memo is that, with change detection by directory signature — one
+# listStatus round-trip (name, length, mtime per file) instead of a
+# Spark job. Rebuilds/rebalances move the resolved generation path or
+# rewrite the model files (new signature); appends never touch the
+# model dirs (centroids are never retrained on append, by contract).
+_MODEL_CACHE: dict = {}
+
+
+def _dir_signature(spark, path: str):
+    from connect_server_spark.fsutil import _fs_and_path
+
+    fs, jpath, _ = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return None
+    return tuple(
+        sorted(
+            (st.getPath().getName(), st.getLen(), st.getModificationTime())
+            for st in fs.listStatus(jpath)
+        )
+    )
+
+
+def _cached_model(spark, model_dir: str, load):
+    key = (id(spark._jsparkSession), model_dir)
+    sig = _dir_signature(spark, model_dir)
+    hit = _MODEL_CACHE.get(key)
+    if hit is not None and sig is not None and hit[0] == sig:
+        return hit[1]
+    value = load()
+    if len(_MODEL_CACHE) > 128:  # bounded: a few stores per session
+        _MODEL_CACHE.clear()
+    _MODEL_CACHE[key] = (sig, value)
+    return value
+
+
 def read_pq_codebooks(spark, index_path: str):
     """The stored PQ codebooks as an (m, k, d/m) float32 array — m·k
     rows, a driver-side read by design (like the coarse centroids, this
     is the broadcast model that ships in the encode/decode UDF
     closures). ``index_path`` must already be resolved by callers that
     also read ``cells/`` — same single-snapshot rule as
-    :func:`read_ivf_centroids`."""
-    rows = (
-        spark.read.parquet(f"{index_path}/pq").orderBy("m", "code").collect()
-    )
-    if not rows:
-        raise ValueError(f"empty PQ codebook store at {index_path}/pq")
-    m = rows[-1].m + 1
-    k = len(rows) // m
-    return np.array([r.weights for r in rows], dtype=np.float32).reshape(
-        m, k, -1
-    )
+    :func:`read_ivf_centroids`. Memoized per (session, directory
+    signature) — see ``_MODEL_CACHE``."""
+
+    def _load():
+        rows = (
+            spark.read.parquet(f"{index_path}/pq")
+            .orderBy("m", "code")
+            .collect()
+        )
+        if not rows:
+            raise ValueError(f"empty PQ codebook store at {index_path}/pq")
+        m = rows[-1].m + 1
+        k = len(rows) // m
+        return np.array(
+            [r.weights for r in rows], dtype=np.float32
+        ).reshape(m, k, -1)
+
+    return _cached_model(spark, f"{index_path}/pq", _load)
 
 
 def write_ivf_index(
@@ -584,16 +649,22 @@ def read_ivf_centroids(spark, index_path: str):
     broadcast-model that ships in the assignment UDF closure).
     ``index_path`` may be a generation-pointer root; callers that also
     read ``cells/`` must resolve ONCE and pass the resolved dir, so a
-    concurrent rebalance can never pair new centroids with old cells."""
+    concurrent rebalance can never pair new centroids with old cells.
+    Memoized per (session, directory signature) — see
+    ``_MODEL_CACHE``."""
     from connect_server_spark.fsutil import resolve_store
 
     live = resolve_store(spark, index_path)
-    rows = (
-        spark.read.parquet(f"{live}/centroids")
-        .orderBy("cell")
-        .collect()
-    )
-    return np.array([r.weights for r in rows], dtype=np.float64)
+
+    def _load():
+        rows = (
+            spark.read.parquet(f"{live}/centroids")
+            .orderBy("cell")
+            .collect()
+        )
+        return np.array([r.weights for r in rows], dtype=np.float64)
+
+    return _cached_model(spark, f"{live}/centroids", _load)
 
 
 def read_ivf_cells(

@@ -126,23 +126,32 @@ def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's approx_count_distinct is a different estimator, so the
     pytest oracle compares against EXACT distincts with the sketch's
     error bound instead."""
-    import os
-
     from pyspark.sql import functions as F
 
     from connect_server_spark.operators.sketches import (
         distinct_estimates,
         write_sketch_partial,
     )
+    from connect_server_spark.queries._fixtures import (
+        fixture_ready,
+        guarded_fixture_root,
+    )
     from connect_server_spark.tables import dataset_cache_key
 
     key = dataset_cache_key(sf_dir, "events")
-    root = f"/tmp/connect_server_spark_sketch_ledger_v1/{key}"
+    root = (
+        guarded_fixture_root(
+            spark,
+            "SPARK_GRAFT_SKETCH_FIXTURE_DIR",
+            "/tmp/connect_server_spark_sketch_ledger_v1",
+        )
+        + f"/{key}"
+    )
     ev = load_table(spark, "events", sf_dir)
     # completion = the LAST batch's _SUCCESS, not the root dir (Spark
     # creates root at batch 0 — a crash mid-build must rebuild, not
     # serve a quarter of the events as "the corpus")
-    if not os.path.exists(f"{root}/batch=3/_SUCCESS"):
+    if not fixture_ready(spark, f"{root}/batch=3/_SUCCESS"):
         for b in range(4):
             write_sketch_partial(
                 ev.filter(F.col("event_id") % 4 == b),

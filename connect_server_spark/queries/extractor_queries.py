@@ -618,19 +618,12 @@ def _shard_fixture_root(
     from the env var (point it at shared storage and the same fixture
     works on a cluster) and refuse a driver-local default off local
     masters — executors' scans would silently miss driver-local files.
-    One copy of the guard so the ingest legs can never drift apart."""
-    import os
+    The guard itself lives in ``queries/_fixtures.py`` (shared with the
+    z-order and sketch-ledger caches) so the legs can never drift
+    apart."""
+    from connect_server_spark.queries._fixtures import guarded_fixture_root
 
-    root = os.environ.get(env_var, default_root)
-    master = spark.sparkContext.master
-    if not master.startswith("local") and "://" not in root:
-        raise ValueError(
-            f"shard fixture root {root!r} is a driver-local path but"
-            f" master={master!r} — executors' scans would miss it; set"
-            f" {env_var} to shared storage (or scan the real shards"
-            " directly)"
-        )
-    return root
+    return guarded_fixture_root(spark, env_var, default_root)
 
 
 def warc_shard_files(

@@ -158,14 +158,23 @@ def events_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver window since the r9 second rotation (the scan result is
     layout-independent, so the external DuckDB oracle checks exactly
     the right thing); the pruning/pushdown pins run in pytest."""
-    import os
-
     from connect_server_spark.operators.layout import write_zordered
+    from connect_server_spark.queries._fixtures import (
+        fixture_ready,
+        guarded_fixture_root,
+    )
     from connect_server_spark.tables import dataset_cache_key
 
     key = dataset_cache_key(sf_dir, "events")
-    zpath = f"/tmp/connect_server_spark_zorder_v1/{key}"
-    if not os.path.exists(f"{zpath}/_SUCCESS"):
+    zpath = (
+        guarded_fixture_root(
+            spark,
+            "SPARK_GRAFT_ZORDER_FIXTURE_DIR",
+            "/tmp/connect_server_spark_zorder_v1",
+        )
+        + f"/{key}"
+    )
+    if not fixture_ready(spark, f"{zpath}/_SUCCESS"):
         write_zordered(
             load_table(spark, "events", sf_dir),
             zpath,

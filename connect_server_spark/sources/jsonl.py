@@ -42,9 +42,13 @@ def write_jsonl_shards(
     a time; each file lands by the unique-tmp atomic rename and a
     ``_SUCCESS`` marker commits the set last). ``corrupt_per_shard``
     plants that many non-JSON lines per shard so ingest tests exercise
-    the PERMISSIVE contract with a known ground truth. JSON escaping
-    (newlines, quotes, unicode) is ``to_json``'s — line-per-record is
-    safe for arbitrary text."""
+    the PERMISSIVE contract with a known ground truth — sharding is
+    ``pmod(id, n_shards)`` (a plain ``%`` keeps the dividend's sign, so
+    negative ids would mint negative shard labels), and a shard no id
+    hashes to emits NO file, so the planted-corruption ground truth is
+    ``shards_present × corrupt_per_shard``, not ``n_shards ×
+    corrupt_per_shard``. JSON escaping (newlines, quotes, unicode) is
+    ``to_json``'s — line-per-record is safe for arbitrary text."""
     import gzip
 
     from connect_server_spark.fsutil import (
@@ -56,7 +60,7 @@ def write_jsonl_shards(
     cols = columns or docs.columns
     lines = (
         docs.select(
-            (F.col(id_col) % n_shards).alias("_shard"),
+            F.pmod(F.col(id_col), F.lit(n_shards)).alias("_shard"),
             F.col(id_col).alias("_id"),
             F.to_json(F.struct(*[F.col(c) for c in cols])).alias("line"),
         )

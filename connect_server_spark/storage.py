@@ -75,6 +75,29 @@ def _bucket_table_name(path: str) -> str:
     ).hexdigest()[:16]
 
 
+# (session-key → {(table, key, buckets, sort_key)}) of specs already
+# validated against the catalog this session — see
+# :func:`ensure_bucketed_table`. Keyed weakly by the JVM session object
+# id so a stopped/recreated session never inherits stale validations.
+_validated_specs: dict = {}
+
+
+def _session_key(spark: SparkSession) -> int:
+    return id(spark._jsparkSession)
+
+
+def _drop_bucketed_table(spark: SparkSession, path: str) -> None:
+    """Drop the catalog registration for ``path`` AND its validation
+    memo — the one in-package route for dropping bucketed tables, so
+    the :func:`ensure_bucketed_table` memo can never outlive the
+    registration it vouches for."""
+    name = _bucket_table_name(path)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    memo = _validated_specs.get(_session_key(spark))
+    if memo:
+        memo.difference_update({k for k in memo if k[0] == name})
+
+
 def ensure_bucketed_table(
     spark: SparkSession,
     path: str,
@@ -99,9 +122,24 @@ def ensure_bucketed_table(
     path, so a reused path (a store overwritten under a different key,
     or generation numbering restarting after an overwrite reset) would
     otherwise be served under a stale CLUSTERED BY — wrong bucket
-    assignments, silently wrong joins."""
+    assignments, silently wrong joins.
+
+    The validation (a ``DESCRIBE TABLE EXTENDED`` command) runs ONCE
+    per (session, table, spec): serving paths call this on every probe
+    (``read_bucketed``), and the r9 bench decomposition measured the
+    per-read DESCRIBE as the dominant added driver-side cost of the
+    generation-pointer conversion. The memo key includes the spec, so
+    a same-session respec (``write_bucketed_path`` overwrite under a
+    new key) still re-validates; cross-session drops recreate the
+    table through the ``tableExists`` miss as before. The memo is
+    invalidated when the table is dropped through
+    :func:`_drop_bucketed_table` (the only in-package drop route)."""
     name = _bucket_table_name(path)
+    memo_key = (name, key, buckets, sort_key or key)
+    memo = _validated_specs.setdefault(_session_key(spark), set())
     if spark.catalog.tableExists(name):
+        if memo_key in memo:
+            return name
         spec = {
             r.col_name: r.data_type
             for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
@@ -111,8 +149,10 @@ def ensure_bucketed_table(
             and spec.get("Bucket Columns") == f"[`{key}`]"
             and spec.get("Sort Columns") == f"[`{sort_key or key}`]"
         ):
+            memo.add(memo_key)
             return name
         spark.sql(f"DROP TABLE IF EXISTS {name}")  # stale spec: rebuild
+        memo.difference_update({k for k in memo if k[0] == name})
     if schema is None:
         schema = spark.read.parquet(path).schema
     cols = ", ".join(
@@ -123,6 +163,7 @@ def ensure_bucketed_table(
         f"CLUSTERED BY (`{key}`) SORTED BY (`{sort_key or key}`) "
         f"INTO {buckets} BUCKETS LOCATION '{path}'"
     )
+    memo.add(memo_key)  # just created with exactly this spec
     return name
 
 
@@ -160,7 +201,7 @@ def write_bucketed_path(
         from connect_server_spark.fsutil import GENERATION_PREFIX, fs_list
 
         name = _bucket_table_name(path)
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        _drop_bucketed_table(spark, path)
         # deleting the root resets generation NUMBERING, so also drop
         # any per-generation registrations — a later compact recreating
         # _gen-00000001 must not inherit a stale CLUSTERED BY spec
@@ -168,9 +209,7 @@ def write_bucketed_path(
         # catalog from accreting dead entries)
         for child in fs_list(spark, path):
             if child.startswith(GENERATION_PREFIX):
-                spark.sql(
-                    f"DROP TABLE IF EXISTS {_bucket_table_name(f'{path}/{child}')}"
-                )
+                _drop_bucketed_table(spark, f"{path}/{child}")
         hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
         jpath = hadoop_path(path)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -560,10 +599,14 @@ def read_snapshot(
     by default, or the pinned ``generation`` snapshot (a number or
     ``_gen-*`` name still inside the retention window —
     ``compact(keep=N)`` / ``publish_generation(keep=N)`` hold the N
-    most recent superseded payloads). Published generations are
-    immutable, so the returned DataFrame is a consistent snapshot for
-    its whole lifetime regardless of concurrent compactions; pins
-    outside retention refuse loudly
+    most recent superseded payloads). SUPERSEDED generations are
+    immutable, so a pin below the live pointer is a consistent
+    snapshot for the DataFrame's whole lifetime regardless of
+    concurrent compactions; a pin EQUAL to the live pointer of an
+    append-idiom store reads the live payload and observes concurrent
+    appends like any live reader (append sinks mutate the live
+    generation in place by design). Pins outside retention refuse
+    loudly
     (:func:`~connect_server_spark.fsutil.resolve_store`), and
     :func:`~connect_server_spark.fsutil.list_generations` inventories
     what is readable."""

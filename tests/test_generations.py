@@ -38,7 +38,7 @@ def test_resolve_flat_store_is_identity_and_pointer_resolves(spark, tmp_path):
     assert resolve_store(spark, root) == root  # flat at birth
     gen = begin_generation(spark, root)
     assert gen == f"{root}/{GENERATION_PREFIX}00000001"
-    os.makedirs(gen)
+    os.makedirs(gen, exist_ok=True)
     publish_generation(spark, root, gen)
     assert resolve_store(spark, root) == gen
     assert resolve_store(spark, gen) == gen  # idempotent on payload dirs
@@ -59,20 +59,20 @@ def test_begin_generation_skips_orphans_and_publish_gcs_them(spark, tmp_path):
     successful publish GCs it."""
     root = str(tmp_path / "store")
     g1 = begin_generation(spark, root)
-    os.makedirs(g1)
+    os.makedirs(g1, exist_ok=True)
     publish_generation(spark, root, g1)
     orphan = begin_generation(spark, root)
-    os.makedirs(orphan)  # "crash": built, never published
+    os.makedirs(orphan, exist_ok=True)  # "crash": built, never published
     assert resolve_store(spark, root) == g1  # reader unaffected
     g3 = begin_generation(spark, root)
     assert g3 not in (g1, orphan)
-    os.makedirs(g3)
+    os.makedirs(g3, exist_ok=True)
     publish_generation(spark, root, g3)
     assert resolve_store(spark, root) == g3
     assert not os.path.exists(orphan)  # orphan GC'd
     assert os.path.isdir(g1)  # previous live kept as grace
     g4 = begin_generation(spark, root)
-    os.makedirs(g4)
+    os.makedirs(g4, exist_ok=True)
     publish_generation(spark, root, g4)
     assert not os.path.exists(g1)  # grace expired at the NEXT publish
     assert os.path.isdir(g3)
@@ -396,7 +396,7 @@ def test_list_generations_flat_store_and_inflight_builds(spark, tmp_path):
     # simulate an in-flight build: begin_generation names gen 2 but no
     # publish — listed (operator visibility) yet refused by the pin
     gen = begin_generation(spark, root)
-    spark.range(1).write.parquet(gen)
+    spark.range(1).write.mode("overwrite").parquet(gen)
     gens = list_generations(spark, root)
     assert [g["number"] for g in gens] == [2, 1]
     assert [g["live"] for g in gens] == [False, True]
@@ -418,7 +418,7 @@ def test_keep_retention_never_retains_or_pins_crashed_builds(
     spark.range(10).write.parquet(root)
     compact(spark, root, keep=2)  # gen 1 live
     orphan = begin_generation(spark, root)  # _gen-00000002
-    os.makedirs(orphan)
+    os.makedirs(orphan, exist_ok=True)
     with open(f"{orphan}/halfwritten.parquet", "wb") as f:
         f.write(b"\x00garbage")  # "crashed mid-build"
     compact(spark, root, keep=2)  # gen 3: retained = {3, grace 1}
@@ -469,3 +469,89 @@ def test_legacy_store_ambiguous_generations_get_grace_not_pins(
         f"{GENERATION_PREFIX}0000000{i}" for i in (2, 3, 4)
     ]
     assert read_snapshot(spark, root, generation=2).count() == 7
+
+
+def test_racing_publishers_loser_refuses_and_loses_no_rows(spark, tmp_path):
+    """r9 verdict ask #2: two publishers racing one store. The loser's
+    publish must raise (not silently supersede the winner), the winner's
+    rows must stay live, and the loser's orphan payload is GC'd by the
+    next successful publish — never the winner's data."""
+    from connect_server_spark.fsutil import ConcurrentPublishError
+
+    root = str(tmp_path / "store")
+    spark.range(5).write.parquet(root)
+
+    # both builders observe the same epoch (flat store) but claim
+    # DIFFERENT generation numbers — no payload interleaving
+    g_a = begin_generation(spark, root)
+    g_b = begin_generation(spark, root)
+    assert g_a != g_b
+
+    spark.range(100, 110).write.mode("overwrite").parquet(g_a)
+    spark.range(200, 220).write.mode("overwrite").parquet(g_b)
+
+    publish_generation(spark, root, g_a)  # A wins
+    assert spark.read.parquet(resolve_store(spark, root)).count() == 10
+
+    with pytest.raises(ConcurrentPublishError, match="another publisher"):
+        publish_generation(spark, root, g_b)  # B must refuse
+    # winner untouched; loser stays on disk, unpublished
+    assert resolve_store(spark, root) == str(g_a)
+    assert spark.read.parquet(resolve_store(spark, root)).count() == 10
+    assert os.path.isdir(g_b)
+
+    # B retries the correct way: rebuild from the NEW live epoch
+    g_c = begin_generation(spark, root)
+    spark.read.parquet(resolve_store(spark, root)).union(
+        spark.range(200, 220)
+    ).write.mode("overwrite").parquet(g_c)
+    publish_generation(spark, root, g_c)
+    assert spark.read.parquet(resolve_store(spark, root)).count() == 30
+    assert not os.path.exists(g_b)  # loser orphan GC'd
+
+
+def test_racing_publishers_on_published_store_epoch_mismatch(
+    spark, tmp_path
+):
+    """Same race on an already-pointered store: epoch = the live
+    generation name, so the check also fires when the base moved from
+    one generation to another (not just flat→gen)."""
+    from connect_server_spark.fsutil import ConcurrentPublishError
+
+    root = str(tmp_path / "store")
+    g1 = begin_generation(spark, root)
+    spark.range(3).write.mode("overwrite").parquet(g1)
+    publish_generation(spark, root, g1)
+
+    g_a = begin_generation(spark, root)  # both observe g1 live
+    g_b = begin_generation(spark, root)
+    spark.range(10).write.mode("overwrite").parquet(g_a)
+    spark.range(20).write.mode("overwrite").parquet(g_b)
+    publish_generation(spark, root, g_a)
+    with pytest.raises(ConcurrentPublishError):
+        publish_generation(spark, root, g_b)
+    assert spark.read.parquet(resolve_store(spark, root)).count() == 10
+
+
+def test_begin_generation_claims_unique_numbers(spark, tmp_path):
+    """Concurrent builders can never interleave one payload: the _CLAIM
+    exclusive-create hands each begin_generation a fresh number even
+    before any payload file exists."""
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    paths = {str(begin_generation(spark, root)) for _ in range(4)}
+    assert len(paths) == 4
+    # claim dirs are underscore-invisible to a flat reader
+    spark.range(4).write.mode("append").parquet(root)
+    assert spark.read.parquet(root).count() == 4
+
+
+def test_plain_str_gen_path_keeps_legacy_unguarded_publish(spark, tmp_path):
+    """A hand-built plain-str path carries no epoch — publish proceeds
+    (documented legacy/manual escape hatch)."""
+    root = str(tmp_path / "store")
+    os.makedirs(f"{root}/{GENERATION_PREFIX}00000007")
+    publish_generation(
+        spark, root, f"{root}/{GENERATION_PREFIX}00000007"
+    )
+    assert resolve_store(spark, root).endswith("00000007")
