@@ -111,10 +111,10 @@ def extract_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "extract_filename",
-    extract_filename,
-    sql="""
+# Demoted from the gated-50 window in r10 (third rotation — displaced
+# by corpus_doc_keywords): semantics frozen since r3 and pinned by the
+# preserved-oracle mirror in tests/test_entry_oracle.py.
+EXTRACT_FILENAME_ORACLE_SQL = """
     WITH named AS (
       SELECT doc_id,
              concat('data/', source, '/doc_', CAST(doc_id AS VARCHAR), '_',
@@ -128,8 +128,9 @@ register(
       nullif(regexp_extract(filename, '_([a-z]{2})(\\.|$)', 1), '') AS doc_lang,
       nullif(regexp_extract(filename, '\\.([a-z]+)$', 1), '') AS extension
     FROM named
-    """,
-)
+"""
+
+register("extract_filename", extract_filename, defer=True)
 
 
 _CIF_COMPS = ["Al12O18", "H88C52O12", "Ce24V8O128", "C8", "FFO2", "NaCl"]

@@ -258,10 +258,10 @@ def endpoint_http_host(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "endpoint_http_host",
-    endpoint_http_host,
-    sql=f"""
+# Demoted from the gated-50 window in r10 (third rotation — displaced
+# by events_overlap_join): semantics frozen since r3 and pinned by the
+# preserved-oracle mirror in tests/test_entry_oracle.py.
+ENDPOINT_HTTP_HOST_ORACLE_SQL = f"""
     WITH loc AS (
       SELECT s_suppkey,
         concat('00000000-0000-0000-0000-',
@@ -285,5 +285,6 @@ register(
         ELSE concat('https://', generic_ep, '.e.globus.org')
       END AS http_host
     FROM loc
-    """,
-)
+"""
+
+register("endpoint_http_host", endpoint_http_host, defer=True)

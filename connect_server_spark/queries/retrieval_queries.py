@@ -80,7 +80,42 @@ def corpus_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kw.filter(F.col("doc_id") % 20 == 0)
 
 
-register("corpus_doc_keywords", corpus_doc_keywords, defer=True)
+# Promoted in r10 (displacing the frozen extract_filename): full
+# score-for-score TF-IDF recomputation in SQL — raw ln(N/df) idf,
+# 1e-6 rounding before ranking, (score desc, term asc) tie-break.
+# Mirror green in tests/test_retrieval.py since r6.
+register(
+    "corpus_doc_keywords",
+    corpus_doc_keywords,
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term <> '' GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT term,
+             ln((SELECT count(*) FROM documents) * 1.0 / count(*)) AS idf
+      FROM tc GROUP BY term
+    ),
+    ranked AS (
+      SELECT tc.doc_id, tc.term,
+             round(tc.tf * idf.idf, 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tc.doc_id
+               ORDER BY round(tc.tf * idf.idf, 6) DESC, tc.term ASC
+             ) AS kw_rank
+      FROM tc JOIN idf USING (term)
+      WHERE round(tc.tf * idf.idf, 6) > 0
+    )
+    SELECT doc_id, kw_rank, term, tfidf FROM ranked
+    WHERE kw_rank <= {KEYWORDS_M} AND doc_id % 20 = 0
+    """,
+)
 
 
 def corpus_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -64,7 +64,35 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("events_asof_join", events_asof_join, defer=True)
+# Promoted into the gated-50 window in r10 (third rotation, displacing
+# the frozen submission_parse): DuckDB's native ASOF LEFT JOIN checks
+# the single-shuffle union+window as-of against an INDEPENDENT
+# implementation of the same semantics (inclusive backward match, 24 h
+# tolerance) — exactly what the external gate is for. The mirror ran
+# green in tests/test_temporal.py since r6.
+register(
+    "events_asof_join",
+    events_asof_join,
+    sql="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, max(event_id) AS purchase_id,
+             max_by(value, event_id) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.user_id, c.event_id, c.ts, c.value,
+           CASE WHEN c.ts - p.ts <= INTERVAL 24 HOURS
+                THEN p.ts END AS purchase_ts,
+           CASE WHEN c.ts - p.ts <= INTERVAL 24 HOURS
+                THEN p.purchase_id END AS purchase_id,
+           CASE WHEN c.ts - p.ts <= INTERVAL 24 HOURS
+                THEN p.purchase_value END AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
 
 
 def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,7 +126,26 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("events_interval_join", events_interval_join, defer=True)
+# Promoted in r10 (displacing the frozen submission_rollup): the
+# bucketized equi-join form vs DuckDB's direct inequality join — the
+# external gate proves the bucket trick changes the PLAN, never the
+# rows. Mirror green in tests/test_temporal.py since r6.
+register(
+    "events_interval_join",
+    events_interval_join,
+    sql="""
+    WITH intervals AS (
+      SELECT user_id, event_id AS interval_id, ts AS start_ts,
+             ts + to_hours(CAST(event_id % 7 + 1 AS BIGINT)) AS end_ts
+      FROM events WHERE event_id % 40 = 0
+    )
+    SELECT e.user_id, e.event_id, e.ts, e.event_type,
+           i.interval_id, i.start_ts, i.end_ts
+    FROM events e JOIN intervals i
+      ON e.user_id = i.user_id
+     AND i.start_ts <= e.ts AND e.ts < i.end_ts
+    """,
+)
 
 
 # The cascade's nested widths: 1 min → 1 h → 1 d. Coarser levels read the
@@ -172,4 +219,27 @@ def events_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("events_overlap_join", events_overlap_join, defer=True)
+# Promoted in r10 (displacing the frozen endpoint_http_host): the
+# home-bucket dedup-free overlap join vs DuckDB's direct
+# greatest/least inequality join. Mirror green in
+# tests/test_temporal.py since r7.
+register(
+    "events_overlap_join",
+    events_overlap_join,
+    sql="""
+    WITH a AS (
+      SELECT user_id, event_id AS interval_id, ts AS start_ts,
+             ts + to_hours(CAST(event_id % 7 + 1 AS BIGINT)) AS end_ts
+      FROM events WHERE event_id % 40 = 0
+    ), b AS (
+      SELECT user_id, event_id AS other_id, ts AS start_ts,
+             ts + to_hours(CAST(event_id % 5 + 1 AS BIGINT)) AS end_ts
+      FROM events WHERE event_id % 25 = 0
+    )
+    SELECT a.user_id, a.interval_id, a.start_ts, a.end_ts,
+           b.other_id, b.start_ts AS other_start_ts,
+           b.end_ts AS other_end_ts
+    FROM a JOIN b ON a.user_id = b.user_id
+     AND greatest(a.start_ts, b.start_ts) < least(a.end_ts, b.end_ts)
+    """,
+)

@@ -276,10 +276,10 @@ def submission_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "submission_parse",
-    submission_parse,
-    sql="""
+# Demoted from the gated-50 window in r10 (third rotation — displaced
+# by events_asof_join): semantics frozen since r3 and pinned by the
+# preserved-oracle mirror in tests/test_entry_oracle.py.
+SUBMISSION_PARSE_ORACLE_SQL = """
     SELECT doc_id,
            doc_id % 7 <> 0 AS success,
            CASE WHEN doc_id % 7 <> 0 THEN substr(text, 1, 20) END AS title,
@@ -287,8 +287,9 @@ register(
            CASE WHEN doc_id % 7 = 0 THEN 'submission is not valid JSON' END
              AS error
     FROM documents
-    """,
-)
+"""
+
+register("submission_parse", submission_parse, defer=True)
 
 
 def custom_block_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,10 +335,10 @@ def submission_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "submission_rollup",
-    submission_rollup,
-    sql="""
+# Demoted from the gated-50 window in r10 (third rotation — displaced
+# by events_interval_join): semantics frozen since r3 and pinned by the
+# preserved-oracle mirror in tests/test_entry_oracle.py.
+SUBMISSION_ROLLUP_ORACLE_SQL = """
     WITH counts AS (
       SELECT concat('src_', CAST(o_custkey % 997 AS VARCHAR)) AS source_id,
              CASE WHEN count(*) = 1 THEN 'bump' ELSE 'error' END AS classification
@@ -350,8 +351,9 @@ register(
         ON concat('src_', CAST(c.c_custkey % 997 AS VARCHAR)) = n.source_id
     )
     SELECT classification, count(*) AS n FROM probes GROUP BY classification
-    """,
-)
+"""
+
+register("submission_rollup", submission_rollup, defer=True)
 
 
 def flow_log_limit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,11 +35,17 @@ def _demoted_mirrors():
     in r9 (to gate the newer LLM-pipeline families externally): their
     frozen oracle SQL keeps running here, so demotion never weakens the
     actual correctness coverage."""
+    from connect_server_spark.queries.extractor_queries import (
+        EXTRACT_FILENAME_ORACLE_SQL,
+    )
     from connect_server_spark.queries.flow_queries import (
         STATUS_POLL_ORACLE_SQL,
     )
     from connect_server_spark.queries.function_queries import (
         VERSION_INCREMENT_ORACLE_SQL,
+    )
+    from connect_server_spark.queries.org_queries import (
+        ENDPOINT_HTTP_HOST_ORACLE_SQL,
     )
     from connect_server_spark.queries.scan_queries import (
         SCAN_NULL_SEMANTICS_ORACLE_SQL,
@@ -47,6 +53,8 @@ def _demoted_mirrors():
     from connect_server_spark.queries.transfer_queries import (
         CUSTOM_BLOCK_NORMALIZE_ORACLE_SQL,
         FLOW_LOG_LIMIT_ORACLE_SQL,
+        SUBMISSION_PARSE_ORACLE_SQL,
+        SUBMISSION_ROLLUP_ORACLE_SQL,
     )
 
     return {
@@ -56,6 +64,12 @@ def _demoted_mirrors():
         "flow_log_limit": FLOW_LOG_LIMIT_ORACLE_SQL,
         # r9 second rotation: displaced by events_zorder_scan
         "version_increment": VERSION_INCREMENT_ORACLE_SQL,
+        # r10 third rotation: displaced by events_asof_join,
+        # events_interval_join, events_overlap_join, corpus_doc_keywords
+        "submission_parse": SUBMISSION_PARSE_ORACLE_SQL,
+        "submission_rollup": SUBMISSION_ROLLUP_ORACLE_SQL,
+        "endpoint_http_host": ENDPOINT_HTTP_HOST_ORACLE_SQL,
+        "extract_filename": EXTRACT_FILENAME_ORACLE_SQL,
     }
 
 
