@@ -505,6 +505,7 @@ def maintain_bm25_index(
     max_files_per_bucket: int = 8,
     max_ledger_batches: int = 64,
     keep_recent: int = 1,
+    keep: int = 1,
 ) -> dict:
     """The BM25 maintenance loop (the cadence twin of
     ``maintain_ivf_index`` — r8 verdict missing #3's aside): daily
@@ -537,6 +538,12 @@ def maintain_bm25_index(
     coverage guard in ``query_term_stats`` failing LOUDLY (never a
     silent df undercount) until the next maintenance run converges.
 
+    ``keep`` is the GENERATION retention forwarded to every publish
+    this maintenance run performs (the reader-vs-retention contract in
+    SCALE.md: keep >= ceil(max reader duration / maintenance interval)
+    + 1 so a long-running serving query never loses its snapshot
+    mid-scan).
+
     Returns ``{store: action}`` telemetry for what actually ran.
     """
     from connect_server_spark.fsutil import fs_list, resolve_store
@@ -551,7 +558,7 @@ def maintain_bm25_index(
             1 for f in fs_list(spark, live) if f.endswith(".parquet")
         )
         if n_files > buckets * max_files_per_bucket:
-            compact_bucketed(spark, root, key, buckets)
+            compact_bucketed(spark, root, key, buckets, keep=keep)
             actions[store] = f"compacted {n_files} files"
 
     from connect_server_spark.storage import (
@@ -579,7 +586,8 @@ def maintain_bm25_index(
                 F.sum("dl_cnt").alias("dl_cnt"))),
         ):
             merge_batch_ledger(
-                spark, f"{index_path}/{ledger}", agg, merge_ids, keep_ids
+                spark, f"{index_path}/{ledger}", agg, merge_ids, keep_ids,
+                keep=keep,
             )
         actions["ledgers"] = (
             f"merged {len(merge_ids)} partials into batch={merge_ids[-1]}"

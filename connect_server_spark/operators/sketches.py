@@ -118,6 +118,7 @@ def compact_sketch_ledger(
     root: str,
     by: list[str] | None = None,
     keep_latest: int = 1,
+    keep: int = 1,
 ) -> int:
     """Merge all but the ``keep_latest`` newest batches' partials into
     ONE row per group under the highest absorbed batch id, published as
@@ -145,7 +146,7 @@ def compact_sketch_ledger(
     ids = ledger_batch_ids(spark, resolve_store(spark, root))
     if len(ids) <= keep_latest:
         return 0
-    absorb, keep = ids[:-keep_latest], ids[-keep_latest:]
+    absorb, keep_ids = ids[:-keep_latest], ids[-keep_latest:]
     cols = by or []
 
     def merge(df: DataFrame) -> DataFrame:
@@ -154,5 +155,5 @@ def compact_sketch_ledger(
             F.sum("n_rows").alias("n_rows"),
         )
 
-    merge_batch_ledger(spark, root, merge, absorb, keep)
+    merge_batch_ledger(spark, root, merge, absorb, keep_ids, keep=keep)
     return len(absorb)

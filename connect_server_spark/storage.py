@@ -547,6 +547,7 @@ def merge_batch_ledger(
     agg,
     merge_ids: list[int],
     keep_ids: list[int],
+    keep: int = 1,
 ) -> None:
     """The shared replay-safe ledger-compaction mechanic (BM25
     termstats/meta and the HLL sketch ledger both use it): aggregate
@@ -589,7 +590,7 @@ def merge_batch_ledger(
         spark.read.parquet(f"{live}/batch={int(b)}").coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{gen}/batch={int(b)}")
-    publish_generation(spark, root, gen)
+    publish_generation(spark, root, gen, keep=keep)
 
 
 def read_snapshot(

@@ -145,6 +145,7 @@ def composed_ingest_sink(
     maintain_every: int | None = None,
     maintain_skew_threshold: float = 4.0,
     maintain_cell_size: int = 256,
+    maintain_keep: int = 2,
     sketch_telemetry: bool = False,
     log_compact_files: int = 64,
     _failpoint: str | None = None,
@@ -179,7 +180,18 @@ def composed_ingest_sink(
     append so any crash window replays into an identical overwrite
     (same batch=<id> discipline as the BM25 partials); "distinct docs
     ingested so far" then reads the ledger in O(batches), never the
-    corpus. The maintenance cadence also compacts the ledger."""
+    corpus. The maintenance cadence also compacts the ledger.
+
+    ``maintain_keep`` is the GENERATION retention every maintenance
+    publish uses (SCALE.md's reader-vs-retention contract:
+    ``keep >= ceil(max reader duration / publish interval) + 1``).
+    The default 2 satisfies the job's OWN cadence with margin — a
+    serving reader that resolved a store just before one maintenance
+    firing keeps a readable snapshot through the NEXT full firing,
+    i.e. queries up to one whole maintenance interval long are safe,
+    not just queries shorter than the gap to the next publish. Raise
+    it when external readers run longer than the maintenance
+    interval."""
     paths = ingest_store_paths(root)
     if winnow_threshold is None:
         winnow_threshold = threshold
@@ -341,14 +353,19 @@ def composed_ingest_sink(
                 corpus_id=id_col,
                 corpus_vec=vec_col,
                 target_cell_size=maintain_cell_size,
+                keep=maintain_keep,
             )
-            maintain_bm25_index(spark, paths["bm25_index"])
+            maintain_bm25_index(
+                spark, paths["bm25_index"], keep=maintain_keep
+            )
             if sketch_telemetry:
                 from connect_server_spark.operators.sketches import (
                     compact_sketch_ledger,
                 )
 
-                compact_sketch_ledger(spark, paths["sketch_ledger"])
+                compact_sketch_ledger(
+                    spark, paths["sketch_ledger"], keep=maintain_keep
+                )
             # append-only logs (survivors + pairs) accrete one file set
             # per batch FOREVER without this: past log_compact_files the
             # log rewrites behind its generation pointer (post-commit,
@@ -367,7 +384,7 @@ def composed_ingest_sink(
                     if f.endswith(".parquet")
                 )
                 if n_files > log_compact_files:
-                    compact(spark, paths[store])
+                    compact(spark, paths[store], keep=maintain_keep)
 
     return sink
 

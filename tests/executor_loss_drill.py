@@ -27,6 +27,18 @@ Scenarios (argv[3]):
   MUST succeed — proving the knob changes recovery semantics, not just
   file placement.
 
+* ``ingest_control`` / ``ingest_kill`` — the COMPOSED daily-ingest
+  batch (r9 verdict ask #5): base stores + two micro-batches with the
+  maintenance cadence on a hair trigger (every batch: IVF rebalance
+  check, BM25 upkeep, sketch-ledger compaction — the generation
+  machinery running where it actually runs). ``ingest_kill`` SIGKILLs
+  one executor while batch 2 is demonstrably mid-flight; if the batch
+  call raises, it is re-delivered once (the streaming engine's
+  contract). The wrapper requires the final observable state of every
+  store — read through the SERVING paths, layout-independent, because
+  a replayed maintenance pass may legitimately rebalance a different
+  number of times — to equal the undisturbed ``ingest_control`` run.
+
 Prints one JSON line on stdout (last line): rows (sorted), plus
 telemetry the wrapper asserts on. Exit code 0 even for an EXPECTED
 in-plan failure (reported as ``error``); non-zero only for harness
@@ -61,6 +73,179 @@ def executor_pids() -> list[int]:
         if b"CoarseGrainedExecutorBackend" in cmd:
             pids.append(int(p.split("/")[2]))
     return sorted(pids)
+
+
+def _ingest_rows():
+    """Deterministic corpus + two batches, sized so a batch on a
+    2-core local-cluster runs long enough to be killed mid-flight.
+    Same shape as tests/test_streaming.py's composed fixture: text
+    near-dups, embedding near-dups, novels."""
+    import numpy as np
+
+    def words(tag, n=21):
+        return " ".join(f"{tag}w{j}" for j in range(n))
+
+    def vec(seed):
+        v = np.random.RandomState(seed).randn(8)
+        return (v / np.linalg.norm(v)).tolist()
+
+    corpus = [
+        (i, words(f"c{i}"), vec(i), f"2024-01-01 10:{i % 60:02d}:00", float(i))
+        for i in range(1, 161)
+    ]
+    b1 = [
+        (1000 + i, words(f"b{i}" if i % 5 else f"c{i}"), vec(1000 + i),
+         f"2024-01-02 10:{i % 60:02d}:00", float(i))
+        for i in range(1, 161)
+    ]
+    b2 = [
+        (2000 + i, words(f"d{i}" if i % 7 else f"b{i}"), vec(2000 + i),
+         f"2024-01-03 10:{i % 60:02d}:00", float(i))
+        for i in range(1, 161)
+    ]
+    return corpus, b1, b2
+
+
+def _ingest_state(spark, paths) -> dict:
+    """Observable state of every store via the SERVING paths —
+    layout-independent (a replayed maintenance pass may rebalance a
+    different number of times, so raw cell ids are not comparable;
+    what a consumer can see must be)."""
+    from connect_server_spark.fsutil import list_generations, resolve_store
+    from connect_server_spark.operators.dedup import (
+        embedding_neardup_against_index,
+        minhash_neardup_against_index,
+    )
+    from connect_server_spark.operators.retrieval import bm25_topk_indexed
+    from connect_server_spark.operators.sketches import distinct_estimates
+
+    def _read(key):
+        return spark.read.parquet(resolve_store(spark, paths[key]))
+
+    probe_schema = (
+        "doc_id long, text string, embedding array<double>, "
+        "ts string, v double"
+    )
+    probe = spark.createDataFrame(
+        [(901, " ".join(f"b3w{j}" for j in range(19)), [0.1] * 8,
+          "2024-01-04 00:00:00", 0.0)],
+        probe_schema,
+    )
+    return {
+        "survivors": sorted(
+            r.doc_id for r in _read("survivors").select("doc_id").collect()
+        ),
+        "pairs_t": sorted({
+            (r.new_id, r.corpus_id) for r in _read("pairs_text").collect()
+        }),
+        "pairs_v": sorted({
+            (r.new_id, r.corpus_id) for r in _read("pairs_vec").collect()
+        }),
+        "bm25": [
+            list(map(str, t)) for t in sorted(map(tuple, bm25_topk_indexed(
+                spark, paths["bm25_index"], "b3w1 d7w2 c9w3", k=10
+            ).collect()))
+        ],
+        "mh_probe": sorted(
+            (r.new_id, r.corpus_id) for r in minhash_neardup_against_index(
+                probe.select("doc_id", "text"), spark,
+                paths["minhash_index"], paths["shingles"], "doc_id", "text",
+            ).collect()
+        ),
+        "ev_probe": sorted(
+            (r.new_id, r.corpus_id) for r in embedding_neardup_against_index(
+                probe.select("doc_id", "embedding"), spark,
+                paths["ivf_index"], id_col="doc_id", vec_col="embedding",
+            ).collect()
+        ),
+        "sketch": sorted(
+            (int(r.distinct_est), int(r.n_rows))
+            for r in distinct_estimates(
+                spark, paths["sketch_ledger"], by=[]
+            ).collect()
+        ),
+        # proof the generation machinery ran: the IVF store is pointered
+        "ivf_generations": len(
+            list_generations(spark, paths["ivf_index"])
+        ),
+    }
+
+
+def _run_ingest_scenario(spark, scenario: str, work_dir: str, result: dict):
+    """Both composed-ingest drill legs; the kill leg SIGKILLs one
+    executor while batch 2 is mid-flight and re-delivers the batch if
+    the first call died."""
+    from pyspark.sql import functions as F
+
+    from connect_server_spark.streaming.daily_ingest import (
+        build_base_stores,
+        composed_ingest_sink,
+        ingest_store_paths,
+    )
+
+    corpus, b1, b2 = _ingest_rows()
+    schema = (
+        "doc_id long, text string, embedding array<double>, "
+        "ts string, v double"
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    root = f"{work_dir}/ingest_root"
+    paths = ingest_store_paths(root)
+    build_base_stores(spark.createDataFrame(corpus, schema), paths, nlist=4)
+    sink = composed_ingest_sink(
+        spark, root, "doc_id", "text", "embedding", "ts", "v",
+        maintain_every=1, maintain_skew_threshold=0.5,
+        sketch_telemetry=True, log_compact_files=1,
+    )
+    sink(batch(b1), 0)
+
+    if scenario == "ingest_control":
+        t0 = time.monotonic()
+        sink(batch(b2), 1)
+        result["recovery_wall_s"] = round(time.monotonic() - t0, 3)
+    else:  # ingest_kill
+        out: dict = {}
+
+        def run() -> None:
+            try:
+                sink(batch(b2), 1)
+            except Exception as e:  # noqa: BLE001 — redelivered below
+                out["error"] = f"{type(e).__name__}: {e}"[:400]
+
+        th = threading.Thread(target=run)
+        t0 = time.monotonic()
+        th.start()
+        # strike once the batch demonstrably has work in flight
+        deadline = time.monotonic() + 300
+        tracker = spark.sparkContext.statusTracker()
+        while time.monotonic() < deadline:
+            if tracker.getActiveJobsIds() and th.is_alive():
+                break
+            if not th.is_alive():
+                break
+            time.sleep(0.02)
+        result["job_alive_at_kill"] = th.is_alive()
+        result["killed"] = kill_one_global()
+        th.join(timeout=600)
+        result["first_attempt_error"] = out.get("error")
+        if out.get("error"):
+            # the streaming engine's contract: the failed batch is
+            # re-delivered with the same batch id
+            sink(batch(b2), 1)
+        result["recovery_wall_s"] = round(time.monotonic() - t0, 3)
+
+    result["state"] = _ingest_state(spark, paths)
+
+
+def kill_one_global() -> int:
+    victim = executor_pids()[0]
+    os.kill(victim, signal.SIGKILL)
+    return victim
 
 
 def main() -> None:
@@ -99,6 +284,15 @@ def main() -> None:
         "error": None,
         "recovery_wall_s": None,
     }
+
+    if scenario.startswith("ingest"):
+        try:
+            _run_ingest_scenario(spark, scenario, ckpt_dir, result)
+        except Exception as e:  # noqa: BLE001 — report, exit 0
+            result["error"] = f"{type(e).__name__}: {e}"[:400]
+        spark.stop()
+        print("DRILL_RESULT " + json.dumps(result, default=str))
+        return
 
     def kill_one() -> int:
         victim = executor_pids()[0]

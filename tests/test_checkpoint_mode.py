@@ -248,3 +248,36 @@ def test_boundary_recovery_contrast_local_fails_reliable_survives(
         "local-mode boundary survived executor loss — the contrast that "
         "justifies reliable mode did not reproduce"
     )
+
+
+def test_composed_ingest_survives_executor_sigkill(tmp_path):
+    """r9 verdict ask #6: the executor-loss drill extended to the
+    COMPOSED daily-ingest batch — ingest + IVF maintenance + BM25
+    upkeep + sketch-ledger compaction, i.e. recovery proven where the
+    generation machinery actually runs. One executor JVM is SIGKILLed
+    while batch 2 is demonstrably mid-flight; whether Spark's task
+    retry absorbs the loss or the batch dies and is re-delivered
+    (both are in-contract), the final observable state of EVERY store
+    (read via serving paths — layout-independent, since a replayed
+    maintenance pass may rebalance a different number of times) must
+    equal the undisturbed control run on the same cluster shape.
+
+    Timing-miss retry mirrors the curation drill: if the batch
+    finished before the kill landed, re-run the whole drill once."""
+    control = _run_drill("reliable", "ingest_control", tmp_path / "ctl")
+    assert control["error"] is None and control["state"]["survivors"]
+    assert control["state"]["ivf_generations"] >= 1, (
+        "maintenance never published a generation — the drill is not "
+        "exercising the machinery it claims to"
+    )
+
+    res = _run_drill("reliable", "ingest_kill", tmp_path / "kill")
+    if res["job_alive_at_kill"] is not True:
+        res = _run_drill("reliable", "ingest_kill", tmp_path / "retry")
+    assert res["killed"], "no executor was killed"
+    assert res["job_alive_at_kill"] is True, (
+        "batch 2 finished before the kill landed (twice) — scenario "
+        "not exercised"
+    )
+    assert res["error"] is None, f"drill failed: {res['error']}"
+    assert res["state"] == control["state"]

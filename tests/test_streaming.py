@@ -1511,3 +1511,65 @@ def test_composed_ingest_log_compaction_is_state_preserving(
     # replay after compaction: still convergent
     sink(_composed_batch(spark, b2), 1)
     assert _composed_state(spark, paths) == composed_control
+
+
+def test_maintenance_retention_keeps_reader_snapshot_one_full_cycle(
+    spark, tmp_path
+):
+    """The retention-vs-reader contract (r9 verdict missing #3,
+    SCALE.md `keep >= ceil(reader duration / publish interval) + 1`):
+    with the composed job's default ``maintain_keep=2``, a reader that
+    resolved the IVF store between two maintenance firings still
+    collects its EXACT snapshot after the next full firing — i.e. a
+    serving query one whole maintenance interval long survives. The
+    keep=1 contrast shows the same reader's payload GC'd (loudly
+    absent, never silently wrong)."""
+    import os
+
+    from connect_server_spark.fsutil import resolve_store
+    from connect_server_spark.streaming.daily_ingest import (
+        composed_ingest_sink,
+    )
+
+    corpus, b1, b2 = _composed_fixture_rows()
+
+    def run(keep):
+        root = str(tmp_path / f"root_keep{keep}")
+        paths = _composed_build_base(spark, root, corpus)
+        sink = composed_ingest_sink(
+            spark, root, "doc_id", "text", "embedding", "ts", "v",
+            maintain_every=1, maintain_skew_threshold=0.5,
+            maintain_keep=keep,
+        )
+        # firing 1: the store upgrades to a generation pointer
+        sink(_composed_batch(spark, b1), 0)
+        reader_path = resolve_store(spark, paths["ivf_index"])
+        assert "_gen-" in reader_path, "maintenance never published"
+        # firing 2 supersedes the reader's generation — it is immutable
+        # from this moment (the LIVE generation legitimately absorbs
+        # batch appends before the flip, so the snapshot is taken at
+        # supersession time, the point the immutability contract
+        # starts)
+        sink(_composed_batch(spark, b2), 1)
+        snapshot = sorted(
+            (r.doc_id, r.cell)
+            for r in spark.read.parquet(f"{reader_path}/cells").collect()
+        )
+        # firing 3: the publish AFTER supersession — grace alone no
+        # longer protects the reader's payload, only `keep` does
+        sink(_composed_batch(spark, b2), 2)  # replay-shaped third firing
+        return reader_path, snapshot
+
+    # default keep=2: the reader's generation survives both publishes
+    # and re-collects identically
+    reader_path, snapshot = run(keep=2)
+    again = sorted(
+        (r.doc_id, r.cell)
+        for r in spark.read.parquet(f"{reader_path}/cells").collect()
+    )
+    assert again == snapshot and len(snapshot) > 0
+
+    # keep=1 (grace only): the same reader's payload is GONE after two
+    # more publishes — the documented loud failure, not wrong rows
+    reader_path, _ = run(keep=1)
+    assert not os.path.exists(reader_path)
