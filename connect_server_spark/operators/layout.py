@@ -290,6 +290,18 @@ def clustering_decay(path: str, col: str) -> float:
     skip them). Returns 0.0 for a single file (nothing to prune
     between).
 
+    The metric counts EXCESS overlap only: a degenerate single-value
+    file (``min == max``) never counts as overlapping another file's
+    midpoint. Under heavy key skew (the crawl mega-domain shape —
+    90% of rows under one key) a perfectly clustered layout is mostly
+    pure hot-key files; those files mutually "overlap" at the hot
+    value, but reading them for a hot-key predicate is the unavoidable
+    floor NO layout can shrink — counting them would make a fresh
+    skewed table measure decayed and send ``maintain_zorder`` into an
+    infinite rewrite loop (pinned in ``tests/test_layout.py``). Wide
+    files are what a rewrite can actually fix, so they are what the
+    trigger watches.
+
     Multi-column checks should go through :func:`clustering_decay_all`
     — one footer pass for every column instead of N."""
     return clustering_decay_all(path, [col])[col]
@@ -318,10 +330,15 @@ def clustering_decay_all(path: str, cols: list[str]) -> dict[str, float]:
                 mid = s[0] + (s[1] - s[0]) / 2
             except TypeError:  # non-numeric (e.g. string) stats: use min
                 mid = s[0]
+            # excess overlap only: a degenerate [v, v] file is the
+            # unavoidable floor for value v (see docstring's skew
+            # note), so only statless and WIDE files count against
+            # the layout
             hits = sum(
                 1
                 for j, o in enumerate(spans)
-                if j != i and (o is None or o[0] <= mid <= o[1])
+                if j != i
+                and (o is None or (o[0] <= mid <= o[1] and o[0] < o[1]))
             )
             total += hits / (len(spans) - 1)
         out[col] = total / len(spans)

@@ -262,3 +262,71 @@ def test_footer_stats_resolve_leaf_columns_on_nested_schemas(
     assert file_pruning_fraction(p, "a", 0) <= 0.5
     with pytest.raises(ValueError, match="not found among parquet leaves"):
         clustering_decay(p, "nope")
+
+
+def test_maintain_zorder_skewed_key_triggers_and_pruning_survives(
+    spark, tmp_path
+):
+    """r9 verdict ask #7 — the crawl-domain shape: ~90% of rows under
+    ONE hot key. Three pins: (1) a FRESH skewed z-layout measures
+    healthy (pure hot-key files are the unavoidable floor, not decay —
+    counting them would rewrite forever), (2) interleaved appends still
+    trip the decay trigger despite the skew, and (3) after the
+    re-cluster a cold-key point predicate prunes to a sliver while the
+    hot key reads roughly its own (unavoidable) share of files and no
+    decay re-fires — the maintenance loop converges instead of
+    thrashing."""
+    from connect_server_spark.fsutil import resolve_store
+    from connect_server_spark.operators.layout import (
+        clustering_decay,
+        maintain_zorder,
+    )
+
+    def skewed(n, base=0):
+        return spark.range(base, base + n).select(
+            "id",
+            F.when(F.pmod(F.xxhash64("id"), F.lit(10)) < 9, F.lit(7))
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)))
+            .alias("a"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)) / 10.0)
+            .alias("b"),
+        )
+
+    root = str(tmp_path / "t")
+    df = skewed(6000)
+    write_zordered(df, root, ["a", "b"], files=16)
+
+    # (1) fresh skewed layout: healthy — maintenance must NOT fire
+    assert clustering_decay(root, "a") < 0.5
+    assert maintain_zorder(spark, root, ["a", "b"]) is False
+    assert resolve_store(spark, root) == root
+
+    # (2) interleaved appends (every append file spans everything,
+    # hot rows included) trip the trigger even under skew
+    extra = skewed(3000, base=100000)
+    extra.repartition(8).write.mode("append").parquet(root)
+    assert clustering_decay(root, "a") > 0.5
+    assert maintain_zorder(spark, root, ["a", "b"]) is True
+    live = resolve_store(spark, root)
+    assert live != root
+
+    # (3a) lossless
+    got = sorted(tuple(r) for r in spark.read.parquet(live).collect())
+    want = sorted(tuple(r) for r in df.unionByName(extra).collect())
+    assert got == want
+
+    # (3b) a COLD key prunes to a sliver even though 90% of rows share
+    # one value; the HOT key necessarily reads nearly every file — it
+    # IS ~90% of the rows, so that is the floor no layout can shrink
+    # (which is exactly why the decay metric must not count it)
+    cold = [
+        r.a for r in spark.read.parquet(live)
+        .filter(F.col("a") != 7).limit(1).collect()
+    ][0]
+    assert file_pruning_fraction(live, "a", cold) <= 0.35
+    assert file_pruning_fraction(live, "a", 7) >= 0.8  # the real floor
+
+    # (3c) converged: the loop is done, not thrashing
+    assert clustering_decay(live, "a") < 0.5
+    assert maintain_zorder(spark, root, ["a", "b"]) is False
+    assert resolve_store(spark, root) == live

@@ -1107,3 +1107,73 @@ def test_rebalance_ivf_index_carries_concurrent_appends(spark, tmp_path):
     )
     top = ivf_topk_indexed(probe, spark, ix, 1, nprobe=16).collect()
     assert [r.vec_id for r in top] == [9001]
+
+
+def test_ivf_pq_recall_nprobe_curve_two_regimes(spark, tmp_path):
+    """r9 verdict ask #6's pin: the recall@5-vs-nprobe curve has the
+    two textbook regimes, measured against the EXACT cosine top-5 on
+    the clustered fixture. Float cells are COVERAGE-bound — recall
+    rises with nprobe and reaches ~1.0 at full coverage. PQ cells are
+    RECONSTRUCTION-bound — the curve is FLAT (more probing buys
+    nothing once candidates differ by less than quantization noise;
+    set-overlap may even dip as new cells add ε-ties), bounded below
+    by the floor, and every returned neighbor still lands in the
+    probe's cluster at every nprobe (the cluster-level contract). The
+    10× sweep-point numbers live in SCALE.md; this pins the SHAPE so
+    a regression in either regime fails loudly at fixture scale."""
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_indexed,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 64)
+    rows = [
+        (i, (centers[i % 4] + 0.1 * rng.randn(64)).tolist())
+        for i in range(1200)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = spark.createDataFrame(
+        [(j, rows[j * 97][1]) for j in range(12)],
+        ["probe_id", "probe_vec"],
+    )
+    exact: dict = {}
+    for r in cosine_topk(probes, corpus, 5).collect():
+        exact.setdefault(r.probe_id, set()).add(r.vec_id)
+
+    fp, pq = str(tmp_path / "fp"), str(tmp_path / "pq")
+    write_ivf_index(corpus, fp, nlist=8)
+    cents = read_ivf_centroids(spark, fp)
+    write_ivf_index(corpus, pq, nlist=8, centroids=cents, quantize="pq")
+
+    def recall_curve(path, nprobes=(1, 2, 4, 8)):
+        out = {}
+        for nprobe in nprobes:
+            got = ivf_topk_indexed(
+                probes, spark, path, 5, nprobe=nprobe
+            ).collect()
+            approx: dict = {}
+            for r in got:
+                approx.setdefault(r.probe_id, set()).add(r.vec_id)
+            out[nprobe] = sum(
+                len(exact[p] & approx.get(p, set())) for p in exact
+            ) / (len(exact) * 5)
+            # cluster-level contract holds at EVERY nprobe
+            if path == pq:
+                for r in got:
+                    assert r.vec_id % 4 == (r.probe_id * 97) % 4
+        return out
+
+    f = recall_curve(fp)
+    q = recall_curve(pq)
+    # float: coverage-bound — rises, ~perfect at full coverage
+    assert f[8] >= 0.95
+    assert f[8] >= f[1] + 0.1
+    # pq: reconstruction-bound — flat curve above the floor; probing
+    # harder neither rescues nor collapses it
+    assert min(q.values()) >= 0.35
+    assert max(q.values()) - min(q.values()) <= 0.15, q
