@@ -38,6 +38,20 @@ def guarded_fixture_root(
     return root
 
 
+def cache_root(spark: SparkSession, family: str) -> str:
+    """Root for a build-once fixture-cache FAMILY (e.g.
+    ``connect_server_spark_minhash_index_v2``): all families share one
+    env var, ``SPARK_GRAFT_FIXTURE_CACHE_DIR`` — point it at shared
+    storage and every cached index/layout fixture becomes
+    cluster-readable at once; the driver-local ``/tmp`` default is
+    refused off local masters. Defaults reproduce the historical
+    ``/tmp/<family>`` paths exactly, so warm caches stay warm."""
+    return (
+        guarded_fixture_root(spark, "SPARK_GRAFT_FIXTURE_CACHE_DIR", "/tmp")
+        + f"/{family}"
+    )
+
+
 def fixture_ready(spark: SparkSession, marker_path: str) -> bool:
     """True when the build-complete marker exists ON THE FIXTURE'S
     FILESYSTEM (Hadoop FS probe — correct for any scheme the root

@@ -28,6 +28,10 @@ from connect_server_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_neardup_pairs,
 )
+from connect_server_spark.queries._fixtures import (
+    cache_root,
+    fixture_ready,
+)
 from connect_server_spark.registry import register
 from connect_server_spark.tables import load_table
 
@@ -466,13 +470,13 @@ def dedup_incremental_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataF
     # v2: the stores became path-addressed BUCKETED tables (shingles by
     # id, band index by band_hash) so the probe joins are Exchange-free
     # on the store side by layout — v1 plain-parquet caches are stale
-    root = f"/tmp/connect_server_spark_minhash_index_v2/{key}"
+    root = f"{cache_root(spark, 'connect_server_spark_minhash_index_v2')}/{key}"
     index_path, shingle_path = f"{root}/band_index", f"{root}/shingles"
     corpus = _corpus_neardup(spark, sf_dir)
     existing = corpus.filter(F.col("doc_id") % 7 != 0)
     if not (
-        os.path.exists(f"{index_path}/_SUCCESS")
-        and os.path.exists(f"{shingle_path}/_SUCCESS")
+        fixture_ready(spark, f"{index_path}/_SUCCESS")
+        and fixture_ready(spark, f"{shingle_path}/_SUCCESS")
     ):
         write_minhash_index(
             existing, "doc_id", "text", index_path, shingle_path
@@ -608,10 +612,12 @@ def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connect_server_spark.tables import dataset_cache_key
 
     key = dataset_cache_key(sf_dir, "embeddings")
-    index_path = f"/tmp/connect_server_spark_emb_ivf_index_v2/{key}"
+    index_path = (
+        f"{cache_root(spark, 'connect_server_spark_emb_ivf_index_v2')}/{key}"
+    )
     corpus = _emb_neardup_corpus(spark, sf_dir)
     base = corpus.filter(F.col("vec_id") < 1000000)
-    if not os.path.exists(f"{index_path}/cells/_SUCCESS"):
+    if not fixture_ready(spark, f"{index_path}/cells/_SUCCESS"):
         # fixed target cell size (~256), floor 16: keeps probe work
         # O(nprobe * cell_size) as the store grows (similarity_queries
         # twin has the full sizing argument)
@@ -682,10 +688,10 @@ def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connect_server_spark.tables import dataset_cache_key
 
     key = dataset_cache_key(sf_dir, "documents")
-    ix = f"/tmp/connect_server_spark_window_index_v1/{key}"
+    ix = f"{cache_root(spark, 'connect_server_spark_window_index_v1')}/{key}"
     corpus = _corpus_neardup(spark, sf_dir)
     existing = corpus.filter(F.col("doc_id") % 7 != 0)
-    if not os.path.exists(f"{ix}/_SUCCESS"):
+    if not fixture_ready(spark, f"{ix}/_SUCCESS"):
         write_window_index(existing, "doc_id", "text", ix, k=8)
     return duplicated_spans_against_index(
         corpus.filter(F.col("doc_id") % 7 == 0), spark, ix, "doc_id", "text", k=8
@@ -735,10 +741,12 @@ def dedup_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connect_server_spark.tables import dataset_cache_key
 
     key = dataset_cache_key(sf_dir, "documents")
-    index_path = f"/tmp/connect_server_spark_winnow_index_v1/{key}"
+    index_path = (
+        f"{cache_root(spark, 'connect_server_spark_winnow_index_v1')}/{key}"
+    )
     corpus = _corpus_neardup(spark, sf_dir)
     existing = corpus.filter(F.col("doc_id") % 7 != 0)
-    if not os.path.exists(f"{index_path}/posts/_SUCCESS"):
+    if not fixture_ready(spark, f"{index_path}/posts/_SUCCESS"):
         write_winnow_index(existing, "doc_id", "text", index_path)
     return winnow_neardup_against_index(
         corpus.filter(F.col("doc_id") % 7 == 0),

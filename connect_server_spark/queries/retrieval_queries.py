@@ -7,6 +7,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from connect_server_spark.operators.retrieval import bm25_topk
+from connect_server_spark.queries._fixtures import (
+    cache_root,
+    fixture_ready,
+)
 from connect_server_spark.registry import register
 from connect_server_spark.tables import load_table
 
@@ -134,8 +138,10 @@ def corpus_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connect_server_spark.tables import dataset_cache_key
 
     key = dataset_cache_key(sf_dir, "documents")
-    index_path = f"/tmp/connect_server_spark_bm25_index_v3/{key}"
-    if not os.path.exists(f"{index_path}/meta/batch=0/_SUCCESS"):
+    index_path = (
+        f"{cache_root(spark, 'connect_server_spark_bm25_index_v3')}/{key}"
+    )
+    if not fixture_ready(spark, f"{index_path}/meta/batch=0/_SUCCESS"):
         docs = load_table(spark, "documents", sf_dir)
         write_bm25_index(docs, "doc_id", "text", index_path)
     return bm25_topk_indexed(spark, index_path, BM25_QUERY, k=BM25_K)

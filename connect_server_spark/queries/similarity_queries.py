@@ -14,6 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from connect_server_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from connect_server_spark.queries._fixtures import (
+    cache_root,
+    fixture_ready,
+)
 from connect_server_spark.registry import register
 from connect_server_spark.tables import load_table
 
@@ -114,8 +118,9 @@ def _ivf_index_for(
         if not quantize
         else ("sq8_" if quantize is True else f"{quantize}_")
     )
-    index_path = f"/tmp/connect_server_spark_ivf_index_{variant}v2/{key}"
-    if not os.path.exists(f"{index_path}/cells/_SUCCESS"):
+    family = f"connect_server_spark_ivf_index_{variant}v2"
+    index_path = f"{cache_root(spark, family)}/{key}"
+    if not fixture_ready(spark, f"{index_path}/cells/_SUCCESS"):
         emb = load_table(spark, "embeddings", sf_dir)
         nlist = max(16, emb.count() // 256)
         write_ivf_index(emb, index_path, nlist=nlist, quantize=quantize)

@@ -7,6 +7,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from connect_server_spark.queries._fixtures import (
+    cache_root,
+    fixture_ready,
+)
 from connect_server_spark.registry import register
 from connect_server_spark.streaming.windows import (
     session_counts,
@@ -243,8 +247,10 @@ def corpus_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dataset like the IVF/BM25/BPE caches (bench reps and the audit
     # reuse it; production builds it once per accepted release)
     key = dataset_cache_key(sf_dir, "documents")
-    profile = f"/tmp/connect_server_spark_quality_profile_v1/{key}"
-    if not os.path.exists(f"{profile}/_SUCCESS"):
+    profile = (
+        f"{cache_root(spark, 'connect_server_spark_quality_profile_v1')}/{key}"
+    )
+    if not fixture_ready(spark, f"{profile}/_SUCCESS"):
         write_reference_profile(
             docs.filter(F.col("doc_id") % 2 == 0), "n_chars", profile
         )

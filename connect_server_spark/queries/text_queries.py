@@ -389,6 +389,11 @@ def _bpe_model_for(spark: SparkSession, sf_dir: str) -> dict:
     key = dataset_cache_key(sf_dir, "documents")
     # v2: the model now carries the full training alphabet so unmerged
     # characters keep real ids (v1 cached the merge list alone)
+    # Deliberately DRIVER-LOCAL (plain open()/os.path, unlike the
+    # executor-scanned index caches behind queries/_fixtures.py): the
+    # trained model is read on the driver and shipped to executors in
+    # the tokenizer UDF closure — executors never scan this path, so
+    # the driver-local-root hazard does not apply.
     path = f"/tmp/connect_server_spark_bpe_merges_v2/{key}.json"
     if os.path.exists(path):
         with open(path) as f:
