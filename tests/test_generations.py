@@ -555,3 +555,29 @@ def test_plain_str_gen_path_keeps_legacy_unguarded_publish(spark, tmp_path):
         spark, root, f"{root}/{GENERATION_PREFIX}00000007"
     )
     assert resolve_store(spark, root).endswith("00000007")
+
+
+def test_racing_publishers_reversed_order_lower_claim_still_refuses(
+    spark, tmp_path
+):
+    """The other interleaving: A claims the LOWER number but B (higher
+    claim) publishes first. B's GC may collect A's in-flight directory
+    early (it is below the published number and unpublished — an
+    orphan either way); the epoch check still makes A refuse, so the
+    winner's rows survive both orders."""
+    from connect_server_spark.fsutil import ConcurrentPublishError
+
+    root = str(tmp_path / "store")
+    g1 = begin_generation(spark, root)
+    spark.range(3).write.mode("overwrite").parquet(g1)
+    publish_generation(spark, root, g1)
+
+    g_a = begin_generation(spark, root)  # lower number
+    g_b = begin_generation(spark, root)  # higher number
+    spark.range(20).write.mode("overwrite").parquet(g_b)
+    publish_generation(spark, root, g_b)  # B wins first
+    with pytest.raises(ConcurrentPublishError):
+        spark.range(10).write.mode("overwrite").parquet(g_a)
+        publish_generation(spark, root, g_a)
+    assert resolve_store(spark, root) == str(g_b)
+    assert spark.read.parquet(resolve_store(spark, root)).count() == 20
