@@ -100,6 +100,24 @@ def fs_list(spark: SparkSession, path: str) -> list[str]:
     return [st.getPath().getName() for st in fs.listStatus(jpath)]
 
 
+def fs_signature(spark: SparkSession, path: str):
+    """Cheap change-detection signature of a directory: the sorted
+    (name, length, mtime) of its children from ONE ``listStatus``
+    round-trip, or ``None`` if the directory does not exist. Parquet
+    files are immutable once committed, so any append/compact/publish
+    changes the signature — the primitive behind the serving-path
+    memos (model reloads, ``read_bucketed``'s refresh skip)."""
+    fs, jpath, _ = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return None
+    return tuple(
+        sorted(
+            (st.getPath().getName(), st.getLen(), st.getModificationTime())
+            for st in fs.listStatus(jpath)
+        )
+    )
+
+
 def write_bytes_atomic(spark: SparkSession, path: str, data: bytes) -> None:
     """Binary twin of :func:`write_text_atomic` — same unique-tmp +
     rename discipline, for fixture payloads (WARC shards) that must

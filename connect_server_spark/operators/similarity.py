@@ -455,17 +455,9 @@ _MODEL_CACHE: dict = {}
 
 
 def _dir_signature(spark, path: str):
-    from connect_server_spark.fsutil import _fs_and_path
+    from connect_server_spark.fsutil import fs_signature
 
-    fs, jpath, _ = _fs_and_path(spark, path)
-    if not fs.exists(jpath):
-        return None
-    return tuple(
-        sorted(
-            (st.getPath().getName(), st.getLen(), st.getModificationTime())
-            for st in fs.listStatus(jpath)
-        )
-    )
+    return fs_signature(spark, path)
 
 
 def _cached_model(spark, model_dir: str, load):

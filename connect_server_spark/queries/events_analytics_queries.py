@@ -111,7 +111,21 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(ev, "user_id", k=20)
 
 
-register("events_heavy_hitters", events_heavy_hitters, defer=True)
+# Promoted in r10 (displacing the frozen uri_normalize): exact
+# count/share top-20 with deterministic tie-break — full SQL oracle,
+# green as a pytest mirror since r6.
+register(
+    "events_heavy_hitters",
+    events_heavy_hitters,
+    sql="""
+    WITH c AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    )
+    SELECT user_id, n,
+           round(n / (SELECT sum(n) FROM c), 6) AS share
+    FROM c ORDER BY n DESC, user_id ASC LIMIT 20
+    """,
+)
 
 
 def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:

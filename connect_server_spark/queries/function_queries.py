@@ -80,10 +80,11 @@ _SYNTH_SID_SQL = """
       END
 """
 
-register(
-    "source_id_split",
-    source_id_split,
-    sql=f"""
+# Demoted from the gated-50 window in r10 (third rotation — displaced
+# by corpus_bm25): semantics frozen since r2 (split is also
+# property-tested round-trip with make/increment) and pinned by the
+# preserved-oracle mirror in tests/test_entry_oracle.py.
+SOURCE_ID_SPLIT_ORACLE_SQL = f"""
     WITH ids AS (
       SELECT p_partkey, {_SYNTH_SID_SQL} AS sid FROM part
     )
@@ -101,8 +102,9 @@ register(
            THEN CAST(regexp_extract(sid, '_v([0-9]+)\\.([0-9]+)$', 2) AS INTEGER)
            ELSE 0 END AS submission_version
     FROM ids
-    """,
-)
+"""
+
+register("source_id_split", source_id_split, defer=True)
 
 
 # ---------------------------------------------------------------------------
@@ -267,10 +269,11 @@ def uri_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "uri_normalize",
-    uri_normalize,
-    sql=f"""
+# Demoted from the gated-50 window in r10 (third rotation — displaced
+# by events_heavy_hitters): semantics frozen since r2 (the five link
+# forms are golden-tested in tests/test_utils.py) and pinned by the
+# preserved-oracle mirror in tests/test_entry_oracle.py.
+URI_NORMALIZE_ORACLE_SQL = f"""
     WITH loc AS (
       SELECT c_custkey,
         CASE
@@ -311,8 +314,9 @@ register(
         ELSE location
       END AS normalized
     FROM loc
-    """,
-)
+"""
+
+register("uri_normalize", uri_normalize, defer=True)
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,57 @@ def corpus_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "doc_id", "text", BM25_QUERY, k=BM25_K)
 
 
-register("corpus_bm25", corpus_bm25, defer=True)
+_BM25_TERMS_SQL = ", ".join(
+    f"'{t}'" for t in sorted({t for t in BM25_QUERY.lower().split() if t})
+)
+
+# Promoted in r10 (displacing the frozen source_id_split): score-for-
+# score Okapi BM25 recomputation in SQL — same two-stage 1e-6 rounding
+# (idf first, then the summed score), k1=1.2 / b=0.75 constants
+# inlined. Exact-equality pytest mirror green since r6.
+register(
+    "corpus_bm25",
+    corpus_bm25,
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term <> '' GROUP BY 1, 2
+    ),
+    dl AS (
+      SELECT d.doc_id, coalesce(t.dl, 0) AS dl
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, sum(tf) AS dl FROM tc GROUP BY doc_id) t
+        USING (doc_id)
+    ),
+    stats AS (
+      SELECT (SELECT count(*) FROM dl) AS n,
+             (SELECT avg(dl) FROM dl) AS avgdl
+    ),
+    idf AS (
+      SELECT term,
+             round(ln(1.0 + ((SELECT n FROM stats) - count(*) + 0.5)
+                      / (count(*) + 0.5)), 6) AS idf
+      FROM tc WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY term
+    )
+    SELECT tc.doc_id,
+           round(sum(idf.idf * (tc.tf * 2.2)
+               / (tc.tf + 1.2 * (1 - 0.75
+                   + 0.75 * dl.dl / (SELECT avgdl FROM stats)))), 6)
+             AS bm25
+    FROM tc
+    JOIN idf USING (term)
+    JOIN dl USING (doc_id)
+    WHERE tc.term IN ({_BM25_TERMS_SQL})
+    GROUP BY tc.doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT {BM25_K}
+    """,
+)
 
 
 HYBRID_K = 20

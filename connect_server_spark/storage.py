@@ -81,6 +81,10 @@ def _bucket_table_name(path: str) -> str:
 # id so a stopped/recreated session never inherits stale validations.
 _validated_specs: dict = {}
 
+# ((session-key, table) → directory signature) at the last
+# :func:`read_bucketed` refresh — the skip-refresh-when-unchanged memo.
+_read_signatures: dict = {}
+
 
 def _session_key(spark: SparkSession) -> int:
     return id(spark._jsparkSession)
@@ -250,23 +254,33 @@ def read_bucketed(
     needs no Exchange on this side (re-registering the table first if
     this session has never seen it).
 
-    Always refreshes first: the session's table-relation cache pins the
-    FILE LISTING from the previous read, and an append from another
-    session (the streaming foreachBatch clone is one) would otherwise be
-    invisible — batch N+1 must see the rows batch N appended. One
-    re-listing per probe is the price of read-your-writes on an
-    append-mode store.
+    Refreshes WHEN THE STORE CHANGED: the session's table-relation
+    cache pins the FILE LISTING from the previous read, and an append
+    from another session (the streaming foreachBatch clone is one)
+    would otherwise be invisible — batch N+1 must see the rows batch N
+    appended. Change detection is one ``listStatus`` signature
+    (parquet files are immutable once committed, so any append or
+    rewrite changes it) instead of an unconditional ``refreshTable``
+    whose invalidation forces a full re-listing on EVERY probe — the
+    serving-path probes (minhash bands, BM25 terms, winnow posts) call
+    this per query, and an unchanged store should cost zero catalog
+    work. Read-your-writes is preserved exactly: changed signature →
+    refresh.
 
     ``path`` may be a generation-pointer root (a store
     :func:`compact_bucketed` has swapped at least once): the pointer is
     resolved first, and the catalog table is registered against the
     LIVE generation directory — each generation gets its own table
     name, so a swap can never leave a reader on a stale location."""
-    from connect_server_spark.fsutil import resolve_store
+    from connect_server_spark.fsutil import fs_signature, resolve_store
 
     live = resolve_store(spark, path)
     name = ensure_bucketed_table(spark, live, key, buckets, sort_key)
-    spark.catalog.refreshTable(name)
+    sig = fs_signature(spark, live)
+    sig_key = (_session_key(spark), name)
+    if _read_signatures.get(sig_key) != sig or sig is None:
+        spark.catalog.refreshTable(name)
+        _read_signatures[sig_key] = sig
     return spark.table(name)
 
 

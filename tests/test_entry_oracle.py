@@ -42,6 +42,8 @@ def _demoted_mirrors():
         STATUS_POLL_ORACLE_SQL,
     )
     from connect_server_spark.queries.function_queries import (
+        SOURCE_ID_SPLIT_ORACLE_SQL,
+        URI_NORMALIZE_ORACLE_SQL,
         VERSION_INCREMENT_ORACLE_SQL,
     )
     from connect_server_spark.queries.org_queries import (
@@ -70,6 +72,10 @@ def _demoted_mirrors():
         "submission_rollup": SUBMISSION_ROLLUP_ORACLE_SQL,
         "endpoint_http_host": ENDPOINT_HTTP_HOST_ORACLE_SQL,
         "extract_filename": EXTRACT_FILENAME_ORACLE_SQL,
+        # r10 third rotation, second tranche: displaced by corpus_bm25
+        # and events_heavy_hitters
+        "source_id_split": SOURCE_ID_SPLIT_ORACLE_SQL,
+        "uri_normalize": URI_NORMALIZE_ORACLE_SQL,
     }
 
 
