@@ -69,6 +69,7 @@ HEADLINE = [
     "tokenize_bpe",
     "training_pack_bpe",
     "training_release",
+    "training_epoch_shuffle",
     "corpus_stats",
     "vocab_top_tokens",
     "submit_pipeline",

@@ -88,3 +88,51 @@ def training_release(
 
 
 register("training_release", training_release, defer=True)
+
+
+EPOCH_SHUFFLE_EPOCH = 3
+EPOCH_SHUFFLE_SHARDS = 8
+
+# Exact DuckDB mirror (md5 is bit-identical across Spark, DuckDB and
+# hashlib — the reason the operator keys on it): recomputes shard AND
+# in-shard position. Rows-only by gate capacity; the oracle runs in
+# tests/test_epoch_shuffle.py, and the constant lives here so a future
+# rotation can promote it verbatim.
+TRAINING_EPOCH_SHUFFLE_ORACLE_SQL = f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(concat(CAST({EPOCH_SHUFFLE_EPOCH} AS VARCHAR), ':',
+                        CAST(doc_id AS VARCHAR))) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(h, 1, 8)) AS BIGINT)
+                % {EPOCH_SHUFFLE_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST(concat('0x', substr(h, 1, 8)) AS BIGINT)
+                          % {EPOCH_SHUFFLE_SHARDS}
+             ORDER BY h, doc_id
+           ) AS INT) AS pos
+    FROM keyed
+"""
+
+
+def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch dataloader order over the corpus
+    (``operators/training.py epoch_shuffle``): every document gets a
+    (shard, pos) drawn from md5(epoch:id) — a fresh decorrelated order
+    each epoch, reproducible across reruns/retries, never a stored
+    permutation. One hash-partition Exchange + per-shard sort; the
+    assignment is scan-stage Catalyst. Rows-only by gate capacity; the
+    EXACT cross-engine mirror (md5 is bit-identical in DuckDB) plus
+    determinism/epoch-decorrelation/balance pins run in
+    ``tests/test_epoch_shuffle.py``."""
+    from connect_server_spark.operators.training import epoch_shuffle
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return epoch_shuffle(
+        docs, "doc_id", EPOCH_SHUFFLE_EPOCH, EPOCH_SHUFFLE_SHARDS
+    ).select("doc_id", "shard", "pos")
+
+
+register("training_epoch_shuffle", training_epoch_shuffle, defer=True)

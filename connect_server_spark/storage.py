@@ -280,6 +280,8 @@ def read_bucketed(
     sig_key = (_session_key(spark), name)
     if _read_signatures.get(sig_key) != sig or sig is None:
         spark.catalog.refreshTable(name)
+        if len(_read_signatures) > 512:  # bounded: stores per process
+            _read_signatures.clear()
         _read_signatures[sig_key] = sig
     return spark.table(name)
 

@@ -253,6 +253,10 @@ SHUFFLE_BUDGET = {
     # r9 JSONL ingest: one (lang, counts) agg over the shard scan + the
     # presentation sort — same shape as corpus_ingest_compressed
     "corpus_ingest_jsonl": 2,
+    # r10 epoch shuffle: assignment is scan-stage md5/conv; the ONE
+    # Exchange is the hash-partition-by-shard the per-shard rank needs
+    # — rows move once, straight to their output shard
+    "training_epoch_shuffle": 1,
     # batch-vs-index candidate distinct + the threshold-filtered scoring
     # join back — same shape as the indexed IVF top-k minus the rank
     "dedup_incremental_embedding": 2,
