@@ -683,7 +683,17 @@ def read_ivf_cells(
 
     if _resolve:
         index_path = resolve_store(spark, index_path)
-    cells = spark.read.parquet(f"{index_path}/cells")
+    # schema via the model memo: eager inference costs a listing +
+    # footer read per serving call; appends never change the schema
+    # (a format change rides a rebuild → different resolved path or a
+    # rewritten directory → different signature)
+    cells_path = f"{index_path}/cells"
+    schema = _cached_model(
+        spark,
+        cells_path,
+        lambda: spark.read.parquet(cells_path).schema,
+    )
+    cells = spark.read.schema(schema).parquet(cells_path)
     if corpus_vec in cells.columns:
         vec = F.col(corpus_vec)
     elif "codes" in cells.columns:
