@@ -577,7 +577,7 @@ def list_generations(spark: SparkSession, root: str) -> list[dict]:
     return sorted(out, key=lambda g: g["number"], reverse=True)
 
 
-def append_resolved(df, root: str) -> None:
+def append_resolved(df, root: str, _pre_write_hook=None) -> None:
     """Append ``df`` to a (possibly generation-pointered) parquet store:
     resolve ``_CURRENT`` first so rows land INSIDE the live generation —
     a flat append beside published generations is invisible to every
@@ -586,5 +586,31 @@ def append_resolved(df, root: str) -> None:
     their store has ever been compacted. This is THE append idiom for
     any store that ``storage.compact`` (or any other generation publish)
     may have rewritten; open-coding resolve+append at call sites is how
-    half-converted writers lose data."""
-    df.write.mode("append").parquet(resolve_store(df.sparkSession, root))
+    half-converted writers lose data.
+
+    Post-append, the pointer is re-read: if a publish flipped the store
+    WHILE the append was writing, the rows landed in a now-superseded
+    generation — invisible to live readers and GC'd after its grace
+    publish. That is raised loudly (:class:`ConcurrentPublishError`)
+    instead of silently dropped; the fix is to re-append (the pointered
+    stores' append contract is at-least-once — serving paths dedupe —
+    and the stranded copy stays readable in the superseded generation
+    through its grace window). Single-writer pipelines (the composed
+    daily ingest runs maintenance inline in its batch thread) never
+    trip this; it exists for the multi-job store the 100 TB deployment
+    actually has. ``_pre_write_hook`` is a test seam that runs between
+    the resolve and the write — production callers leave it None."""
+    spark = df.sparkSession
+    live = resolve_store(spark, root)
+    if _pre_write_hook is not None:
+        _pre_write_hook()
+    df.write.mode("append").parquet(live)
+    now = resolve_store(spark, root)
+    if now != live:
+        raise ConcurrentPublishError(
+            f"append_resolved: {root} was republished (live moved "
+            f"{live} -> {now}) while this append was writing — the "
+            f"appended rows are in the superseded generation, invisible "
+            "to live readers (readable there through its grace window). "
+            "Re-append; the store's append contract is at-least-once."
+        )

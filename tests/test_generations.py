@@ -581,3 +581,52 @@ def test_racing_publishers_reversed_order_lower_claim_still_refuses(
         publish_generation(spark, root, g_a)
     assert resolve_store(spark, root) == str(g_b)
     assert spark.read.parquet(resolve_store(spark, root)).count() == 20
+
+
+def test_append_racing_publish_raises_instead_of_silent_loss(
+    spark, tmp_path
+):
+    """append_resolved's post-append pointer re-check: a publish that
+    flips the store while an append is mid-write strands the rows in a
+    superseded generation — that must raise (re-append is safe:
+    at-least-once contract), never silently narrow the live view. The
+    stranded copy stays readable in the superseded generation through
+    its grace window."""
+    from connect_server_spark.fsutil import (
+        ConcurrentPublishError,
+        append_resolved,
+    )
+    from connect_server_spark.storage import compact
+
+    root = str(tmp_path / "store")
+    spark.range(10).write.parquet(root)
+    compact(spark, root)  # gen 1 live
+    old_live = resolve_store(spark, root)
+
+    def racing_publish():
+        compact(spark, root)  # flips to gen 2 mid-append
+
+    with pytest.raises(ConcurrentPublishError, match="republished"):
+        append_resolved(
+            spark.range(100, 105), root, _pre_write_hook=racing_publish
+        )
+    # stranded rows ARE in the superseded generation (grace-readable)
+    assert spark.read.parquet(old_live).count() == 15
+    # live view is the republished payload without the stranded rows
+    assert spark.read.parquet(resolve_store(spark, root)).count() == 10
+    # the documented recovery: re-append lands in the new live gen
+    append_resolved(spark.range(100, 105), root)
+    assert spark.read.parquet(resolve_store(spark, root)).count() == 15
+
+
+def test_append_resolved_normal_path_still_appends(spark, tmp_path):
+    from connect_server_spark.fsutil import append_resolved
+    from connect_server_spark.storage import compact
+
+    root = str(tmp_path / "store")
+    spark.range(5).write.parquet(root)
+    append_resolved(spark.range(5, 8), root)  # flat store: no-op resolve
+    assert spark.read.parquet(resolve_store(spark, root)).count() == 8
+    compact(spark, root)
+    append_resolved(spark.range(8, 10), root)  # pointered store
+    assert spark.read.parquet(resolve_store(spark, root)).count() == 10
