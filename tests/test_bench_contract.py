@@ -37,6 +37,23 @@ def test_calibration_row_exists():
     assert callable(bench._calibration)
 
 
+def test_calibration_is_interleaved():
+    """r10 verdict "what's wrong" #2: a single up-front calibration
+    point cannot normalize a ~50-minute contended session (r10's four
+    same-round points spread 1.57×, swinging value_calibrated 70% on
+    identical trees). The stride must bracket the session densely —
+    every ≤15 queries — so each query is normalized by a point measured
+    near it in time."""
+    assert 1 <= bench.CALIBRATION_STRIDE <= 15
+    # and the timing loop actually uses it (source-level pin: the memo
+    # that a refactor silently dropping the interleave would erase)
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert "CALIBRATION_STRIDE" in src
+    assert "calibrations" in src
+
+
 def test_headline_covers_every_operator_family():
     """One representative per family that matters at scale — if a family
     disappears from the headline, its perf regressions go unmeasured."""
