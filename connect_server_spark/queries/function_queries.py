@@ -127,10 +127,11 @@ def source_id_make(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in DELETE_WORDS) + "]"
 
-register(
-    "source_id_make",
-    source_id_make,
-    sql=f"""
+# r11 fifth rotation: demoted from the 50-slot oracle window (frozen
+# green since r1; idempotence additionally property-tested) to make
+# room for the LLM-pipeline promotions. The oracle runs verbatim in
+# tests/test_entry_oracle.py.
+SOURCE_ID_MAKE_ORACLE_SQL = f"""
     WITH cleaned AS (
       SELECT
         p_partkey,
@@ -164,8 +165,9 @@ register(
             concat_ws('_', author_word, w1, w2, w3), '^_+', ''), '_+$', ''))
       ELSE NULL END AS source_name
     FROM picked
-    """,
-)
+    """
+
+register("source_id_make", source_id_make, defer=True)
 
 
 # ---------------------------------------------------------------------------
@@ -361,10 +363,9 @@ def metadata_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "metadata_enrich",
-    metadata_enrich,
-    sql="""
+# r11 fifth rotation: demoted (frozen green since r1 — F6/F7/F9/F10/F14
+# in one probe); oracle preserved verbatim in tests/test_entry_oracle.py.
+METADATA_ENRICH_ORACLE_SQL = """
     SELECT
       o_orderkey,
       CASE o_orderstatus WHEN 'O' THEN 'P' WHEN 'F' THEN 'S' ELSE 'F' END
@@ -380,5 +381,6 @@ register(
       strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%fZ')
         AS ingest_date
     FROM orders
-    """,
-)
+    """
+
+register("metadata_enrich", metadata_enrich, defer=True)

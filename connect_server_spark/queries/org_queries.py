@@ -165,10 +165,9 @@ def org_parent_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "org_parent_rules",
-    org_parent_rules,
-    sql=f"""
+# r11 fifth rotation: demoted (frozen green since r1); oracle preserved
+# verbatim in tests/test_entry_oracle.py.
+ORG_PARENT_RULES_ORACLE_SQL = f"""
     WITH orgs AS ({_ORG_REGISTRY_SQL})
     SELECT
       o.canonical_name,
@@ -179,8 +178,9 @@ register(
     FROM orgs o
     LEFT JOIN orgs p ON len(o.parent_organizations) > 0
                     AND o.parent_organizations[1] = p.canonical_name
-    """,
-)
+    """
+
+register("org_parent_rules", org_parent_rules, defer=True)
 
 
 def status_insert_guard(spark: SparkSession, sf_dir: str) -> DataFrame:

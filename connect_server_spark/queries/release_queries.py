@@ -95,9 +95,9 @@ EPOCH_SHUFFLE_SHARDS = 8
 
 # Exact DuckDB mirror (md5 is bit-identical across Spark, DuckDB and
 # hashlib — the reason the operator keys on it): recomputes shard AND
-# in-shard position. Rows-only by gate capacity; the oracle runs in
-# tests/test_epoch_shuffle.py, and the constant lives here so a future
-# rotation can promote it verbatim.
+# in-shard position. Promoted into the 50-slot oracle window in the r11
+# fifth rotation (r10 verdict ask #7 — "the cheapest honest gate
+# available"); the same SQL keeps running in tests/test_epoch_shuffle.py.
 TRAINING_EPOCH_SHUFFLE_ORACLE_SQL = f"""
     WITH keyed AS (
       SELECT doc_id,
@@ -123,8 +123,9 @@ def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shard, pos) drawn from md5(epoch:id) — a fresh decorrelated order
     each epoch, reproducible across reruns/retries, never a stored
     permutation. One hash-partition Exchange + per-shard sort; the
-    assignment is scan-stage Catalyst. Rows-only by gate capacity; the
-    EXACT cross-engine mirror (md5 is bit-identical in DuckDB) plus
+    assignment is scan-stage Catalyst. Oracle-gated since the r11
+    rotation — the EXACT cross-engine mirror (md5 is bit-identical in
+    DuckDB) recomputes the assignment, not a proxy;
     determinism/epoch-decorrelation/balance pins run in
     ``tests/test_epoch_shuffle.py``."""
     from connect_server_spark.operators.training import epoch_shuffle
@@ -135,4 +136,8 @@ def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "shard", "pos")
 
 
-register("training_epoch_shuffle", training_epoch_shuffle, defer=True)
+register(
+    "training_epoch_shuffle",
+    training_epoch_shuffle,
+    sql=TRAINING_EPOCH_SHUFFLE_ORACLE_SQL,
+)

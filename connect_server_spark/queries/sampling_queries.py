@@ -105,7 +105,70 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("dsir_resample", dsir_resample, defer=True)
+# Full DuckDB oracle, promoted in the r11 rotation: the unigram-LLR
+# score CTE is the pytest mirror that has matched EXACTLY (round-6
+# grid) since r6, and the Gumbel-top-k draw is recomputed from the md5
+# hash itself — hex→int via DuckDB's '0x' cast, the same
+# (int(md5[:8],16)+0.5)/2^32 lattice as operators.sampling.hash_uniform,
+# so the oracle re-derives the EXACT selection, not a proxy.
+# temperature=1.0 keys on score + gumbel directly.
+_DSIR_TOK = (
+    "unnest(string_split(trim("
+    "regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))"
+)
+DSIR_RESAMPLE_ORACLE_SQL = f"""
+    WITH tok_all AS (
+      SELECT doc_id, {_DSIR_TOK} AS token FROM documents
+    ),
+    tok AS (SELECT * FROM tok_all WHERE token <> ''),
+    tok_t_all AS (
+      SELECT doc_id, {_DSIR_TOK} AS token FROM documents WHERE lang = 'en'
+    ),
+    tok_t AS (SELECT * FROM tok_t_all WHERE token <> ''),
+    raw_total AS (SELECT count(*) AS t FROM tok),
+    t_total AS (SELECT count(*) AS t FROM tok_t),
+    raw_vocab AS (
+      SELECT token, round(ln(count(*) / (SELECT t FROM raw_total)), 6)
+               AS logp_r
+      FROM tok GROUP BY token
+      ORDER BY count(*) DESC, token ASC LIMIT 20000
+    ),
+    t_vocab AS (
+      SELECT token, round(ln(count(*) / (SELECT t FROM t_total)), 6)
+               AS logp_t
+      FROM tok_t GROUP BY token
+      ORDER BY count(*) DESC, token ASC LIMIT 20000
+    ),
+    scores AS (
+      SELECT k.doc_id,
+             round(sum(
+               coalesce(tv.logp_t,
+                        round(ln(0.5 / (SELECT t FROM t_total)), 6))
+               - coalesce(rv.logp_r,
+                          round(ln(0.5 / (SELECT t FROM raw_total)), 6))
+             ), 6) AS dsir_score,
+             count(*) AS n_scored_tokens
+      FROM tok k
+      LEFT JOIN t_vocab tv USING (token)
+      LEFT JOIN raw_vocab rv USING (token)
+      GROUP BY k.doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, dsir_score, n_scored_tokens,
+             round(dsir_score + (-ln(-ln(
+               (CAST(concat('0x', substr(
+                  md5(concat('dsir', CAST(doc_id AS VARCHAR))), 1, 8))
+                 AS UBIGINT) + 0.5) / 4294967296.0
+             ))), 6) AS gumbel_key
+      FROM scores
+    )
+    SELECT doc_id, dsir_score, n_scored_tokens, gumbel_key
+    FROM keyed
+    ORDER BY gumbel_key DESC, doc_id ASC
+    LIMIT {DSIR_K}
+"""
+
+register("dsir_resample", dsir_resample, sql=DSIR_RESAMPLE_ORACLE_SQL)
 
 
 def embeddings_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -156,17 +156,54 @@ CASCADE_WIDTHS = [60, 3600, 86400]
 def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate of event values per type at
     minute/hour/day resolution — one raw scan, each coarser level
-    re-aggregated from the finer level's mergeable partials."""
+    re-aggregated from the finer level's mergeable partials.
+
+    Oracle-gated since the r11 rotation. Gate-stable output: the raw
+    double ``sum_v``/``avg_v`` partials depend on merge order in the
+    last ulp, so the query finalizes to the repo's integer-cents
+    convention — ``sum_cents = round(sum_v·100)`` is exact (the events
+    ``value`` column lives on the 0.01 grid; accumulated fp error is
+    ~1e-5 cents, far below the 0.5 rounding radius) and
+    ``avg_microcents`` is integer division of exact integers, identical
+    in any engine. ``min_v``/``max_v`` pass through raw (each is an
+    actual input value, merge-order-free)."""
     ev = load_table(spark, "events", sf_dir)
-    return finalize_partials(
-        rollup_cascade(ev, "ts", "value", ["event_type"], CASCADE_WIDTHS)
-    ).select(
-        "event_type", "bucket_ts", "bucket_seconds",
-        "n", "sum_v", "min_v", "max_v", "avg_v",
+    return (
+        finalize_partials(
+            rollup_cascade(ev, "ts", "value", ["event_type"], CASCADE_WIDTHS)
+        )
+        .select(
+            "event_type",
+            "bucket_ts",
+            "bucket_seconds",
+            "n",
+            F.round(F.col("sum_v") * 100).cast("long").alias("sum_cents"),
+            "min_v",
+            "max_v",
+        )
+        .withColumn("avg_microcents", F.expr("(sum_cents * 10000) div n"))
     )
 
 
-register("events_rollup_cascade", events_rollup_cascade, defer=True)
+EVENTS_ROLLUP_CASCADE_ORACLE_SQL = """
+    WITH lv AS (SELECT unnest([60, 3600, 86400]) AS w)
+    SELECT event_type,
+           CAST(to_timestamp(floor(epoch(ts) / w) * w) AS TIMESTAMP)
+             AS bucket_ts,
+           CAST(w AS BIGINT) AS bucket_seconds,
+           count(value) AS n,
+           CAST(round(sum(value) * 100) AS BIGINT) AS sum_cents,
+           min(value) AS min_v, max(value) AS max_v,
+           (CAST(round(sum(value) * 100) AS BIGINT) * 10000)
+             // count(value) AS avg_microcents
+    FROM events, lv GROUP BY 1, 2, 3
+"""
+
+register(
+    "events_rollup_cascade",
+    events_rollup_cascade,
+    sql=EVENTS_ROLLUP_CASCADE_ORACLE_SQL,
+)
 
 
 def events_rollup_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:

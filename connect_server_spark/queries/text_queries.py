@@ -482,8 +482,11 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is single-line, so the query first re-lines each document
     deterministically — '\\n' every 8 words — giving the operator real
     cross-document repeated lines (near-duplicate documents share
-    8-word chunks) and a real multi-line rebuild. Rows-only (the
-    python-reference equivalence gate runs in ``tests/test_text.py``)."""
+    8-word chunks) and a real multi-line rebuild. Oracle-gated since
+    the r11 rotation (full DuckDB recomputation of the reline +
+    cross-document line-frequency removal + in-order rebuild, compared
+    on md5 digests of the cleaned text — the python-reference
+    equivalence gate additionally runs in ``tests/test_text.py``)."""
     from connect_server_spark.operators.curation import (
         remove_boilerplate_lines,
     )
@@ -511,13 +514,56 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaned.select(
         "doc_id",
         F.md5(F.col("text")).alias("clean_digest"),
-        F.length("text").alias("clean_chars"),
+        # long, not int: the oracle's length() is BIGINT and the value
+        # hash is dtype-sensitive (same convention as validator sizes)
+        F.length("text").cast("long").alias("clean_chars"),
         "n_lines",
         "n_removed",
     )
 
 
-register("corpus_line_dedup", corpus_line_dedup, defer=True)
+# The operator hashes lines (xxhash64) purely as a shuffle-width
+# optimization; the oracle joins on the trimmed line TEXT — same
+# semantics (a 64-bit collision would merely co-count two distinct
+# lines, and the gate proves none occurs on this corpus).
+CORPUS_LINE_DEDUP_ORACLE_SQL = """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, gs.i AS pos,
+             array_to_string(w[(gs.i*8+1):(gs.i*8+8)], ' ') AS line
+      FROM words, LATERAL (
+        SELECT unnest(generate_series(
+          0, CAST(floor((len(w)-1)/8.0) AS INT))) AS i
+      ) gs
+    ),
+    boiler AS (
+      SELECT line AS key
+      FROM (SELECT DISTINCT doc_id, trim(line) AS line FROM lines
+            WHERE length(trim(line)) >= 1)
+      GROUP BY 1 HAVING count(*) >= 3
+    ),
+    flagged AS (
+      SELECT l.doc_id, l.pos, l.line,
+             (length(trim(l.line)) >= 1 AND b.key IS NOT NULL) AS removed
+      FROM lines l LEFT JOIN boiler b ON trim(l.line) = b.key
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN NOT removed THEN line END,
+                                 chr(10) ORDER BY pos), '') AS clean,
+             count(*) AS n_lines,
+             CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT doc_id, md5(clean) AS clean_digest,
+           CAST(length(clean) AS BIGINT) AS clean_chars, n_lines, n_removed
+    FROM rebuilt
+"""
+
+register("corpus_line_dedup", corpus_line_dedup, sql=CORPUS_LINE_DEDUP_ORACLE_SQL)
 
 
 def corpus_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,8 +571,10 @@ def corpus_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops every 7th and edits every 13th — so all four statuses (added /
     removed / changed / unchanged) appear, derived deterministically
     from the one documents table. The diff itself moves only (id,
-    digest) pairs. Rows-only (the full DuckDB mirror runs in
-    ``tests/test_text.py``)."""
+    digest) pairs. Oracle-gated since the r11 rotation (full DuckDB
+    recomputation — null-tagged unit-separated md5 payload digests are
+    bit-identical across engines); the same mirror also runs in
+    ``tests/test_text.py``."""
     from connect_server_spark.storage import snapshot_diff
 
     docs = load_table(spark, "documents", sf_dir)
@@ -540,4 +588,39 @@ def corpus_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, "doc_id", ["text", "lang", "source"])
 
 
-register("corpus_release_diff", corpus_release_diff, defer=True)
+# the same null-tagged digest snapshot_diff computes: NULL columns tag
+# with a \x00 sentinel (never collides with real text), fields joined
+# on the \x1f unit separator — md5 is bit-identical across engines
+_RELEASE_DIG_SQL = (
+    "md5(coalesce(text, chr(0)||'NULL') || chr(31) || "
+    "coalesce(lang, chr(0)||'NULL') || chr(31) || "
+    "coalesce(source, chr(0)||'NULL'))"
+)
+
+CORPUS_RELEASE_DIFF_ORACLE_SQL = f"""
+    WITH oldd AS (
+      SELECT doc_id, {_RELEASE_DIG_SQL} AS old_digest
+      FROM documents WHERE doc_id % 11 <> 0
+    ),
+    newd AS (
+      SELECT doc_id, {_RELEASE_DIG_SQL} AS new_digest
+      FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                    ELSE text END AS text,
+               lang, source
+        FROM documents WHERE doc_id % 7 <> 0
+      )
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.old_digest = n.new_digest THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           o.old_digest, n.new_digest
+    FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
+"""
+
+register(
+    "corpus_release_diff", corpus_release_diff, sql=CORPUS_RELEASE_DIFF_ORACLE_SQL
+)

@@ -34,10 +34,9 @@ def validator_dataset_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_total_size(records, "l_orderkey", "files")
 
 
-register(
-    "validator_dataset_size",
-    validator_dataset_size,
-    sql="""
+# r11 fifth rotation: demoted (frozen green since r1); oracle preserved
+# verbatim in tests/test_entry_oracle.py.
+VALIDATOR_DATASET_SIZE_ORACLE_SQL = """
     SELECT l_orderkey,
            -- DuckDB sum(BIGINT) yields HUGEINT; cast back so the driver's
            -- value hash sees the same int64 Spark produces
@@ -45,8 +44,9 @@ register(
                 AS BIGINT) AS total_size
     FROM lineitem
     GROUP BY l_orderkey
-    """,
-)
+    """
+
+register("validator_dataset_size", validator_dataset_size, defer=True)
 
 
 def validator_elements(spark: SparkSession, sf_dir: str) -> DataFrame:

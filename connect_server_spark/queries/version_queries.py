@@ -205,10 +205,9 @@ def version_existence_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "version_existence_probe",
-    version_existence_probe,
-    sql=f"""
+# r11 fifth rotation: demoted (frozen green since r1); oracle preserved
+# verbatim in tests/test_entry_oracle.py.
+VERSION_EXISTENCE_PROBE_ORACLE_SQL = f"""
     WITH counts AS (
       SELECT source_id, least(count(*), 2) AS n_existing,
              CASE WHEN count(*) = 1 THEN 'bump' ELSE 'error' END AS classification
@@ -223,8 +222,9 @@ register(
     FROM customer c
     LEFT JOIN counts n
       ON concat('src_', CAST(c.c_custkey % {_KEY_MOD} AS VARCHAR)) = n.source_id
-    """,
-)
+    """
+
+register("version_existence_probe", version_existence_probe, defer=True)
 
 
 def scan_key_probes(spark: SparkSession, sf_dir: str) -> DataFrame:

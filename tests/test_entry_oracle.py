@@ -42,15 +42,24 @@ def _demoted_mirrors():
         STATUS_POLL_ORACLE_SQL,
     )
     from connect_server_spark.queries.function_queries import (
+        METADATA_ENRICH_ORACLE_SQL,
+        SOURCE_ID_MAKE_ORACLE_SQL,
         SOURCE_ID_SPLIT_ORACLE_SQL,
         URI_NORMALIZE_ORACLE_SQL,
         VERSION_INCREMENT_ORACLE_SQL,
     )
     from connect_server_spark.queries.org_queries import (
         ENDPOINT_HTTP_HOST_ORACLE_SQL,
+        ORG_PARENT_RULES_ORACLE_SQL,
     )
     from connect_server_spark.queries.scan_queries import (
         SCAN_NULL_SEMANTICS_ORACLE_SQL,
+    )
+    from connect_server_spark.queries.validator_queries import (
+        VALIDATOR_DATASET_SIZE_ORACLE_SQL,
+    )
+    from connect_server_spark.queries.version_queries import (
+        VERSION_EXISTENCE_PROBE_ORACLE_SQL,
     )
     from connect_server_spark.queries.transfer_queries import (
         CUSTOM_BLOCK_NORMALIZE_ORACLE_SQL,
@@ -76,6 +85,14 @@ def _demoted_mirrors():
         # and events_heavy_hitters
         "source_id_split": SOURCE_ID_SPLIT_ORACLE_SQL,
         "uri_normalize": URI_NORMALIZE_ORACLE_SQL,
+        # r11 fifth rotation: displaced by dsir_resample,
+        # corpus_line_dedup, events_rollup_cascade, corpus_release_diff,
+        # training_epoch_shuffle (the five oldest r1-frozen gates out)
+        "source_id_make": SOURCE_ID_MAKE_ORACLE_SQL,
+        "metadata_enrich": METADATA_ENRICH_ORACLE_SQL,
+        "version_existence_probe": VERSION_EXISTENCE_PROBE_ORACLE_SQL,
+        "org_parent_rules": ORG_PARENT_RULES_ORACLE_SQL,
+        "validator_dataset_size": VALIDATOR_DATASET_SIZE_ORACLE_SQL,
     }
 
 

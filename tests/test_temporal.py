@@ -302,25 +302,23 @@ def test_interval_join_multi_bucket_span_no_duplicates(spark):
 
 def test_rollup_cascade_matches_duckdb(spark, sf_dir):
     """Every level of the cascade vs direct time_bucket recomputation in
-    DuckDB (floats rounded: partial-merge order differs)."""
-    def norm(rows):
-        return sorted(
-            (t, b, w, n, round(s, 6), mn, mx, round(a, 6))
-            for (t, b, w, n, s, mn, mx, a) in rows
-        )
+    DuckDB — EXACT compare via the promoted oracle (r11 rotation): the
+    query finalizes to integer cents/microcents precisely so no rounding
+    slack is needed here or in the driver's value hash."""
+    from connect_server_spark.queries.temporal_queries import (
+        EVENTS_ROLLUP_CASCADE_ORACLE_SQL,
+    )
 
-    got = norm(map(tuple, events_rollup_cascade(spark, sf_dir).collect()))
-    want = norm(map(tuple, _con(sf_dir).execute("""
-        WITH lv AS (SELECT unnest([60, 3600, 86400]) AS w)
-        SELECT event_type,
-               CAST(to_timestamp(floor(epoch(ts) / w) * w) AS TIMESTAMP)
-                 AS bucket_ts,
-               CAST(w AS BIGINT) AS bucket_seconds,
-               count(value) AS n, sum(value) AS sum_v,
-               min(value) AS min_v, max(value) AS max_v,
-               sum(value) / count(value) AS avg_v
-        FROM events, lv GROUP BY 1, 2, 3
-    """).fetchall()))
+    got = sorted(
+        map(tuple, events_rollup_cascade(spark, sf_dir).collect()), key=repr
+    )
+    want = sorted(
+        map(
+            tuple,
+            _con(sf_dir).execute(EVENTS_ROLLUP_CASCADE_ORACLE_SQL).fetchall(),
+        ),
+        key=repr,
+    )
     assert len(got) > 0
     assert got == want
 
