@@ -58,6 +58,7 @@ HEADLINE = [
     "similarity_topk_ivf_indexed",
     "similarity_topk_ivf_sq8",
     "similarity_topk_ivf_pq",
+    "similarity_topk_pq_refine",
     "events_zorder_scan",
     "events_distinct_sketch",
     "text_analysis",

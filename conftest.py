@@ -16,6 +16,14 @@ if REPO_ROOT not in sys.path:
 TEST_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "objectstore: runs against a real S3 API (local moto server) — "
+        "the measured half of SCALE.md's object-store claims",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from connect_server_spark.session import get_spark

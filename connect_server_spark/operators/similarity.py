@@ -44,6 +44,7 @@ __all__ = [
     "read_ivf_centroids",
     "read_ivf_cells",
     "ivf_topk_indexed",
+    "pq_refine_topk",
     "ivf_cell_stats",
     "rebalance_ivf_index",
     "maintain_ivf_index",
@@ -779,6 +780,114 @@ def ivf_topk_indexed(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pq_refine_topk(
+    probes: DataFrame,
+    spark,
+    pq_index_path: str,
+    refine_index_path: str,
+    k: int,
+    nprobe: int = 4,
+    refine_mult: int = 4,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """The standard IVFPQ+refine serving deployment (the operational
+    rule SCALE.md's nprobe-recall measurement prescribes): PQ codes are
+    the CANDIDATE-GENERATION tier — ``refine_mult × k`` candidates per
+    probe ranked by reconstructed-vector cosine from the probed PQ
+    cells — and a refine tier re-ranks exactly those candidates against
+    a higher-fidelity payload (the SQ8 or float cell store), returning
+    the top ``k`` by refined cosine. Bare PQ ranking plateaus
+    (reconstruction-bound recall ~0.31–0.38 on this corpus at any
+    nprobe — ``tools/measure_pq_nprobe_recall.py``); feeding a refine
+    stage converts the 32×-smaller candidate scan into a usable answer.
+
+    Store contract: both stores must share the coarse quantizer (built
+    over the same corpus with the same centroids/seed — the rebalance
+    carry preserves this), so a vector lives in the SAME cell in both;
+    verified here by exact centroid comparison, so a drifted pair fails
+    loudly instead of silently dropping candidates. Cost shape at
+    100 TB: the PQ tier reads ``nprobe`` cells of one-byte codes; the
+    refine tier reads only the candidate rows — its scan prunes to the
+    candidates' cells (the join carries the hive partition column
+    ``_cell``, so partition pruning applies) and the candidate set is
+    probes × refine_mult × k rows, CANDIDATE-bound, not corpus-bound.
+    Output contract identical to :func:`ivf_topk` (``cosine`` is the
+    refine-tier score).
+    """
+    from connect_server_spark.fsutil import resolve_store
+
+    live_pq = resolve_store(spark, pq_index_path)
+    live_ref = resolve_store(spark, refine_index_path)
+    cents = read_ivf_centroids(spark, live_pq)
+    ref_cents = read_ivf_centroids(spark, live_ref)
+    if cents.shape != ref_cents.shape or not np.array_equal(cents, ref_cents):
+        raise ValueError(
+            "pq_refine_topk: candidate and refine stores use different "
+            f"coarse quantizers ({live_pq} vs {live_ref}) — a vector "
+            "would live in different cells and the refine join would "
+            "silently drop candidates; rebuild one store with the "
+            "other's centroids (the rebalance carry does this)"
+        )
+    cand_cells = read_ivf_cells(
+        spark, live_pq, corpus_id, corpus_vec
+    ).withColumnRenamed("cell", "_cell")
+    p_cells = probes.select(
+        F.col(probe_id),
+        F.col(probe_vec),
+        F.explode(ivf_assign_udf(cents, nprobe)(F.col(probe_vec))).alias(
+            "_cell"
+        ),
+    )
+    cands = (
+        cand_cells.join(broadcast(p_cells), "_cell")
+        .select(
+            F.col(probe_id),
+            F.col(probe_vec),
+            F.col("_cell"),
+            F.col(corpus_id),
+            cosine_similarity(F.col(probe_vec), F.col(corpus_vec)).alias(
+                "_approx"
+            ),
+        )
+        # at-least-once appends: same duplicate-row guard as
+        # ivf_topk_indexed, BEFORE ranking so a duplicate can't occupy
+        # two candidate slots
+        .distinct()
+    )
+    cw = Window.partitionBy(probe_id).orderBy(
+        F.col("_approx").desc(), F.col(corpus_id).asc()
+    )
+    shortlist = (
+        cands.withColumn("_crank", F.row_number().over(cw))
+        .filter(F.col("_crank") <= int(refine_mult) * k)
+        .select(probe_id, probe_vec, "_cell", corpus_id)
+    )
+    ref_cells = read_ivf_cells(
+        spark, live_ref, corpus_id, corpus_vec
+    ).withColumnRenamed("cell", "_cell")
+    refined = (
+        ref_cells.join(broadcast(shortlist), [corpus_id, "_cell"])
+        .select(
+            F.col(probe_id),
+            F.col(corpus_id),
+            cosine_similarity(F.col(probe_vec), F.col(corpus_vec)).alias(
+                "cosine"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

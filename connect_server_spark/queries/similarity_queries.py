@@ -190,6 +190,31 @@ def similarity_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("similarity_topk_ivf_pq", similarity_topk_ivf_pq, defer=True)
 
 
+def similarity_topk_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVFPQ+refine SERVING deployment (r10 verdict ask
+    #4): PQ codes generate ``refine_mult × k`` candidates per probe
+    (32× less candidate-scan I/O), the SQ8 store re-ranks exactly those
+    candidates, top-k by refined cosine. This is the operational answer
+    to the measured PQ recall plateau — bare PQ ranking is
+    reconstruction-bound (~0.31–0.38 recall@5 at any nprobe) while this
+    composition recovers SQ8-grade recall at PQ-grade candidate cost.
+    Both fixture stores train the same deterministic coarse quantizer
+    (seed-fixed k-means over the same corpus), which the operator
+    verifies by exact centroid comparison. Rows-only; recall@5 ≥ the
+    SQ8 path at equal nprobe is pinned in ``tests/test_similarity.py``."""
+    from connect_server_spark.operators.similarity import pq_refine_topk
+
+    pq_path = _ivf_index_for(spark, sf_dir, quantize="pq")
+    sq8_path = _ivf_index_for(spark, sf_dir, quantize=True)
+    emb = load_table(spark, "embeddings", sf_dir)
+    return pq_refine_topk(
+        _probes(emb), spark, pq_path, sq8_path, _K, nprobe=4, refine_mult=8
+    ).select("probe_id", "vec_id", "cosine", "rank")
+
+
+register("similarity_topk_pq_refine", similarity_topk_pq_refine, defer=True)
+
+
 def embeddings_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 quantization fidelity report over the embedding table:
     per-vector scale, the quantized payload, and the cosine between the

@@ -49,6 +49,14 @@ def get_spark(
         # keep file split size at the default 128 MiB so a 100 TB table
         # yields ~800k splits, well within scheduler range.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # NOT the legacy INT96 default: INT96 timestamps carry no
+        # parquet min/max statistics, so every footer-stats consumer —
+        # timestamp predicate pushdown, row-group skipping, the z-order
+        # decay metric and file_pruning_fraction — reads a ts column as
+        # permanently unprunable (measured: a perfectly re-clustered
+        # event log scored decay 1.0 on its ts column). INT64 micros is
+        # the modern interchange form (DuckDB/pyarrow read it natively).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Legacy testdata generations wrote events.ts as TIMESTAMP(NANOS);
         # this conf lets Spark read those as long nanos (tables.load_events
         # branches on the dtype). A no-op for current timestamp[us] data.

@@ -61,6 +61,7 @@ from connect_server_spark.operators.dedup import (
     write_minhash_index,
     write_winnow_index,
 )
+from connect_server_spark.operators.layout import append_zordered_store
 from connect_server_spark.operators.retrieval import write_bm25_index
 from connect_server_spark.operators.similarity import write_ivf_index
 from connect_server_spark.sinks import fresh_rows
@@ -90,6 +91,7 @@ def ingest_store_paths(root: str) -> dict[str, str]:
         "pairs_vec": f"{root}/pairs_vec",
         "pairs_winnow": f"{root}/pairs_winnow",
         "sketch_ledger": f"{root}/telemetry/sketches",
+        "events_z": f"{root}/events_z",
     }
 
 
@@ -146,6 +148,7 @@ def composed_ingest_sink(
     maintain_skew_threshold: float = 4.0,
     maintain_cell_size: int = 256,
     maintain_keep: int = 2,
+    zorder_decay_threshold: float = 0.5,
     sketch_telemetry: bool = False,
     log_compact_files: int = 64,
     _failpoint: str | None = None,
@@ -154,8 +157,8 @@ def composed_ingest_sink(
     for the discipline). ``_failpoint`` is a TEST hook: raise
     RuntimeError immediately after the named step ("rollup", "pairs",
     "minhash_index", "ivf_index", "bm25_index", "winnow_index",
-    "sketch_ledger") to exercise the crash-replay contract — production
-    callers leave it None.
+    "sketch_ledger", "events_z") to exercise the crash-replay contract
+    — production callers leave it None.
 
     ``winnow_threshold`` is the winnow fingerprint-set Jaccard cutoff —
     a DIFFERENT score distribution from the minhash shingle Jaccard
@@ -334,6 +337,18 @@ def composed_ingest_sink(
                     fresh, paths["sketch_ledger"], int(batch_id), id_col
                 )
                 _maybe_fail("sketch_ledger")
+            # z-ordered event log of committed survivors (the analytics
+            # table events_zorder_scan prunes against): appended BEFORE
+            # the survivors commit so a crash can never lose a batch's
+            # rows; a replay in that window re-appends IDENTICAL rows —
+            # the same at-least-once contract as the pairs logs, deduped
+            # by id at read. Appends decay the layout by design;
+            # maintain_zorder below is the cadence that restores it.
+            append_zordered_store(
+                fresh.select(id_col, ts_col, value_col),
+                paths["events_z"],
+            )
+            _maybe_fail("events_z")
             append_resolved(fresh, paths["survivors"])
 
         if maintain_every and int(batch_id) % maintain_every == (
@@ -358,6 +373,26 @@ def composed_ingest_sink(
             maintain_bm25_index(
                 spark, paths["bm25_index"], keep=maintain_keep
             )
+            # layout twin of the IVF loop (r10 verdict ask #6): footer
+            # decay check every cadence — appends land wherever the
+            # writer put them, so the event log's file ranges drift
+            # toward full overlap; past the threshold the table
+            # re-clusters behind its generation pointer (readers keep
+            # their snapshot, crash leaves the live table untouched).
+            # Healthy layout = footer reads only, no rewrite.
+            from connect_server_spark.fsutil import fs_exists
+            from connect_server_spark.operators.layout import (
+                maintain_zorder,
+            )
+
+            if fs_exists(spark, paths["events_z"]):
+                maintain_zorder(
+                    spark,
+                    paths["events_z"],
+                    [id_col, ts_col],
+                    decay_threshold=zorder_decay_threshold,
+                    keep=maintain_keep,
+                )
             if sketch_telemetry:
                 from connect_server_spark.operators.sketches import (
                     compact_sketch_ledger,

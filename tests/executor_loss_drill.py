@@ -164,6 +164,13 @@ def _ingest_state(spark, paths) -> dict:
                 spark, paths["sketch_ledger"], by=[]
             ).collect()
         ),
+        # z-ordered event log (r10 verdict ask #6): at-least-once
+        # appends deduped by id — the value SET is the observable; a
+        # replayed batch or maintenance re-cluster must not change it
+        "events_z": sorted({
+            (r.doc_id, r.v)
+            for r in _read("events_z").select("doc_id", "v").collect()
+        }),
         # proof the generation machinery ran: the IVF store is pointered
         "ivf_generations": len(
             list_generations(spark, paths["ivf_index"])

@@ -59,6 +59,10 @@ ARROW_BOUNDARY_OK = {
     # PQ store: probe assignment + the codebook-gather decode — exactly
     # two Arrow nodes, pinned in test_similarity.py
     "similarity_topk_ivf_pq",
+    # IVFPQ+refine composition (r11): same two Arrow nodes (assign +
+    # decode; the DPP subquery may embed them textually twice), pinned
+    # by name-set in test_similarity.py
+    "similarity_topk_pq_refine",
     "dedup_neardup_embedding_lsh",
     "dedup_semantic",
     "dedup_incremental_embedding",
@@ -243,6 +247,12 @@ SHUFFLE_BUDGET = {
     # PQ serving: plan-identical to the sq8 path (rank + two distincts);
     # the decode gather adds a Python boundary, not a shuffle
     "similarity_topk_ivf_pq": 3,
+    # IVFPQ+refine (r11): two serving tiers = twice the PQ path's
+    # candidate-sized shuffles (distinct + rank per tier, two broadcast
+    # sides), plus the DPP subquery textually re-embedding the
+    # shortlist's exchanges (reused at runtime, counted by this textual
+    # census) — every shuffled row is candidate-sized, never the store
+    "similarity_topk_pq_refine": 9,
     # r9 z-order demo: the scan is shuffle-free; the one Exchange is the
     # global orderBy presentation sort over the ~tens of matched rows
     "events_zorder_scan": 1,

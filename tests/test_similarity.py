@@ -1177,3 +1177,121 @@ def test_ivf_pq_recall_nprobe_curve_two_regimes(spark, tmp_path):
     # harder neither rescues nor collapses it
     assert min(q.values()) >= 0.35
     assert max(q.values()) - min(q.values()) <= 0.15, q
+
+
+def test_pq_refine_recovers_sq8_recall_and_is_candidate_bound(spark, tmp_path):
+    """The composed IVFPQ+refine deployment (r10 verdict ask #4): PQ
+    generates refine_mult × k candidates, the SQ8 payload re-ranks
+    exactly those. Pins, on the same clustered fixture as the nprobe
+    curve: (a) recall@5 ≥ the SQ8 path at EQUAL nprobe (measured 0.917
+    vs 0.917 at nprobe=2, refine_mult=8 — bare PQ sits at 0.467); (b)
+    the refine stage is candidate-bound — both joins broadcast the
+    small side, no sort-merge/shuffled-hash/cartesian anywhere, and the
+    only Python boundaries are the probe assignment and the PQ decode."""
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_indexed,
+        pq_refine_topk,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 64)
+    rows = [
+        (i, (centers[i % 4] + 0.1 * rng.randn(64)).tolist())
+        for i in range(1200)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = spark.createDataFrame(
+        [(j, rows[j * 97][1]) for j in range(12)],
+        ["probe_id", "probe_vec"],
+    )
+    exact: dict = {}
+    for r in cosine_topk(probes, corpus, 5).collect():
+        exact.setdefault(r.probe_id, set()).add(r.vec_id)
+
+    fp, pq, sq8 = str(tmp_path / "fp"), str(tmp_path / "pq"), str(tmp_path / "sq8")
+    write_ivf_index(corpus, fp, nlist=8)
+    cents = read_ivf_centroids(spark, fp)
+    write_ivf_index(corpus, pq, nlist=8, centroids=cents, quantize="pq")
+    write_ivf_index(corpus, sq8, nlist=8, centroids=cents, quantize=True)
+
+    def recall(df):
+        approx: dict = {}
+        for r in df.collect():
+            approx.setdefault(r.probe_id, set()).add(r.vec_id)
+        return sum(
+            len(exact[p] & approx.get(p, set())) for p in exact
+        ) / (len(exact) * 5)
+
+    r_sq8 = recall(ivf_topk_indexed(probes, spark, sq8, 5, nprobe=2))
+    r_pq = recall(ivf_topk_indexed(probes, spark, pq, 5, nprobe=2))
+    out = pq_refine_topk(
+        probes, spark, pq, sq8, 5, nprobe=2, refine_mult=8
+    )
+    r_ref = recall(out)
+    assert r_ref >= r_sq8, (r_ref, r_sq8)          # the verdict's pin
+    assert r_ref >= r_pq + 0.3, (r_ref, r_pq)      # refine rescues PQ
+
+    # candidate-bound plan: scans touch the two stores only, every join
+    # broadcasts the small side, the shuffles carry candidate rows
+    # (rank windows), the only Python UDFs are probe-assign + PQ decode
+    # (each may appear twice textually — the DPP subquery embeds the
+    # shortlist subtree; AQE reuses the broadcast at runtime), and the
+    # REFINE scan is dynamically partition-pruned to the candidates'
+    # cells — the load-bearing "candidate-bound, not corpus-bound" pin
+    read_files = set(out.inputFiles())
+    assert read_files and all(
+        "/cells" in f for f in read_files
+    ), read_files
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    udf_names = {
+        seg.split("(")[0]
+        for seg in plan.split("ArrowEvalPython [")[1:]
+    }
+    assert udf_names == {"dec", "assign"}, udf_names
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "dynamicpruningexpression" in plan, "refine scan not pruned"
+
+    # every refined answer is exactly the SQ8-cosine re-rank of a PQ
+    # candidate: k outputs per probe, ranks dense from 1
+    per_probe: dict = {}
+    for r in out.collect():
+        per_probe.setdefault(r.probe_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_probe.values())
+
+
+def test_pq_refine_rejects_mismatched_quantizers(spark, tmp_path):
+    """Two stores with independently trained centroids would put the
+    same vector in different cells and silently drop candidates at the
+    refine join — the operator must fail loudly instead."""
+    import numpy as np
+    import pytest as _pytest
+
+    from connect_server_spark.operators.similarity import (
+        pq_refine_topk,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(3)
+    a = spark.createDataFrame(
+        [(i, rng.randn(16).tolist()) for i in range(120)],
+        ["vec_id", "embedding"],
+    )
+    b = spark.createDataFrame(
+        [(i, rng.randn(16).tolist()) for i in range(120)],
+        ["vec_id", "embedding"],
+    )
+    pq, sq8 = str(tmp_path / "pq"), str(tmp_path / "sq8")
+    write_ivf_index(a, pq, nlist=4, quantize="pq")
+    write_ivf_index(b, sq8, nlist=4, quantize=True)  # different training
+    probes = spark.createDataFrame(
+        [(0, rng.randn(16).tolist())], ["probe_id", "probe_vec"]
+    )
+    with _pytest.raises(ValueError, match="different\\s+coarse quantizers"):
+        pq_refine_topk(probes, spark, pq, sq8, 3)

@@ -988,10 +988,18 @@ def _composed_state(spark, paths):
             "doc_id", "text",
         ).collect()
     )
+    # z-ordered event log (r10 verdict ask #6): at-least-once appends
+    # deduped by id — the value SET is the observable, invariant under
+    # replays and maintenance re-clusters alike
+    events_z = sorted({
+        (r.doc_id, r.v)
+        for r in _read("events_z").select("doc_id", "v").collect()
+    })
     return {
         "survivors": surv, "pairs_t": pairs_t, "pairs_v": pairs_v,
         "pairs_w": pairs_w, "bm25": bm25, "rollup": rollup,
         "mh_probe": mh, "ev_probe": ev, "wn_probe": wn,
+        "events_z": events_z,
     }
 
 
@@ -1062,10 +1070,96 @@ def test_composed_ingest_maintenance_cadence_is_pure_relayout(
     assert _composed_state(spark, paths) == composed_control
 
 
+def test_composed_ingest_restores_decayed_zorder_layout(spark, tmp_path):
+    """r10 verdict ask #6: z-order maintenance composed into the daily
+    ingest the way the IVF loop is. Interleaved appends (each batch
+    spans the full (doc_id, ts) range) decay the event log's layout
+    past the threshold; the next maintenance firing re-clusters it
+    behind the generation pointer and pruning health returns — while
+    the observable value set stays invariant, including under a replay
+    of the last batch AFTER the re-cluster."""
+    import numpy as np
+
+    from connect_server_spark.fsutil import list_generations, resolve_store
+    from connect_server_spark.operators.layout import clustering_decay_all
+    from connect_server_spark.streaming.daily_ingest import (
+        composed_ingest_sink,
+    )
+
+    root = str(tmp_path / "root")
+    corpus, _b1, _b2 = _composed_fixture_rows()
+    paths = _composed_build_base(spark, root, corpus)
+
+    def vec(seed):
+        v = np.random.RandomState(seed).randn(8)
+        return (v / np.linalg.norm(v)).tolist()
+
+    def novel_batch(k, n=14):
+        # ids/ts interleave across batches: batch k holds every 4th id
+        # (disjoint mod-4 classes, so every batch is all-novel) over the
+        # SAME global range — each appended file's (doc_id, ts) span
+        # covers the whole table, the decay pattern
+        rows = []
+        for j in range(n):
+            i = 1000 + k + 4 * j
+            # event time tracks id (the realistic event-log shape both
+            # z-columns can be clustered on at once)
+            m = i - 1000
+            rows.append((
+                i,
+                " ".join(f"z{i}q{w}" for w in range(21)),
+                vec(9000 + i),
+                f"2024-02-01 {m // 60:02d}:{m % 60:02d}:00",
+                float(i),
+            ))
+        # one file per append, spanning the full range
+        return _composed_batch(spark, rows).coalesce(1)
+
+    plain = composed_ingest_sink(
+        spark, root, "doc_id", "text", "embedding", "ts", "v"
+    )
+    for k in range(3):
+        plain(novel_batch(k), k)
+    z_cols = ["doc_id", "ts"]
+    decayed = clustering_decay_all(
+        resolve_store(spark, paths["events_z"]), z_cols
+    )
+    assert max(decayed.values()) > 0.5, decayed
+
+    def values(paths):
+        from pyspark.sql import functions as F  # noqa: F811
+
+        return sorted({
+            (r.doc_id, r.v)
+            for r in spark.read.parquet(
+                resolve_store(spark, paths["events_z"])
+            ).select("doc_id", "v").collect()
+        })
+
+    before = values(paths)
+    maintained = composed_ingest_sink(
+        spark, root, "doc_id", "text", "embedding", "ts", "v",
+        maintain_every=1, maintain_skew_threshold=1e9,
+    )
+    maintained(novel_batch(3), 3)
+    # maintenance fired: the event log is pointered and pruning-healthy
+    assert len(list_generations(spark, paths["events_z"])) >= 1
+    restored = clustering_decay_all(
+        resolve_store(spark, paths["events_z"]), z_cols
+    )
+    assert max(restored.values()) <= 0.5, restored
+    after = values(paths)
+    assert set(before) <= set(after)
+    # replay the last batch against the re-clustered layout: the
+    # at-least-once append dedupes to the same observable value set
+    maintained(novel_batch(3), 3)
+    assert values(paths) == after
+
+
 @pytest.mark.parametrize(
     "failpoint",
     ["rollup", "pairs", "minhash_index", "ivf_index", "bm25_index",
-     "winnow_index"],
+     "winnow_index", "events_z"],
 )
 def test_composed_ingest_crash_replay_converges(
     spark, tmp_path, composed_control, failpoint

@@ -51,8 +51,10 @@ def main(sf_dir: str = "/tmp/scale_sf1") -> None:
     for r in cosine_topk(probes, emb, K).collect():
         exact.setdefault(r.probe_id, set()).add(r.vec_id)
 
+    paths = {}
     for quant, tag in ((True, "sq8"), ("pq", "pq")):
         index_path = f"/tmp/pq_nprobe_recall_{tag}_{n}"
+        paths[tag] = index_path
         if not os.path.exists(f"{index_path}/cells/_SUCCESS"):
             write_ivf_index(emb, index_path, nlist=nlist, quantize=quant)
         row = {}
@@ -68,6 +70,26 @@ def main(sf_dir: str = "/tmp/scale_sf1") -> None:
             )
             row[nprobe] = round(hits / (len(exact) * K), 3)
         print(tag, row)
+
+    # the composed IVFPQ+refine deployment (r10 verdict ask #4): PQ
+    # candidates re-ranked by the SQ8 payload — the serving answer the
+    # bare-PQ plateau above motivates. Same deterministic coarse
+    # quantizer in both stores (seed-fixed training over the same
+    # corpus); the operator verifies centroid equality.
+    from connect_server_spark.operators.similarity import pq_refine_topk
+
+    row = {}
+    for nprobe in NPROBES:
+        approx = {}
+        got = pq_refine_topk(
+            probes, spark, paths["pq"], paths["sq8"], K,
+            nprobe=nprobe, refine_mult=8,
+        ).collect()
+        for r in got:
+            approx.setdefault(r.probe_id, set()).add(r.vec_id)
+        hits = sum(len(exact[p] & approx.get(p, set())) for p in exact)
+        row[nprobe] = round(hits / (len(exact) * K), 3)
+    print("pq_refine(x8)", row)
 
 
 if __name__ == "__main__":
