@@ -48,6 +48,7 @@ __all__ = [
     "ivf_cell_stats",
     "rebalance_ivf_index",
     "maintain_ivf_index",
+    "maintain_refine_pair",
     "hard_negatives",
 ]
 
@@ -1063,6 +1064,7 @@ def rebalance_ivf_index(
     train_iters: int = 10,
     max_nlist: int = 65536,
     keep: int = 1,
+    centroids=None,
     _pre_swap_hook=None,
 ) -> int:
     """Act on what :func:`ivf_cell_stats` reports: re-train the coarse
@@ -1142,15 +1144,24 @@ def rebalance_ivf_index(
     # sample then scales WITH nlist (≥4 points per centroid, floor at
     # the configured sample_size) instead of silently asking k-means
     # for more centroids than points.
-    nlist = min(max(16, n // target_cell_size), max_nlist, n)
-    cents = train_ivf_centroids(
-        store,
-        nlist,
-        corpus_id,
-        corpus_vec,
-        sample_size=max(sample_size, 4 * nlist),
-        iters=train_iters,
-    )
+    if centroids is not None:
+        # quantizer CARRY (the refine-pair contract): re-assign this
+        # store under externally supplied centroids instead of training
+        # fresh ones — how maintain_refine_pair keeps the PQ candidate
+        # store and its refine payload on the SAME coarse quantizer
+        # (pq_refine_topk refuses a drifted pair by design)
+        cents = np.asarray(centroids, dtype=np.float64)
+        nlist = len(cents)
+    else:
+        nlist = min(max(16, n // target_cell_size), max_nlist, n)
+        cents = train_ivf_centroids(
+            store,
+            nlist,
+            corpus_id,
+            corpus_vec,
+            sample_size=max(sample_size, 4 * nlist),
+            iters=train_iters,
+        )
     gen = begin_generation(spark, index_path)
     # store is lazily read from the pre-swap generation: materialize the
     # re-write fully into the new generation dir before the pointer
@@ -1256,3 +1267,62 @@ def maintain_ivf_index(
         target_cell_size=target_cell_size,
         **rebalance_kwargs,
     )
+
+
+def maintain_refine_pair(
+    spark,
+    pq_index_path: str,
+    refine_index_path: str,
+    skew_threshold: float = 4.0,
+    empty_share_threshold: float = 0.25,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    target_cell_size: int = 256,
+    keep: int = 1,
+    **rebalance_kwargs,
+) -> int | None:
+    """:func:`maintain_ivf_index` for an IVFPQ+refine DEPLOYMENT: the
+    PQ candidate store and its refine payload (SQ8/float) must share
+    the coarse quantizer — :func:`pq_refine_topk` refuses a drifted
+    pair — so maintaining them INDEPENDENTLY is wrong by construction:
+    each rebalance re-trains from its own stored representation (SQ8
+    lattice points vs PQ reconstructions), and two trainings over
+    different inputs converge to different centroids.
+
+    Policy: measure the REFINE store (the higher-fidelity
+    representation — its skew telemetry is the truthful one, and its
+    vectors are what the fresh quantizer should be trained on); on
+    trigger, rebalance it normally, read back its NEW centroids, and
+    rebalance the PQ store under exactly those
+    (``rebalance_ivf_index(centroids=...)`` — the carry). Each swap is
+    its own atomic pointer flip; between the two flips a
+    :func:`pq_refine_topk` call fails LOUDLY on the centroid check
+    rather than serving silently wrong cells, and the recovery is
+    retry-after-maintenance (the window is one PQ re-assignment, not a
+    build). Returns the pair's new ``nlist``, or ``None`` when healthy.
+    """
+    new_nlist = maintain_ivf_index(
+        spark,
+        refine_index_path,
+        skew_threshold=skew_threshold,
+        empty_share_threshold=empty_share_threshold,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        target_cell_size=target_cell_size,
+        keep=keep,
+        **rebalance_kwargs,
+    )
+    if new_nlist is None:
+        return None
+    cents = read_ivf_centroids(spark, refine_index_path)
+    rebalance_ivf_index(
+        spark,
+        pq_index_path,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        target_cell_size=target_cell_size,
+        keep=keep,
+        centroids=cents,
+        **rebalance_kwargs,
+    )
+    return new_nlist

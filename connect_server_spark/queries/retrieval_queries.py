@@ -114,7 +114,92 @@ def corpus_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex_ranked, sem], "doc_id", k=HYBRID_K)
 
 
-register("corpus_hybrid_retrieval", corpus_hybrid_retrieval, defer=True)
+# Promoted in the r11 rotation (second tranche): both building blocks
+# were already externally gated — the Okapi BM25 CTE is corpus_bm25's
+# oracle verbatim (two-stage 1e-6 rounding, k1=1.2/b=0.75 inlined) and
+# the cosine list is similarity_topk_exact's — composed with the RRF
+# fold (1/(60+rank), absent lists contribute zero, round-6, ties by
+# id) recomputed in SQL.
+CORPUS_HYBRID_RETRIEVAL_ORACLE_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term <> '' GROUP BY 1, 2
+    ),
+    dl AS (
+      SELECT d.doc_id, coalesce(t.dl, 0) AS dl
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, sum(tf) AS dl FROM tc GROUP BY doc_id) t
+        USING (doc_id)
+    ),
+    stats AS (
+      SELECT (SELECT count(*) FROM dl) AS n,
+             (SELECT avg(dl) FROM dl) AS avgdl
+    ),
+    idf AS (
+      SELECT term,
+             round(ln(1.0 + ((SELECT n FROM stats) - count(*) + 0.5)
+                      / (count(*) + 0.5)), 6) AS idf
+      FROM tc WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY term
+    ),
+    lex AS (
+      SELECT tc.doc_id,
+             round(sum(idf.idf * (tc.tf * 2.2)
+                 / (tc.tf + 1.2 * (1 - 0.75
+                     + 0.75 * dl.dl / (SELECT avgdl FROM stats)))), 6)
+               AS bm25
+      FROM tc JOIN idf USING (term) JOIN dl USING (doc_id)
+      WHERE tc.term IN ({_BM25_TERMS_SQL})
+      GROUP BY tc.doc_id
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+    ),
+    lex_ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+      FROM lex
+    ),
+    probe AS (
+      SELECT embedding AS pv FROM embeddings
+      WHERE vec_id = {HYBRID_PROBE_VEC_ID}
+    ),
+    sem_scored AS (
+      SELECT e.vec_id AS doc_id,
+        round(
+          list_sum(list_transform(range(1, len(p.pv) + 1),
+            i -> CAST(p.pv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(
+                p.pv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(
+                e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+          6) AS cosine
+      FROM embeddings e CROSS JOIN probe p
+    ),
+    sem_ranked AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+        FROM sem_scored
+      ) WHERE rank <= 50
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             round(coalesce(1.0 / (60 + l.rank), 0)
+                   + coalesce(1.0 / (60 + s.rank), 0), 6) AS rrf_score
+      FROM lex_ranked l FULL OUTER JOIN sem_ranked s USING (doc_id)
+    )
+    SELECT doc_id, rrf_score FROM fused
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT {HYBRID_K}
+"""
+
+register(
+    "corpus_hybrid_retrieval",
+    corpus_hybrid_retrieval,
+    sql=CORPUS_HYBRID_RETRIEVAL_ORACLE_SQL,
+)
 
 
 KEYWORDS_M = 5

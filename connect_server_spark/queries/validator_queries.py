@@ -67,10 +67,9 @@ _COMP_SQL = (
     + f"][CAST(p_partkey % {len(_COMPOSITIONS)} + 1 AS INT)]"
 )
 
-register(
-    "validator_elements",
-    validator_elements,
-    sql=f"""
+# r11 fifth rotation (second tranche): demoted (frozen green since r1);
+# oracle preserved verbatim in tests/test_entry_oracle.py.
+VALIDATOR_ELEMENTS_ORACLE_SQL = f"""
     SELECT p_partkey,
            {_COMP_SQL} AS composition,
            array_to_string(
@@ -78,8 +77,9 @@ register(
                regexp_extract_all({_COMP_SQL}, '([A-Z][a-z]?)', 1))),
              ',') AS elements_csv
     FROM part
-    """,
-)
+    """
+
+register("validator_elements", validator_elements, defer=True)
 
 
 def validator_feedstock(spark: SparkSession, sf_dir: str) -> DataFrame:

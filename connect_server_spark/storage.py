@@ -296,6 +296,15 @@ def read_bucketed(
     return spark.table(name)
 
 
+# ((session-key, live-path) → (signature, is_broadcastable)): the
+# store-size probe memo. getContentSummary walks the directory (~40 ms
+# on a local store, a full LIST on an object store) and serving paths
+# ask per query; parquet files are immutable once committed, so the
+# one-listStatus signature is a sound change detector — same discipline
+# as read_bucketed's refresh skip and the similarity model cache.
+_size_verdicts: dict = {}
+
+
 def broadcastable(spark: SparkSession, path: str) -> bool:
     """True when the data at ``path`` fits the session's
     autoBroadcastJoinThreshold — the store-size probe behind the
@@ -303,8 +312,8 @@ def broadcastable(spark: SparkSession, path: str) -> bool:
     threshold joins fastest BROADCAST (one tiny table ships, no
     Exchange anywhere); past it, the bucketed layout + a shuffled-hash
     hint keeps the store-side scan Exchange-free while only probes
-    move. One driver-side content-summary call; -1/unset thresholds
-    read as never-broadcast."""
+    move. One driver-side content-summary call, memoized per directory
+    signature; -1/unset thresholds read as never-broadcast."""
     raw = str(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     ).strip().lower()
@@ -319,17 +328,29 @@ def broadcastable(spark: SparkSession, path: str) -> bool:
         threshold = 10 * 1024 * 1024
     if threshold <= 0:
         return False
-    from connect_server_spark.fsutil import resolve_store
+    from connect_server_spark.fsutil import fs_signature, resolve_store
 
     # size the LIVE generation only — a root-level summary would count
     # the grace-period previous generation and read ~2× the real size
     path = resolve_store(spark, path)
+    sig = fs_signature(spark, path)
+    if sig is None:
+        return False
+    # the threshold is part of the verdict, so a session that changes
+    # autoBroadcastJoinThreshold re-probes instead of serving a stale
+    # yes/no
+    key = (_session_key(spark), path, threshold)
+    hit = _size_verdicts.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
     hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
     jpath = hadoop_path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        return False
-    return fs.getContentSummary(jpath).getLength() <= threshold
+    verdict = fs.getContentSummary(jpath).getLength() <= threshold
+    if len(_size_verdicts) > 512:  # bounded: stores per process
+        _size_verdicts.clear()
+    _size_verdicts[key] = (sig, verdict)
+    return verdict
 
 
 def compact_bucketed(

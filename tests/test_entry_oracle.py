@@ -57,6 +57,7 @@ def _demoted_mirrors():
     )
     from connect_server_spark.queries.validator_queries import (
         VALIDATOR_DATASET_SIZE_ORACLE_SQL,
+        VALIDATOR_ELEMENTS_ORACLE_SQL,
     )
     from connect_server_spark.queries.version_queries import (
         VERSION_EXISTENCE_PROBE_ORACLE_SQL,
@@ -93,6 +94,9 @@ def _demoted_mirrors():
         "version_existence_probe": VERSION_EXISTENCE_PROBE_ORACLE_SQL,
         "org_parent_rules": ORG_PARENT_RULES_ORACLE_SQL,
         "validator_dataset_size": VALIDATOR_DATASET_SIZE_ORACLE_SQL,
+        # r11 fifth rotation, second tranche: displaced by
+        # corpus_hybrid_retrieval
+        "validator_elements": VALIDATOR_ELEMENTS_ORACLE_SQL,
     }
 
 

@@ -1295,3 +1295,62 @@ def test_pq_refine_rejects_mismatched_quantizers(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="different\\s+coarse quantizers"):
         pq_refine_topk(probes, spark, pq, sq8, 3)
+
+
+def test_maintain_refine_pair_keeps_quantizers_shared(spark, tmp_path):
+    """Independent maintenance of an IVFPQ+refine pair is wrong by
+    construction (each rebalance trains on its own stored
+    representation and the quantizers diverge, tripping
+    pq_refine_topk's contract check); maintain_refine_pair rebalances
+    the refine store, then carries its NEW centroids into the PQ
+    rebalance. Pins: the trigger fires, both stores land on
+    byte-identical centroids, and the composed serving path works
+    against the rebalanced pair."""
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        ivf_cell_stats,
+        maintain_refine_pair,
+        pq_refine_topk,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(4, 16)
+    rows = [
+        (i, (centers[i % 4] + 0.1 * rng.randn(16)).tolist())
+        for i in range(400)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    fp, pq, sq8 = str(tmp_path / "fp"), str(tmp_path / "pq"), str(tmp_path / "sq8")
+    write_ivf_index(corpus, fp, nlist=4)
+    cents = read_ivf_centroids(spark, fp)
+    write_ivf_index(corpus, pq, nlist=4, centroids=cents, quantize="pq")
+    write_ivf_index(corpus, sq8, nlist=4, centroids=cents, quantize=True)
+
+    # healthy pair: no-op, quantizers untouched
+    assert (
+        maintain_refine_pair(spark, pq, sq8, skew_threshold=1e9) is None
+    )
+    assert np.array_equal(read_ivf_centroids(spark, pq), cents)
+
+    # hair-trigger: the pair rebalances together
+    new_nlist = maintain_refine_pair(
+        spark, pq, sq8, skew_threshold=0.5, target_cell_size=64
+    )
+    assert new_nlist is not None
+    c_sq8 = read_ivf_centroids(spark, sq8)
+    c_pq = read_ivf_centroids(spark, pq)
+    assert len(c_sq8) == new_nlist
+    assert np.array_equal(c_sq8, c_pq), "pair diverged after maintenance"
+    # skew telemetry restored on the refine store
+    stats = ivf_cell_stats(spark, sq8).collect()
+    assert max(r.skew for r in stats) <= 4.0
+
+    # the composed serving path accepts the rebalanced pair
+    probes = spark.createDataFrame(
+        [(0, rows[97][1])], ["probe_id", "probe_vec"]
+    )
+    out = pq_refine_topk(probes, spark, pq, sq8, 3, nprobe=2).collect()
+    assert sorted(r.rank for r in out) == [1, 2, 3]
