@@ -137,10 +137,63 @@ def fs_signature(spark: SparkSession, path: str):
         except NotADirectoryError:
             st = os.stat(local)
             return ((os.path.basename(local), st.st_size, st.st_mtime_ns),)
+    sig = _fs_signature_arrow(path)
+    if sig is not NotImplemented:
+        return sig
+    return _fs_signature_remote(spark, path)
+
+
+def _fs_signature_arrow(path: str):
+    """Object-store leg of :func:`fs_signature`: pyarrow's filesystem
+    returns the whole listing — (name, size, mtime) per child — in ONE
+    native call, no py4j gateway hop per child (layout.py's footer pass
+    already trusts pyarrow for exactly these schemes, and the
+    objectstore suite measures this route against a live S3 endpoint).
+    ``s3a://`` — Hadoop's spelling — maps to pyarrow's ``s3://``.
+    ONLY object-store schemes take this leg (an unguarded
+    ``from_uri`` would silently read the DRIVER's local disk for a
+    scheme-less path on an hdfs-default cluster); everything else
+    returns NotImplemented and falls back to the JVM leg."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme not in ("s3", "s3a", "gs"):
+        return NotImplemented
+    uri = "s3://" + path.split("://", 1)[1] if scheme == "s3a" else path
+    try:
+        import pyarrow.fs as pafs
+
+        fs, root = pafs.FileSystem.from_uri(uri)
+        infos = fs.get_file_info(
+            pafs.FileSelector(root, recursive=False, allow_not_found=True)
+        )
+        if not infos and fs.get_file_info(root).type == pafs.FileType.NotFound:
+            return None
+    except (OSError, ValueError, ImportError):
+        return NotImplemented
+    return tuple(
+        sorted(
+            (
+                i.path.rsplit("/", 1)[-1],
+                i.size,
+                None if i.mtime_ns is None else i.mtime_ns,
+            )
+            for i in infos
+        )
+    )
+
+
+def _fs_signature_remote(spark: SparkSession, path: str):
+    """JVM fallback leg of :func:`fs_signature` for schemes pyarrow
+    cannot mount: one ``listStatus`` plus one ``toString()`` gateway
+    call per child (FileStatus.toString carries path, length,
+    modification_time). One hop per child, not three — still O(n)
+    gateway traffic, which is why the pyarrow leg is preferred wherever
+    the scheme allows. Split out so its change-detection semantics are
+    testable on a local directory (the Hadoop FS serves plain paths
+    through fs.defaultFS)."""
     fs, jpath, _ = _fs_and_path(spark, path)
     if not fs.exists(jpath):
         return None
-    return spark._jvm.java.util.Arrays.toString(fs.listStatus(jpath))
+    return tuple(sorted(st.toString() for st in fs.listStatus(jpath)))
 
 
 def _local_fs_path(spark: SparkSession, path: str) -> "str | None":

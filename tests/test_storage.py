@@ -511,3 +511,48 @@ def test_heavy_hitters_semantics_and_plan(spark):
 
     with _pytest.raises(ValueError, match="k must be positive"):
         heavy_hitters(df, "user_id", k=0)
+
+
+def test_fs_signature_change_detection_both_legs(spark, tmp_path):
+    """fs_signature is the change detector behind every serving memo
+    (read_bucketed refresh skip, model reloads, broadcastable verdict).
+    Both legs — the os.scandir local fast path and the one-gateway-call
+    JVM rendering used for remote schemes (r11: the per-FileStatus py4j
+    iteration it replaced cost ~500 ms on a 3,000-file store) — must
+    agree on the semantics: None for missing, stable while unchanged,
+    different after any append."""
+    import os
+
+    from connect_server_spark.fsutil import (
+        _fs_signature_remote,
+        fs_signature,
+    )
+
+    d = str(tmp_path / "store")
+    os.makedirs(d)
+    for legname, sig in (
+        ("local", lambda: fs_signature(spark, d)),
+        ("jvm", lambda: _fs_signature_remote(spark, d)),
+    ):
+        missing = (
+            fs_signature(spark, str(tmp_path / "nope"))
+            if legname == "local"
+            else _fs_signature_remote(spark, str(tmp_path / "nope"))
+        )
+        assert missing is None, legname
+        with open(f"{d}/a.parquet", "wb") as f:
+            f.write(b"x" * 64)
+        s1, s2 = sig(), sig()
+        assert s1 == s2, legname  # unchanged store: stable signature
+        with open(f"{d}/b.parquet", "wb") as f:
+            f.write(b"y" * 64)
+        assert sig() != s1, legname  # append: signature must move
+        os.remove(f"{d}/b.parquet")
+
+    # the local fast path actually engages on this session (defaultFS is
+    # file: under local[*]) — a plain path must NOT pay the JVM route
+    from connect_server_spark.fsutil import _local_fs_path
+
+    assert _local_fs_path(spark, d) == d
+    assert _local_fs_path(spark, "s3a://bucket/x") is None
+    assert _local_fs_path(spark, "file:///tmp/x") == "/tmp/x"
