@@ -115,12 +115,17 @@ def fs_signature(spark: SparkSession, path: str):
     calls per child — and a 3,000-file bucketed store turned each
     signature into ~500 ms of driver time, 8× the ``refreshTable`` it
     replaced (the r10 `dedup_incremental_minhash_indexed` bench riser,
-    settled by interleaved A/B this round). Local paths (the
-    ``local[*]`` default and any ``file:`` root) signature via one
-    ``os.scandir``; remote schemes collapse the whole listing into a
-    single gateway call — ``Arrays.toString`` renders every
-    ``FileStatus`` (path, length, modification_time) JVM-side and ships
-    one string back."""
+    settled by interleaved A/B this round). Three legs, each O(1)
+    gateway traffic, each aligned with the filesystem that actually
+    serves the data: local paths (the ``local[*]`` default and any
+    ``file:`` root) signature via one ``os.scandir``;
+    pyarrow-native object-store schemes (``s3://``, ``gs://`` — the
+    paths layout.py's footer pass reads) via one native pyarrow
+    listing; everything Hadoop-operated (``s3a://``, ``hdfs://``,
+    scheme-less on a remote defaultFS — the paths SPARK reads, whose
+    credentials live in the Hadoop conf, not env vars) via TWO Hadoop
+    RPCs — content summary + the directory's own mtime — so the
+    signature always reflects the same store view Spark will scan."""
     local = _local_fs_path(spark, path)
     if local is not None:
         try:
@@ -144,24 +149,27 @@ def fs_signature(spark: SparkSession, path: str):
 
 
 def _fs_signature_arrow(path: str):
-    """Object-store leg of :func:`fs_signature`: pyarrow's filesystem
-    returns the whole listing — (name, size, mtime) per child — in ONE
-    native call, no py4j gateway hop per child (layout.py's footer pass
-    already trusts pyarrow for exactly these schemes, and the
-    objectstore suite measures this route against a live S3 endpoint).
-    ``s3a://`` — Hadoop's spelling — maps to pyarrow's ``s3://``.
-    ONLY object-store schemes take this leg (an unguarded
-    ``from_uri`` would silently read the DRIVER's local disk for a
-    scheme-less path on an hdfs-default cluster); everything else
-    returns NotImplemented and falls back to the JVM leg."""
+    """pyarrow-native object-store leg of :func:`fs_signature`: one
+    native call returns the whole listing — (name, size, mtime) per
+    child — with no py4j gateway hop per child. ONLY ``s3://``/``gs://``
+    take this leg: those schemes are not mountable by a stock Hadoop FS
+    at all, so any store addressed this way is read by pyarrow
+    (layout.py's footer pass) with pyarrow's own credential resolution —
+    signature and scan see the same store view by construction.
+    ``s3a://`` deliberately does NOT come here: an s3a store is read by
+    SPARK through the Hadoop conf (``fs.s3a.endpoint``/keys), and a
+    pyarrow env-credential listing could resolve to a DIFFERENT store
+    view (ambient AWS creds vs an on-prem endpoint) — a constant
+    signature over a changing real store would silently freeze
+    ``read_bucketed``'s refresh memo. s3a takes the Hadoop leg, whose
+    view is authoritative for Spark's own scans."""
     scheme = path.split("://", 1)[0] if "://" in path else ""
-    if scheme not in ("s3", "s3a", "gs"):
+    if scheme not in ("s3", "gs"):
         return NotImplemented
-    uri = "s3://" + path.split("://", 1)[1] if scheme == "s3a" else path
     try:
         import pyarrow.fs as pafs
 
-        fs, root = pafs.FileSystem.from_uri(uri)
+        fs, root = pafs.FileSystem.from_uri(path)
         infos = fs.get_file_info(
             pafs.FileSelector(root, recursive=False, allow_not_found=True)
         )
@@ -170,30 +178,34 @@ def _fs_signature_arrow(path: str):
     except (OSError, ValueError, ImportError):
         return NotImplemented
     return tuple(
-        sorted(
-            (
-                i.path.rsplit("/", 1)[-1],
-                i.size,
-                None if i.mtime_ns is None else i.mtime_ns,
-            )
-            for i in infos
-        )
+        sorted((i.path.rsplit("/", 1)[-1], i.size, i.mtime_ns) for i in infos)
     )
 
 
 def _fs_signature_remote(spark: SparkSession, path: str):
-    """JVM fallback leg of :func:`fs_signature` for schemes pyarrow
-    cannot mount: one ``listStatus`` plus one ``toString()`` gateway
-    call per child (FileStatus.toString carries path, length,
-    modification_time). One hop per child, not three — still O(n)
-    gateway traffic, which is why the pyarrow leg is preferred wherever
-    the scheme allows. Split out so its change-detection semantics are
-    testable on a local directory (the Hadoop FS serves plain paths
-    through fs.defaultFS)."""
+    """Hadoop-FS leg of :func:`fs_signature` (``s3a://``, ``hdfs://``,
+    scheme-less on a remote defaultFS): TWO gateway round trips
+    regardless of store size — ``getContentSummary`` (total length +
+    file/dir counts, one NameNode RPC on HDFS / one LIST on S3A) plus
+    the directory's own ``getModificationTime`` (HDFS bumps a dir's
+    mtime on any child add/remove). Parquet writers never rewrite a
+    file in place under the same name and size (part files carry unique
+    UUIDs), so length+count+dir-mtime move on every append, compaction,
+    or publish. Deliberately NOT per-child FileStatus data: a
+    per-child ``toString`` would be O(n) gateway hops (the exact r10
+    cost class), and FileStatus.toString also embeds access_time —
+    on HDFS a pure READ would mutate the signature and spuriously
+    invalidate every memo built on it."""
     fs, jpath, _ = _fs_and_path(spark, path)
     if not fs.exists(jpath):
         return None
-    return tuple(sorted(st.toString() for st in fs.listStatus(jpath)))
+    summary = fs.getContentSummary(jpath)
+    return (
+        summary.getLength(),
+        summary.getFileCount(),
+        summary.getDirectoryCount(),
+        fs.getFileStatus(jpath).getModificationTime(),
+    )
 
 
 def _local_fs_path(spark: SparkSession, path: str) -> "str | None":

@@ -462,8 +462,11 @@ def _dir_signature(spark, path: str):
     return fs_signature(spark, path)
 
 
-def _cached_model(spark, model_dir: str, load):
-    key = (id(spark._jsparkSession), model_dir)
+def _cached_model(spark, model_dir: str, load, cache_key: str | None = None):
+    """``cache_key`` distinguishes multiple memoized values derived from
+    the SAME directory (e.g. the cell store's schema and its distinct-id
+    count) — the change signature is always computed on ``model_dir``."""
+    key = (id(spark._jsparkSession), cache_key or model_dir)
     sig = _dir_signature(spark, model_dir)
     hit = _MODEL_CACHE.get(key)
     if hit is not None and sig is not None and hit[0] == sig:
@@ -834,7 +837,37 @@ def pq_refine_topk(
             f"coarse quantizers ({live_pq} vs {live_ref}) — a vector "
             "would live in different cells and the refine join would "
             "silently drop candidates; rebuild one store with the "
-            "other's centroids (the rebalance carry does this)"
+            "other's centroids (the rebalance carry / "
+            "maintain_refine_pair does this)"
+        )
+    # content-drift guard, the quantizer check's twin: a vector present
+    # in the PQ store but absent from the refine store would shortlist
+    # and then silently VANISH at the refine join (no error, a stale
+    # neighbor takes its rank). Distinct-id counts are compared
+    # (distinct: at-least-once appends may duplicate one store's rows
+    # without drifting content) — one narrow count job per store PER
+    # CHANGE, memoized behind the directory signature like the models,
+    # so an unchanged pair costs zero jobs at serving time.
+    def _distinct_ids(live: str) -> int:
+        return _cached_model(
+            spark,
+            f"{live}/cells",
+            lambda: spark.read.parquet(f"{live}/cells")
+            .select(corpus_id)
+            .distinct()
+            .count(),
+            cache_key=f"{live}/cells#distinct_ids",
+        )
+
+    n_pq, n_ref = _distinct_ids(live_pq), _distinct_ids(live_ref)
+    if n_pq != n_ref:
+        raise ValueError(
+            "pq_refine_topk: candidate and refine stores hold different "
+            f"vector sets ({n_pq} vs {n_ref} distinct ids at {live_pq} "
+            f"vs {live_ref}) — shortlisted candidates missing from the "
+            "refine payload would be silently dropped; append both "
+            "stores from the same feed (and let maintain_refine_pair "
+            "carry rebalances) before serving"
         )
     cand_cells = read_ivf_cells(
         spark, live_pq, corpus_id, corpus_vec
@@ -1299,7 +1332,17 @@ def maintain_refine_pair(
     :func:`pq_refine_topk` call fails LOUDLY on the centroid check
     rather than serving silently wrong cells, and the recovery is
     retry-after-maintenance (the window is one PQ re-assignment, not a
-    build). Returns the pair's new ``nlist``, or ``None`` when healthy.
+    build).
+
+    Replay-safe the way the health trigger alone is NOT: a crash
+    between the two flips leaves the refine store freshly rebalanced —
+    healthy, so a replay's skew trigger stays quiet forever while the
+    PQ store keeps the OLD quantizer. The pair-drift check below runs
+    on EVERY call, trigger or no trigger: quantizers unequal → carry
+    the refine store's centroids into a PQ rebalance — so the replay
+    repairs the half-finished maintenance instead of returning None.
+    Returns the pair's ``nlist`` when either store was rebuilt,
+    ``None`` when healthy and aligned.
     """
     new_nlist = maintain_ivf_index(
         spark,
@@ -1312,9 +1355,12 @@ def maintain_refine_pair(
         keep=keep,
         **rebalance_kwargs,
     )
-    if new_nlist is None:
-        return None
     cents = read_ivf_centroids(spark, refine_index_path)
+    if new_nlist is None:
+        pq_cents = read_ivf_centroids(spark, pq_index_path)
+        if pq_cents.shape == cents.shape and np.array_equal(pq_cents, cents):
+            return None  # healthy AND aligned: nothing to do
+        # drift repair (crashed prior run, or stores born separately)
     rebalance_ivf_index(
         spark,
         pq_index_path,
@@ -1325,4 +1371,4 @@ def maintain_refine_pair(
         centroids=cents,
         **rebalance_kwargs,
     )
-    return new_nlist
+    return len(cents)

@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from connect_server_spark.operators.temporal import (
     asof_join,
     interval_join,
-    finalize_partials,
     rollup_cascade,
 )
 from connect_server_spark.registry import register
@@ -168,10 +167,10 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     in any engine. ``min_v``/``max_v`` pass through raw (each is an
     actual input value, merge-order-free)."""
     ev = load_table(spark, "events", sf_dir)
+    # partials directly (no finalize_partials: its float avg_v would be
+    # discarded — the gate-stable average is derived from sum_cents)
     return (
-        finalize_partials(
-            rollup_cascade(ev, "ts", "value", ["event_type"], CASCADE_WIDTHS)
-        )
+        rollup_cascade(ev, "ts", "value", ["event_type"], CASCADE_WIDTHS)
         .select(
             "event_type",
             "bucket_ts",

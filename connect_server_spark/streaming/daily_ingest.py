@@ -337,13 +337,20 @@ def composed_ingest_sink(
                     fresh, paths["sketch_ledger"], int(batch_id), id_col
                 )
                 _maybe_fail("sketch_ledger")
-            # z-ordered event log of committed survivors (the analytics
-            # table events_zorder_scan prunes against): appended BEFORE
-            # the survivors commit so a crash can never lose a batch's
-            # rows; a replay in that window re-appends IDENTICAL rows —
-            # the same at-least-once contract as the pairs logs, deduped
-            # by id at read. Appends decay the layout by design;
-            # maintain_zorder below is the cadence that restores it.
+            # z-ordered event log of ATTEMPTED survivors: appended
+            # BEFORE the survivors commit so a crash can never lose a
+            # batch's rows — at the cost of superset semantics on
+            # replay. Usually the replay re-appends IDENTICAL rows
+            # (deduped by id at read, the pairs-log contract), but a
+            # batch whose members near-dup EACH OTHER can leave rows
+            # here that never reach the survivors log: attempt 1's
+            # index appends make the replay's probes see the batch's
+            # own rows, shrinking the replayed fresh set. Readers that
+            # need exactly-the-survivors semantics must semi-join the
+            # survivors store; the z log's contract is at-least-once
+            # over attempted survivors, like the pairs logs (which
+            # share the same replay window). Appends decay the layout
+            # by design; maintain_zorder below restores it.
             append_zordered_store(
                 fresh.select(id_col, ts_col, value_col),
                 paths["events_z"],

@@ -220,9 +220,11 @@ def test_fs_signature_arrow_leg_on_s3(spark, tmp_path, s3):
     """fs_signature's object-store leg (one native pyarrow listing, no
     py4j hop per child) against real S3 semantics: stable while the
     store is unchanged, moves on any append, None for a missing
-    prefix, and the s3a:// spelling (what a Hadoop cluster would have
-    in its store paths) resolves identically to s3://."""
-    from connect_server_spark.fsutil import fs_signature
+    prefix. The s3a:// spelling must NOT take this leg: an s3a store
+    is read by Spark through the Hadoop conf, and a pyarrow
+    env-credential listing could sign a different store view than the
+    one Spark scans — it routes to the Hadoop leg instead."""
+    from connect_server_spark.fsutil import _fs_signature_arrow, fs_signature
 
     base = "objectstore-evidence/sigstore"
     s3.put_object(Bucket="objectstore-evidence", Key="sigstore/a.parquet",
@@ -230,8 +232,10 @@ def test_fs_signature_arrow_leg_on_s3(spark, tmp_path, s3):
     s1 = fs_signature(spark, f"s3://{base}")
     s2 = fs_signature(spark, f"s3://{base}")
     assert s1 is not None and s1 == s2
-    assert fs_signature(spark, f"s3a://{base}") == s1  # Hadoop spelling
     assert fs_signature(spark, "s3://objectstore-evidence/nope") is None
     s3.put_object(Bucket="objectstore-evidence", Key="sigstore/b.parquet",
                   Body=b"y" * 128)
     assert fs_signature(spark, f"s3://{base}") != s1  # append detected
+    # Hadoop-operated spellings decline the pyarrow leg by design
+    assert _fs_signature_arrow(f"s3a://{base}") is NotImplemented
+    assert _fs_signature_arrow("hdfs://nn/x") is NotImplemented

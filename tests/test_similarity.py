@@ -1354,3 +1354,24 @@ def test_maintain_refine_pair_keeps_quantizers_shared(spark, tmp_path):
     )
     out = pq_refine_topk(probes, spark, pq, sq8, 3, nprobe=2).collect()
     assert sorted(r.rank for r in out) == [1, 2, 3]
+
+    # crash-window replay (review finding): the refine store rebalances
+    # alone (as if the prior maintain_refine_pair died between its two
+    # flips) — its skew is now healthy, so a trigger-only replay would
+    # return None forever while the pair stays broken. The drift check
+    # must repair it with the carry even though the trigger is quiet.
+    from connect_server_spark.operators.similarity import (
+        rebalance_ivf_index,
+    )
+
+    rebalance_ivf_index(spark, sq8, target_cell_size=32)
+    assert not np.array_equal(
+        read_ivf_centroids(spark, sq8), read_ivf_centroids(spark, pq)
+    )
+    repaired = maintain_refine_pair(spark, pq, sq8, skew_threshold=1e9)
+    assert repaired is not None
+    assert np.array_equal(
+        read_ivf_centroids(spark, sq8), read_ivf_centroids(spark, pq)
+    )
+    out = pq_refine_topk(probes, spark, pq, sq8, 3, nprobe=2).collect()
+    assert sorted(r.rank for r in out) == [1, 2, 3]
