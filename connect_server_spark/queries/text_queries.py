@@ -453,6 +453,24 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_tokens(docs, "doc_id", "text", k=200)
 
 
+# Rows-only by gate capacity; the SAME SQL runs in tests/test_text.py,
+# and the constant lives here so a future rotation can promote it
+# verbatim (the epoch-shuffle pattern).
+VOCAB_TOP_TOKENS_ORACLE_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+      FROM documents
+    )
+    SELECT token,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM toks WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT 200
+"""
+
 register("vocab_top_tokens", vocab_top_tokens, defer=True)
 
 

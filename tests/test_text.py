@@ -369,31 +369,26 @@ def test_bpe_token_estimate_vertical_tab_consistency(spark):
 
 
 def test_vocab_top_tokens_matches_duckdb_mirror(spark, sf_dir):
-    """Oracle-grade check outside the driver's 50-query gate window: the
-    vocab query's exact rows vs DuckDB on the same parquet."""
+    """Oracle-grade check outside the driver's 50-query gate window:
+    the vocab query's exact rows vs DuckDB — via the SHARED module
+    constant, promotion-ready verbatim."""
     import duckdb
 
-    from connect_server_spark.queries.text_queries import vocab_top_tokens
+    from connect_server_spark.queries.text_queries import (
+        VOCAB_TOP_TOKENS_ORACLE_SQL,
+        vocab_top_tokens,
+    )
 
     got = [
         (r.token, r.n_occurrences, r.n_docs)
         for r in vocab_top_tokens(spark, sf_dir).collect()
     ]
     con = duckdb.connect()
-    want = con.execute(f"""
-        WITH toks AS (
-          SELECT doc_id, unnest(string_split(
-            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
-          FROM read_parquet('{sf_dir}/documents.parquet')
-        )
-        SELECT token,
-               count(*) AS n_occurrences,
-               count(DISTINCT doc_id) AS n_docs
-        FROM toks WHERE token <> ''
-        GROUP BY token
-        ORDER BY n_occurrences DESC, token ASC
-        LIMIT 200
-    """).fetchall()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(VOCAB_TOP_TOKENS_ORACLE_SQL).fetchall()
     assert got == want
 
 
