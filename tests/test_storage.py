@@ -556,3 +556,41 @@ def test_fs_signature_change_detection_both_legs(spark, tmp_path):
     assert _local_fs_path(spark, d) == d
     assert _local_fs_path(spark, "s3a://bucket/x") is None
     assert _local_fs_path(spark, "file:///tmp/x") == "/tmp/x"
+
+
+def test_bucketed_writes_emit_one_file_per_bucket(spark, tmp_path):
+    """write_bucketed_path aligns task parallelism with the bucket
+    layout (r11): a bucketed save from an N-partition input otherwise
+    emits up to N x buckets files — the sf0.1 minhash band index came
+    out as ~3,000 files from a 94-partition input, and every listing,
+    footer read, and scan open paid for it. Overwrite AND append must
+    each add at most `buckets` data files."""
+    import os
+
+    from connect_server_spark.storage import read_bucketed, write_bucketed_path
+
+    df = spark.range(0, 2000).selectExpr(
+        "id AS k", "id * 2 AS v"
+    ).repartition(16)  # many input partitions, deliberately
+    path = str(tmp_path / "store")
+    write_bucketed_path(df, path, "k", buckets=8)
+
+    def data_files():
+        return [
+            n for n in os.listdir(path)
+            if n.endswith(".parquet") and not n.startswith(".")
+        ]
+
+    first = data_files()
+    assert 0 < len(first) <= 8, len(first)
+
+    batch = spark.range(2000, 2100).selectExpr(
+        "id AS k", "id * 2 AS v"
+    ).repartition(16)
+    write_bucketed_path(batch, path, "k", buckets=8, mode="append")
+    assert len(data_files()) <= len(first) + 8
+
+    # layout intact: the read reports the bucketing (no Exchange on a
+    # self-join by key) and every row survived
+    out = read_bucketed(spark, path, "k", buckets=8)
+    assert out.count() == 2100
