@@ -250,10 +250,12 @@ def write_bytes_atomic(spark: SparkSession, path: str, data: bytes) -> None:
 
 def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
     """Write a small text file so readers never observe a partial write:
-    create a dot-prefixed sibling, stream + hflush + close, then rename
-    over the final name (deleting a stale final first — Hadoop rename
-    does not overwrite). Used for commit-marker manifests, so the
-    ordering guarantee is: the final name exists ⇒ the content is whole."""
+    create a unique dot-prefixed sibling, stream + hflush + close, then
+    ONE atomic overwrite-rename onto the final name
+    (``FileContext.rename(OVERWRITE)`` — no delete-then-rename window;
+    see :func:`_write_atomic`). Used for pointer/manifest files, so the
+    guarantee is old-or-new-never-neither: a reader sees the previous
+    whole content or the new whole content, never absence mid-swap."""
     _write_atomic(spark, path, text.encode("utf-8"))
 
 
