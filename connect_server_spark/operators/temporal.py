@@ -43,6 +43,7 @@ __all__ = [
     "merge_partials",
     "finalize_partials",
     "rollup_cascade",
+    "rollup_anomalies_exact",
     "rollup_zscores",
     "overlap_join",
 ]
@@ -469,6 +470,75 @@ def rollup_zscores(
         F.round(t_mean, 6).alias("trailing_mean"),
         F.round(t_std, 6).alias("trailing_std"),
         F.round(z, 6).alias("zscore"),
+    )
+
+
+def rollup_anomalies_exact(
+    partials: DataFrame,
+    keys: list[str],
+    trailing: int = 24,
+    min_history: int = 6,
+    thresh_sq: int = 9,
+) -> DataFrame:
+    """:func:`rollup_zscores` restated in EXACT integer arithmetic — the
+    gate-stable variant (the integer-cents trick that made
+    ``events_rollup_cascade`` promotable in r11).
+
+    The metric is each bucket's total in integer cents
+    (``sum_cents = round(sum_v·100)``, exact because the value column
+    lives on the 0.01 grid). Over the trailing window keep the integer
+    moments ``S1 = Σx`` and ``S2 = Σx²``; with ``w`` history rows,
+    ``z² = (x·w − S1)² / (w·S2 − S1²)`` — so the |z| > t flag is the pure
+    integer inequality ``dev² > t²·denom`` with ``dev = x·w − S1`` and
+    ``denom = w·S2 − S1²``. No float enters until nothing is left to
+    round, so any engine computes identical output bit-for-bit.
+
+    Headroom: all terms are BIGINT; exactness needs
+    ``|dev| < ~3.03e9`` (so dev² fits) — i.e. per-key per-bucket totals
+    up to ~1.2e8 cents with the default 24-bucket window. Larger grids
+    rescale cents → dollars before the window.
+
+    ``is_anomaly`` is 1/0, NULL while history < ``min_history`` or when
+    the trailing window is constant (``denom = 0`` — flagging there
+    would mark ANY change anomalous; callers own that policy).
+    Same plan shape as :func:`rollup_zscores`: ONE hash partition by
+    key over the (already tiny) rollup level.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("bucket_ts"))
+        .rowsBetween(-trailing, -1)
+    )
+    x = F.round(F.col("sum_v") * 100).cast("long")
+    base = partials.select(
+        *keys, "bucket_ts", x.alias("sum_cents")
+    )
+    xc = F.col("sum_cents")
+    s1 = F.sum(xc).over(w)
+    s2 = F.sum(xc * xc).over(w)
+    n_hist = F.count(xc).over(w)
+    scored = base.select(
+        *keys,
+        "bucket_ts",
+        "sum_cents",
+        n_hist.alias("n_history"),
+        s1.alias("trailing_sum_cents"),
+        s2.alias("trailing_sumsq_cents2"),
+    )
+    ready = F.col("n_history") >= min_history
+    dev = F.col("sum_cents") * F.col("n_history") - F.col("trailing_sum_cents")
+    denom = (
+        F.col("n_history") * F.col("trailing_sumsq_cents2")
+        - F.col("trailing_sum_cents") * F.col("trailing_sum_cents")
+    )
+    return scored.select(
+        "*",
+        F.when(ready, dev).alias("dev_cents"),
+        F.when(ready, denom).alias("denom_cents2"),
+        F.when(
+            ready & (denom > 0),
+            (dev * dev > F.lit(int(thresh_sq)) * denom).cast("int"),
+        ).alias("is_anomaly"),
     )
 
 

@@ -131,9 +131,9 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     text digests) — composed in ONE scan of the documents table: every
     per-document metric is a scan-stage expression sharing one token
     split, folded by a single per-source aggregation (the digests the
-    distinct-count shuffles are 16-byte keys, never text). Rows-only
-    (md5/xxhash machinery); the full per-source DuckDB mirror runs in
-    ``tests/test_aggs.py``."""
+    distinct-count shuffles are 16-byte keys, never text). Oracle-gated
+    since the r12 rotation (the same full per-source DuckDB mirror ran
+    in ``tests/test_aggs.py`` since r11)."""
     from connect_server_spark.operators.quality import (
         gopher_flags,
         gopher_pass,
@@ -185,9 +185,10 @@ def corpus_datacard_oracle_sql() -> str:
     rate — reusing the language-score SQL fragments the gated
     text_analysis oracle is built from. A FUNCTION (not a constant):
     the fragments live in text_queries, and importing that module at
-    agg_queries import time would reorder query registration. Runs
-    verbatim in ``tests/test_aggs.py``; promotion-ready — a future
-    rotation registers ``sql=corpus_datacard_oracle_sql()``."""
+    agg_queries import time would reorder query registration, so the
+    rotation registers the builder itself (``sql=corpus_datacard_oracle_sql``)
+    and the registry resolves it lazily. Driver-gated since r12; it ran
+    verbatim in ``tests/test_aggs.py`` since r11."""
     from connect_server_spark.operators.text import STOPWORDS
     from connect_server_spark.queries.text_queries import (
         _LANG_CASE,
@@ -282,4 +283,8 @@ def corpus_datacard_oracle_sql() -> str:
     """
 
 
-register("corpus_datacard", corpus_datacard, defer=True)
+# Promoted to the driver gate in the r12 rotation. sql is the BUILDER
+# FUNCTION itself (registry resolves it lazily in all_oracle_sql):
+# calling it here would import text_queries at agg_queries import time
+# and reorder query registration mid-load.
+register("corpus_datacard", corpus_datacard, sql=corpus_datacard_oracle_sql)

@@ -44,10 +44,9 @@ def scan_status_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_path.unionAll(user_scoped)
 
 
-register(
-    "scan_status_read_path",
-    scan_status_read_path,
-    sql="""
+# r12 sixth rotation: demoted (frozen green since r1); oracle preserved
+# verbatim in tests/test_entry_oracle.py.
+SCAN_STATUS_READ_PATH_ORACLE_SQL = """
     SELECT 'status_read' AS probe,
            o_orderkey, o_custkey, o_totalprice, o_orderpriority
     FROM orders
@@ -59,8 +58,9 @@ register(
            o_orderkey, o_custkey, o_totalprice, o_orderpriority
     FROM orders
     WHERE o_custkey = 1 AND o_totalprice > 50000.0
-    """,
-)
+    """
+
+register("scan_status_read_path", scan_status_read_path, defer=True)
 
 
 def scan_ops_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,18 +78,18 @@ def scan_ops_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "scan_ops_matrix",
-    scan_ops_matrix,
-    sql="""
+# r12 sixth rotation: demoted (frozen green since r1); oracle preserved
+# verbatim in tests/test_entry_oracle.py.
+SCAN_OPS_MATRIX_ORACLE_SQL = """
     SELECT p_partkey, p_name, p_brand, p_type, p_size
     FROM part
     WHERE p_name LIKE '%r%'
       AND p_size BETWEEN 10 AND 30
       AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#4')
       AND p_type <> 'ECONOMY'
-    """,
-)
+    """
+
+register("scan_ops_matrix", scan_ops_matrix, defer=True)
 
 
 def scan_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -207,20 +207,74 @@ register(
 
 def events_rollup_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Telemetry anomaly scan over the hourly rollup level: each
-    (event_type, hour) bucket z-scored against its trailing 24 hours.
-    The window input is the rollup's partial rows (one per bucket),
-    never raw events."""
+    (event_type, hour) bucket's cent total flagged against its trailing
+    24 hours. The window input is the rollup's partial rows (one per
+    bucket), never raw events.
+
+    Oracle-gated since the r12 rotation. Gate-stable by the
+    integer-moments restatement (``rollup_anomalies_exact``): the float
+    z-score mirror needed rounding slack near the 1e-6 grid, so the
+    gated form carries the exact BIGINT moments and the |z| > 3 flag as
+    ``dev² > 9·denom`` — bit-identical in any engine. The float-z
+    operator (``rollup_zscores``) stays for human telemetry and keeps
+    its tolerance-checked mirror in ``tests/test_temporal.py``."""
     from connect_server_spark.operators.temporal import (
         bucket_partials,
-        rollup_zscores,
+        rollup_anomalies_exact,
     )
 
     ev = load_table(spark, "events", sf_dir)
     hourly = bucket_partials(ev, "ts", "value", ["event_type"], 3600)
-    return rollup_zscores(hourly, ["event_type"], trailing=24, min_history=6)
+    return rollup_anomalies_exact(
+        hourly, ["event_type"], trailing=24, min_history=6, thresh_sq=9
+    )
 
 
-register("events_rollup_anomalies", events_rollup_anomalies, defer=True)
+EVENTS_ROLLUP_ANOMALIES_ORACLE_SQL = """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP)
+               AS bucket_ts,
+             CAST(round(sum(value) * 100) AS BIGINT) AS sum_cents
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, bucket_ts, sum_cents,
+             CAST(count(sum_cents) OVER tw AS BIGINT) AS n_history,
+             CAST(sum(sum_cents) OVER tw AS BIGINT) AS trailing_sum_cents,
+             CAST(sum(sum_cents * sum_cents) OVER tw AS BIGINT)
+               AS trailing_sumsq_cents2
+      FROM hourly
+      WINDOW tw AS (PARTITION BY event_type ORDER BY bucket_ts
+                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket_ts, sum_cents, n_history,
+           trailing_sum_cents, trailing_sumsq_cents2,
+           CASE WHEN n_history >= 6
+                THEN sum_cents * n_history - trailing_sum_cents END
+             AS dev_cents,
+           CASE WHEN n_history >= 6
+                THEN n_history * trailing_sumsq_cents2
+                     - trailing_sum_cents * trailing_sum_cents END
+             AS denom_cents2,
+           CASE WHEN n_history >= 6
+                 AND n_history * trailing_sumsq_cents2
+                     - trailing_sum_cents * trailing_sum_cents > 0
+                THEN CAST(
+                  (sum_cents * n_history - trailing_sum_cents)
+                  * (sum_cents * n_history - trailing_sum_cents)
+                  > 9 * (n_history * trailing_sumsq_cents2
+                         - trailing_sum_cents * trailing_sum_cents)
+                  AS INTEGER) END
+             AS is_anomaly
+    FROM scored
+"""
+
+register(
+    "events_rollup_anomalies",
+    events_rollup_anomalies,
+    sql=EVENTS_ROLLUP_ANOMALIES_ORACLE_SQL,
+)
 
 
 def events_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -444,18 +444,18 @@ register("tokenize_bpe", tokenize_bpe, defer=True)
 def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: the 200 most frequent tokens with occurrence
     and document-frequency counts — deterministic (lexical tie-break),
-    computed with the two-stage no-Expand distinct shape. Rows-only by
-    gate-capacity only; the DuckDB mirror runs in
-    ``tests/test_text.py`` instead."""
+    computed with the two-stage no-Expand distinct shape. Oracle-gated
+    since the r12 rotation (the same SQL ran as the pytest mirror in
+    ``tests/test_text.py`` since r11)."""
     from connect_server_spark.operators.text import top_tokens
 
     docs = load_table(spark, "documents", sf_dir)
     return top_tokens(docs, "doc_id", "text", k=200)
 
 
-# Rows-only by gate capacity; the SAME SQL runs in tests/test_text.py,
-# and the constant lives here so a future rotation can promote it
-# verbatim (the epoch-shuffle pattern).
+# Promoted to the driver gate in the r12 rotation (the SAME SQL ran as
+# the pytest mirror in tests/test_text.py since r11 — the epoch-shuffle
+# promotion pattern).
 VOCAB_TOP_TOKENS_ORACLE_SQL = """
     WITH toks AS (
       SELECT doc_id, unnest(string_split(
@@ -471,7 +471,7 @@ VOCAB_TOP_TOKENS_ORACLE_SQL = """
     LIMIT 200
 """
 
-register("vocab_top_tokens", vocab_top_tokens, defer=True)
+register("vocab_top_tokens", vocab_top_tokens, sql=VOCAB_TOP_TOKENS_ORACLE_SQL)
 
 
 def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -164,10 +164,9 @@ def latest_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "latest_status_join",
-    latest_status_join,
-    sql=f"""
+# r12 sixth rotation: demoted (frozen green since r1); oracle preserved
+# verbatim in tests/test_entry_oracle.py.
+LATEST_STATUS_JOIN_ORACLE_SQL = f"""
     SELECT
       c.c_custkey,
       concat('src_', CAST(c.c_custkey % {_KEY_MOD} AS VARCHAR)) AS source_id,
@@ -181,8 +180,9 @@ register(
     FROM customer c
     LEFT JOIN ({_LATEST_SQL}) l
       ON concat('src_', CAST(c.c_custkey % {_KEY_MOD} AS VARCHAR)) = l.source_id
-    """,
-)
+    """
+
+register("latest_status_join", latest_status_join, defer=True)
 
 
 def version_existence_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

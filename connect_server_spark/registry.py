@@ -17,7 +17,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _DEFERRED: dict[str, QueryFn] = {}
-_ORACLE: dict[str, str] = {}
+_ORACLE: dict[str, str | Callable[[], str]] = {}
 _LOADED = False
 
 # Query modules, one per build phase. Extend as phases land.
@@ -47,12 +47,20 @@ _QUERY_MODULES = [
 
 
 def register(
-    name: str, fn: QueryFn, sql: str | None = None, defer: bool = False
+    name: str,
+    fn: QueryFn,
+    sql: str | Callable[[], str] | None = None,
+    defer: bool = False,
 ) -> None:
     """Register a driver query. ``defer=True`` pushes the entry to the END
     of ``all_queries()`` iteration order — used for the rows-only queries
     (no SQL-expressible oracle) so every oracle-gated query falls inside
-    the correctness driver's first-50 window."""
+    the correctness driver's first-50 window.
+
+    ``sql`` may be a zero-arg callable resolved lazily in
+    ``all_oracle_sql()``: an oracle whose SQL fragments live in ANOTHER
+    query module must not import that module at registration time (it
+    would reorder query registration mid-load)."""
     if name in _QUERIES or name in _DEFERRED:
         raise ValueError(f"duplicate query name '{name}'")
     if defer and sql is not None:
@@ -78,7 +86,7 @@ def all_queries() -> dict[str, QueryFn]:
 
 def all_oracle_sql() -> dict[str, str]:
     _load()
-    return dict(_ORACLE)
+    return {k: (v() if callable(v) else v) for k, v in _ORACLE.items()}
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

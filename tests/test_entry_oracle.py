@@ -54,12 +54,15 @@ def _demoted_mirrors():
     )
     from connect_server_spark.queries.scan_queries import (
         SCAN_NULL_SEMANTICS_ORACLE_SQL,
+        SCAN_OPS_MATRIX_ORACLE_SQL,
+        SCAN_STATUS_READ_PATH_ORACLE_SQL,
     )
     from connect_server_spark.queries.validator_queries import (
         VALIDATOR_DATASET_SIZE_ORACLE_SQL,
         VALIDATOR_ELEMENTS_ORACLE_SQL,
     )
     from connect_server_spark.queries.version_queries import (
+        LATEST_STATUS_JOIN_ORACLE_SQL,
         VERSION_EXISTENCE_PROBE_ORACLE_SQL,
     )
     from connect_server_spark.queries.transfer_queries import (
@@ -97,6 +100,12 @@ def _demoted_mirrors():
         # r11 fifth rotation, second tranche: displaced by
         # corpus_hybrid_retrieval
         "validator_elements": VALIDATOR_ELEMENTS_ORACLE_SQL,
+        # r12 sixth rotation: displaced by vocab_top_tokens,
+        # corpus_datacard, events_rollup_anomalies (the three oldest
+        # r1-frozen gates out, by first-commit order)
+        "scan_status_read_path": SCAN_STATUS_READ_PATH_ORACLE_SQL,
+        "scan_ops_matrix": SCAN_OPS_MATRIX_ORACLE_SQL,
+        "latest_status_join": LATEST_STATUS_JOIN_ORACLE_SQL,
     }
 
 
@@ -129,6 +138,16 @@ def test_readme_deferred_map_matches_registry():
     assert mapped - deferred == set(), (
         f"README map rows that are not deferred: {sorted(mapped - deferred)}"
     )
+
+
+def test_rotation_ledger_is_mechanically_true():
+    """Every demoted gate maps to a preserved-oracle mirror, stays
+    rows-only, is not double-gated, and is cited in README's deferred
+    map — the same audit ``tools/check_rotation_ledger.py`` runs
+    standalone."""
+    import tools.check_rotation_ledger as ledger
+
+    assert ledger.audit() == []
 
 
 def test_entry_smoke(spark):

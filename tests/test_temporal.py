@@ -388,10 +388,24 @@ def test_cascade_rejects_non_nesting_widths(spark, sf_dir):
 
 def test_rollup_zscores_matches_duckdb_mirror(spark, sf_dir):
     """The trailing-window z-score vs DuckDB's window functions on the
-    same hourly partials (population stddev, explicit in both)."""
-    from connect_server_spark.queries.temporal_queries import (
-        events_rollup_anomalies,
+    same hourly partials (population stddev, explicit in both).
+
+    Drives ``rollup_zscores`` directly since r12: the registered
+    ``events_rollup_anomalies`` query now serves the gate-stable
+    integer-moments variant (driver-gated), while the float-z operator
+    keeps this tolerance-checked mirror."""
+    from connect_server_spark.operators.temporal import (
+        bucket_partials,
+        rollup_zscores,
     )
+    from connect_server_spark.tables import load_table
+
+    def events_rollup_anomalies(spark, sf_dir):
+        ev = load_table(spark, "events", sf_dir)
+        hourly = bucket_partials(ev, "ts", "value", ["event_type"], 3600)
+        return rollup_zscores(
+            hourly, ["event_type"], trailing=24, min_history=6
+        )
 
     def norm(rows):
         return sorted(
@@ -466,6 +480,86 @@ def test_rollup_zscores_flags_planted_spike(spark):
     assert spike.zscore is not None
     assert spike.zscore > 10
     assert all(abs(r.zscore) < 3 for r in steady)
+
+
+def test_rollup_anomalies_exact_agrees_with_float_zscores(spark, sf_dir):
+    """The gate-stable integer-moments flag must agree with the float
+    operator's |z| > 3 verdict on every real bucket (same hourly level,
+    same trailing window) — the restatement is algebra, not a new
+    definition. Both NULL classes (min_history, constant window) must
+    coincide too."""
+    from connect_server_spark.operators.temporal import (
+        bucket_partials,
+        rollup_anomalies_exact,
+        rollup_zscores,
+    )
+    from connect_server_spark.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    hourly = bucket_partials(ev, "ts", "value", ["event_type"], 3600)
+    # the float operator scores avg_v; feed it the cents TOTAL as the
+    # value so both score the same metric (n folds out of z anyway
+    # only when n is constant, which it is not here)
+    totals = hourly.selectExpr(
+        "event_type",
+        "bucket_ts",
+        "bucket_seconds",
+        "CAST(1 AS BIGINT) AS n",
+        "CAST(round(sum_v * 100) AS DOUBLE) AS sum_v",
+    )
+    zrows = {
+        (r.event_type, r.bucket_ts): r.zscore
+        for r in rollup_zscores(
+            totals, ["event_type"], trailing=24, min_history=6
+        ).collect()
+    }
+    exact = rollup_anomalies_exact(
+        hourly, ["event_type"], trailing=24, min_history=6, thresh_sq=9
+    ).collect()
+    assert len(exact) == len(zrows) > 0
+    disagreements = []
+    for r in exact:
+        z = zrows[(r.event_type, r.bucket_ts)]
+        if r.is_anomaly is None:
+            # float z is null for the same reasons (history / σ=0)
+            if z is not None:
+                disagreements.append((r, z, "null-class"))
+        # |z| within 1e-6 of the 3.0 boundary could legitimately split
+        # between the rounded float and the exact integer test
+        elif z is not None and abs(abs(z) - 3.0) > 1e-6:
+            if bool(r.is_anomaly) != (abs(z) > 3.0):
+                disagreements.append((r, z, "flag"))
+    assert not disagreements, disagreements[:3]
+
+
+def test_rollup_anomalies_exact_flags_planted_spike(spark):
+    """Planted 100× spike: flagged 1 by the exact-integer test; steady
+    buckets flagged 0; early buckets (< min_history) NULL."""
+    import datetime as ddt
+
+    from connect_server_spark.operators.temporal import (
+        bucket_partials,
+        rollup_anomalies_exact,
+    )
+
+    rows = []
+    for h in range(30):
+        v = 1000.0 if h == 29 else 10.0 + (h % 3)
+        rows.append((ddt.datetime(2024, 1, 1, h % 24, 30)
+                     + ddt.timedelta(days=h // 24), "k", v))
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+    hourly = bucket_partials(df, "ts", "v", ["k"], 3600)
+    out = {r.bucket_ts: r for r in
+           rollup_anomalies_exact(hourly, ["k"], trailing=24,
+                                  min_history=6).collect()}
+    ordered = [out[k] for k in sorted(out)]
+    for r in ordered[:6]:
+        assert r.is_anomaly is None
+    assert ordered[-1].is_anomaly == 1
+    assert all(r.is_anomaly == 0 for r in ordered[6:-1]
+               if r.is_anomaly is not None)
+    # integer moments are exact: sum_cents is the planted grid value
+    assert ordered[-1].sum_cents == 100000
 
 
 # -------------------------------------------------------------- overlap
