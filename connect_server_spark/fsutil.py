@@ -33,6 +33,7 @@ __all__ = [
     "publish_generation",
     "list_generations",
     "append_resolved",
+    "append_guarded",
 ]
 
 
@@ -70,25 +71,88 @@ def _fs_and_path(spark: SparkSession, path: str):
     return fs, jpath, hadoop_path
 
 
+# Schemes pyarrow OWNS for the control plane (same ownership rule as
+# the fs_signature arrow leg): stock Hadoop has no s3:// or gs://
+# FileSystem at all, so a pointer-store op on such a root must take the
+# native pyarrow leg — falling through to the JVM would bury the real
+# path under a misleading 'No FileSystem for scheme' crash. s3a://,
+# hdfs://, file: and scheme-less paths stay on the Hadoop leg, whose
+# conf-resolved view is authoritative for Spark's own scans.
+_ARROW_SCHEMES = ("s3", "gs")
+
+
+def _arrow_fs(path: str):
+    """(pyarrow FileSystem, bucket-relative root) when pyarrow owns the
+    scheme, else ``None`` (Hadoop leg). ImportError propagates: these
+    schemes have no JVM fallback, so a missing pyarrow is a real error,
+    not a routing decision."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme not in _ARROW_SCHEMES:
+        return None
+    import pyarrow.fs as pafs
+
+    fs, root = pafs.FileSystem.from_uri(path)
+    return fs, root
+
+
+def _arrow_put_bytes(fs, root: str, payload: bytes) -> None:
+    """The one write syscall of the arrow leg, seamed out so the moto
+    S3 test double can route it through boto3 (moto's multipart handler
+    rejects pyarrow's upload shape — the same documented shim
+    ``tests/test_objectstore.py`` uses for parquet fixtures). On real
+    S3/GCS the pyarrow stream close is a CompleteMultipartUpload /
+    finalize — an ATOMIC whole-object replace, which is exactly the
+    old-or-new-never-neither guarantee ``write_text_atomic`` promises."""
+    with fs.open_output_stream(root) as out:
+        out.write(payload)
+
+
 def fs_exists(spark: SparkSession, path: str) -> bool:
+    af = _arrow_fs(path)
+    if af is not None:
+        import pyarrow.fs as pafs
+
+        fs, root = af
+        return fs.get_file_info(root).type != pafs.FileType.NotFound
     fs, jpath, _ = _fs_and_path(spark, path)
     return bool(fs.exists(jpath))
 
 
 def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
     """Rename ``src`` to ``dst``; raises if the filesystem refuses (e.g.
-    destination exists). On HDFS this is atomic; on S3A it is a copy —
-    so whole-DIRECTORY swaps must not rely on it: use the
+    destination exists). On HDFS this is atomic; on object stores it is
+    a copy — so whole-DIRECTORY swaps must not rely on it: use the
     generation-pointer discipline below (``publish_generation``), which
     reduces a store swap to one small-file replace. Single small-file
     write-tmp-then-rename within one directory remains the standard
     job-commit primitive every Hadoop FS implements."""
+    af = _arrow_fs(src)
+    if af is not None:
+        fs, root = af
+        dst_af = _arrow_fs(dst)
+        if dst_af is None:
+            raise OSError(f"fs_rename: cross-scheme rename {src} -> {dst}")
+        fs.move(root, dst_af[1])
+        return
     fs, jsrc, hadoop_path = _fs_and_path(spark, src)
     if not fs.rename(jsrc, hadoop_path(dst)):
         raise OSError(f"rename failed: {src} -> {dst}")
 
 
 def fs_delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    af = _arrow_fs(path)
+    if af is not None:
+        import pyarrow.fs as pafs
+
+        fs, root = af
+        info = fs.get_file_info(root)
+        if info.type == pafs.FileType.NotFound:
+            return False
+        if info.type == pafs.FileType.Directory:
+            fs.delete_dir(root)
+        else:
+            fs.delete_file(root)
+        return True
     fs, jpath, _ = _fs_and_path(spark, path)
     return bool(fs.delete(jpath, recursive))
 
@@ -96,6 +160,15 @@ def fs_delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
 def fs_list(spark: SparkSession, path: str) -> list[str]:
     """Child NAMES of a directory (empty list if it does not exist) —
     the listing primitive behind generation GC."""
+    af = _arrow_fs(path)
+    if af is not None:
+        import pyarrow.fs as pafs
+
+        fs, root = af
+        infos = fs.get_file_info(
+            pafs.FileSelector(root, recursive=False, allow_not_found=True)
+        )
+        return [i.path.rsplit("/", 1)[-1] for i in infos]
     fs, jpath, _ = _fs_and_path(spark, path)
     if not fs.exists(jpath):
         return []
@@ -130,17 +203,27 @@ def fs_signature(spark: SparkSession, path: str):
     if local is not None:
         try:
             with os.scandir(local) as it:
-                return tuple(
-                    sorted(
-                        (e.name, st.st_size, st.st_mtime_ns)
-                        for e in it
-                        for st in (e.stat(follow_symlinks=False),)
-                    )
-                )
+                entries = []
+                for e in it:
+                    try:
+                        st = e.stat(follow_symlinks=False)
+                    except FileNotFoundError:
+                        # child deleted mid-scan (compaction grace GC):
+                        # skip it — the dir exists, and whichever
+                        # signature a racing reader computes, the NEXT
+                        # probe after the delete settles re-reads it.
+                        # Returning None here would misreport the store
+                        # as missing and permanently bypass the memos.
+                        continue
+                    entries.append((e.name, st.st_size, st.st_mtime_ns))
+                return tuple(sorted(entries))
         except FileNotFoundError:
             return None
         except NotADirectoryError:
-            st = os.stat(local)
+            try:
+                st = os.stat(local)
+            except FileNotFoundError:
+                return None  # deleted between scandir and stat
             return ((os.path.basename(local), st.st_size, st.st_mtime_ns),)
     sig = _fs_signature_arrow(path)
     if sig is not NotImplemented:
@@ -168,15 +251,23 @@ def _fs_signature_arrow(path: str):
         return NotImplemented
     try:
         import pyarrow.fs as pafs
-
+    except ImportError:
+        return NotImplemented
+    try:
         fs, root = pafs.FileSystem.from_uri(path)
         infos = fs.get_file_info(
             pafs.FileSelector(root, recursive=False, allow_not_found=True)
         )
         if not infos and fs.get_file_info(root).type == pafs.FileType.NotFound:
             return None
-    except (OSError, ValueError, ImportError):
-        return NotImplemented
+    except (OSError, ValueError) as e:
+        # pyarrow OWNS these schemes: stock Hadoop has no s3://gs://
+        # FileSystem, so falling through to the JVM leg would bury this
+        # real error (network hiccup, region resolution) under a
+        # confusing 'No FileSystem for scheme' crash in the caller.
+        raise OSError(
+            f"fs_signature: pyarrow listing failed for {path}: {e}"
+        ) from e
     return tuple(
         sorted((i.path.rsplit("/", 1)[-1], i.size, i.mtime_ns) for i in infos)
     )
@@ -195,17 +286,37 @@ def _fs_signature_remote(spark: SparkSession, path: str):
     per-child ``toString`` would be O(n) gateway hops (the exact r10
     cost class), and FileStatus.toString also embeds access_time —
     on HDFS a pure READ would mutate the signature and spuriously
-    invalidate every memo built on it."""
+    invalidate every memo built on it.
+
+    S3A caveat, closed: S3A synthesizes directory FileStatus with
+    mtime 0, so on that scheme the signature would degrade to
+    (length, fileCount, dirCount) — blind to a rewrite preserving total
+    bytes and child counts. When the dir mtime comes back 0 the
+    signature folds in a digest of the full child listing, rendered
+    JVM-SIDE in ONE extra gateway call (``Arrays.toString(listStatus)``)
+    — still O(1) round trips, and safe on this branch because object
+    stores have no access_time to churn the render (HDFS, whose atime
+    could, never hits it: its dir mtime is real). Any child
+    add/remove/rename/resize — including the same-bytes rewrite, since
+    part files carry unique UUID names — moves the digest; a spurious
+    listing-order change merely refreshes a memo, never freezes one."""
     fs, jpath, _ = _fs_and_path(spark, path)
     if not fs.exists(jpath):
         return None
     summary = fs.getContentSummary(jpath)
-    return (
+    mtime = fs.getFileStatus(jpath).getModificationTime()
+    sig = (
         summary.getLength(),
         summary.getFileCount(),
         summary.getDirectoryCount(),
-        fs.getFileStatus(jpath).getModificationTime(),
+        mtime,
     )
+    if mtime == 0:
+        import hashlib
+
+        render = spark._jvm.java.util.Arrays.toString(fs.listStatus(jpath))
+        sig += (hashlib.md5(render.encode("utf-8", "replace")).hexdigest(),)
+    return sig
 
 
 def _local_fs_path(spark: SparkSession, path: str) -> "str | None":
@@ -215,10 +326,15 @@ def _local_fs_path(spark: SparkSession, path: str) -> "str | None":
     is ``file:`` — on a cluster whose ``fs.defaultFS`` is HDFS they are
     remote, so they take the JVM route."""
     if path.startswith("file:"):
-        stripped = path[len("file:"):]
-        while stripped.startswith("//"):
-            stripped = stripped[1:]
-        return stripped or "/"
+        from urllib.parse import urlsplit
+
+        parts = urlsplit(path)
+        if parts.netloc not in ("", "localhost"):
+            # a real authority (file://host/x) is not this driver's
+            # filesystem — stripping it would scandir '/host/x' and
+            # misreport the store as missing; the JVM leg resolves it
+            return None
+        return parts.path or "/"
     if "://" in path:
         return None
     key = id(spark._jsparkSession)
@@ -262,6 +378,17 @@ def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
 def _write_atomic(spark: SparkSession, path: str, payload: bytes) -> None:
     import uuid
 
+    af = _arrow_fs(path)
+    if af is not None:
+        # object stores: ONE whole-object PUT (multipart-complete on
+        # S3, finalize on GCS) is already an atomic replace — readers
+        # see the previous whole object or the new whole object, never
+        # a partial. The tmp+rename dance is not just unnecessary here,
+        # it would be WEAKER: object-store rename is copy+delete, a
+        # two-step window the direct PUT does not have.
+        fs, root = af
+        _arrow_put_bytes(fs, root, payload)
+        return
     fs, jpath, hadoop_path = _fs_and_path(spark, path)
     parent = jpath.getParent()
     # unique tmp per writer: a fixed sibling name would let two racing
@@ -301,6 +428,11 @@ def _write_atomic(spark: SparkSession, path: str, payload: bytes) -> None:
 
 
 def read_text(spark: SparkSession, path: str) -> str:
+    af = _arrow_fs(path)
+    if af is not None:
+        fs, root = af
+        with fs.open_input_stream(root) as stream:
+            return stream.read().decode("utf-8")
     fs, jpath, _ = _fs_and_path(spark, path)
     stream = fs.open(jpath)
     try:
@@ -466,6 +598,30 @@ def resolve_store(
 CLAIM_MARKER = "_CLAIM"
 
 
+def _create_exclusive(spark: SparkSession, path: str) -> None:
+    """Create an empty marker file, failing if it already exists — the
+    number-claim primitive of :func:`begin_generation`. Hadoop leg:
+    ``fs.create(overwrite=False)`` (atomic on HDFS/local; on S3A a
+    HEAD-then-PUT millisecond window). pyarrow object-store leg: the
+    same HEAD-then-PUT shape explicitly — bare S3/GCS has no exclusive
+    create either, so the claim window there is identical to the s3a
+    one already documented on :func:`begin_generation`; the epoch check
+    at publish time remains the guard that actually refuses a lost
+    race."""
+    af = _arrow_fs(path)
+    if af is not None:
+        import pyarrow.fs as pafs
+
+        fs, root = af
+        if fs.get_file_info(root).type != pafs.FileType.NotFound:
+            raise FileExistsError(path)
+        _arrow_put_bytes(fs, root, b"")
+        return
+    fs, jpath, _ = _fs_and_path(spark, path)
+    out = fs.create(jpath, False)
+    out.close()
+
+
 def begin_generation(spark: SparkSession, root: str) -> GenerationHandle:
     """Claim the NEXT generation directory under ``root``: max existing
     generation number + 1, so crash-orphaned unpublished builds are
@@ -493,7 +649,6 @@ def begin_generation(spark: SparkSession, root: str) -> GenerationHandle:
     root = root.rstrip("/")
     marker = f"{root}/{CURRENT_POINTER}"
     base = read_text(spark, marker).strip() if fs_exists(spark, marker) else None
-    fs, _, hadoop_path = _fs_and_path(spark, root)
     highest = 0
     for name in fs_list(spark, root):
         if name.startswith(GENERATION_PREFIX):
@@ -505,8 +660,7 @@ def begin_generation(spark: SparkSession, root: str) -> GenerationHandle:
         n = highest + 1 + attempt
         gen = f"{root}/{GENERATION_PREFIX}{n:08d}"
         try:
-            out = fs.create(hadoop_path(f"{gen}/{CLAIM_MARKER}"), False)
-            out.close()
+            _create_exclusive(spark, f"{gen}/{CLAIM_MARKER}")
             return GenerationHandle(gen, base)
         except Exception:  # noqa: BLE001 — claim exists: another builder
             if not fs_exists(spark, f"{gen}/{CLAIM_MARKER}") and not fs_exists(
@@ -725,10 +879,28 @@ def append_resolved(df, root: str, _pre_write_hook=None) -> None:
     actually has. ``_pre_write_hook`` is a test seam that runs between
     the resolve and the write — production callers leave it None."""
     spark = df.sparkSession
+    append_guarded(
+        spark,
+        root,
+        lambda live: df.write.mode("append").parquet(live),
+        _pre_write_hook=_pre_write_hook,
+    )
+
+
+def append_guarded(
+    spark: SparkSession, root: str, write_fn, _pre_write_hook=None
+) -> None:
+    """The resolve → write → re-resolve race guard of
+    :func:`append_resolved`, with the payload writer injected —
+    ``write_fn(live_dir)`` appends into the resolved live generation.
+    This is the whole append contract for NON-Spark payload writers
+    (control-plane ledgers, fixture uploads, the object-store evidence
+    suite); :func:`append_resolved` is the Spark-DataFrame instance of
+    it."""
     live = resolve_store(spark, root)
     if _pre_write_hook is not None:
         _pre_write_hook()
-    df.write.mode("append").parquet(live)
+    write_fn(live)
     now = resolve_store(spark, root)
     if now != live:
         raise ConcurrentPublishError(
