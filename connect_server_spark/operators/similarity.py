@@ -45,6 +45,8 @@ __all__ = [
     "read_ivf_cells",
     "ivf_topk_indexed",
     "pq_refine_topk",
+    "recommended_refine_mult",
+    "CandidateStarvedRefineWarning",
     "ivf_cell_stats",
     "rebalance_ivf_index",
     "maintain_ivf_index",
@@ -788,6 +790,30 @@ def ivf_topk_indexed(
     )
 
 
+class CandidateStarvedRefineWarning(UserWarning):
+    """``pq_refine_topk`` was called in the measured candidate-starved
+    regime: at high nprobe the ``refine_mult × k`` shortlist, not cell
+    I/O, binds recall (SCALE.md's escalation table — nprobe=32 at ×8
+    reads 0.655 vs SQ8's 0.87; ×64 restores 0.860 with a flat wall).
+    The caller asked for a shortlist smaller than the measured
+    escalation rule; recall will silently sit below what the same scan
+    budget can buy."""
+
+
+def recommended_refine_mult(nprobe: int, floor: int = 8) -> int:
+    """The refine-shortlist escalation rule encoded from the measured
+    table (SCALE.md "composed IVFPQ+refine, measured"): recall at high
+    nprobe is CANDIDATE-bound — at nprobe=32, refine_mult 8/16/32/64
+    read 0.655/0.750/0.820/0.860 vs SQ8's 0.87, with the wall flat
+    because the refine stage only touches probes × mult × k rows. ×64
+    at nprobe=32 (= 2·nprobe) is the measured knee that restores
+    SQ8-grade recall, and 2·nprobe keeps the shortlist above the
+    binding constraint at every measured point; the floor covers the
+    serving regime (nprobe 4–8), where ×8 already recovers SQ8-grade
+    recall at PQ-grade I/O."""
+    return max(int(floor), 2 * int(nprobe))
+
+
 def pq_refine_topk(
     probes: DataFrame,
     spark,
@@ -795,7 +821,7 @@ def pq_refine_topk(
     refine_index_path: str,
     k: int,
     nprobe: int = 4,
-    refine_mult: int = 4,
+    refine_mult: "int | str" = "auto",
     probe_id: str = "probe_id",
     probe_vec: str = "probe_vec",
     corpus_id: str = "vec_id",
@@ -824,8 +850,36 @@ def pq_refine_topk(
     probes × refine_mult × k rows, CANDIDATE-bound, not corpus-bound.
     Output contract identical to :func:`ivf_topk` (``cosine`` is the
     refine-tier score).
+
+    ``refine_mult="auto"`` (default) applies
+    :func:`recommended_refine_mult` — the escalation rule from the
+    measured table, so raising nprobe cannot silently starve the
+    shortlist. An explicit integer is honored, but a value below the
+    rule at nprobe ≥ 16 (the measured candidate-bound regime) emits
+    :class:`CandidateStarvedRefineWarning` naming both numbers — the
+    r11 verdict's "caller cannot silently run the candidate-starved
+    regime" contract.
     """
+    import warnings
+
     from connect_server_spark.fsutil import resolve_store
+
+    if refine_mult == "auto":
+        refine_mult = recommended_refine_mult(nprobe)
+    else:
+        refine_mult = int(refine_mult)
+        rec = recommended_refine_mult(nprobe)
+        if nprobe >= 16 and refine_mult < rec:
+            warnings.warn(
+                f"pq_refine_topk: refine_mult={refine_mult} at "
+                f"nprobe={nprobe} is the measured candidate-starved "
+                f"regime (recall binds on the shortlist, not cell I/O); "
+                f"the measured escalation rule says ≥ {rec} "
+                "(recommended_refine_mult) — the refine wall stays flat, "
+                "only the shortlist grows",
+                CandidateStarvedRefineWarning,
+                stacklevel=2,
+            )
 
     live_pq = resolve_store(spark, pq_index_path)
     live_ref = resolve_store(spark, refine_index_path)
@@ -843,27 +897,37 @@ def pq_refine_topk(
     # content-drift guard, the quantizer check's twin: a vector present
     # in the PQ store but absent from the refine store would shortlist
     # and then silently VANISH at the refine join (no error, a stale
-    # neighbor takes its rank). Distinct-id counts are compared
-    # (distinct: at-least-once appends may duplicate one store's rows
-    # without drifting content) — one narrow count job per store PER
+    # neighbor takes its rank). Compared per store: (distinct-id count,
+    # order-insensitive id digest = bit_xor of xxhash64 over the
+    # DISTINCT ids) — the digest catches equal-count mismatched id SETS
+    # (one id in PQ, a different one in refine), which a bare count
+    # waves through; distinct first because at-least-once appends may
+    # duplicate one store's rows without drifting content (a duplicated
+    # id must not flip the xor). One narrow agg job per store PER
     # CHANGE, memoized behind the directory signature like the models,
     # so an unchanged pair costs zero jobs at serving time.
-    def _distinct_ids(live: str) -> int:
+    def _id_digest(live: str) -> tuple:
         return _cached_model(
             spark,
             f"{live}/cells",
-            lambda: spark.read.parquet(f"{live}/cells")
-            .select(corpus_id)
-            .distinct()
-            .count(),
-            cache_key=f"{live}/cells#distinct_ids",
+            lambda: tuple(
+                spark.read.parquet(f"{live}/cells")
+                .select(corpus_id)
+                .distinct()
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.expr(f"bit_xor(xxhash64({corpus_id}))").alias("sig"),
+                )
+                .collect()[0]
+            ),
+            cache_key=f"{live}/cells#id_digest",
         )
 
-    n_pq, n_ref = _distinct_ids(live_pq), _distinct_ids(live_ref)
-    if n_pq != n_ref:
+    d_pq, d_ref = _id_digest(live_pq), _id_digest(live_ref)
+    if d_pq != d_ref:
         raise ValueError(
             "pq_refine_topk: candidate and refine stores hold different "
-            f"vector sets ({n_pq} vs {n_ref} distinct ids at {live_pq} "
+            f"vector sets ((count, digest) {d_pq} vs {d_ref} at {live_pq} "
             f"vs {live_ref}) — shortlisted candidates missing from the "
             "refine payload would be silently dropped; append both "
             "stores from the same feed (and let maintain_refine_pair "

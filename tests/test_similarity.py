@@ -1266,6 +1266,104 @@ def test_pq_refine_recovers_sq8_recall_and_is_candidate_bound(spark, tmp_path):
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_probe.values())
 
 
+def test_pq_refine_serving_regime_guard(spark, tmp_path):
+    """r11 verdict ask #4: a caller cannot SILENTLY run the measured
+    candidate-starved regime. Pins: (a) the escalation rule encodes the
+    measured table (×64 at nprobe=32, floor 8 in the serving regime);
+    (b) refine_mult='auto' (the default) escalates with nprobe; (c) an
+    explicit starved value at high nprobe emits the named warning; (d)
+    the recall floor at one high-nprobe point — auto beats the starved
+    shortlist and reaches the SQ8 ceiling on this fixture."""
+    import warnings
+
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        CandidateStarvedRefineWarning,
+        cosine_topk,
+        ivf_topk_indexed,
+        pq_refine_topk,
+        read_ivf_centroids,
+        recommended_refine_mult,
+        write_ivf_index,
+    )
+
+    # (a) the rule is the measured table
+    assert recommended_refine_mult(32) == 64
+    assert recommended_refine_mult(16) == 32
+    assert recommended_refine_mult(4) == 8 == recommended_refine_mult(2)
+
+    rng = np.random.RandomState(13)
+    centers = rng.randn(16, 32)
+    rows = [
+        (i, (centers[i % 16] + 0.35 * rng.randn(32)).tolist())
+        for i in range(1600)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = spark.createDataFrame(
+        [(j, rows[j * 131][1]) for j in range(10)],
+        ["probe_id", "probe_vec"],
+    )
+    fp, pq, sq8 = (
+        str(tmp_path / "fp"),
+        str(tmp_path / "pq"),
+        str(tmp_path / "sq8"),
+    )
+    write_ivf_index(corpus, fp, nlist=16)
+    cents = read_ivf_centroids(spark, fp)
+    write_ivf_index(corpus, pq, nlist=16, centroids=cents, quantize="pq")
+    write_ivf_index(corpus, sq8, nlist=16, centroids=cents, quantize=True)
+
+    exact: dict = {}
+    for r in cosine_topk(probes, corpus, 5).collect():
+        exact.setdefault(r.probe_id, set()).add(r.vec_id)
+
+    def recall(df):
+        approx: dict = {}
+        for r in df.collect():
+            approx.setdefault(r.probe_id, set()).add(r.vec_id)
+        return sum(
+            len(exact[p] & approx.get(p, set())) for p in exact
+        ) / (len(exact) * 5)
+
+    # (c) explicit starved shortlist at high nprobe warns by name
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        starved = pq_refine_topk(
+            probes, spark, pq, sq8, 5, nprobe=16, refine_mult=1
+        )
+        r_starved = recall(starved)
+    assert any(
+        isinstance(w.message, CandidateStarvedRefineWarning)
+        for w in caught
+    ), [str(w.message) for w in caught]
+
+    # (b)+(d) the auto default escalates and restores the ceiling
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        r_auto = recall(
+            pq_refine_topk(probes, spark, pq, sq8, 5, nprobe=16)
+        )
+    assert not [
+        w for w in caught
+        if isinstance(w.message, CandidateStarvedRefineWarning)
+    ], [str(w.message) for w in caught]
+    r_sq8 = recall(ivf_topk_indexed(probes, spark, sq8, 5, nprobe=16))
+    assert r_auto >= r_sq8 - 1e-9, (r_auto, r_sq8)
+    assert r_auto > r_starved, (r_auto, r_starved)
+
+    # serving regime (low nprobe) never warns on the documented ×8
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pq_refine_topk(
+            probes, spark, pq, sq8, 5, nprobe=4, refine_mult=8
+        ).collect()
+    assert not [
+        w for w in caught
+        if isinstance(w.message, CandidateStarvedRefineWarning)
+    ]
+
+
 def test_pq_refine_rejects_mismatched_quantizers(spark, tmp_path):
     """Two stores with independently trained centroids would put the
     same vector in different cells and silently drop candidates at the
@@ -1294,6 +1392,59 @@ def test_pq_refine_rejects_mismatched_quantizers(spark, tmp_path):
         [(0, rng.randn(16).tolist())], ["probe_id", "probe_vec"]
     )
     with _pytest.raises(ValueError, match="different\\s+coarse quantizers"):
+        pq_refine_topk(probes, spark, pq, sq8, 3)
+
+
+def test_pq_refine_rejects_equal_count_mismatched_id_sets(spark, tmp_path):
+    """The content-drift guard must catch two stores with the SAME
+    distinct-id count but DIFFERENT id sets (one id present only in PQ,
+    a different one only in refine) — exactly the case a bare count
+    comparison waves through (r11 advisory): the mismatched candidate
+    would silently vanish at the refine join."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from connect_server_spark.operators.similarity import (
+        pq_refine_topk,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = spark.createDataFrame(
+        [(i, rng.randn(16).tolist()) for i in range(120)],
+        ["vec_id", "embedding"],
+    )
+    pq, sq8 = str(tmp_path / "pq"), str(tmp_path / "sq8")
+    write_ivf_index(vecs, pq, nlist=4, quantize="pq")
+    write_ivf_index(
+        vecs,
+        sq8,
+        nlist=4,
+        quantize=True,
+        centroids=read_ivf_centroids(spark, pq),
+    )
+    probes = spark.createDataFrame(
+        [(0, rng.randn(16).tolist())], ["probe_id", "probe_vec"]
+    )
+    # healthy pair serves
+    assert len(pq_refine_topk(probes, spark, pq, sq8, 3).collect()) == 3
+    # swap ONE id in the refine cells for an id the PQ store never had:
+    # count unchanged, id set drifted
+    cells = spark.read.parquet(f"{sq8}/cells")
+    part_cols = [c for c in cells.columns]  # includes the cell partition
+    mutated = cells.withColumn(
+        "vec_id",
+        F.when(F.col("vec_id") == 0, F.lit(999_999)).otherwise(
+            F.col("vec_id")
+        ),
+    ).select(*part_cols)
+    mutated_local = mutated.collect()
+    spark.createDataFrame(mutated_local, mutated.schema).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{sq8}/cells")
+    with _pytest.raises(ValueError, match="different vector sets"):
         pq_refine_topk(probes, spark, pq, sq8, 3)
 
 
