@@ -92,6 +92,10 @@ def ingest_store_paths(root: str) -> dict[str, str]:
         "pairs_winnow": f"{root}/pairs_winnow",
         "sketch_ledger": f"{root}/telemetry/sketches",
         "events_z": f"{root}/events_z",
+        # the IVFPQ+refine SERVING pair (opt-in, ``serve_pair=True``):
+        # the ingest-operated deployment tier `pq_refine_topk` reads
+        "pq_index": f"{root}/serve/pq",
+        "refine_index": f"{root}/serve/refine",
     }
 
 
@@ -126,6 +130,42 @@ def build_base_stores(
     )
 
 
+def build_serve_pair(
+    corpus: DataFrame,
+    paths: dict[str, str],
+    nlist: int = 8,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Bootstrap the IVFPQ+refine SERVING pair from a base corpus under
+    the shared-quantizer contract ``pq_refine_topk`` enforces: train
+    the refine (SQ8) store's coarse quantizer once, then build the PQ
+    candidate store UNDER those exact centroids (the same carry
+    ``maintain_refine_pair`` uses). The composed ingest appends into
+    both and pair-maintains them on the cadence (``serve_pair=True``)."""
+    spark = corpus.sparkSession
+    write_ivf_index(
+        corpus.select(id_col, vec_col),
+        paths["refine_index"],
+        nlist=nlist,
+        corpus_id=id_col,
+        corpus_vec=vec_col,
+        quantize=True,
+    )
+    from connect_server_spark.operators.similarity import read_ivf_centroids
+
+    cents = read_ivf_centroids(spark, paths["refine_index"])
+    write_ivf_index(
+        corpus.select(id_col, vec_col),
+        paths["pq_index"],
+        nlist=nlist,
+        centroids=cents,
+        corpus_id=id_col,
+        corpus_vec=vec_col,
+        quantize="pq",
+    )
+
+
 def composed_ingest_sink(
     spark: SparkSession,
     root: str,
@@ -151,14 +191,30 @@ def composed_ingest_sink(
     zorder_decay_threshold: float = 0.5,
     sketch_telemetry: bool = False,
     log_compact_files: int = 64,
+    serve_pair: bool = False,
     _failpoint: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the composed ``foreachBatch`` function (module docstring
     for the discipline). ``_failpoint`` is a TEST hook: raise
     RuntimeError immediately after the named step ("rollup", "pairs",
     "minhash_index", "ivf_index", "bm25_index", "winnow_index",
-    "sketch_ledger", "events_z") to exercise the crash-replay contract
-    — production callers leave it None.
+    "sketch_ledger", "events_z", "serve_pq", "serve_refine") to
+    exercise the crash-replay contract — production callers leave it
+    None.
+
+    ``serve_pair=True`` makes the ingest OPERATE the IVFPQ+refine
+    serving deployment (r11 verdict ask #2): fresh survivors append
+    into both ``paths["pq_index"]`` and ``paths["refine_index"]``
+    (bootstrap via :func:`build_serve_pair`), and the maintenance
+    cadence runs
+    :func:`~connect_server_spark.operators.similarity.maintain_refine_pair`
+    instead of leaving the pair to be solo-rebalanced into divergence —
+    a crash anywhere in the window (between the two appends, between
+    the two rebalance flips) either replays into identical at-least-once
+    rows (the distinct-id digest guard dedups) or is repaired by the
+    next cadence's always-on pair-drift check; in the meantime
+    ``pq_refine_topk`` fails loudly on its store contracts rather than
+    serving wrong cells.
 
     ``winnow_threshold`` is the winnow fingerprint-set Jaccard cutoff —
     a DIFFERENT score distribution from the minhash shingle Jaccard
@@ -356,6 +412,30 @@ def composed_ingest_sink(
                 paths["events_z"],
             )
             _maybe_fail("events_z")
+            if serve_pair:
+                # both appends BEFORE the survivors commit, like every
+                # other index: a crash replays with the same fresh set
+                # and re-appends identical rows (at-least-once; the
+                # serving guard's distinct-id digest dedups), and a
+                # crash BETWEEN the two appends leaves the stores'
+                # id sets unequal — pq_refine_topk refuses loudly until
+                # the replay completes the second append
+                write_ivf_index(
+                    fresh.select(id_col, vec_col),
+                    paths["pq_index"],
+                    corpus_id=id_col,
+                    corpus_vec=vec_col,
+                    mode="append",
+                )
+                _maybe_fail("serve_pq")
+                write_ivf_index(
+                    fresh.select(id_col, vec_col),
+                    paths["refine_index"],
+                    corpus_id=id_col,
+                    corpus_vec=vec_col,
+                    mode="append",
+                )
+                _maybe_fail("serve_refine")
             append_resolved(fresh, paths["survivors"])
 
         if maintain_every and int(batch_id) % maintain_every == (
@@ -380,6 +460,26 @@ def composed_ingest_sink(
             maintain_bm25_index(
                 spark, paths["bm25_index"], keep=maintain_keep
             )
+            if serve_pair:
+                # the PAIR loop, never two solo loops: the refine
+                # store's telemetry triggers, and the PQ store is
+                # rebalanced UNDER the refine store's new centroids;
+                # the always-on drift check also repairs a pair a
+                # crashed prior cadence left half-rebalanced
+                from connect_server_spark.operators.similarity import (
+                    maintain_refine_pair,
+                )
+
+                maintain_refine_pair(
+                    spark,
+                    paths["pq_index"],
+                    paths["refine_index"],
+                    skew_threshold=maintain_skew_threshold,
+                    corpus_id=id_col,
+                    corpus_vec=vec_col,
+                    target_cell_size=maintain_cell_size,
+                    keep=maintain_keep,
+                )
             # layout twin of the IVF loop (r10 verdict ask #6): footer
             # decay check every cadence — appends land wherever the
             # writer put them, so the event log's file ranges drift

@@ -1667,3 +1667,177 @@ def test_maintenance_retention_keeps_reader_snapshot_one_full_cycle(
     # more publishes — the documented loud failure, not wrong rows
     reader_path, _ = run(keep=1)
     assert not os.path.exists(reader_path)
+
+
+# ------------------------------------------------- composed serving pair
+
+
+def _serve_pair_build(spark, root):
+    from connect_server_spark.streaming.daily_ingest import (
+        build_serve_pair,
+        ingest_store_paths,
+    )
+
+    corpus, b1, b2 = _composed_fixture_rows()
+    paths = _composed_build_base(spark, root, corpus)
+    schema = (
+        "doc_id long, text string, embedding array<double>, "
+        "ts string, v double"
+    )
+    build_serve_pair(
+        spark.createDataFrame(corpus, schema), paths, nlist=4
+    )
+    return paths, b1, b2
+
+
+def _serve_probe(spark):
+    corpus, _, _ = _composed_fixture_rows()
+    return spark.createDataFrame(
+        [(0, corpus[2][2])], ["probe_id", "probe_vec"]
+    )
+
+
+def _serve_state(spark, paths):
+    """Observable serving state of the PQ+refine pair: the composed
+    top-k answer for a fixed probe, plus both stores' distinct-id sets
+    and the shared quantizer bytes."""
+    import numpy as np
+
+    from connect_server_spark.fsutil import resolve_store
+    from connect_server_spark.operators.similarity import (
+        pq_refine_topk,
+        read_ivf_centroids,
+    )
+
+    out = sorted(
+        (r.probe_id, r.doc_id, r.rank)
+        for r in pq_refine_topk(
+            _serve_probe(spark), spark, paths["pq_index"],
+            paths["refine_index"], 3, nprobe=2,
+            corpus_id="doc_id", corpus_vec="embedding",
+        ).collect()
+    )
+    ids = {}
+    for key in ("pq_index", "refine_index"):
+        live = resolve_store(spark, paths[key])
+        ids[key] = {
+            r.doc_id
+            for r in spark.read.parquet(f"{live}/cells")
+            .select("doc_id").distinct().collect()
+        }
+    c_pq = read_ivf_centroids(spark, paths["pq_index"])
+    c_ref = read_ivf_centroids(spark, paths["refine_index"])
+    assert np.array_equal(c_pq, c_ref), "pair quantizers diverged"
+    return {"topk": out, "ids": ids, "centroids": c_pq.tobytes()}
+
+
+@pytest.mark.parametrize("failpoint", ["serve_pq", "serve_refine"])
+def test_composed_ingest_serve_pair_crash_replay_converges(
+    spark, tmp_path, failpoint
+):
+    """The r11 verdict's composed-drill contract for the ingest-operated
+    PQ+refine pair: kill batch 2 after each serving append, replay, and
+    require the pair's full observable serving state to equal the
+    never-crashed control. Inside the serve_pq crash window (PQ
+    appended, refine not) the serving call must REFUSE on the
+    distinct-id digest guard — loud, never silently dropped
+    candidates."""
+    from connect_server_spark.operators.similarity import pq_refine_topk
+    from connect_server_spark.streaming.daily_ingest import (
+        composed_ingest_sink,
+    )
+
+    control_root = str(tmp_path / "control")
+    paths_c, b1, b2 = _serve_pair_build(spark, control_root)
+    control = composed_ingest_sink(
+        spark, control_root, "doc_id", "text", "embedding", "ts", "v",
+        serve_pair=True,
+    )
+    control(_composed_batch(spark, b1), 0)
+    control(_composed_batch(spark, b2), 1)
+    want = _serve_state(spark, paths_c)
+    # the ingest actually grew the serving pair with the survivors
+    assert {103, 202} <= want["ids"]["pq_index"]
+    assert want["ids"]["pq_index"] == want["ids"]["refine_index"]
+
+    root = str(tmp_path / "crash")
+    paths, b1, b2 = _serve_pair_build(spark, root)
+    clean = composed_ingest_sink(
+        spark, root, "doc_id", "text", "embedding", "ts", "v",
+        serve_pair=True,
+    )
+    crashy = composed_ingest_sink(
+        spark, root, "doc_id", "text", "embedding", "ts", "v",
+        serve_pair=True, _failpoint=failpoint,
+    )
+    clean(_composed_batch(spark, b1), 0)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        crashy(_composed_batch(spark, b2), 1)
+    if failpoint == "serve_pq":
+        # crash window: stores hold different id sets — serving refuses
+        with pytest.raises(ValueError, match="different vector sets"):
+            pq_refine_topk(
+                _serve_probe(spark), spark, paths["pq_index"],
+                paths["refine_index"], 3, nprobe=2,
+                corpus_id="doc_id", corpus_vec="embedding",
+            )
+    clean(_composed_batch(spark, b2), 1)  # the replay
+    got = _serve_state(spark, paths)
+    assert got["topk"] == want["topk"]
+    assert got["ids"] == want["ids"]
+
+
+def test_composed_ingest_serve_pair_maintenance_rebalances_pair(
+    spark, tmp_path
+):
+    """The maintenance cadence operates the PAIR: with a hair-trigger
+    skew threshold the refine store rebalances and the PQ store is
+    rebuilt under the refine store's NEW centroids (byte-identical) —
+    and a pair left half-rebalanced by a crashed cadence (refine
+    rebalanced solo) is REPAIRED by the next cadence's always-on drift
+    check, not left broken forever."""
+    import numpy as np
+
+    from connect_server_spark.operators.similarity import (
+        read_ivf_centroids,
+    )
+    from connect_server_spark.streaming.daily_ingest import (
+        composed_ingest_sink,
+    )
+
+    root = str(tmp_path / "root")
+    paths, b1, b2 = _serve_pair_build(spark, root)
+    maintained = composed_ingest_sink(
+        spark, root, "doc_id", "text", "embedding", "ts", "v",
+        serve_pair=True, maintain_every=1,
+        maintain_skew_threshold=0.5, maintain_cell_size=4,
+    )
+    maintained(_composed_batch(spark, b1), 0)  # cadence fires at batch 0
+    st1 = _serve_state(spark, paths)  # asserts byte-identical centroids
+    # after the hair-trigger rebalance nlist is tiny (cell_size=4), so
+    # nprobe=2 may cover fewer than k candidates — the drill's contract
+    # is PAIR ALIGNMENT, not recall; the probe's own vector must rank 1
+    assert st1["topk"] and (0, 3, 1) in st1["topk"]
+
+    # simulate the broken half-pair a crashed maintenance (or a store
+    # born separately) leaves behind: the refine store rebuilt under an
+    # INDEPENDENTLY trained quantizer at a different nlist
+    from connect_server_spark.operators.similarity import write_ivf_index
+
+    corpus, _, _ = _composed_fixture_rows()
+    vecs = spark.createDataFrame(
+        [(d, v) for d, _, v, _, _ in corpus] + [(103, b1[2][2])],
+        ["doc_id", "embedding"],
+    )
+    write_ivf_index(
+        vecs, paths["refine_index"], nlist=3, corpus_id="doc_id",
+        corpus_vec="embedding", quantize=True,
+    )
+    c_ref = read_ivf_centroids(spark, paths["refine_index"])
+    c_pq = read_ivf_centroids(spark, paths["pq_index"])
+    assert c_ref.shape != c_pq.shape or not np.array_equal(c_ref, c_pq)
+
+    maintained(_composed_batch(spark, b2), 1)  # next cadence repairs
+    st2 = _serve_state(spark, paths)
+    assert st2["topk"] and (0, 3, 1) in st2["topk"]
+    assert st2["ids"]["pq_index"] == st2["ids"]["refine_index"]
