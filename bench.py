@@ -276,6 +276,22 @@ def main() -> None:
             }
     calibrations.append(_calibration(spark, 3))  # closing point
 
+    # r11 verdict ask #5: each query row self-describes its segment's
+    # contention so a judge reads the verdict out of ONE artifact.
+    # `cal` is the segment calibration that timed this query;
+    # `contended` marks segments whose point exceeds 1.2× the session
+    # min — the signature that exposed the r11 driver session (one
+    # 0.185 point against a 0.085–0.114 cluster). A contended row's
+    # raw seconds are suspect; its value_calibrated contribution is
+    # already normalized by the same `cal`.
+    session_min_cal = min(calibrations)
+    for name, c in query_cal.items():
+        if name in spread:
+            spread[name]["cal"] = c
+            spread[name]["contended"] = bool(
+                session_min_cal > 0 and c / session_min_cal > 1.2
+            )
+
     # A partial round must never read as a speedup: when any HEADLINE
     # query errored the headline total is null (totals over different
     # query sets are not comparable round-over-round) and `partial` is

@@ -85,3 +85,16 @@ def test_headline_covers_every_operator_family():
     headline = set(bench.HEADLINE)
     for family, members in families.items():
         assert headline & set(members), f"family '{family}' not benched"
+
+
+def test_bench_rows_self_describe_contention():
+    """r11 verdict ask #5: each timed row must carry its segment's
+    calibration (`cal`) and a `contended` flag (segment point > 1.2×
+    the session min), so a judge reads contention out of ONE artifact
+    instead of cross-referencing clean-HEAD sessions. Source-level pin,
+    like the interleave memo above."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert '"cal"' in src and '"contended"' in src
+    assert "1.2" in src  # the documented threshold
