@@ -643,6 +643,51 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_ngram_spans(docs, "doc_id", "text", k=8)
 
 
+# Rows-only by gate capacity; the SAME SQL runs verbatim in
+# tests/test_dedup.py, and the constant lives here so a future rotation
+# can promote it unchanged (the epoch-shuffle pattern; r13 pool).
+_SPAN_K = 8
+_SPAN_WIN_COLS = ", ".join(f"w[i+{j}]" for j in range(_SPAN_K))
+DEDUP_SUBSTRING_SPANS_ORACLE_SQL = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM corpus
+    ),
+    win AS (
+      SELECT doc_id, i - 1 AS pos, md5(concat_ws(' ', {_SPAN_WIN_COLS})) AS key
+      FROM toks, unnest(range(1, len(w) - {_SPAN_K} + 2)) AS u(i)
+      WHERE len(w) >= {_SPAN_K}
+    ),
+    dup AS (SELECT key FROM win GROUP BY key HAVING count(*) >= 2),
+    flagged AS (
+      SELECT doc_id, pos FROM win WHERE key IN (SELECT key FROM dup)
+    ),
+    lagged AS (
+      SELECT doc_id, pos,
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SPAN_K}
+             THEN 1 ELSE 0 END AS new_span
+      FROM flagged
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+        sum(new_span)
+          OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+      FROM lagged
+    )
+    SELECT doc_id AS id, min(pos) AS span_start,
+           max(pos) + {_SPAN_K} AS span_end,
+           count(*) AS n_windows
+    FROM grp GROUP BY doc_id, g
+"""
+
 register("dedup_substring_spans", dedup_substring_spans, defer=True)
 
 

@@ -993,66 +993,18 @@ def test_duplicated_ngram_spans_matches_reference(spark):
 def test_duplicated_ngram_spans_duckdb_mirror(spark, sf_dir):
     """Exact DuckDB mirror at test scale (md5 keys are engine-portable):
     the rows-only registry query would be oracle-gated but for the
-    driver's 50-slot window — the oracle runs here instead."""
-    import duckdb
-
+    driver's 50-slot window — the oracle runs HERE instead, verbatim
+    from the promotion-ready constant (r13 pool; driver-grade compare
+    incl. column names)."""
     from connect_server_spark.queries.dedup_queries import (
+        DEDUP_SUBSTRING_SPANS_ORACLE_SQL,
         dedup_substring_spans,
     )
+    from tests.oracle import assert_matches_oracle
 
-    got = {
-        (r.id, r.span_start, r.span_end, r.n_windows)
-        for r in dedup_substring_spans(spark, sf_dir).collect()
-    }
-    k = 8
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
-    )
-    win_cols = ", ".join(f"w[i+{j}]" for j in range(k))
-    want = set(
-        map(
-            tuple,
-            con.execute(f"""
-        WITH corpus AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 100000 AS doc_id,
-                 regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') AS text
-          FROM documents WHERE doc_id % 10 = 0
-        ),
-        toks AS (
-          SELECT doc_id,
-                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-          FROM corpus
-        ),
-        win AS (
-          SELECT doc_id, i - 1 AS pos, md5(concat_ws(' ', {win_cols})) AS key
-          FROM toks, unnest(range(1, len(w) - {k} + 2)) AS u(i)
-          WHERE len(w) >= {k}
-        ),
-        dup AS (SELECT key FROM win GROUP BY key HAVING count(*) >= 2),
-        flagged AS (
-          SELECT doc_id, pos FROM win WHERE key IN (SELECT key FROM dup)
-        ),
-        lagged AS (
-          SELECT doc_id, pos,
-            CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {k}
-                 THEN 1 ELSE 0 END AS new_span
-          FROM flagged
-        ),
-        grp AS (
-          SELECT doc_id, pos,
-            sum(new_span)
-              OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
-          FROM lagged
-        )
-        SELECT doc_id, min(pos), max(pos) + {k}, count(*)
-        FROM grp GROUP BY doc_id, g
-        """).fetchall(),
-        )
-    )
-    assert got == want and len(got) > 0
+    df = dedup_substring_spans(spark, sf_dir)
+    assert_matches_oracle(df, DEDUP_SUBSTRING_SPANS_ORACLE_SQL, sf_dir)
+    assert df.count() > 0
 
 
 def test_cut_duplicate_spans_strips_boilerplate_everywhere(spark):
