@@ -812,3 +812,53 @@ def corpus_ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("corpus_ingest_jsonl", corpus_ingest_jsonl, defer=True)
+
+
+def corpus_arrow_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest via the arrow-native parquet datasource
+    (``sources/arrow_parquet.py``): the same documents table, but the
+    scan runs on ``pyarrow.fs`` through PySpark 4's Python DataSource
+    API — the path that makes Spark scans work on ``s3://``/``gs://``
+    with no Hadoop connector. The projection is the explicit
+    ``columns`` option (the wide ``text`` payload is never
+    materialized) and both predicates push into the source
+    (driver-side row-group stats pruning + exact arrow-side
+    evaluation; the optimized plan carries NO post-scan Filter).
+    Output is hash-stable (strings + ints). The object-store twin of
+    this scan — same datasource, ``s3://`` root on a live S3 API —
+    runs in ``tests/test_objectstore.py``."""
+    from connect_server_spark.sources.arrow_parquet import (
+        read_arrow_parquet,
+    )
+
+    docs = read_arrow_parquet(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return (
+        docs.filter((F.col("n_chars") > 200) & F.col("lang").isin("en", "de"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Rows-only by gate capacity; promotion-ready (r13 pool) — the SAME SQL
+# runs verbatim in tests/test_arrow_source.py through the shared
+# driver-grade compare.
+CORPUS_ARROW_SCAN_ORACLE_SQL = """
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           min(doc_id) AS first_doc
+    FROM documents
+    WHERE n_chars > 200 AND lang IN ('en', 'de')
+    GROUP BY lang
+"""
+
+register("corpus_arrow_scan", corpus_arrow_scan, defer=True)

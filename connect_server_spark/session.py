@@ -62,6 +62,12 @@ def get_spark(
         # branches on the dtype). A no-op for current timestamp[us] data.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Python DataSource filter pushdown (SPARK-4.1, off by default):
+        # without it Spark refuses to plan a source that implements
+        # pushFilters at all. sources/arrow_parquet.py is the consumer —
+        # its row-group pruning and exact arrow-side filters need the
+        # pushed predicates.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # reliable stage boundaries (execution.stage_boundary) write
         # permanent checkpoint file-sets; stock Spark never deletes
         # them while the context lives, so a long-running job with

@@ -18,15 +18,23 @@ fsutil's native pyarrow leg for `s3://` — see the section at the end
 of this file for the one documented shim (byte PUTs via boto3, moto's
 multipart bug).
 
-What this container CANNOT prove, stated honestly: Spark's own parquet
-scans route through the Hadoop FileSystem, and this environment ships
-**no hadoop-aws jar** (checked: no `hadoop-aws*.jar` / aws bundle
-anywhere on disk, and installs are not permitted), so `s3a://` cannot
-be mounted. On a real cluster the remaining evidence run is:
+Since r12 Spark's OWN scans and writes are measured here too: the
+arrow-native datasource (`sources/arrow_parquet.py`) runs a full
+DataFrame write → manifest commit → filter-pushed scan loop on
+`s3://` through the production pyarrow path (final section of this
+file) — no Hadoop connector involved, and no shim at all on that leg
+(its writes are single-request PUTs, never multipart).
+
+What this container CANNOT prove, stated honestly: Spark's NATIVE
+(JVM/Hadoop) parquet reader on `s3a://` — this environment ships **no
+hadoop-aws jar** (checked: no `hadoop-aws*.jar` / aws bundle anywhere
+on disk, and installs are not permitted), so that mount is untestable
+here. On a real cluster the remaining evidence run is:
 `SPARK_GRAFT_FIXTURE_CACHE_DIR=s3a://bucket/fixtures pytest
 tests/test_generations.py` with `org.apache.hadoop:hadoop-aws` +
 `software.amazon.awssdk:bundle` on the classpath and
-`fs.s3a.endpoint` pointed at the store.
+`fs.s3a.endpoint` pointed at the store. Deployments without that jar
+use the arrow-native source below instead — which is the point of it.
 """
 
 from __future__ import annotations
@@ -448,3 +456,121 @@ def test_time_travel_retention_on_s3(spark, boto_put_shim):
     assert data == ["v2.bin"]
     with _pytest.raises(ValueError, match="GC'd|never published"):
         resolve_store(spark, root, generation=1)
+
+
+# ---------------------------------------------------------------------------
+# Spark's own parquet scans on s3:// (r12): the arrow-native datasource
+# (`sources/arrow_parquet.py`) closes the LAST argued leg — a Spark
+# DataFrame write lands on the object store through manifest-committed
+# single-request PUTs (no multipart at all, so not even the moto
+# multipart shim is needed here), and a Spark scan with pushed filters
+# reads it back through the production pyarrow path. Credentials ride
+# datasource OPTIONS, not ambient env — executors never see the
+# driver's late env mutations.
+
+
+def _s3_source_opts(s3) -> dict:
+    return {
+        "endpoint_url": s3.meta.endpoint_url,
+        "access_key": _ENV["AWS_ACCESS_KEY_ID"],
+        "secret_key": _ENV["AWS_SECRET_ACCESS_KEY"],
+        "region": _ENV["AWS_DEFAULT_REGION"],
+    }
+
+
+def test_spark_write_and_scan_parquet_on_s3(spark, sf_dir, s3):
+    """Full Spark loop on the live S3 API: DataFrame → manifest-committed
+    parquet on s3:// → Spark scan (plain and filter-pushed) identical to
+    the local read."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from connect_server_spark.sources.arrow_parquet import (
+        MANIFEST_NAME,
+        read_arrow_parquet,
+        register_arrow_parquet,
+    )
+
+    register_arrow_parquet(spark)
+    opts = _s3_source_opts(s3)
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    writer = (
+        src.repartition(3)
+        .write.format("arrow_parquet")
+        .mode("overwrite")
+    )
+    for k, v in opts.items():
+        writer = writer.option(k, v)
+    writer.save("s3://objectstore-evidence/spark-scan/documents")
+
+    manifest = _json.loads(
+        s3.get_object(
+            Bucket="objectstore-evidence",
+            Key=f"spark-scan/documents/{MANIFEST_NAME}",
+        )["Body"].read()
+    )
+    assert manifest["rows"] == src.count() and len(manifest["parts"]) == 3
+
+    back = read_arrow_parquet(
+        spark, "s3://objectstore-evidence/spark-scan/documents", **opts
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+    pred = (F.col("n_chars") > 200) & F.col("lang").isin("en", "de")
+    got = back.select("doc_id", "lang", "n_chars").filter(pred)
+    want = src.select("doc_id", "lang", "n_chars").filter(pred)
+    # pushed filters are consumed by the source on s3 exactly as locally
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" not in plan
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_s3_scan_honors_manifest_over_orphans(spark, sf_dir, s3):
+    """An orphan part PUT beside a committed manifest (crashed second
+    writer) never leaks into the scan — the manifest is the commit."""
+    from connect_server_spark.sources.arrow_parquet import (
+        read_arrow_parquet,
+        register_arrow_parquet,
+    )
+
+    register_arrow_parquet(spark)
+    opts = _s3_source_opts(s3)
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    writer = src.write.format("arrow_parquet").mode("overwrite")
+    for k, v in opts.items():
+        writer = writer.option(k, v)
+    writer.save("s3://objectstore-evidence/spark-scan/region")
+
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = _io.BytesIO()
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": [99],
+                "r_name": ["ORPHAN"],
+                "r_comment": ["never committed"],
+            }
+        ),
+        buf,
+    )
+    s3.put_object(
+        Bucket="objectstore-evidence",
+        Key="spark-scan/region/part-orphan.parquet",
+        Body=buf.getvalue(),
+    )
+    back = read_arrow_parquet(
+        spark, "s3://objectstore-evidence/spark-scan/region", **opts
+    )
+    assert back.count() == src.count()
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )

@@ -263,6 +263,10 @@ SHUFFLE_BUDGET = {
     # r9 JSONL ingest: one (lang, counts) agg over the shard scan + the
     # presentation sort — same shape as corpus_ingest_compressed
     "corpus_ingest_jsonl": 2,
+    # r12 arrow-native datasource scan: the (lang, counts) agg + the
+    # presentation sort; both predicates are consumed by the source
+    # (no post-scan Filter), so only aggregate rows enter an Exchange
+    "corpus_arrow_scan": 2,
     # r10 epoch shuffle: assignment is scan-stage md5/conv; the ONE
     # Exchange is the hash-partition-by-shard the per-shard rank needs
     # — rows move once, straight to their output shard
