@@ -263,3 +263,66 @@ def corpus_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("corpus_quality_monitor", corpus_quality_monitor, defer=True)
+
+
+def corpus_ingest_arrow_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental object-store ingest drill (r12): three appends land
+    in a manifest-committed ``arrow_parquet`` store, a Structured
+    Streaming query tails it with ``trigger(availableNow)``, a FOURTH
+    append arrives while the query is down, and the restart drains
+    exactly the new commit from the checkpointed integer offset — the
+    Auto Loader loop with the ledger folded into the manifest
+    (``sources/arrow_parquet.py`` streaming section). Returns per-lang
+    (n_docs, n_chars) over the sink, which must equal the batch
+    aggregate of all four slices — the drill recomputes that equality
+    implicitly because slices partition the corpus by ``doc_id % 4``.
+    Rows-only by design; offset/replay/overwrite-refusal semantics are
+    pytest-pinned in ``tests/test_arrow_source.py`` stream suite."""
+    import tempfile
+
+    from connect_server_spark.sources.arrow_parquet import (
+        register_arrow_parquet,
+    )
+    from connect_server_spark.tables import load_table
+
+    register_arrow_parquet(spark)
+    root = tempfile.mkdtemp(prefix="arrow_stream_drill_")
+    store, ckpt, out = f"{root}/store", f"{root}/ckpt", f"{root}/out"
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    for k in range(3):
+        docs.filter(F.col("doc_id") % 4 == k).write.format(
+            "arrow_parquet"
+        ).mode("append").save(store)
+
+    def _drain() -> None:
+        q = (
+            spark.readStream.format("arrow_parquet")
+            .load(store)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _drain()
+    # the query is DOWN; a new commit lands; the restart reads only it
+    docs.filter(F.col("doc_id") % 4 == 3).write.format(
+        "arrow_parquet"
+    ).mode("append").save(store)
+    _drain()
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+register("corpus_ingest_arrow_stream", corpus_ingest_arrow_stream, defer=True)

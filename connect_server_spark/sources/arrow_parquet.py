@@ -66,6 +66,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -88,6 +89,7 @@ __all__ = [
     "ArrowParquetDataSource",
     "register_arrow_parquet",
     "read_arrow_parquet",
+    "UpstreamOverwrittenError",
     "MANIFEST_NAME",
 ]
 
@@ -354,7 +356,7 @@ def _arrow_schema(spec: _FsSpec, columns: list[str] | None):
 @dataclass
 class _RowGroupChunk(InputPartition):
     path: str
-    row_groups: tuple[int, ...]
+    row_groups: "tuple[int, ...] | None"  # None = the whole file
 
 
 class ArrowParquetReader(DataSourceReader):
@@ -412,24 +414,156 @@ class ArrowParquetReader(DataSourceReader):
         return chunks
 
     def read(self, partition: _RowGroupChunk):
-        import pyarrow.dataset as pads
+        yield from _read_chunk(
+            self._spec,
+            partition,
+            self._target_schema,
+            self._pushed,
+            self._batch_size,
+        )
 
-        if not partition.path:
-            return
-        fs, _ = self._spec.resolve()
-        frag = pads.ParquetFileFormat().make_fragment(
-            partition.path, filesystem=fs, row_groups=list(partition.row_groups)
+
+def _read_chunk(spec, partition, target_schema, pushed, batch_size):
+    """Scan one (file, row groups) chunk — shared by the batch and
+    streaming readers."""
+    import pyarrow.dataset as pads
+
+    if not partition.path:
+        return
+    fs, _ = spec.resolve()
+    frag = pads.ParquetFileFormat().make_fragment(
+        partition.path,
+        filesystem=fs,
+        row_groups=(
+            list(partition.row_groups)
+            if partition.row_groups is not None
+            else None
+        ),
+    )
+    scanner = pads.Scanner.from_fragment(
+        frag,
+        columns=[f.name for f in target_schema],
+        filter=_specs_to_expression(pushed),
+        batch_size=batch_size,
+    )
+    for batch in scanner.to_batches():
+        if batch.schema != target_schema:
+            batch = batch.cast(target_schema)
+        yield batch
+
+
+# ---------------------------------------------------------------------------
+# streaming reader: incremental ingest of a manifest-committed store
+
+
+class UpstreamOverwrittenError(RuntimeError):
+    """The stream's next window references commits an overwrite
+    replaced — the data is gone, so the stream refuses instead of
+    silently skipping it. Restart the query with a fresh checkpoint
+    (or ``starting="latest"``) once that is the intended outcome."""
+
+
+class ArrowParquetStreamReader(DataSourceStreamReader):
+    """Incremental tail of a manifest-committed store (the writer
+    above): each batch reads exactly the parts whose ``part_seqs``
+    entry falls in ``(start.seq, end.seq]`` — the Auto Loader idea with
+    the ledger folded into the manifest itself.
+
+    Why this is exactly-once BY CONSTRUCTION, with an O(1) offset: the
+    writer's ``seq`` ticks once per atomic manifest swap and never
+    reorders, a part's ``part_seqs`` entry never changes once committed
+    (append mode only adds entries), and the offset Spark checkpoints
+    is the single integer ``seq`` — replaying ``(start, end]`` after a
+    crash lists the identical part set. No per-file ledger in the
+    checkpoint, no mtime watermarks, no listing races. The flip side is
+    honest too: this source tails stores written by THIS sink's commit
+    protocol (or anything that maintains the same manifest contract) —
+    tailing a foreign directory of bare files needs a side ledger
+    (mtime watermarks cannot make replay deterministic) and is out of
+    scope. An upstream ``mode("overwrite")`` bumps ``base_seq``; a
+    stream holding an older offset raises
+    :class:`UpstreamOverwrittenError` rather than skipping the gap.
+    """
+
+    def __init__(self, schema: StructType, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("arrow_parquet: .load(path) is required")
+        self._spec = _FsSpec.from_options(path, options)
+        cols = options.get("columns", "")
+        self._columns = [c.strip() for c in cols.split(",") if c.strip()] or None
+        self._batch_size = int(options.get("batch_size", _DEFAULT_BATCH_SIZE))
+        self._starting = options.get("starting", "earliest").lower()
+        if self._starting not in ("earliest", "latest"):
+            raise ValueError(
+                f"arrow_parquet: starting={self._starting!r} "
+                "(must be 'earliest' or 'latest')"
+            )
+        self._target_schema = _arrow_schema(self._spec, self._columns)
+
+    def _manifest(self) -> dict:
+        import pyarrow.fs as pafs
+
+        fs, root = self._spec.resolve()
+        manifest = f"{root.rstrip('/')}/{MANIFEST_NAME}"
+        if fs.get_file_info(manifest).type != pafs.FileType.File:
+            raise FileNotFoundError(
+                f"arrow_parquet stream: no {MANIFEST_NAME} at "
+                f"{self._spec.path} — this source tails "
+                "manifest-committed stores (module docstring)"
+            )
+        with fs.open_input_stream(manifest) as stream:
+            doc = json.loads(stream.read().decode("utf-8"))
+        if "seq" not in doc or "part_seqs" not in doc:
+            raise ValueError(
+                f"arrow_parquet stream: manifest at {self._spec.path} "
+                "predates the seq protocol — rewrite it with one append"
+            )
+        return doc
+
+    def initialOffset(self) -> dict:
+        doc = self._manifest()
+        if self._starting == "latest":
+            return {"seq": doc["seq"]}
+        return {"seq": doc["base_seq"] - 1}
+
+    def latestOffset(self) -> dict:
+        return {"seq": self._manifest()["seq"]}
+
+    def partitions(self, start: dict, end: dict):
+        doc = self._manifest()
+        if start["seq"] < doc["base_seq"] - 1:
+            raise UpstreamOverwrittenError(
+                f"stream offset {start['seq']} predates the store's "
+                f"current lineage (base_seq {doc['base_seq']}) at "
+                f"{self._spec.path} — an overwrite replaced commits "
+                "this stream had not read yet"
+            )
+        _, root = self._spec.resolve()
+        root = root.rstrip("/")
+        names = sorted(
+            name
+            for name, seq in doc["part_seqs"].items()
+            if start["seq"] < seq <= end["seq"]
         )
-        scanner = pads.Scanner.from_fragment(
-            frag,
-            columns=[f.name for f in self._target_schema],
-            filter=_specs_to_expression(self._pushed),
-            batch_size=self._batch_size,
+        if not names:
+            return [_RowGroupChunk("", ())]
+        return [_RowGroupChunk(f"{root}/{n}", None) for n in names]
+
+    def read(self, partition: _RowGroupChunk):
+        yield from _read_chunk(
+            self._spec,
+            partition,
+            self._target_schema,
+            [],
+            self._batch_size,
         )
-        for batch in scanner.to_batches():
-            if batch.schema != self._target_schema:
-                batch = batch.cast(self._target_schema)
-            yield batch
+
+    def commit(self, end: dict) -> None:
+        pass  # retention is the manifest's concern, not the reader's
+
+    def stop(self) -> None:
+        pass
 
 
 # ---------------------------------------------------------------------------
@@ -488,18 +622,51 @@ class ArrowParquetWriter(DataSourceArrowWriter):
 
     def commit(self, messages) -> None:
         """Manifest LAST: one atomic small-object replace makes every
-        part visible at once. On overwrite, parts the new manifest does
-        not list are deleted AFTER it lands — readers resolving through
-        the manifest never see them, so the delete is GC, not the
-        commit itself."""
+        part visible at once. Append mode MERGES the previous manifest
+        (its parts stay listed — the new manifest is the union, and the
+        swap is still one atomic replace, so readers see the old or the
+        new committed set, never a mix). On overwrite, parts the new
+        manifest does not list are deleted AFTER it lands — readers
+        resolving through the manifest never see them, so the delete is
+        GC, not the commit itself."""
         import pyarrow.fs as pafs
 
         fs, root = self._spec.resolve()
         root = root.rstrip("/")
-        parts = [p for m in messages if m is not None for p in m.parts]
+        new_parts = [p for m in messages if m is not None for p in m.parts]
         rows = sum(m.rows for m in messages if m is not None)
+        parts = list(new_parts)
+        prev = None
+        manifest_path = f"{root}/{MANIFEST_NAME}"
+        if fs.get_file_info(manifest_path).type == pafs.FileType.File:
+            with fs.open_input_stream(manifest_path) as stream:
+                prev = json.loads(stream.read().decode("utf-8"))
+        # `seq` ticks once per commit and never resets — the streaming
+        # reader's offset is this one integer. `part_seqs` records the
+        # commit each part arrived in (append-only under append mode),
+        # and `base_seq` marks where the current lineage began: an
+        # overwrite bumps it, which is how a streaming reader holding a
+        # pre-overwrite offset learns its window is gone and fails
+        # loudly instead of silently skipping data.
+        seq = (prev["seq"] + 1) if prev and "seq" in prev else 1
+        if self._overwrite or prev is None:
+            part_seqs = {p: seq for p in new_parts}
+            base_seq = seq
+        else:
+            parts.extend(prev["parts"])
+            rows += prev["rows"]
+            part_seqs = dict(prev.get("part_seqs") or {})
+            part_seqs.update({p: seq for p in new_parts})
+            base_seq = prev.get("base_seq", 1)
         manifest = json.dumps(
-            {"parts": sorted(parts), "rows": rows, "format": "parquet"},
+            {
+                "parts": sorted(parts),
+                "rows": rows,
+                "format": "parquet",
+                "seq": seq,
+                "base_seq": base_seq,
+                "part_seqs": part_seqs,
+            },
             sort_keys=True,
         ).encode("utf-8")
         _put_bytes(self._spec, f"{root}/{MANIFEST_NAME}", manifest)
@@ -558,6 +725,9 @@ class ArrowParquetDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> ArrowParquetWriter:
         return ArrowParquetWriter(self.options, overwrite)
+
+    def streamReader(self, schema: StructType) -> ArrowParquetStreamReader:
+        return ArrowParquetStreamReader(schema, self.options)
 
 
 def register_arrow_parquet(spark) -> None:

@@ -291,3 +291,231 @@ def test_corpus_arrow_scan_matches_oracle(spark, sf_dir):
     df = corpus_arrow_scan(spark, sf_dir)
     assert_matches_oracle(df, CORPUS_ARROW_SCAN_ORACLE_SQL, sf_dir)
     assert df.count() > 0
+
+
+def test_append_mode_merges_manifest(spark, tmp_path):
+    """mode("append") unions the previous manifest's parts into the new
+    one (still a single atomic swap) — the old generation's data stays
+    committed; a naive parts-of-this-job manifest would silently orphan
+    it."""
+    out = str(tmp_path / "store")
+    register_arrow_parquet(spark)
+    a = spark.createDataFrame([(1, "a")], "id long, s string")
+    b = spark.createDataFrame([(2, "b")], "id long, s string")
+    a.write.format("arrow_parquet").mode("append").save(out)
+    b.write.format("arrow_parquet").mode("append").save(out)
+    manifest = json.load(open(os.path.join(out, MANIFEST_NAME)))
+    assert manifest["rows"] == 2 and len(manifest["parts"]) == 2
+    got = sorted(map(tuple, read_arrow_parquet(spark, out).collect()))
+    assert got == [(1, "a"), (2, "b")]
+
+
+# ---------------------------------------------------------------------------
+# streaming: incremental ingest of a manifest-committed store
+
+
+def _drain(spark, store, ckpt, out, timeout=300) -> None:
+    q = (
+        spark.readStream.format("arrow_parquet")
+        .load(store)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+
+
+def test_stream_tails_appends_and_restarts_incrementally(spark, tmp_path):
+    """Offset = the manifest's integer seq: the first drain reads both
+    committed appends, a commit landing while the query is down is
+    drained exactly once by the restart — no dupes, no misses."""
+    register_arrow_parquet(spark)
+    store, ckpt, out = (
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    b = spark.createDataFrame([(3, "c")], "id long, s string")
+    a.write.format("arrow_parquet").mode("append").save(store)
+    b.write.format("arrow_parquet").mode("append").save(store)
+    _drain(spark, store, ckpt, out)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+    spark.createDataFrame([(4, "d")], "id long, s string").write.format(
+        "arrow_parquet"
+    ).mode("append").save(store)
+    _drain(spark, store, ckpt, out)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+        (4, "d"),
+    ]
+
+
+def test_stream_starting_latest_skips_existing(spark, tmp_path):
+    register_arrow_parquet(spark)
+    store, ckpt, out = (
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+    spark.createDataFrame([(1, "old")], "id long, s string").write.format(
+        "arrow_parquet"
+    ).mode("append").save(store)
+    q = (
+        spark.readStream.format("arrow_parquet")
+        .option("starting", "latest")
+        .load(store)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # availableNow at starting=latest drains the empty window
+    assert spark.read.parquet(out).count() == 0
+
+
+def test_stream_refuses_overwritten_upstream(spark, tmp_path):
+    """An upstream overwrite while the stream is down replaces commits
+    the checkpointed offset had not read — the restart fails with the
+    named error instead of silently skipping the gap."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    register_arrow_parquet(spark)
+    store, ckpt, out = (
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+    spark.createDataFrame([(1, "a")], "id long, s string").write.format(
+        "arrow_parquet"
+    ).mode("append").save(store)
+    _drain(spark, store, ckpt, out)  # checkpointed offset: seq 1
+    # an UNREAD append (seq 2) is then swallowed by an overwrite
+    # (seq 3, base_seq 3) — its data is unrecoverable, so the restart
+    # must refuse, not deliver a gap
+    spark.createDataFrame([(2, "b")], "id long, s string").write.format(
+        "arrow_parquet"
+    ).mode("append").save(store)
+    spark.createDataFrame([(3, "c")], "id long, s string").write.format(
+        "arrow_parquet"
+    ).mode("overwrite").save(store)
+    with pytest.raises(StreamingQueryException) as e:
+        _drain(spark, store, ckpt, out)
+    assert "UpstreamOverwrittenError" in str(e.value) or (
+        "overwrite replaced commits" in str(e.value)
+    )
+    # an overwrite the stream HAD fully read through is benign: the
+    # lineage restarted at base_seq but no unread commit was replaced —
+    # a fresh stream from earliest reads the new lineage cleanly
+    ckpt2, out2 = str(tmp_path / "ckpt2"), str(tmp_path / "out2")
+    _drain(spark, store, ckpt2, out2)
+    assert sorted(map(tuple, spark.read.parquet(out2).collect())) == [
+        (3, "c")
+    ]
+
+
+def test_stream_offset_window_unit(tmp_path, spark):
+    """Driver-side mechanics, no streaming query: earliest/latest
+    initial offsets, the (start, end] part window, and the loud
+    refusals (bare directory, pre-seq manifest)."""
+    from connect_server_spark.sources.arrow_parquet import (
+        ArrowParquetStreamReader,
+        UpstreamOverwrittenError,
+    )
+
+    store = str(tmp_path / "store")
+    register_arrow_parquet(spark)
+    a = spark.createDataFrame([(1, "a")], "id long, s string")
+    b = spark.createDataFrame([(2, "b")], "id long, s string")
+    a.write.format("arrow_parquet").mode("append").save(store)
+    first_parts = {
+        f for f in os.listdir(store) if f.endswith(".parquet")
+    }
+    b.write.format("arrow_parquet").mode("append").save(store)
+    second_parts = {
+        f for f in os.listdir(store) if f.endswith(".parquet")
+    } - first_parts
+
+    reader = ArrowParquetStreamReader(None, {"path": store})
+    assert reader.initialOffset() == {"seq": 0}
+    assert reader.latestOffset() == {"seq": 2}
+    window = [
+        p.path.rsplit("/", 1)[-1]
+        for p in reader.partitions({"seq": 1}, {"seq": 2})
+        if p.path
+    ]
+    assert set(window) == second_parts
+    # empty window → one placeholder partition
+    empty = reader.partitions({"seq": 2}, {"seq": 2})
+    assert len(empty) == 1 and not empty[0].path
+    # overwrite bumps base_seq → stale offsets refuse
+    spark.createDataFrame([(9, "z")], "id long, s string").write.format(
+        "arrow_parquet"
+    ).mode("overwrite").save(store)
+    with pytest.raises(UpstreamOverwrittenError):
+        reader.partitions({"seq": 1}, {"seq": 3})
+
+    latest = ArrowParquetStreamReader(
+        None, {"path": store, "starting": "latest"}
+    )
+    assert latest.initialOffset() == latest.latestOffset()
+
+    bare = str(tmp_path / "bare")
+    os.makedirs(bare)
+    with pytest.raises(FileNotFoundError):
+        ArrowParquetStreamReader(None, {"path": bare}).initialOffset()
+
+
+def test_stream_rejects_pre_seq_manifest(tmp_path, spark):
+    """A manifest written before the seq protocol refuses with the
+    remediation in the message rather than mis-windowing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from connect_server_spark.sources.arrow_parquet import (
+        ArrowParquetStreamReader,
+    )
+
+    store = tmp_path / "legacy"
+    store.mkdir()
+    pq.write_table(pa.table({"id": [1]}), store / "part-x.parquet")
+    (store / MANIFEST_NAME).write_text(
+        json.dumps({"parts": ["part-x.parquet"], "rows": 1})
+    )
+    with pytest.raises(ValueError, match="seq protocol"):
+        ArrowParquetStreamReader(None, {"path": str(store)}).initialOffset()
+
+
+def test_corpus_ingest_arrow_stream_drill_matches_batch(spark, sf_dir):
+    """The registered drill's sink aggregate must equal the plain batch
+    aggregate over the whole table (the four slices partition it)."""
+    from connect_server_spark.queries.streaming_queries import (
+        corpus_ingest_arrow_stream,
+    )
+
+    got = sorted(
+        map(tuple, corpus_ingest_arrow_stream(spark, sf_dir).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want

@@ -574,3 +574,56 @@ def test_s3_scan_honors_manifest_over_orphans(spark, sf_dir, s3):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, src.collect())
     )
+
+
+def test_stream_tails_manifest_store_on_s3(spark, s3):
+    """The streaming leg on the live S3 API: appends land as manifest
+    commits on s3://, availableNow drains them, a commit landing while
+    the query is down is drained exactly once by the restart — the
+    integer-offset replay discipline, object-store edition."""
+    import tempfile
+
+    from connect_server_spark.sources.arrow_parquet import (
+        register_arrow_parquet,
+    )
+
+    register_arrow_parquet(spark)
+    opts = _s3_source_opts(s3)
+    store = "s3://objectstore-evidence/spark-stream/store"
+    local = tempfile.mkdtemp(prefix="s3_stream_")
+    ckpt, out = f"{local}/ckpt", f"{local}/out"
+
+    def _append(rows):
+        df = spark.createDataFrame(rows, "id long, s string")
+        w = df.write.format("arrow_parquet").mode("append")
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.save(store)
+
+    def _drain():
+        reader = spark.readStream.format("arrow_parquet")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load(store)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _append([(1, "a"), (2, "b")])
+    _drain()
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    _append([(3, "c")])
+    _drain()
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]

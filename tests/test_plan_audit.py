@@ -445,6 +445,7 @@ COMPOSED_DRILLS = {
     "daily_ingest_crawl",
     "training_release",
     "corpus_quality_monitor",
+    "corpus_ingest_arrow_stream",
 }
 
 
