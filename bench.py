@@ -100,6 +100,7 @@ HEADLINE = [
     "corpus_ingest_warc",
     "corpus_ingest_files",
     "corpus_ingest_jsonl",
+    "corpus_arrow_scan",
     "corpus_url_filter",
     "corpus_from_crawl",
     "corpus_domain_keywords",

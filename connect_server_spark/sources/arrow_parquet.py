@@ -331,15 +331,22 @@ def _discover_files(spec: _FsSpec) -> list[str]:
     )
 
 
-def _arrow_schema(spec: _FsSpec, columns: list[str] | None):
+def _arrow_schema(
+    spec: _FsSpec, columns: list[str] | None, files: list[str] | None = None
+):
     """Unified arrow schema of the discovered files (one footer read),
     projected to ``columns`` when given — the driver-side half of
-    explicit column pruning."""
+    explicit column pruning. Pass ``files`` to reuse an existing
+    listing snapshot instead of re-listing."""
     import pyarrow as pa
     import pyarrow.dataset as pads
 
     fs, _ = spec.resolve()
-    ds = pads.dataset(_discover_files(spec), filesystem=fs, format="parquet")
+    ds = pads.dataset(
+        files if files is not None else _discover_files(spec),
+        filesystem=fs,
+        format="parquet",
+    )
     schema = ds.schema
     if columns:
         missing = [c for c in columns if schema.field(c) is None]
@@ -372,8 +379,17 @@ class ArrowParquetReader(DataSourceReader):
         )
         self._batch_size = int(options.get("batch_size", _DEFAULT_BATCH_SIZE))
         self._pushed: list[tuple] = []
-        # the arrow schema batches must match, computed once driver-side
-        self._target_schema = _arrow_schema(self._spec, self._columns)
+        # ONE listing snapshot per reader: schema() and partitions()
+        # must see the same file set, or a concurrent manifest swap
+        # between the two would plan a scan against a store that no
+        # longer matches the declared schema. (Reads racing an
+        # overwrite's GC can still lose the files themselves — that is
+        # the caller's retention decision, same caveat as any
+        # immediate-GC manifest store.)
+        self._files = _discover_files(self._spec)
+        self._target_schema = _arrow_schema(
+            self._spec, self._columns, self._files
+        )
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         for f in filters:
@@ -387,9 +403,7 @@ class ArrowParquetReader(DataSourceReader):
         import pyarrow.dataset as pads
 
         fs, _ = self._spec.resolve()
-        ds = pads.dataset(
-            _discover_files(self._spec), filesystem=fs, format="parquet"
-        )
+        ds = pads.dataset(self._files, filesystem=fs, format="parquet")
         chunks: list[_RowGroupChunk] = []
         for frag in ds.get_fragments():
             frag.ensure_complete_metadata()
@@ -577,12 +591,13 @@ class _PartCommit(WriterCommitMessage):
 
 
 class ArrowParquetWriter(DataSourceArrowWriter):
-    def __init__(self, options, overwrite: bool) -> None:
+    def __init__(self, options, overwrite: bool, schema=None) -> None:
         path = options.get("path")
         if not path:
             raise ValueError("arrow_parquet: .save(path) is required")
         self._spec = _FsSpec.from_options(path, options)
         self._overwrite = overwrite
+        self._schema = schema  # Spark StructType, for empty commits
         self._max_rows = int(
             options.get("max_rows_per_part", _DEFAULT_MAX_ROWS_PER_PART)
         )
@@ -649,6 +664,20 @@ class ArrowParquetWriter(DataSourceArrowWriter):
         # pre-overwrite offset learns its window is gone and fails
         # loudly instead of silently skipping data.
         seq = (prev["seq"] + 1) if prev and "seq" in prev else 1
+        if not new_parts and (self._overwrite or prev is None) and self._schema:
+            # a zero-row commit must still leave a SCANNABLE store — one
+            # empty part carries the schema, so readers (and the
+            # streaming tail) see an empty table, not an un-inferable
+            # manifest
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            buf = io.BytesIO()
+            pq.write_table(to_arrow_schema(self._schema).empty_table(), buf)
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            _put_bytes(self._spec, f"{root}/{name}", buf.getvalue())
+            new_parts = [name]
+            parts = list(new_parts)
         if self._overwrite or prev is None:
             part_seqs = {p: seq for p in new_parts}
             base_seq = seq
@@ -724,7 +753,7 @@ class ArrowParquetDataSource(DataSource):
         return ArrowParquetReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> ArrowParquetWriter:
-        return ArrowParquetWriter(self.options, overwrite)
+        return ArrowParquetWriter(self.options, overwrite, schema)
 
     def streamReader(self, schema: StructType) -> ArrowParquetStreamReader:
         return ArrowParquetStreamReader(schema, self.options)

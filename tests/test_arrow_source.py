@@ -519,3 +519,25 @@ def test_corpus_ingest_arrow_stream_drill_matches_batch(spark, sf_dir):
         )
     )
     assert got == want
+
+
+def test_empty_write_leaves_scannable_store(spark, tmp_path):
+    """A zero-row commit writes one empty schema-carrying part, so the
+    store scans as an empty table (and a stream can tail it) instead of
+    leaving an un-inferable manifest."""
+    out = str(tmp_path / "empty")
+    register_arrow_parquet(spark)
+    src = spark.createDataFrame([], "id long, s string")
+    src.write.format("arrow_parquet").mode("overwrite").save(out)
+    back = read_arrow_parquet(spark, out)
+    assert back.schema == src.schema and back.count() == 0
+    # streaming from the empty store, then an append arrives
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    _drain(spark, out, ckpt, sink)
+    spark.createDataFrame([(1, "a")], "id long, s string").write.format(
+        "arrow_parquet"
+    ).mode("append").save(out)
+    _drain(spark, out, ckpt, sink)
+    assert sorted(map(tuple, spark.read.parquet(sink).collect())) == [
+        (1, "a")
+    ]
