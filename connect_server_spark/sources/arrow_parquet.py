@@ -590,6 +590,17 @@ class _PartCommit(WriterCommitMessage):
     rows: int
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer's manifest landed over this job's commit. Object
+    stores have no compare-and-swap, so two racing commits are
+    last-writer-wins at the PUT; the post-write read-back detects the
+    overwritten loser (the ``append_guarded`` discipline from
+    ``fsutil``). The loser's parts are orphans — invisible behind the
+    winner's manifest — and the job must be re-run. One writer per
+    store at a time is the operating contract (the same single-writer
+    assumption Delta Lake documents on S3 without an external lock)."""
+
+
 class ArrowParquetWriter(DataSourceArrowWriter):
     def __init__(self, options, overwrite: bool, schema=None) -> None:
         path = options.get("path")
@@ -601,6 +612,7 @@ class ArrowParquetWriter(DataSourceArrowWriter):
         self._max_rows = int(
             options.get("max_rows_per_part", _DEFAULT_MAX_ROWS_PER_PART)
         )
+        self._post_put_hook = None  # test seam (racing-commit window)
 
     def _flush(self, batches, parts, rows_out) -> None:
         import pyarrow as pa
@@ -699,6 +711,22 @@ class ArrowParquetWriter(DataSourceArrowWriter):
             sort_keys=True,
         ).encode("utf-8")
         _put_bytes(self._spec, f"{root}/{MANIFEST_NAME}", manifest)
+        if self._post_put_hook is not None:
+            self._post_put_hook()  # test seam: the racing-commit window
+        # read-back guard (the append_guarded discipline): no CAS on
+        # object stores, so a racing commit is last-writer-wins at the
+        # PUT — the overwritten loser detects it here and raises rather
+        # than reporting success for rows the manifest no longer lists
+        with fs.open_input_stream(f"{root}/{MANIFEST_NAME}") as stream:
+            now = json.loads(stream.read().decode("utf-8"))
+        if now.get("seq") != seq or now.get("parts") != sorted(parts):
+            raise ConcurrentCommitError(
+                f"manifest at {self._spec.path} was replaced during "
+                f"commit (wrote seq {seq}, found seq {now.get('seq')}) "
+                "— another writer raced this job; its commit won and "
+                "this job's parts are invisible orphans. Re-run this "
+                "job; one writer per store at a time is the contract."
+            )
         if self._overwrite:
             keep = set(parts) | {MANIFEST_NAME}
             infos = fs.get_file_info(

@@ -541,3 +541,36 @@ def test_empty_write_leaves_scannable_store(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(sink).collect())) == [
         (1, "a")
     ]
+
+
+def test_concurrent_commit_loser_raises(tmp_path):
+    """Two racing commits: object stores have no CAS, so the second
+    manifest PUT wins — the overwritten loser's read-back guard raises
+    ConcurrentCommitError instead of reporting success for rows the
+    manifest no longer lists (the append_guarded discipline)."""
+    import pyarrow as pa
+
+    from connect_server_spark.sources.arrow_parquet import (
+        ArrowParquetWriter,
+        ConcurrentCommitError,
+    )
+
+    out = str(tmp_path / "raced")
+    os.makedirs(out)
+    loser = ArrowParquetWriter({"path": out}, overwrite=False)
+    winner = ArrowParquetWriter({"path": out}, overwrite=True)
+    loser_msg = loser.write(iter([pa.record_batch({"id": [1]})]))
+    winner_msg = winner.write(iter([pa.record_batch({"id": [2]})]))
+    # the winner's overwrite lands inside the loser's PUT→verify window
+    # and replaces the loser's manifest wholesale
+    loser._post_put_hook = lambda: winner.commit([winner_msg])
+    with pytest.raises(ConcurrentCommitError):
+        loser.commit([loser_msg])
+    # the store stays consistent on the winner's manifest
+    manifest = json.load(open(os.path.join(out, MANIFEST_NAME)))
+    assert manifest["parts"] == sorted(winner_msg.parts)
+    assert manifest["rows"] == 1
+    # a racing APPEND is benign by construction — it reads the loser's
+    # just-landed manifest and merges it, so nothing is lost either way;
+    # only a window-straddling pair that both read the SAME predecessor
+    # can drop a commit, and the read-back guard names the loser then too
