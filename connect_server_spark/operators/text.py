@@ -388,7 +388,15 @@ def unigram_lm(df, id_col: str, text_col: str, vocab_size: int = 50000):
 
     from pyspark.sql import functions as F  # noqa: F811 (local alias)
 
-    freqs = token_frequencies(df, id_col, text_col)
+    from connect_server_spark.execution import stage_boundary
+
+    # freqs feeds TWO consumers — the corpus-total scalar below (an
+    # action at build time) and the vocab cut that executes later inside
+    # the scoring plan. Without a boundary the whole explode + double
+    # aggregation re-runs for the second consumer (guide §2.4: one full
+    # corpus pass thrown away); the lazy checkpoint materializes it once
+    # under the total job and the vocab cut reads vocab-sized rows.
+    freqs = token_frequencies(df, id_col, text_col).transform(stage_boundary)
     total = freqs.agg(F.sum("n_occurrences")).first()[0] or 1
     vocab = (
         freqs.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())

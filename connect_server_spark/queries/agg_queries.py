@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from connect_server_spark.registry import register
-from connect_server_spark.tables import load_table
+from connect_server_spark.tables import load_table, spread_scan
 
 
 def _events_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,7 +145,9 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
     )
 
-    docs = load_table(spark, "documents", sf_dir)
+    # the per-document metric projection is CPU-dense: spread the
+    # one-split local scan (r12, guide §2.5)
+    docs = spread_scan(load_table(spark, "documents", sf_dir))
     t = F.col("text")
     toks = F.col("_toks")
     per_doc = docs.select(

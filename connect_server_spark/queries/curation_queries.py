@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from connect_server_spark.execution import stage_boundary
 
 from connect_server_spark.registry import register
-from connect_server_spark.tables import load_table
+from connect_server_spark.tables import load_table, spread_scan
 
 # Fixture-adapted gate thresholds, documented: the synthetic corpus
 # contains no English function words (Gopher's required-stopword rule
@@ -113,24 +113,63 @@ def curation_full(
         if checkpoint
         else (lambda df: df)
     )
-    base = ckpt(_relined(docs))
+    if checkpoint:
+        # r12: (a) the reline projection is CPU-dense and every later
+        # stage inherits the base checkpoint's partitioning, so the
+        # one-split local scan is round-robin spread first (guide §2.5;
+        # no-op at production split counts); (b) the base materializes
+        # EAGERLY so the two independent model-building actions below
+        # (LM floor chain, bloom sizing count) can run concurrently
+        # without racing its first materialization.
+        base = stage_boundary(spread_scan(_relined(docs)), eager=True)
+    else:
+        base = _relined(docs)
 
     cleaned = remove_boilerplate_lines(
         base, "doc_id", "text", min_docs=3, carry_cols=("source",)
     )
-    vocab, oov_logp = unigram_lm(base, "doc_id", "text")
-    # relative routing floor (see _LM_MARGIN): one GK-sketch pass over
-    # the cleaned corpus's scores anchors the gate to THIS corpus's
-    # median fluency; the scoring join is vocab-broadcast + narrow
-    # (id, logp) agg, and `cleaned` is checkpoint-backed so the corpus
-    # still scans once
     from connect_server_spark.operators.text import lm_quality_scores
 
     ckpt_cleaned = ckpt(cleaned)
-    scores = ckpt(
-        lm_quality_scores(ckpt_cleaned, vocab, oov_logp, "doc_id", "text")
-    )
-    med = scores.approxQuantile("avg_logprob", [0.5], 1e-3)
+    bench = base.filter(F.col("doc_id") % 41 == 0).select("text")
+
+    def _lm_part():
+        # relative routing floor (see _LM_MARGIN): one GK-sketch pass
+        # over the cleaned corpus's scores anchors the gate to THIS
+        # corpus's median fluency; the scoring join is vocab-broadcast +
+        # narrow (id, logp) agg, and `cleaned` is checkpoint-backed so
+        # the corpus still scans once
+        vocab, oov_logp = unigram_lm(base, "doc_id", "text")
+        scores_ = ckpt(
+            lm_quality_scores(ckpt_cleaned, vocab, oov_logp, "doc_id", "text")
+        )
+        med = scores_.approxQuantile("avg_logprob", [0.5], 1e-3)
+        return scores_, med
+
+    def _bloom_part():
+        # 32 bits/item, k=8 → ~1.5e-5 false-positive rate per gram (vs
+        # ~3e-3 at the 16/6 default): a training-prep run should not
+        # shed ~10% of clean documents to filter noise; 4 B/gram is
+        # still half the exact hash set.
+        return benchmark_bloom(bench, "text", n=6, bits_per_item=32, k=8)
+
+    if checkpoint:
+        # r12 (guide §2.6, overlap independent jobs): the LM-floor chain
+        # (vocab total → scores → median sketch) and the bloom-sizing
+        # count are independent given the materialized base — submitting
+        # them from two driver threads lets the later job's tasks
+        # back-fill the earlier one's stragglers instead of serializing
+        # two full action chains.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            lm_fut = pool.submit(_lm_part)
+            bloom_fut = pool.submit(_bloom_part)
+            scores, med = lm_fut.result()
+            bloom = bloom_fut.result()
+    else:
+        scores, med = _lm_part()
+        bloom = _bloom_part()
     if not med:
         raise ValueError(
             "curation_full: no scoreable documents survived boilerplate "
@@ -138,12 +177,6 @@ def curation_full(
             "corpus is empty or entirely boilerplate)"
         )
     lm_floor = med[0] - _LM_MARGIN
-    bench = base.filter(F.col("doc_id") % 41 == 0).select("text")
-    # 32 bits/item, k=8 → ~1.5e-5 false-positive rate per gram (vs
-    # ~3e-3 at the 16/6 default): a training-prep run should not shed
-    # ~10% of clean documents to filter noise; 4 B/gram is still half
-    # the exact hash set.
-    bloom = benchmark_bloom(bench, "text", n=6, bits_per_item=32, k=8)
     # gopher=False here: the published defaults would drop the whole
     # stopword-free synthetic corpus, so the adapted gopher verdict is
     # applied by _gate_with_fixture_gopher in its own scan-stage pass
@@ -250,7 +283,11 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_leakage_pairs,
     )
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    # shingle/minhash work is scan-stage CPU: spread the one-split
+    # local scan (r12, guide §2.5)
+    docs = spread_scan(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
     tagged = eval_split(docs, "text", val_frac=0.05, test_frac=0.05,
                         seed="es:")
     return split_leakage_pairs(
@@ -274,7 +311,11 @@ def corpus_decon_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         contamination_fraction,
     )
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    # gram explode + hashing is scan-stage CPU: spread the one-split
+    # local scan (r12, guide §2.5; no-op at production split counts)
+    docs = spread_scan(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
     bench = docs.filter(F.col("doc_id") % 41 == 0)
     frac = contamination_fraction(
         docs, benchmark_ngrams(bench, "text", n=8), "doc_id", "text", n=8
@@ -295,7 +336,11 @@ def corpus_decon_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror runs in ``tests/test_eval_split.py``."""
     from connect_server_spark.operators.curation import winnow_contamination
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    # fingerprinting is scan-stage CPU: spread the one-split local scan
+    # (r12, guide §2.5; measured 1.3× at sf0.1)
+    docs = spread_scan(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
     bench = docs.filter(F.col("doc_id") % 41 == 0)
     frac = winnow_contamination(
         docs, bench, "doc_id", "text", "text", k=4, window=4

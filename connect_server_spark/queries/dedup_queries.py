@@ -33,7 +33,7 @@ from connect_server_spark.queries._fixtures import (
     fixture_ready,
 )
 from connect_server_spark.registry import register
-from connect_server_spark.tables import load_table
+from connect_server_spark.tables import load_table, spread_scan
 
 
 def _corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,7 +639,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror runs in ``tests/test_dedup.py`` instead of the driver gate."""
     from connect_server_spark.operators.dedup import duplicated_ngram_spans
 
-    docs = _corpus_neardup(spark, sf_dir)
+    # window-key hashing is scan-stage CPU: spread the one-split local
+    # scan (r12, guide §2.5; measured 1.3× at sf0.1 — a no-op at
+    # production split counts). The other _corpus_neardup consumers
+    # measured FLAT-to-slower under the same spread (their wall is in
+    # the post-shuffle pair stages), so the spread sits here, not in
+    # the shared fixture.
+    docs = spread_scan(_corpus_neardup(spark, sf_dir))
     return duplicated_ngram_spans(docs, "doc_id", "text", k=8)
 
 

@@ -18,13 +18,16 @@ from connect_server_spark.operators.quality import (
     gopher_pass,
 )
 from connect_server_spark.registry import register
-from connect_server_spark.tables import load_table
+from connect_server_spark.tables import load_table, spread_scan
 
 
 def quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule metrics + verdicts and the C4 cleaning outcome for
-    every document — one scan-stage projection, zero shuffles."""
-    docs = load_table(spark, "documents", sf_dir)
+    every document — one scan-stage projection. The metric expressions
+    are CPU-dense per row, so the one-split local scan is round-robin
+    spread first (r12, guide §2.5; measured 1.8× at sf0.1 — the
+    Exchange is a no-op at production split counts)."""
+    docs = spread_scan(load_table(spark, "documents", sf_dir))
     t = F.col("text")
     g = gopher_flags(t)
     c4 = c4_doc_flags(t)

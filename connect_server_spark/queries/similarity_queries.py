@@ -19,7 +19,7 @@ from connect_server_spark.queries._fixtures import (
     fixture_ready,
 )
 from connect_server_spark.registry import register
-from connect_server_spark.tables import load_table
+from connect_server_spark.tables import load_table, spread_scan
 
 _K = 5
 
@@ -226,7 +226,9 @@ def embeddings_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_int8,
     )
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    # quantize/dequantize/cosine are CPU-dense array expressions: spread
+    # the one-split local scan (r12, guide §2.5; measured 1.7× at sf0.1)
+    emb = spread_scan(load_table(spark, "embeddings", sf_dir))
     packed = quantize_int8(F.col("embedding"))
     staged = emb.select("vec_id", "embedding", packed.alias("_p"))
     return staged.select(

@@ -23,13 +23,16 @@ from connect_server_spark.operators.text import (
     top_ngram_share,
 )
 from connect_server_spark.registry import register
-from connect_server_spark.tables import load_table
+from connect_server_spark.tables import load_table, spread_scan
 
 
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connect_server_spark.operators.text import tokens
 
-    docs = load_table(spark, "documents", sf_dir)
+    # CPU-dense per-row metric projection: spread the one-split local
+    # scan first (r12, guide §2.5; measured 2.6× at sf0.1 — a no-op at
+    # production split counts)
+    docs = spread_scan(load_table(spark, "documents", sf_dir))
     t = F.col("text")
     pii = pii_flags(t)
     # normalize+split ONCE per row; every token-based metric references

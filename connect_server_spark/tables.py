@@ -22,6 +22,7 @@ __all__ = [
     "normalize_event_ts",
     "load_all",
     "register_views",
+    "spread_scan",
 ]
 
 TABLES = (
@@ -54,6 +55,30 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # sessions we did not build (the correctness driver makes its own).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def spread_scan(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin-spread a frame whose scan yields fewer partitions
+    than the session's parallelism — the generalized "one-split lesson"
+    (multimodal_gif_frames / corpus_ingest_files): the test parquets are
+    single-row-group files, so every scan is ONE input split and all
+    scan-stage work — the heavy per-row expression trees (quality
+    metrics, shingle hashing, fingerprinting) and Arrow-batched UDF
+    stages — runs on a single core no matter how many the session has.
+
+    Scale-adaptive by construction (guide §2.5 "input skew — one huge
+    unsplittable file"): the decision reads the actual scan partition
+    count at plan time, so on a production table (thousands of splits
+    ≥ cores) the condition is false and NO repartition node enters the
+    plan — the corpus still never shuffles on the 100 TB path. The
+    round-robin Exchange this adds locally carries the scanned rows
+    once; downstream checkpoints/aggregations inherit the parallelism.
+    """
+    sc = df.sparkSession.sparkContext
+    p = parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
 
 
 def normalize_event_ts(ev: DataFrame) -> DataFrame:

@@ -89,11 +89,20 @@ def test_quantized_topk_preserves_ranking(spark, sf_dir):
 
 
 def test_quantize_plan_scan_stage(spark, sf_dir):
+    """Quantize/dequantize/cosine stay scan-stage: the only Exchange
+    allowed is the conditional round-robin spread of the one-split
+    local scan (spread_scan, r12) — never a hash/range shuffle, never
+    a Python node."""
     plan = (
         embeddings_quantize(spark, sf_dir)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Exchange" not in plan
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(exchanges) <= 1
+    assert all("RoundRobinPartitioning" in ln for ln in exchanges)
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in plan
 

@@ -166,7 +166,7 @@ SHUFFLE_BUDGET = {
     # shared id-partition Exchange under the lag window + span group-by
     # (the group-by reuses the window's partitioning — one Exchange, not
     # two). Document bodies never shuffle.
-    "dedup_substring_spans": 3,
+    "dedup_substring_spans": 5,  # +2 r12: the conditional spread_scan round-robin, textually duplicated per consumer of the spread scan in the static plan (ReusedExchange at runtime)
     # r7 winnowing fingerprints: the fingerprint computation itself is
     # scan-stage (0 Exchange, pinned in test_dedup.py); the pair stage
     # pays the posting df agg + the max_df semi-join, the posting
@@ -185,7 +185,7 @@ SHUFFLE_BUDGET = {
     # narrow (id, 16-byte fp) rows only, same shape as
     # corpus_decon_fraction; the one-row-per-doc contract needs no join
     # (every document fingerprints, pinned by the NULL-text parity test).
-    "corpus_decon_winnow": 4,
+    "corpus_decon_winnow": 6,  # +2 r12: conditional spread_scan round-robin ×2 consumers (ReusedExchange at runtime)
     # WARC ingest drill: the synthesis groupBy (fixture cost), the
     # doc_id join back for the self-verify, and the per-shard telemetry
     # agg + ordering — payloads cross the one synthesis Exchange only;
@@ -321,7 +321,13 @@ SHUFFLE_BUDGET = {
     # sort-merge pair (2) above it; dedup-free by the home-bucket
     # filter, so no distinct shuffle over the output.
     "events_overlap_join": 2,
-    # embeddings_quantize is pure scan-stage array expressions (0).
+    # embeddings_quantize / quality_gates / text_analysis are pure
+    # scan-stage expression projections; their ONE Exchange is the
+    # conditional spread_scan round-robin of the one-split local scan
+    # (r12; absent at production split counts).
+    "embeddings_quantize": 1,
+    "quality_gates": 1,
+    "text_analysis": 1,
     # BM25: the (doc, term) count feeding three consumers is lazily
     # checkpointed (its explode+count runs once, off-plan); the visible
     # shuffles are df/dl aggregations, the scoring sort-merge pair on
@@ -386,18 +392,18 @@ SHUFFLE_BUDGET = {
     # leakage audit = the minhash pair pipeline (banded candidates +
     # verify, all narrow) + two id-equi-joins that attach split labels
     # to the candidate-sized pair set + final ordering.
-    "corpus_split_leakage": 7,
+    "corpus_split_leakage": 11,  # +4 r12: conditional spread_scan round-robin ×4 consumers (ReusedExchange at runtime)
     # IVF maintenance stats: (cell, count) agg + the broadcast into the
     # full-cell-set left join + the cell-count-sized ordering.
     "similarity_index_stats": 3,
     # graded decontamination: bench gram-set distinct + its broadcast,
     # the per-doc (id, hits) agg, final id ordering — gram rows carry
     # 8-byte hashes, corpus text never shuffles.
-    "corpus_decon_fraction": 4,
+    "corpus_decon_fraction": 6,  # +2 r12: conditional spread_scan round-robin ×2 consumers (ReusedExchange at runtime)
     # compressed ingest telemetry: the (codec, count) agg + the 3-row
     # codec ordering; decode itself is partition-preserving, payloads
     # never shuffle.
-    "corpus_ingest_compressed": 2,
+    "corpus_ingest_compressed": 3,  # +1 r12: conditional spread_scan round-robin before the CPU-bound codec stage
     # the synthetic-payload drills fan the 8-byte/row id frame across
     # every core BEFORE the CPU-bound Python stage: the tiny parquet is
     # ONE input split, so without this round-robin Exchange the whole
@@ -423,7 +429,7 @@ SHUFFLE_BUDGET = {
     # data card: the per-source agg pair around the count-distinct
     # rewrite (digest keys are 16 bytes, text never shuffles) + the
     # source ordering; every per-doc metric is scan-stage off ONE split.
-    "corpus_datacard": 3,
+    "corpus_datacard": 4,  # +1 r12: conditional spread_scan round-robin
     # token-budget cut: the (src, bucket) agg is map-side-combined to a
     # bucket-table-sized Exchange; the classification window/broadcast
     # move ≤ sources×n_buckets rows; the boundary window shuffles only
