@@ -61,11 +61,22 @@ def connected_components(
         .distinct()
         .transform(stage_boundary, eager=True, pin=True)
     )
+    # r12 (guide §1.2/§5.4 — cut sequential driver jobs, same fixpoint):
+    # initialize each label at min(id, min neighbor) instead of self.
+    # The init aggregation costs the same one shuffle the old
+    # distinct() did (edges are symmetrized, so every node appears as
+    # `a`), but it performs round 1's neighbor-min for free — one fewer
+    # full loop round. Every invariant is preserved: the init value is
+    # a reachable node's id, labels still only decrease, and the
+    # fixpoint (= component minimum) is algorithm-independent.
     labels = (
-        edges.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .transform(stage_boundary, eager=True, pin=True)
+        edges.groupBy("a")
+        .agg(F.min("b").alias("_mb"))
+        .select(
+            F.col("a").alias("id"),
+            F.least(F.col("a"), F.col("_mb")).alias("component"),
+        )
+        .transform(stage_boundary, pin=True)
     )
     for _ in range(max_iterations):
         nbr_min = (
@@ -90,6 +101,12 @@ def connected_components(
         lookup = merged.select(
             F.col("id").alias("_jid"), F.col("_c1").alias("_jc")
         )
+        # r12 (guide §5.4): the boundary is LAZY and the convergence
+        # count is its materializing action — one job per round where
+        # the old eager-checkpoint-then-count shape ran two. The count
+        # touches every partition, so the round's labels are fully
+        # pinned (and lineage severed) by the time the next round — or
+        # the return — reads them.
         jumped = (
             merged.join(lookup, merged["_c1"] == lookup["_jid"], "left")
             .select(
@@ -97,7 +114,7 @@ def connected_components(
                 "_old",
                 F.coalesce(F.col("_jc"), F.col("_c1")).alias("component"),
             )
-            .transform(stage_boundary, eager=True, pin=True)
+            .transform(stage_boundary, pin=True)
         )
         changed = jumped.filter(F.col("component") != F.col("_old")).count()
         labels = jumped.drop("_old")

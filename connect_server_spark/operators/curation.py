@@ -474,27 +474,40 @@ def remove_boilerplate_lines(
             F.xxhash64(F.trim(F.col("_line"))),
         ),
     )
-    kept = lines.join(boiler, "line_key", "left_anti")
-    rebuilt = kept.groupBy("_id").agg(
+    # r12 (guide §2.4 — one shuffle of the document text, not two + a
+    # join): the old shape anti-joined the boiler keys, rebuilt the
+    # kept lines in one groupBy, counted totals in a second groupBy
+    # over the same exploded rows, then joined the two back on _id.
+    # Marking boilerplate with a LEFT join (same broadcast-sized key
+    # set; a NULL line_key matches nothing under either join, so
+    # short-line rows stay kept) lets ONE aggregation produce the
+    # rebuild, the kept count, the total count and the carried
+    # constants together — collect_list skips the NULL structs of
+    # boiler lines, so the rebuilt text is bit-identical.
+    marked = lines.join(
+        boiler.withColumn("_boiler", F.lit(True)), "line_key", "left"
+    )
+    keep = F.col("_boiler").isNull()
+    merged = marked.groupBy("_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct(F.col("_pos"), F.col("_line")))
+                    F.collect_list(
+                        F.when(keep, F.struct(F.col("_pos"), F.col("_line")))
+                    )
                 ),
                 lambda s: s["_line"],
             ),
             delim,
         ).alias("_clean"),
-        F.count(F.lit(1)).alias("_nkept"),
-    )
-    totals = lines.groupBy("_id").agg(
+        F.count(F.when(keep, F.lit(1))).alias("_nkept"),
         F.count(F.lit(1)).alias("n_lines"),
         # per-document constants (exploded alongside the lines) — first()
         # is exact here, no extra join needed to re-attach them
         *[F.first(F.col(c)).alias(c) for c in carry_cols],
     )
     return (
-        totals.join(rebuilt, "_id", "left")
+        merged
         .select(
             F.col("_id").alias(id_col),
             F.coalesce(F.col("_clean"), F.lit("")).alias(text_col),

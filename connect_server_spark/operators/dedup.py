@@ -284,9 +284,14 @@ def minhash_neardup_pairs(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: shingle → signature → banded
     candidates → exact-Jaccard verify. Returns (id_a, id_b, jaccard)."""
+    # r12 (guide §2.4): the (id, shingles) projection feeds the band
+    # aggregation AND both sides of the verify join — three evaluations
+    # of the shingle split per document without a boundary. The lazy
+    # checkpoint computes the shingles once; what verify shuffles is
+    # unchanged (it always carried the arrays to the candidates).
     docs = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_shingles")
-    )
+    ).transform(stage_boundary)
     cands = lsh_candidate_pairs(docs, id_col, "_shingles", num_hashes, bands)
     return jaccard_verify(cands, docs, id_col, "_shingles", threshold)
 
@@ -561,7 +566,28 @@ def ngram_jaccard_candidates(
     if threshold <= 0:
         raise ValueError("threshold must be > 0 for bounded blocking")
     blocks = [block_col] if block_col else []
+    shingled = df.select(
+        F.col(id_col),
+        *[F.col(b) for b in blocks],
+        word_shingles(F.col(text_col), shingle_n).alias("_shingles"),
+    ).transform(stage_boundary)
+    return _ngram_candidates_shingled(
+        shingled, id_col, blocks, threshold, max_block_rows
+    )
 
+
+def _ngram_candidates_shingled(
+    shingled: DataFrame,
+    id_col: str,
+    blocks: list[str],
+    threshold: float,
+    max_block_rows: int | None,
+) -> DataFrame:
+    """Candidate pairs from a (id, blocks…, _shingles) frame — split out
+    (r12) so :func:`ngram_jaccard_pairs` can share ONE checkpointed
+    shingle projection between candidate generation and the exact
+    verify instead of re-running the shingle split per consumer
+    (guide §2.4)."""
     # Canonical order = GLOBAL FREQUENCY ascending (rarest first), hash as
     # tiebreak — the Bayardo et al. ordering. Any consistent total order
     # is lossless; rarest-first additionally starves hot buckets: a
@@ -573,19 +599,29 @@ def ngram_jaccard_candidates(
     # several prefix hashes dedups BEFORE the expensive intersect.
     # Corner case this cannot bound: a farm of thousands of EXACT copies
     # is quadratic in its own true output — run exact_dedup first.
-    exploded = df.select(
+    exploded = shingled.select(
         F.col(id_col),
         *[F.col(b) for b in blocks],
         F.explode(
-            F.transform(
-                word_shingles(F.col(text_col), shingle_n),
-                lambda s: F.xxhash64(s),
-            )
+            F.transform(F.col("_shingles"), lambda s: F.xxhash64(s))
         ).alias("_h"),
     )
-    freq = exploded.groupBy("_h").agg(F.count(F.lit(1)).alias("_cnt"))
+    # r12 (guide §2.4 — compute once, shuffle once): the global shingle
+    # frequency is a COUNT WINDOW over `_h`, not a groupBy + self-join.
+    # The old freq-table join evaluated the shingle explode+hash subtree
+    # TWICE (once under the groupBy's Exchange, once under the join's —
+    # different subplans, so ReuseExchange cannot fire) and shuffled it
+    # twice on the same key. The window computes `exploded` once behind
+    # ONE `_h` Exchange; values are identical (count of rows per hash),
+    # and the skew shape is no worse — the old join already co-located
+    # every row of a hot shingle in one task.
+    from pyspark.sql import Window
+
+    with_cnt = exploded.withColumn(
+        "_cnt", F.count(F.lit(1)).over(Window.partitionBy("_h"))
+    )
     per_doc = (
-        exploded.join(freq, "_h")
+        with_cnt
         .groupBy(id_col, *blocks)
         .agg(
             F.count(F.lit(1)).alias("_nsh"),
@@ -648,10 +684,9 @@ def ngram_jaccard_candidates(
         .distinct()
     )
     if max_block_rows is not None:
-        overflow_docs = df.join(oversized_ids, on=id_col, how="leftsemi").select(
-            F.col(id_col),
-            word_shingles(F.col(text_col), shingle_n).alias("_shingles"),
-        )
+        overflow_docs = shingled.join(
+            oversized_ids, on=id_col, how="leftsemi"
+        ).select(F.col(id_col), F.col("_shingles"))
         overflow_cands = lsh_candidate_pairs(
             overflow_docs, id_col, "_shingles"
         )
@@ -1465,13 +1500,23 @@ def winnow_neardup_pairs(
     # curation composites)
     fps = fps.transform(stage_boundary)
     posts = fps.select("id", F.explode("fps").alias("fp"))
-    rare = (
-        posts.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_df"))
+    # r12 (guide §2.4, same device as the ngram prefix filter): the
+    # document frequency is a COUNT WINDOW over `fp`, not a groupBy +
+    # semi-join back — one Exchange of the posting rows instead of two
+    # plus a join. Values are identical (rows per fingerprint), and a
+    # corpus-hot fingerprint already co-located all its rows under the
+    # old semi-join's `fp` shuffle, so the skew shape is unchanged —
+    # and the hot rows are DROPPED by the filter right after the
+    # window, before any pairing.
+    from pyspark.sql import Window
+
+    posts = (
+        posts.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
         .filter(F.col("_df") <= max_df)
-        .select("fp")
+        .drop("_df")
     )
-    posts = posts.join(rare, "fp", "leftsemi")
     a = posts.select(F.col("id").alias("id_a"), "fp")
     b = posts.select(F.col("id").alias("id_b"), "fp")
     shared = (

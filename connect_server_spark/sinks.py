@@ -270,16 +270,6 @@ def write_training_shards(
     # explicit schema: an empty write leaves no files to infer from, and
     # the guard below must see zero rows, not a schema-inference error
     written = packed.sparkSession.read.schema(tagged.schema).parquet(path)
-    if written.isEmpty():
-        # an empty release is an upstream bug (over-aggressive
-        # curation) — refuse by name BEFORE the manifest commit, so the
-        # data-less directory stays uncommitted and readers keep
-        # refusing it. (Checked on the read-back, which is cheap — the
-        # input pipeline is never executed an extra time.)
-        raise ValueError(
-            "write_training_shards: input has no rows — refusing to "
-            "commit an empty release"
-        )
     stats = (
         written.withColumn(
             "_rh", F.xxhash64(*[F.col(c) for c in data_cols])
@@ -293,6 +283,18 @@ def write_training_shards(
         )
         .collect()
     )
+    if not stats:
+        # an empty release is an upstream bug (over-aggressive
+        # curation) — refuse by name BEFORE the manifest commit, so the
+        # data-less directory stays uncommitted and readers keep
+        # refusing it. (r12: detected from the same read-back
+        # aggregation that computes the manifest stats — zero shard
+        # groups means zero rows — instead of a separate isEmpty job;
+        # one fewer sequential driver action per release, guide §5.4.)
+        raise ValueError(
+            "write_training_shards: input has no rows — refusing to "
+            "commit an empty release"
+        )
     manifest = {
         "n_shards": n_shards,
         "pack_col": pack_col,

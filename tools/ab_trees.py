@@ -55,9 +55,12 @@ def main() -> None:
     for r in range(rounds):
         for arm, tree in (("A", tree_a), ("B", tree_b)):
             res = run_minibench(tree, sf_dir, queries, reps)
-            if "calibration_sec" in res:
-                cals[arm].append(res["calibration_sec"])
-            for q, row in res.items():
+            for key in ("calibration", "calibration_sec"):
+                if key in res:
+                    cals[arm].append(res[key])
+                    break
+            rows = res.get("queries", res)
+            for q, row in rows.items():
                 if not isinstance(row, dict) or "min" not in row:
                     continue
                 results.setdefault(q, {"A": [], "B": []})[arm].append(row["min"])
@@ -66,7 +69,7 @@ def main() -> None:
                 + json.dumps(
                     {
                         q: row["min"]
-                        for q, row in res.items()
+                        for q, row in rows.items()
                         if isinstance(row, dict) and "min" in row
                     }
                 ),
