@@ -869,11 +869,26 @@ def simhash_fingerprints(
     """
     if not 2 <= bits <= 64:
         raise ValueError(f"bits must be in [2, 64], got {bits}")
-    n_pairs = max(1, bits // 2)  # 32 packed accumulators for 64-bit fingerprints
     hashes = df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
     ).select(F.col(id_col), F.xxhash64(F.col("_sh")).alias("_h"))
+    aggs, fp = _simhash_vote_exprs(bits)
+    votes = hashes.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    return votes.select(F.col(id_col), fp.alias("_fp"))
+
+
+@memo_expr
+def _simhash_vote_exprs(bits: int) -> tuple:
+    """(packed vote aggregation columns, fingerprint fold) over the
+    fixed ``_h``/``_n``/``_p*`` intermediate names, as pure functions of
+    ``bits``. r12: memoized — the 32 packed sums plus the 63-step fold
+    are ~500 py4j round-trips, rebuilt identically at every plan
+    construction (measured ~2.5 s of dedup_neardup_simhash's build
+    wall); the Column trees are immutable and unresolved, the
+    ``memo_expr`` precedent for the stopword builders (guide §7.3 —
+    plan-construction time is driver wall too)."""
+    n_pairs = max(1, bits // 2)  # 32 packed accumulators for 64-bit fingerprints
     h = F.col("_h")
 
     # Bit b of the fingerprint votes in pair b % n_pairs: low field when
@@ -887,11 +902,9 @@ def simhash_fingerprints(
         hi = F.shiftright(h, b + n_pairs).bitwiseAND(F.lit(1))
         return lo + F.shiftleft(hi.cast("long"), 32)
 
-    votes = hashes.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[F.sum(packed(b)).alias(f"_p{b}") for b in range(n_pairs)],
+    aggs = tuple(
+        F.sum(packed(b)).alias(f"_p{b}") for b in range(n_pairs)
     )
-
     fp = F.lit(0).cast("long")
     for b in range(bits - 1):
         pair = F.col(f"_p{b % n_pairs}")
@@ -903,7 +916,7 @@ def simhash_fingerprints(
         fp = fp + (cnt * 2 > F.col("_n")).cast("long") * F.lit(2 ** b).cast(
             "long"
         )
-    return votes.select(F.col(id_col), fp.alias("_fp"))
+    return (aggs, fp)
 
 
 def simhash_neardup_pairs(

@@ -77,14 +77,6 @@ class FlowStage:
     result: dict[str, Column] = field(default_factory=dict)
 
 
-def _set_char(code: Column, idx: int, char: Column) -> Column:
-    return F.concat(
-        F.substring(code, 1, idx),
-        char,
-        F.substring(code, idx + 2, _N - idx - 1),
-    )
-
-
 def run_flow(
     df: DataFrame,
     stages: list[FlowStage],
@@ -93,23 +85,68 @@ def run_flow(
     """Execute the staged DAG. Adds ``status_code`` (12 chars),
     ``flow_state`` (active/failed/hibernating/cancelled) and one
     ``{stage}_result`` struct per result-bearing stage."""
-    state = (
+    # r12 (guide §7.3 "very large plans" / §1.2): the fold is built as
+    # TWO projections instead of 2-3 ``withColumn`` calls per stage —
+    # the old shape re-analyzed a widening plan ~36 times and chained 12
+    # rounds of substring surgery through 12 intermediate projections,
+    # pure driver-side plan-construction cost (measured 3.2 s of
+    # flow_execute's 3.6 s wall at sf0.1). The closed form uses what the
+    # sequential fold guarantees anyway: a row's flow_state flips at
+    # most ONCE — every flip (fail or hibernate) requires the row to
+    # still be active, so the FIRST stage whose raw flip condition holds
+    # is the one that actually fired. Projection 1 materializes those
+    # RAW flip predicates (choice∧fail / choice∧¬fail∧hibernate,
+    # null-coalesced to false — each a small input-only expression) as
+    # flag columns; projection 2 derives everything from flag ATTRIBUTE
+    # REFERENCES: ``blocked before stage k`` = OR of the 2(k-1) flags,
+    # each status_code position is a reverse-order CASE over its
+    # writers (last runnable writer wins), and the final state is a
+    # first-match CASE over the flags in stage order. Keeping the flags
+    # as a projection boundary is load-bearing: inlining them (the
+    # first cut of this rewrite) nests each stage's predicate inside
+    # every later stage's — the tree grows exponentially and analysis
+    # OOMs/crawls. NULL semantics are preserved: a NULL flip predicate
+    # coalesces to false — the row stays active — exactly as the old
+    # ``when(flip, ...).otherwise(keep)`` fell through, and the NULL
+    # ``ran``/char cases reproduce via the same when-chains.
+    init_state = (
         F.when(F.col(cancelled_col), F.lit("cancelled")).otherwise(F.lit("active"))
         if cancelled_col
         else F.lit("active")
     )
-    out = df.withColumn("status_code", F.lit("z" * _N)).withColumn(
-        "flow_state", state
+    init_blocked = (
+        F.when(F.col(cancelled_col), F.lit(True)).otherwise(F.lit(False))
+        if cancelled_col
+        else F.lit(False)
     )
-    for st in stages:
-        active = F.col("flow_state") == "active"
-        runnable = active & (st.choice if st.choice is not None else F.lit(True))
-        failed_now = runnable & (st.fail if st.fail is not None else F.lit(False))
-        hib_now = (
-            runnable
-            & ~failed_now
-            & (st.hibernate if st.hibernate is not None else F.lit(False))
+    flag_cols: list[Column] = []
+    for i, st in enumerate(stages):
+        choice = st.choice if st.choice is not None else F.lit(True)
+        fail = st.fail if st.fail is not None else F.lit(False)
+        hib = st.hibernate if st.hibernate is not None else F.lit(False)
+        flag_cols.append(
+            F.coalesce(choice & fail, F.lit(False)).alias(f"_flow_ff{i}")
         )
+        flag_cols.append(
+            F.coalesce(choice & ~(choice & fail) & hib, F.lit(False)).alias(
+                f"_flow_fh{i}"
+            )
+        )
+    flagged = df.select("*", init_blocked.alias("_flow_blocked0"), *flag_cols)
+
+    blocked = F.col("_flow_blocked0")
+    writes: dict[int, list[tuple[Column, Column]]] = {}
+    result_cols: list[Column] = []
+    state_chain: list[tuple[Column, Column]] = []  # (flag, state) in stage order
+    for i, st in enumerate(stages):
+        choice = st.choice if st.choice is not None else F.lit(True)
+        ff, fh = F.col(f"_flow_ff{i}"), F.col(f"_flow_fh{i}")
+        runnable = ~blocked & choice
+        # failed_now/hib_now via the flags: inside when()-conditions the
+        # coalesced flags are indistinguishable from the originals (NULL
+        # and false both fall through)
+        failed_now = runnable & ff
+        hib_now = runnable & fh
         if st.step is not None:
             idx = STATUS_STEPS.index(st.step)
             char = (
@@ -117,23 +154,41 @@ def run_flow(
                 .when(hib_now, F.lit("H"))
                 .when(runnable, F.lit("S"))
             )
-            new_code = F.when(
-                runnable, _set_char(F.col("status_code"), idx, char)
-            ).otherwise(F.col("status_code"))
-            out = out.withColumn("status_code", new_code)
+            writes.setdefault(idx, []).append((runnable, char))
         if st.result:
-            payload = F.struct(
-                *[c.alias(k) for k, c in st.result.items()],
-                runnable.alias("ran"),
+            result_cols.append(
+                F.struct(
+                    *[c.alias(k) for k, c in st.result.items()],
+                    runnable.alias("ran"),
+                ).alias(f"{st.name}_result")
             )
-            out = out.withColumn(f"{st.name}_result", payload)
-        new_state = (
-            F.when(failed_now, F.lit("failed"))
-            .when(hib_now, F.lit("hibernating"))
-            .otherwise(F.col("flow_state"))
-        )
-        out = out.withColumn("flow_state", new_state)
-    return out
+        state_chain.append((ff, F.lit("failed")))
+        state_chain.append((fh, F.lit("hibernating")))
+        blocked = blocked | ff | fh
+
+    def pos_char(idx: int) -> Column:
+        c = F.lit("z")
+        # last runnable writer wins == first match over reversed writes
+        for runnable, char in reversed(writes.get(idx, [])):
+            c = F.when(F.coalesce(runnable, F.lit(False)), char).otherwise(c)
+        return c
+
+    status_code = F.concat(*[pos_char(i) for i in range(_N)])
+    flow_state = init_state
+    for flip, state in reversed(state_chain):
+        flow_state = F.when(flip, state).otherwise(flow_state)
+    if cancelled_col:
+        # cancelled rows never run a stage, so no flip may outrank the
+        # cancelled verdict — the outermost branch restores that
+        flow_state = F.when(
+            F.coalesce(F.col(cancelled_col), F.lit(False)), F.lit("cancelled")
+        ).otherwise(flow_state)
+    return flagged.select(
+        *df.columns,
+        status_code.alias("status_code"),
+        flow_state.alias("flow_state"),
+        *result_cols,
+    )
 
 
 def curation_failure_classifier(code: Column) -> Column:

@@ -435,7 +435,13 @@ def corpus_from_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "source", "text"
     )
-    sharded = docs.withColumn("shard", F.col("doc_id") % 8).withColumn(
+    # r12 (guide §2.5): the synthesis groupBy's parallelism IS the shard
+    # count — a fixed 8 ran the whole CPU-dense synth→parse→extract
+    # chain on 8 of the session's cores. The funnel never sees the shard
+    # (it groups by domain), so the count is a free parallelism knob;
+    # floor 8 keeps the multi-record-shard shape at tiny sf.
+    n_shards = max(8, spark.sparkContext.defaultParallelism)
+    sharded = docs.withColumn("shard", F.col("doc_id") % n_shards).withColumn(
         "domain", F.concat(F.col("source"), F.lit(".example"))
     )
     recs = parse_warc_records(
@@ -444,14 +450,24 @@ def corpus_from_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one materialization: the parsed/extracted corpus feeds the funnel
     # base count and every downstream stage (same boundary rule as the
     # curation composites — Spark would otherwise duplicate the whole
-    # Arrow parse per consumer)
+    # Arrow parse per consumer).
+    # r12 (guide §2.3/§8 — decide with small rows): every decision past
+    # this point needs only (url, doc_id, gate verdict) — the quality
+    # gate is a per-row function of the text, so its verdict is computed
+    # HERE, in the same projection, and the text column is dropped.
+    # The url-dedup and per-domain-cap window Exchanges then carry
+    # ~60-byte rows instead of full documents, and the checkpoint
+    # materializes the same narrow rows. Verdicts are unchanged: the
+    # URL stages never modify text, so flagging before or after them
+    # reads the same bytes.
     extracted = html_to_text(recs.filter(F.col("error").isNull()), "body")
+    flags = c4_doc_flags(F.col("text"))
     parsed = extracted.select(
         F.col("target_uri").alias("url"),
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
         .cast("long")
         .alias("doc_id"),
-        "text",
+        (~flags["has_lorem_ipsum"] & ~flags["has_brace"]).alias("_gate_ok"),
     ).transform(stage_boundary)
 
     block = spark.createDataFrame([(d,) for d in _URL_BLOCKLIST], ["domain"])
@@ -461,24 +477,29 @@ def corpus_from_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         _URL_DOMAIN_CAP,
         seed="cfc:",
-    ).transform(stage_boundary)
-
-    flags = c4_doc_flags(F.col("text"))
-    gated = url_ok.filter(
-        ~flags["has_lorem_ipsum"] & ~flags["has_brace"]
     )
 
-    def stage_counts(df: DataFrame, name: str) -> DataFrame:
-        return (
-            df.withColumn("domain", url_domain(F.col("url")))
-            .groupBy("domain")
-            .agg(F.count(F.lit(1)).alias(name))
-        )
-
+    # r12 (guide §2.4): the url_ok and gated funnel legs are ONE
+    # aggregation — gated ⊆ url_ok, so a conditional count over the
+    # gate verdict replaces the third groupBy + join (NULL verdicts —
+    # NULL text — are skipped by count(when), exactly as the old
+    # filter dropped them).
     funnel = (
-        stage_counts(parsed, "n_parsed")
-        .join(stage_counts(url_ok, "n_url_ok"), "domain", "left")
-        .join(stage_counts(gated, "n_gated"), "domain", "left")
+        parsed.withColumn("domain", url_domain(F.col("url")))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_parsed"))
+        .join(
+            url_ok.withColumn("domain", url_domain(F.col("url")))
+            .groupBy("domain")
+            .agg(
+                F.count(F.lit(1)).alias("n_url_ok"),
+                F.count(F.when(F.col("_gate_ok"), F.lit(1))).alias(
+                    "n_gated"
+                ),
+            ),
+            "domain",
+            "left",
+        )
         .fillna(0, ["n_url_ok", "n_gated"])
         .orderBy("domain")
     )

@@ -71,20 +71,27 @@ def training_release(
     packed = chunk_and_pack(counts, "doc_id", "n_tokens", budget=_BUDGET)
 
     path = out_path or tempfile.mkdtemp(prefix="training_release_")
-    write_training_shards(
+    manifest = write_training_shards(
         packed, path, n_shards=_N_SHARDS, pack_col="pack_id",
         token_col="chunk_tokens",
     )
-    verified = read_training_shards(spark, path, verify=True)
-    return (
-        verified.groupBy("shard")
-        .agg(
-            F.count_distinct("pack_id").alias("n_packs"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("chunk_tokens").alias("n_tokens"),
+    read_training_shards(spark, path, verify=True)
+    # r12 (guide §1.2 — don't recompute what this run already computed):
+    # the summary IS the manifest's ledger, and the manifest was built
+    # THIS call from a read-back aggregation of the written shards (and
+    # just re-verified shard-parallel by the verify read). The old shape
+    # scanned the shard files a third time to aggregate the same
+    # (n_packs, n_rows, n_tokens) per shard; the ledger DataFrame is
+    # value-identical by construction.
+    rows = [
+        (int(s), v["n_packs"], v["n_rows"], v["n_tokens"])
+        for s, v in sorted(
+            manifest["shards"].items(), key=lambda kv: int(kv[0])
         )
-        .orderBy("shard")
-    )
+    ]
+    return spark.createDataFrame(
+        rows, "shard int, n_packs bigint, n_rows bigint, n_tokens bigint"
+    ).orderBy("shard")
 
 
 register("training_release", training_release, defer=True)
