@@ -348,6 +348,69 @@ def write_bm25_index(
     )
 
 
+# (signature-pair, snapshot) per (session, meta path, termstats path) —
+# see _bm25_ledger. Bounded like similarity's _MODEL_CACHE.
+_LEDGER_MEMO: dict = {}
+
+
+def _bm25_ledger(spark, index_path: str) -> dict:
+    """One snapshot of the index's driver-side ledgers — the
+    batch-coverage guard verdict, (n_docs, dl_sum, dl_cnt), and the
+    termstats read schema — memoized per (session, resolved ledger
+    paths) behind BOTH directories' ``fs_signature``s.
+
+    The serving path re-probed these ledgers on every call: two
+    footer-inference reads, two distinct-batch collects, and two
+    aggregations — ~6 sequential driver jobs per query for values that
+    are pure functions of the committed ledger files. The signature
+    guard recomputes everything on any append/rebuild of either ledger,
+    so the coverage guard still fires the moment the two stores
+    diverge. Nothing corpus-sized is read here: both ledgers are
+    batch-count / vocabulary sized.
+
+    Coverage guard: both ledgers are per-batch partials, and pruning by
+    a termstats ledger that covers FEWER batches than meta would
+    silently undercount df (inflated idf) and make terms that only
+    occur in uncovered batches unfindable — the upgrade trap for an
+    index written before the termstats ledger existed and then appended
+    to. A guard FAILURE is never memoized — every call against the
+    broken store re-reads and re-raises."""
+    from connect_server_spark.fsutil import fs_signature, resolve_store
+
+    meta_path = resolve_store(spark, f"{index_path}/meta")
+    ts_path = resolve_store(spark, f"{index_path}/termstats")
+    sig = (fs_signature(spark, meta_path), fs_signature(spark, ts_path))
+    key = (id(spark._jsparkSession), meta_path, ts_path)
+    hit = _LEDGER_MEMO.get(key)
+    if hit is not None and None not in sig and hit[0] == sig:
+        return hit[1]
+    meta_df = spark.read.parquet(meta_path)
+    ts_df = spark.read.parquet(ts_path)
+    meta_batches = {int(r.batch) for r in meta_df.select("batch").distinct().collect()}
+    ts_batches = {int(r.batch) for r in ts_df.select("batch").distinct().collect()}
+    if meta_batches != ts_batches:
+        raise ValueError(
+            f"{index_path}: termstats ledger covers batches "
+            f"{sorted(ts_batches)} but meta covers {sorted(meta_batches)} — "
+            "the index predates the termstats ledger (or a partial write); "
+            "rebuild it with write_bm25_index(mode='overwrite')"
+        )
+    agg = meta_df.agg(
+        F.sum("n_docs"), F.sum("dl_sum"), F.sum("dl_cnt")
+    ).first()
+    value = {
+        "n_docs": int(agg[0]),
+        "dl_sum": int(agg[1] or 0),
+        "dl_cnt": int(agg[2] or 0),
+        "ts_path": ts_path,
+        "ts_schema": ts_df.schema,
+    }
+    if len(_LEDGER_MEMO) > 128:
+        _LEDGER_MEMO.clear()
+    _LEDGER_MEMO[key] = (sig, value)
+    return value
+
+
 def query_term_stats(
     spark, index_path: str, q_terms: list[str], idf_floor: float
 ) -> tuple[list[tuple[str, float]], list[tuple[str, float]]]:
@@ -360,28 +423,9 @@ def query_term_stats(
     the in-memory path. If EVERY matched term is below the floor (an
     all-stop-word query), the single highest-idf term is kept so the
     query still answers — one bounded posting list, never zero."""
-    from connect_server_spark.fsutil import resolve_store
-
-    meta_df = spark.read.parquet(resolve_store(spark, f"{index_path}/meta"))
-    ts_df = spark.read.parquet(
-        resolve_store(spark, f"{index_path}/termstats")
-    )
-    # coverage guard: both ledgers are per-batch partials, and pruning
-    # by a termstats ledger that covers FEWER batches than meta would
-    # silently undercount df (inflated idf) and make terms that only
-    # occur in uncovered batches unfindable — the upgrade trap for an
-    # index written before the termstats ledger existed and then
-    # appended to. Both sets are batch-count-sized.
-    meta_batches = {int(r.batch) for r in meta_df.select("batch").distinct().collect()}
-    ts_batches = {int(r.batch) for r in ts_df.select("batch").distinct().collect()}
-    if meta_batches != ts_batches:
-        raise ValueError(
-            f"{index_path}: termstats ledger covers batches "
-            f"{sorted(ts_batches)} but meta covers {sorted(meta_batches)} — "
-            "the index predates the termstats ledger (or a partial write); "
-            "rebuild it with write_bm25_index(mode='overwrite')"
-        )
-    n_docs = int(meta_df.agg(F.sum("n_docs")).first()[0])
+    led = _bm25_ledger(spark, index_path)
+    n_docs = led["n_docs"]
+    ts_df = spark.read.schema(led["ts_schema"]).parquet(led["ts_path"])
     rows = (
         ts_df.filter(F.col("term").isin(q_terms))
         .groupBy("term")
@@ -444,14 +488,10 @@ def bm25_topk_indexed(
     q_terms = sorted({t for t in query.lower().split() if t})
     if not q_terms:
         raise ValueError("empty query")
-    from connect_server_spark.fsutil import resolve_store
-
-    meta = (
-        spark.read.parquet(resolve_store(spark, f"{index_path}/meta"))
-        .agg(F.sum("n_docs"), F.sum("dl_sum"), F.sum("dl_cnt"))
-        .first()
+    led = _bm25_ledger(spark, index_path)
+    avg_dl = (
+        float(led["dl_sum"]) / float(led["dl_cnt"]) if led["dl_cnt"] else 1.0
     )
-    avg_dl = (float(meta[1]) / float(meta[2])) if meta[2] else 1.0
     kept, _pruned = query_term_stats(spark, index_path, q_terms, idf_floor)
     term_scan = read_bucketed(
         spark, f"{index_path}/terms", key="term", buckets=buckets

@@ -43,6 +43,15 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Inferred StructType per table path, guarded by the path's fs_signature
+# (any rewrite/append invalidates). Schema inference runs a one-task Spark
+# job to read a footer on EVERY bare spark.read.parquet — a fixed driver
+# cost per plan construction that the memo removes; the schema itself is
+# pure metadata (a function of the committed files), so this caches no
+# data and no results.
+_SCHEMA_MEMO: dict = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or default_sf_dir()
     if name not in TABLES:
@@ -53,8 +62,22 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # generations write timestamp[us], where the conf is a no-op.
         # Setting it unconditionally keeps reads working either way, on
         # sessions we did not build (the correctness driver makes its own).
+        # It also changes what inference RETURNS for legacy files (bigint
+        # vs timestamp), so it must be set before the memo-filling read —
+        # which this ordering guarantees on every path.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    from connect_server_spark.fsutil import fs_signature
+
+    sig = fs_signature(spark, path)
+    if sig is not None:
+        hit = _SCHEMA_MEMO.get(path)
+        if hit is not None and hit[0] == sig:
+            return spark.read.schema(hit[1]).parquet(path)
+    df = spark.read.parquet(path)
+    if sig is not None:
+        _SCHEMA_MEMO[path] = (sig, df.schema)
+    return df
 
 
 def spread_scan(df: DataFrame, parallelism: int | None = None) -> DataFrame:
