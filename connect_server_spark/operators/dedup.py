@@ -18,6 +18,8 @@ These are the LLM-training-pipeline operators the reference lacks but a
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -152,6 +154,37 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     )
 
 
+@functools.lru_cache(maxsize=32)
+def _minhash_agg_exprs(num_hashes: int) -> tuple:
+    """The ``num_hashes`` seeded-min aggregate Columns of
+    :func:`minhash_band_buckets`, memoized per hash count (r12, the
+    simhash ``memo_expr`` precedent — guide §7.3): each build is
+    ~130 py4j round trips (0.3–0.5 s of driver wall, measured), the
+    trees are pure functions of ``num_hashes`` over the FIXED
+    intermediate names ``_sh``/``_m{i}``, and Column objects are
+    immutable — one tree serves every plan for the process lifetime."""
+    return tuple(
+        F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _minhash_band_keys(bands: int, rows_per_band: int):
+    """The band-key array Column over the ``_m{i}`` signature columns,
+    memoized per (bands, rows_per_band) — same rationale as
+    :func:`_minhash_agg_exprs` (~60 py4j calls per rebuild)."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_band_buckets(
     df: DataFrame,
     id_col: str,
@@ -172,21 +205,8 @@ def minhash_band_buckets(
     hashes = df.select(
         F.col(id_col), F.explode(F.col(shingles_col)).alias("_sh")
     )
-    sig = hashes.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_m{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)],
-            )
-            for b in range(bands)
-        ]
-    )
+    sig = hashes.groupBy(id_col).agg(*_minhash_agg_exprs(num_hashes))
+    band_keys = _minhash_band_keys(bands, rows_per_band)
     return sig.select(
         F.col(id_col), F.posexplode(band_keys).alias("band", "band_hash")
     )

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from connect_server_spark.execution import stage_boundary
 from connect_server_spark.operators.curation import deterministic_keep
 from connect_server_spark.operators.text import tokens, unigram_lm
 
@@ -124,12 +125,85 @@ def hash_uniform(key: Column, seed: str = "") -> Column:
     return (bits + F.lit(0.5)) / F.lit(4294967296.0)
 
 
+def _dual_unigram_lm(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_predicate,
+    vocab_size: int,
+):
+    """Both DSIR unigram LMs — target (rows where ``target_predicate``)
+    and raw (all rows) — from ONE corpus tokenization pass (r12, guide
+    §2.4: the separate ``unigram_lm(target)`` + ``unigram_lm(df)``
+    chains each exploded the corpus and each ran a build-time total
+    action, sequentially; when the target is a predicate SUBSET of the
+    same frame, one explode with a conditional count produces both
+    frequency tables, one checkpoint replaces two, and one totals
+    action replaces two). Value-identical to the two-chain form by
+    construction: per-token target counts are the conditional sums of
+    the same per-(token, doc) counts (a NULL predicate excludes the row,
+    exactly like ``df.filter(pred)``), the vocab cuts order by the same
+    (count desc, token asc) keys, and the totals/rounding match
+    :func:`~connect_server_spark.operators.text.unigram_lm` digit for
+    digit — pinned against the unfused path in ``tests/test_sampling.py``
+    and by the dsir_resample DuckDB oracle.
+
+    Returns ``(t_vocab, t_oov, r_vocab, r_oov)``."""
+    import math
+
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+        target_predicate.alias("_t"),
+    ).filter(F.col("token") != "")
+    # (token, doc) partial counts — _t is functionally dependent on _id,
+    # so adding it to the key changes no group
+    per_doc = exploded.groupBy("token", "_id", "_t").agg(
+        F.count(F.lit(1)).alias("_occ")
+    )
+    freqs = per_doc.groupBy("token").agg(
+        F.sum("_occ").alias("_n_r"),
+        F.sum(F.when(F.col("_t"), F.col("_occ"))).alias("_n_t"),
+    ).transform(stage_boundary)
+    row = freqs.agg(F.sum("_n_r"), F.sum("_n_t")).first()
+    total_r = row[0] or 1
+    total_t = row[1] or 1
+    r_vocab = (
+        freqs.orderBy(F.col("_n_r").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select(
+            "token",
+            F.round(
+                F.log(F.col("_n_r") / F.lit(float(total_r))), 6
+            ).alias("logp"),
+        )
+    )
+    t_vocab = (
+        freqs.filter(F.col("_n_t").isNotNull())
+        .orderBy(F.col("_n_t").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select(
+            "token",
+            F.round(
+                F.log(F.col("_n_t") / F.lit(float(total_t))), 6
+            ).alias("logp"),
+        )
+    )
+    return (
+        t_vocab,
+        round(math.log(0.5 / total_t), 6),
+        r_vocab,
+        round(math.log(0.5 / total_r), 6),
+    )
+
+
 def importance_weights(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    target: DataFrame,
+    target: DataFrame | None,
     vocab_size: int = 20000,
+    target_predicate=None,
 ) -> DataFrame:
     """Per-document DSIR importance score: the summed per-token
     log-likelihood ratio ``Σ log p_target(tok) - log p_raw(tok)`` under
@@ -142,9 +216,20 @@ def importance_weights(
     aggregation. Document bodies never shuffle; the wide rows are
     (id, two 8-byte logps). Scores are rounded to the 1e-6 grid for
     hash-stable output.
-    """
-    t_vocab, t_oov = unigram_lm(target, id_col, text_col, vocab_size)
-    r_vocab, r_oov = unigram_lm(df, id_col, text_col, vocab_size)
+
+    ``target_predicate`` (a boolean Column over ``df``'s rows) declares
+    the target as a subset of ``df`` itself — the common DSIR shape —
+    and routes LM building through :func:`_dual_unigram_lm`: one corpus
+    tokenization pass and one build-time action instead of two of each,
+    value-identical. ``target`` may then be None; it remains the generic
+    path for a target frame that is not a subset of ``df``."""
+    if target_predicate is not None:
+        t_vocab, t_oov, r_vocab, r_oov = _dual_unigram_lm(
+            df, id_col, text_col, target_predicate, vocab_size
+        )
+    else:
+        t_vocab, t_oov = unigram_lm(target, id_col, text_col, vocab_size)
+        r_vocab, r_oov = unigram_lm(df, id_col, text_col, vocab_size)
     exploded = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     ).filter(F.col("token") != "")
@@ -173,19 +258,24 @@ def importance_resample(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    target: DataFrame,
+    target: DataFrame | None,
     k: int,
     temperature: float = 1.0,
     seed: str = "dsir",
     vocab_size: int = 20000,
+    target_predicate=None,
 ) -> DataFrame:
     """Gumbel-top-k importance resampling: keep the k documents with the
     largest ``score/T + Gumbel(hash(id))`` — a without-replacement
     sample with P(doc) ∝ exp(score/T), fully deterministic in (seed,
     corpus). T→0 approaches hard top-k by score; larger T preserves more
     of the raw distribution. The selection is a TakeOrdered merge (k
-    rows per partition then k global), never a full sort."""
-    w = importance_weights(df, id_col, text_col, target, vocab_size)
+    rows per partition then k global), never a full sort.
+    ``target_predicate`` — see :func:`importance_weights`."""
+    w = importance_weights(
+        df, id_col, text_col, target, vocab_size,
+        target_predicate=target_predicate,
+    )
     gumbel = -F.log(-F.log(hash_uniform(F.col(id_col), seed)))
     key = F.col("dsir_score") / F.lit(float(temperature)) + gumbel
     return (

@@ -93,15 +93,20 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-likelihood-ratio scores (target = lang='en' docs, raw = whole
     corpus) and a deterministic Gumbel-top-k draw of the winners."""
     docs = load_table(spark, "documents", sf_dir)
-    target = docs.filter(F.col("lang") == "en")
+    # r12 (guide §2.4): the target is a predicate subset of the same
+    # corpus, so declaring it as a predicate lets importance_resample
+    # build BOTH unigram LMs from one tokenization pass (one build-time
+    # action instead of two sequential chains) — value-identical, still
+    # gated by the DuckDB oracle below.
     return importance_resample(
         docs,
         "doc_id",
         "text",
-        target,
+        None,
         k=DSIR_K,
         temperature=DSIR_TEMPERATURE,
         seed="dsir",
+        target_predicate=F.col("lang") == "en",
     )
 
 

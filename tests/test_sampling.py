@@ -234,6 +234,35 @@ def test_dsir_favors_target_domain(spark, sf_dir):
     assert means["en"] > means["zh"]
 
 
+def test_importance_weights_predicate_path_identical(spark, sf_dir):
+    """r12 fused dual-LM path (one tokenization pass, one build action)
+    must be VALUE-IDENTICAL to the generic two-chain path — same score
+    for every document, digit for digit (the dsir_resample oracle gate
+    rests on this)."""
+    docs = load_table(spark, "documents", sf_dir)
+    old = sorted(
+        map(
+            tuple,
+            importance_weights(
+                docs, "doc_id", "text", docs.filter(F.col("lang") == "en")
+            ).collect(),
+        )
+    )
+    new = sorted(
+        map(
+            tuple,
+            importance_weights(
+                docs,
+                "doc_id",
+                "text",
+                None,
+                target_predicate=F.col("lang") == "en",
+            ).collect(),
+        )
+    )
+    assert old == new
+
+
 def test_hash_uniform_in_unit_interval(spark):
     df = spark.range(1000).select(hash_uniform(F.col("id"), "s").alias("u"))
     lo, hi, avg = df.agg(F.min("u"), F.max("u"), F.avg("u")).first()
