@@ -21,6 +21,8 @@ Scale design:
 
 from __future__ import annotations
 
+import functools as _functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -237,6 +239,66 @@ def decontaminate_bloom(
     return docs.join(hits, id_col, "left_anti")
 
 
+@_functools.lru_cache(maxsize=64)
+def _scan_gate_pred(
+    text_col: str,
+    min_quality: int | None,
+    tok_bounds: tuple[int, int] | None,
+    require_lang: bool,
+    gopher: bool,
+    c4_doc: bool,
+) -> Column:
+    """The scan-stage predicate of :func:`make_curation_gate`, built once
+    per config for the process lifetime (r12, guide §7.3: the quality/
+    language/gopher trees under the let-bound token split are ~2.6 s of
+    Catalyst/py4j construction per build and miss ``memo_expr`` BY DESIGN
+    — the lambda variable gets a fresh JVM name per construction, so the
+    inner builders can never hit; caching the OUTER Column sidesteps
+    that). Pure plan construction over the unresolved ``F.col(text_col)``
+    — reusable across any DataFrame carrying that column, the
+    ``language_id`` precedent; no data, no results, no store state."""
+    from connect_server_spark.functions.expr import let_col
+    from connect_server_spark.operators.quality import (
+        c4_doc_flags,
+        gopher_flags,
+        gopher_pass,
+    )
+    from connect_server_spark.operators.text import (
+        alnum_token_count,
+        language_id,
+        quality_score,
+        tokens,
+    )
+
+    t = F.col(text_col)
+
+    def scan_pred(tk):
+        cond = F.lit(True)
+        if min_quality is not None:
+            cond = cond & (quality_score(t, toks=tk) >= min_quality)
+        if tok_bounds is not None:
+            lo, hi = tok_bounds
+            cond = cond & alnum_token_count(t).between(lo, hi)
+        if require_lang:
+            cond = cond & (language_id(t, toks=tk) != "und")
+        if gopher:
+            cond = cond & gopher_pass(gopher_flags(t, toks=tk))
+        if c4_doc:
+            flags = c4_doc_flags(t)
+            cond = cond & (~flags["has_lorem_ipsum"] & ~flags["has_brace"])
+        return cond
+
+    needs_toks = (
+        min_quality is not None
+        or tok_bounds is not None
+        or require_lang
+        or gopher
+    )
+    if needs_toks:
+        return let_col(tokens(t), scan_pred)
+    return scan_pred(None)  # c4 flags alone never touch the token array
+
+
 def make_curation_gate(
     id_col: str,
     text_col: str,
@@ -278,57 +340,35 @@ def make_curation_gate(
     gates re-run per consumer. Leave False for single-leg gates or
     batch-sized streaming inputs where recompute is cheaper than
     caching."""
-    from connect_server_spark.operators.quality import (
-        c4_doc_flags,
-        gopher_flags,
-        gopher_pass,
-    )
-    from connect_server_spark.operators.text import (
-        alnum_token_count,
-        language_id,
-        lm_quality_scores,
-        quality_score,
-    )
+    from connect_server_spark.operators.text import lm_quality_scores
 
-    from connect_server_spark.functions.expr import let_col
-    from connect_server_spark.operators.text import tokens
+    # normalize for the lru_cache key (callers pass lists/tuples alike)
+    tok_bounds_t = tuple(tok_bounds) if tok_bounds is not None else None
 
     def gate(df: DataFrame) -> DataFrame:
-        t = F.col(text_col)
         out = df
         # All token-based verdicts under ONE let-bound split: separate
         # filters would each re-bind (and re-run) the split per row —
         # see the corpus_curation gate-inlining fix for the measurement.
-        needs_toks = (
+        # The predicate Column itself is process-lifetime cached per
+        # config (_scan_gate_pred, r12): identical tree, built once.
+        if (
             min_quality is not None
-            or tok_bounds is not None
+            or tok_bounds_t is not None
             or require_lang
             or gopher
-        )
-        if needs_toks or c4_doc:
-
-            def scan_pred(tk):
-                cond = F.lit(True)
-                if min_quality is not None:
-                    cond = cond & (quality_score(t, toks=tk) >= min_quality)
-                if tok_bounds is not None:
-                    lo, hi = tok_bounds
-                    cond = cond & alnum_token_count(t).between(lo, hi)
-                if require_lang:
-                    cond = cond & (language_id(t, toks=tk) != "und")
-                if gopher:
-                    cond = cond & gopher_pass(gopher_flags(t, toks=tk))
-                if c4_doc:
-                    flags = c4_doc_flags(t)
-                    cond = cond & (
-                        ~flags["has_lorem_ipsum"] & ~flags["has_brace"]
-                    )
-                return cond
-
-            if needs_toks:
-                out = out.filter(let_col(tokens(t), scan_pred))
-            else:  # c4 flags alone never touch the token array
-                out = out.filter(scan_pred(None))
+            or c4_doc
+        ):
+            out = out.filter(
+                _scan_gate_pred(
+                    text_col,
+                    min_quality,
+                    tok_bounds_t,
+                    require_lang,
+                    gopher,
+                    c4_doc,
+                )
+            )
         if lm is not None or lm_scored is not None:
             if materialize:
                 out = out.transform(stage_boundary)

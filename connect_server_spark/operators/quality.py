@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from connect_server_spark.functions.expr import let_col
+from connect_server_spark.functions.expr import let_col, memo_expr
 from connect_server_spark.operators.text import (
     dup_line_ratio,
     mean_word_length,
@@ -58,6 +58,7 @@ def _ratio(num: Column, den: Column) -> Column:
     return F.round(num.cast("double") / F.greatest(den, F.lit(1)), 6)
 
 
+@memo_expr
 def gopher_flags(
     text: Column,
     min_words: int = 50,
@@ -164,6 +165,7 @@ def gopher_pass(flags: Column) -> Column:
     return out
 
 
+@memo_expr
 def c4_clean_lines(text: Column, min_words: int = 5) -> Column:
     """C4 §2.2 line cleaning, as a pure expression: keep lines that end
     in terminal punctuation, have ≥ ``min_words`` whitespace words, and
@@ -183,6 +185,7 @@ def c4_clean_lines(text: Column, min_words: int = 5) -> Column:
     return F.array_join(kept, "\n")
 
 
+@memo_expr
 def c4_doc_flags(text: Column) -> Column:
     """C4's document-level removal flags: policy-placeholder text
     ("lorem ipsum") and source-code leakage (curly braces). True means

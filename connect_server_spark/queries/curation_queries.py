@@ -22,6 +22,8 @@ fixture pin per stage.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -222,6 +224,16 @@ def _gate_with_fixture_gopher(gate, cleaned: DataFrame) -> DataFrame:
     stopword-free synthetic corpus (see ``_GOPHER_KW``): the shared
     make_curation_gate runs with ``gopher=False`` and the adapted
     gopher verdict is AND-ed in the same scan-stage filter pass."""
+    return gate(cleaned.filter(_fixture_gopher_pred()))
+
+
+@functools.lru_cache(maxsize=1)
+def _fixture_gopher_pred():
+    """The adapted-gopher filter Column, built once per process (r12,
+    guide §7.3): the gopher tree under the let-bound token split misses
+    ``memo_expr`` (fresh lambda-variable name per construction), so the
+    outer Column is cached instead — a pure function of the fixed
+    ``_GOPHER_KW`` over the unresolved ``text`` column."""
     from connect_server_spark.functions.expr import let_col
     from connect_server_spark.operators.quality import (
         gopher_flags,
@@ -230,13 +242,10 @@ def _gate_with_fixture_gopher(gate, cleaned: DataFrame) -> DataFrame:
     from connect_server_spark.operators.text import tokens
 
     t = F.col("text")
-    adapted = cleaned.filter(
-        let_col(
-            tokens(t),
-            lambda tk: gopher_pass(gopher_flags(t, toks=tk, **_GOPHER_KW)),
-        )
+    return let_col(
+        tokens(t),
+        lambda tk: gopher_pass(gopher_flags(t, toks=tk, **_GOPHER_KW)),
     )
-    return gate(adapted)
 
 
 register("curation_full", curation_full, defer=True)

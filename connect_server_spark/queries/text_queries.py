@@ -3,6 +3,8 @@ fully oracle-gated (every operator is pure arithmetic/string logic)."""
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -160,6 +162,28 @@ _QMIN = 4_500_000
 _TOK_LO, _TOK_HI = 10, 1000
 
 
+@functools.lru_cache(maxsize=1)
+def _corpus_curation_gate_pred():
+    """corpus_curation's scan-stage gate Column, built once per process
+    (r12, guide §7.3): the quality/language trees under the let-bound
+    token split miss ``memo_expr`` (fresh lambda-variable name per
+    construction); caching the outer Column builds the identical tree
+    exactly once. Pure construction over the unresolved ``text`` column
+    and the fixed thresholds above — no data, no store state."""
+    from connect_server_spark.functions.expr import let_col
+    from connect_server_spark.operators.text import tokens
+
+    t = F.col("text")
+    return let_col(
+        tokens(t),
+        lambda tk: (
+            (quality_score(t, toks=tk) >= _QMIN)
+            & alnum_token_count(t).between(_TOK_LO, _TOK_HI)
+            & (language_id(t, toks=tk) != "und")
+        ),
+    )
+
+
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical LLM training-data curation pipeline, composed from
     the text + dedup + curation operator families in ONE plan:
@@ -172,7 +196,6 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     retries). Gates are scan-stage expressions; the dedup shuffle carries
     (16-byte digest, doc_id); the benchmark gram set broadcasts; the
     sample decision is a pure projection."""
-    from connect_server_spark.functions.expr import let_col
     from connect_server_spark.operators.curation import (
         decontaminate,
         stratified_sample,
@@ -199,16 +222,12 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # were measured SLOWER at sf0.1 (med 1.93 s → 2.4-2.6 s): the
     # struct defeats that elimination and widens the window shuffle.
     # The r7 perf gap was plan-CONSTRUCTION cost, fixed by memo_expr on
-    # the stopword-tree builders (functions/expr.py).
-    def _gate(tk):
-        return (
-            (quality_score(t, toks=tk) >= _QMIN)
-            & alnum_token_count(t).between(_TOK_LO, _TOK_HI)
-            & (language_id(t, toks=tk) != "und")
-        )
-
+    # the stopword-tree builders (functions/expr.py); the residual
+    # construction cost (the toks=tk calls miss that memo — fresh
+    # lambda-variable name per build) is fixed in r12 by caching the
+    # whole let-bound gate Column (_corpus_curation_gate_pred).
     kept = (
-        docs.filter(let_col(tokens(t), _gate))
+        docs.filter(_corpus_curation_gate_pred())
         .select("doc_id", "source", "text", tokens(t).alias("_toks"))
         .select(
             "doc_id",

@@ -116,6 +116,39 @@ def test_memo_expr_unhashable_args_fall_through(spark):
     assert a is not b
 
 
+def test_gate_pred_cache_reuses_one_tree_per_config(spark):
+    """r12: make_curation_gate's scan-stage predicate is built once per
+    config for the process lifetime (the lambda-bound quality/gopher
+    trees miss memo_expr by design, so the OUTER Column is cached).
+    Same config -> same object; different config -> distinct tree; and
+    the cached predicate filters exactly like a fresh build."""
+    from connect_server_spark.operators.curation import (
+        _scan_gate_pred,
+        make_curation_gate,
+    )
+
+    p1 = _scan_gate_pred("text", 4_500_000, (2, 100), True, True, True)
+    p2 = _scan_gate_pred("text", 4_500_000, (2, 100), True, True, True)
+    assert p1 is p2
+    p3 = _scan_gate_pred("text", None, (2, 100), True, True, True)
+    assert p3 is not p1
+    assert _scan_gate_pred("body", 4_500_000, (2, 100), True, True, True) is not p1
+
+    df = spark.createDataFrame(
+        [
+            (1, "the of and a to in is was it for the of and a to"),
+            (2, "zz qq"),
+            (3, "lorem ipsum " + "the of and a to in is was it for " * 3),
+        ],
+        ["doc_id", "text"],
+    )
+    gate = make_curation_gate("doc_id", "text", tok_bounds=(3, 100), c4_doc=True)
+    got = sorted(r.doc_id for r in gate(df).collect())
+    _scan_gate_pred.cache_clear()
+    gate_fresh = make_curation_gate("doc_id", "text", tok_bounds=(3, 100), c4_doc=True)
+    assert sorted(r.doc_id for r in gate_fresh(df).collect()) == got == [1]
+
+
 def test_memoized_text_builders_share_trees_across_queries(spark):
     """The production consequence: two independent query constructions
     reuse the cached stopword trees, and the results still evaluate
