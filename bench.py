@@ -348,8 +348,9 @@ def main() -> None:
         out["partial_total"] = round(sum(timings.values()), 4)
     payload = json.dumps(out)
     # Side artifact: the driver captures stdout through a tail buffer that
-    # has truncated the JSON head before (BENCH_r06's `parsed` was null) —
-    # an atomic side file keeps every round's numbers machine-readable.
+    # has truncated the JSON head before (BENCH_r06 and BENCH_r11's
+    # `parsed` were null) — an atomic side file keeps every round's FULL
+    # numbers (spread, calibrations, errors) machine-readable.
     # Non-default scale factors write a SEPARATE file: the committed
     # bench_result.json is the round's sf0.1 headline record, and an
     # sf0.001 smoke run must not clobber it (review finding r9).
@@ -368,7 +369,24 @@ def main() -> None:
         os.replace(tmp, os.path.join(REPO_ROOT, name))
     except OSError:
         pass  # a read-only checkout must not kill the stdout contract
-    print(payload)
+    # The stdout line is the driver's parse target and its tail capture is
+    # ~2,000 chars (r12 verdict "what's wrong" #2: the full payload's
+    # 14.7 KB line erased the r11→r12 comparison). Print a COMPACT line:
+    # every contract field (metric/value/unit/queries/sf) plus the summary
+    # scalars, with spread/calibrations/baselines living only in the side
+    # file. The contract's 98-name `queries` map alone is ~2.6 KB, so
+    # sub-2,000 is unreachable without renaming queries (forbidden) —
+    # this gets the line from 14.7 KB to ~2.8 KB and keeps it a single
+    # flat object any full-stdout capture parses.
+    compact_keys = (
+        "metric", "value", "unit", "queries", "sf",
+        "calibration_sec", "calibration_spread", "git_head",
+        "value_calibrated", "partial", "partial_total",
+    )
+    compact = {k: out[k] for k in compact_keys if k in out}
+    if "query_errors" in out:
+        compact["query_errors"] = sorted(out["query_errors"])
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

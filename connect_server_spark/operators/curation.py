@@ -239,7 +239,13 @@ def decontaminate_bloom(
     return docs.join(hits, id_col, "left_anti")
 
 
-@_functools.lru_cache(maxsize=64)
+# typed=True (r12 advice): min_quality=True must not alias min_quality=1
+# (nor 1 alias 1.0) — the memo_expr discipline of pairing type(v) into
+# keys, expressed via lru_cache's own typed mode. Like memo_expr, the
+# cached Columns are py4j-backed and assume the process keeps ONE JVM
+# gateway for its lifetime; a path that stops/recreates the SparkSession
+# in-process must cache_clear() these.
+@_functools.lru_cache(maxsize=64, typed=True)
 def _scan_gate_pred(
     text_col: str,
     min_quality: int | None,

@@ -271,7 +271,7 @@ def corpus_datacard_oracle_sql() -> str:
     )
     SELECT source,
            count(*) AS n_docs,
-           sum(n_words) AS n_tokens,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens,
            round(avg(n_words), 6) AS avg_tokens,
            round(avg(is_en), 6) AS en_share,
            round(avg(CAST(quality_e7 AS DOUBLE)), 6) AS avg_quality_e7,

@@ -233,7 +233,9 @@ def _fixture_gopher_pred():
     guide §7.3): the gopher tree under the let-bound token split misses
     ``memo_expr`` (fresh lambda-variable name per construction), so the
     outer Column is cached instead — a pure function of the fixed
-    ``_GOPHER_KW`` over the unresolved ``text`` column."""
+    ``_GOPHER_KW`` over the unresolved ``text`` column. Like memo_expr,
+    assumes ONE JVM gateway per process; cache_clear() on any path that
+    recreates the SparkSession in-process."""
     from connect_server_spark.functions.expr import let_col
     from connect_server_spark.operators.quality import (
         gopher_flags,

@@ -169,7 +169,9 @@ def _corpus_curation_gate_pred():
     token split miss ``memo_expr`` (fresh lambda-variable name per
     construction); caching the outer Column builds the identical tree
     exactly once. Pure construction over the unresolved ``text`` column
-    and the fixed thresholds above — no data, no store state."""
+    and the fixed thresholds above — no data, no store state. Like
+    memo_expr, assumes ONE JVM gateway per process; cache_clear() on any
+    path that recreates the SparkSession in-process."""
     from connect_server_spark.functions.expr import let_col
     from connect_server_spark.operators.text import tokens
 

@@ -87,6 +87,26 @@ def test_headline_covers_every_operator_family():
         assert headline & set(members), f"family '{family}' not benched"
 
 
+def test_stdout_line_is_compact():
+    """r12 verdict "what's wrong" #2: the 14.7 KB full-payload stdout
+    line overflowed the driver's ~2,000-char tail capture and erased the
+    r11→r12 comparison. The stdout line must carry the contract fields
+    (metric/value/unit/queries/sf) plus summary scalars ONLY — the
+    per-query spread and the calibrations series live in the atomic side
+    file (bench_result.json), which always holds the full payload."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert "compact_keys" in src
+    # contract fields stay on stdout…
+    for k in ('"metric"', '"value"', '"unit"', '"queries"', '"sf"'):
+        assert k in src
+    # …and the bulky maps must not be in the compact key set
+    compact_block = src.split("compact_keys = (")[1].split(")")[0]
+    assert '"spread"' not in compact_block
+    assert '"calibrations"' not in compact_block
+
+
 def test_bench_rows_self_describe_contention():
     """r11 verdict ask #5: each timed row must carry its segment's
     calibration (`cal`) and a `contended` flag (segment point > 1.2×

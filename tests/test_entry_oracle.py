@@ -150,6 +150,16 @@ def test_rotation_ledger_is_mechanically_true():
     assert ledger.audit() == []
 
 
+def test_gated_oracles_have_no_hugeint_columns():
+    """No gated oracle may produce a DuckDB HUGEINT output column: Spark
+    has no int128, so the driver's dtype-sensitive value hash can never
+    match one (the r12 ``corpus_datacard`` first-contact failure).
+    Metadata-only — ``DESCRIBE`` resolves types without executing."""
+    import tools.check_rotation_ledger as ledger
+
+    assert ledger.audit_oracle_dtypes() == []
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     # driver's t1 gate requires rows > 0 (61 rows at sf0.001)

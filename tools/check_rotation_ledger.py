@@ -61,8 +61,47 @@ def audit() -> list[str]:
     return problems
 
 
+def audit_oracle_dtypes(sf_dir: str = "/root/testdata/sf0.001") -> list[str]:
+    """Fail on any gated oracle whose DuckDB result schema contains a
+    HUGEINT column (r12 postmortem: DuckDB widens ``sum(BIGINT)`` to
+    int128, Spark stays int64, and the driver's value hash is
+    dtype-sensitive — ``corpus_datacard`` failed its first external
+    contact on exactly this). ``DESCRIBE SELECT`` resolves types without
+    executing, so the audit is metadata-only and runs in milliseconds."""
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    import duckdb
+
+    import connect_server_spark.registry as registry
+
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    problems: list[str] = []
+    for name, sql in sorted(registry.all_oracle_sql().items()):
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as exc:  # noqa: BLE001 - a broken oracle is a finding
+            problems.append(f"{name}: oracle SQL fails DESCRIBE: {exc}")
+            continue
+        for col, typ, *_ in desc:
+            if "HUGEINT" in str(typ).upper():
+                problems.append(
+                    f"{name}: output column '{col}' is {typ} — DuckDB "
+                    "integer-sum widening; CAST the aggregate to BIGINT"
+                )
+    return problems
+
+
 def main() -> int:
-    problems = audit()
+    problems = audit() + audit_oracle_dtypes()
     for p in problems:
         print(f"ROTATION-LEDGER: {p}")
     print(
