@@ -376,7 +376,14 @@ def make_curation_gate(
                 )
             )
         if lm is not None or lm_scored is not None:
-            if materialize:
+            # The boundary exists because the LM leg consumes `out`
+            # twice (score + join-back) — but only on the `lm` path.
+            # With `lm_scored` the caller already scored a superset and
+            # `out` feeds the semi-join ONCE, so the checkpoint would
+            # buy nothing and cost a full physical-planning + codegen
+            # pass at build time (r13 decomposition: each lazy
+            # localCheckpoint pays toRdd immediately).
+            if materialize and lm_scored is None:
                 out = out.transform(stage_boundary)
             if lm_scored is not None:
                 # pre-scored reuse: the caller already ran

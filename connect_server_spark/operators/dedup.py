@@ -1042,9 +1042,19 @@ def embedding_neardup_lsh(
     # vectors join back in via two hash joins, so each embedding moves
     # across the wire once and each surviving pair is scored exactly once
     # (mirrors ``ngram_jaccard_pairs`` / ``jaccard_verify``).
-    buckets = emb.select(
-        F.col(id_col),
-        F.posexplode(srp(F.col(vec_col))).alias("_table", "_sig"),
+    #
+    # r13 (guide §2.4/§4 — the minhash shingle-ckpt precedent): the
+    # bucket projection feeds BOTH sides of the self-join, and Spark
+    # duplicates (never shares) a common subtree — the executed pairs
+    # plan carried TWO ArrowEvalPython stages (the SRP batch
+    # matrix-multiply ran twice per document) and two embedding scans
+    # for candidate generation alone. The lazy boundary materializes
+    # the narrow (id, table, sig) rows once; both join sides read them.
+    buckets = stage_boundary(
+        emb.select(
+            F.col(id_col),
+            F.posexplode(srp(F.col(vec_col))).alias("_table", "_sig"),
+        )
     )
     left = buckets.alias("l")
     right = buckets.alias("r")
